@@ -1,13 +1,318 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator is exposed as one `queries` entry; each
+  * SQL-expressible one has a matching DuckDB oracle in [[oracleSql]]
+  * (same column names, same deterministic ORDER BY, integer outputs
+  * BIGINT on both sides, floats rounded identically). Entries without
+  * an oracle (hash-family approximations, stubbed decode) get the
+  * driver's rows-only check and are exact-verified in ScalaTest
+  * against their oracle-checked counterparts.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    WordCount.alpha(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference flagship: word count (ops #1-#9, #15-#21) ----
+    "wordcount_alpha"    -> (WordCount.alpha(_, _)),
+    "wordcount_filtered" -> (WordCount.filtered(_, _)),
+    "wordcount_flatmap"  -> (WordCount.flatMapTokens(_, _)),
+    // ---- relational core ----
+    "q1_pricing"     -> (Relational.pricingSummary(_, _)),
+    "filter_project" -> (Relational.filterProject(_, _)),
+    "topk_orders"    -> (Relational.topkOrders(_, _)),
+    "distinct_agg"   -> (Relational.distinctAgg(_, _)),
+    "agg_stats"      -> (Relational.aggStats(_, _)),
+    "set_union"      -> (Relational.setUnion(_, _)),
+    "set_intersect"  -> (Relational.setIntersect(_, _)),
+    "set_except"     -> (Relational.setExcept(_, _)),
+    "scalar_string"  -> (Relational.scalarString(_, _)),
+    "scalar_date"    -> (Relational.scalarDate(_, _)),
+    "scalar_math"    -> (Relational.scalarMath(_, _)),
+    "json_extract"   -> (Relational.jsonExtract(_, _)),
+    "udaf_geomean"   -> (Relational.geoMeanQty(_, _)),
+    // ---- joins ----
+    "join_inner_nation"  -> (Joins.innerPerNation(_, _)),
+    "join_q3_shipping"   -> (Joins.shippingPriority(_, _)),
+    "join_left_orders"   -> (Joins.leftOuterOrders(_, _)),
+    "join_semi_highval"  -> (Joins.semiHighValue(_, _)),
+    "join_anti_noorders" -> (Joins.antiNoOrders(_, _)),
+    "join_broadcast_dims" -> (Joins.broadcastDims(_, _)),
+    "join_range_tiers"   -> (Joins.rangeJoinTiers(_, _)),
+    // ---- windows & grouping sets ----
+    "win_rank"    -> (Windows.rankPerCustomer(_, _)),
+    "win_running" -> (Windows.runningTotal(_, _)),
+    "win_lag"     -> (Windows.lagDelta(_, _)),
+    "rollup_qty"  -> (Windows.rollupQty(_, _)),
+    "cube_orders" -> (Windows.cubeOrders(_, _)),
+    // ---- time series (batch forms; streaming variants in graft.streaming) ----
+    "ts_hourly"    -> (TimeSeries.hourlyEvents(_, _)),
+    "ts_sessionize" -> (TimeSeries.sessionize(_, _)),
+    "ts_asof"      -> (TimeSeries.asofPurchaseSignup(_, _)),
+    // ---- text analysis ----
+    "text_langstats"   -> (TextAnalysis.langStats(_, _)),
+    "text_quality"     -> (TextAnalysis.qualityScore(_, _)),
+    "text_tokens"      -> (TextAnalysis.tokenCounts(_, _)),
+    "text_langid"      -> (TextAnalysis.langId(_, _)),
+    "text_fingerprint" -> (TextAnalysis.fingerprints(_, _)),
+    // ---- dedup family ----
+    "dedup_exact"   -> (Dedup.exact(_, _)),
+    "dedup_ngram"   -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    // ---- similarity search ----
+    "sim_topk"    -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "sim_neardup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
+    "sim_ann"     -> ((s, d) => Similarity.annTopK(s, d)),
+    // ---- multimodal plumbing ----
+    "mm_meta"     -> (Multimodal.mediaMeta(_, _)),
+    "mm_features" -> (Multimodal.featureSummary(_, _))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "wordcount_alpha" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(text, '[^a-zA-Z]+')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+    "wordcount_filtered" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+        |WHERE word <> '' AND regexp_matches(word, '^[m-qM-Q]')
+        |GROUP BY word ORDER BY word""".stripMargin,
+    "wordcount_flatmap" ->
+      """SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_distinct
+        |FROM (SELECT doc_id, unnest(string_split_regex(text, '[^a-zA-Z]+')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+        | round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |   (CAST(1 AS DECIMAL(14,2)) - CAST(l_discount AS DECIMAL(14,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "filter_project" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice * CAST(0.9 AS DOUBLE) AS discounted, o_orderpriority
+        |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0
+        |ORDER BY o_orderkey""".stripMargin,
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "distinct_agg" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows FROM lineitem""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_returnflag, round(min(l_extendedprice), 2) AS min_price,
+        | round(max(l_extendedprice), 2) AS max_price,
+        | round(avg(l_extendedprice), 2) AS avg_price,
+        | round(stddev_samp(l_discount), 6) AS sd_disc, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "set_union" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000.0
+        |UNION SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0 ORDER BY k""".stripMargin,
+    "set_intersect" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000.0
+        |INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0 ORDER BY k""".stripMargin,
+    "set_except" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000.0
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0 ORDER BY k""".stripMargin,
+    "scalar_string" ->
+      """SELECT c_custkey, upper(c_name) AS name_upper, substring(c_name, 1, 8) AS name_prefix,
+        | CAST(length(c_name) AS BIGINT) AS name_len,
+        | regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS seg_masked,
+        | concat_ws('|', c_mktsegment, c_name) AS seg_name,
+        | lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "scalar_date" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y,
+        | CAST(month(o_orderdate) AS BIGINT) AS m,
+        | CAST(dayofmonth(o_orderdate) AS BIGINT) AS d,
+        | CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        | strftime(o_orderdate, '%Y-%m-%d') AS ymd
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "scalar_math" ->
+      """SELECT l_orderkey, round(abs(l_extendedprice - 30000.0), 2) AS abs_diff,
+        | CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+        | CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct,
+        | round(sqrt(l_extendedprice), 6) AS price_sqrt,
+        | round(ln(l_extendedprice + 1.0), 6) AS price_ln,
+        | CAST(l_orderkey % 97 AS BIGINT) AS key_mod
+        |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin,
+    "json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
+        |FROM events GROUP BY k ORDER BY k""".stripMargin,
+    "udaf_geomean" ->
+      """SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 6) AS geo_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "join_inner_nation" ->
+      """SELECT n_name, round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "join_q3_shipping" ->
+      """SELECT l_orderkey, o_orderpriority,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |   (CAST(1 AS DECIMAL(14,2)) - CAST(l_discount AS DECIMAL(14,2)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "join_left_orders" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | round(CAST(coalesce(sum(o_totalprice), 0.0) AS DOUBLE), 2) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_semi_highval" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti_noorders" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_broadcast_dims" ->
+      """SELECT r_name, count(*) AS n_suppliers, round(CAST(sum(s_acctbal) AS DOUBLE), 2) AS total_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "join_range_tiers" ->
+      """SELECT tier, count(*) AS n_orders, round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders JOIN (VALUES ('T1_low', 0.0, 100000.0), ('T2_mid', 100000.0, 250000.0),
+        | ('T3_high', 250000.0, 1000000000.0)) AS t(tier, lo, hi)
+        |ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY tier ORDER BY tier""".stripMargin,
+    "win_rank" ->
+      """SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn, CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w AS rn, rank() OVER w AS rnk
+        |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC))
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "win_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(o_totalprice - coalesce(lag(o_totalprice, 1) OVER
+        |   (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC), 0.0), 2) AS delta_prev
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "rollup_qty" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag, coalesce(l_linestatus, 'ALL') AS lstatus,
+        | round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+    "cube_orders" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n, round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "ts_hourly" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        | event_type, count(*) AS n, round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "ts_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT *, lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts FROM e),
+        |g AS (SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |   THEN 1 ELSE 0 END AS new_sess FROM f),
+        |h AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        | strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS sess_end
+        |FROM h GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "ts_asof" ->
+      """WITH t AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |  CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END AS signup_ts FROM events),
+        |u AS (SELECT *, last_value(signup_ts IGNORE NULLS) OVER (PARTITION BY user_id
+        |  ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
+        | FROM t)
+        |SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_at,
+        | strftime(last_signup, '%Y-%m-%d %H:%M:%S') AS signup_at
+        |FROM u WHERE event_type = 'purchase' ORDER BY user_id, event_id""".stripMargin,
+    "text_langstats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | round(avg(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))), 4) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+        | CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        | round(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+        | round(length(regexp_replace(text, '[^ ]', '', 'g')) / CAST(length(text) AS DOUBLE), 6) AS space_ratio,
+        | round(length(regexp_replace(text, '[^A-Z]', '', 'g')) / CAST(length(text) AS DOUBLE), 6) AS upper_ratio,
+        | round((length(text) - length(regexp_replace(text, '[^ ]', '', 'g'))) /
+        |   CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE), 6) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT source,
+        | CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS total_ws_tokens,
+        | CAST(sum(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), x -> x <> ''))
+        |   + length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))) AS BIGINT) AS total_bpeish_tokens,
+        | count(*) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> list_contains(['the','a','of','and'], x))) AS score_en,
+        |  len(list_filter(toks, x -> list_contains(['le','la','et','de'], x))) AS score_fr,
+        |  len(list_filter(toks, x -> list_contains(['el','la','y','de'], x))) AS score_es
+        | FROM t)
+        |SELECT doc_id, CAST(score_en AS BIGINT) AS score_en, CAST(score_fr AS BIGINT) AS score_fr,
+        | CAST(score_es AS BIGINT) AS score_es,
+        | CASE WHEN score_en >= score_fr AND score_en >= score_es THEN 'en'
+        |      WHEN score_fr >= score_es THEN 'fr' ELSE 'es' END AS guess
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        | min(doc_id) AS first_doc, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "dedup_ngram" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |   for i in range(1, len(t) - 1)]) AS shingle FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT a, b, round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        |ORDER BY a, b""".stripMargin,
+    "sim_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT q.vec_id AS qid, c.vec_id AS cid, list_cosine_similarity(q.v, c.v) AS sim
+        |  FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+        |r AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk FROM s)
+        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, round(sim, 6) AS sim
+        |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "sim_neardup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT x.vec_id AS a, y.vec_id AS b, round(list_cosine_similarity(x.v, y.v), 6) AS sim
+        |FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+        |WHERE list_cosine_similarity(x.v, y.v) >= 0.3 ORDER BY a, b""".stripMargin,
+    "mm_meta" ->
+      """SELECT doc_id AS media_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS media_type,
+        | CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin
+    // no oracle (rows-only + ScalaTest verification):
+    //   dedup_minhash, dedup_simhash — xxhash64 family not in DuckDB;
+    //   sim_ann — approximate by design (recall-tested vs sim_topk);
+    //   mm_features — stubbed binary decode is not SQL.
+  )
 }

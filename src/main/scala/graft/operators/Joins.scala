@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Join surface. The reference has no joins at all (SURVEY.md §2b) —
+  * this is engine-provided capability: equi inner/left/semi/anti,
+  * broadcast, and a non-equi range join.
+  *
+  * Scale notes (100 TB posture):
+  *  - dimension tables (region/nation/supplier/part) are broadcast —
+  *    no shuffle of the fact side on those joins;
+  *  - fact⋈fact joins (orders⋈lineitem) shuffle on the join key once
+  *    and reuse that partitioning for the downstream aggregation
+  *    where keys align;
+  *  - AQE (enabled in the session) converts to broadcast at runtime
+  *    when a filtered side turns out small, and splits skewed
+  *    partitions.
+  */
+object Joins {
+
+  /** Inner equi-join chain customer⋈nation⋈region with both dims
+    * broadcast; revenue rolled up per region.
+    */
+  def innerPerNation(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val o = Tables.orders(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders")
+      )
+      .orderBy("n_name")
+  }
+
+  /** 3-way fact join (TPC-H Q3 shape): customer⋈orders⋈lineitem,
+    * revenue per order, top 10. Filters push below the joins.
+    */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderpriority"))
+      // decimal so the 4-decimal product sum is exact (see
+      // Relational.pricingSummary note on .xx50 round boundaries)
+      .agg(round(sum(col("l_extendedprice").cast("decimal(14,2)") *
+          (lit(1).cast("decimal(14,2)") - col("l_discount").cast("decimal(14,2)"))), 2)
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Left outer join: every customer, order count + total (0 for
+    * customers with no orders).
+    */
+  def leftOuterOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total")
+      )
+      .orderBy("c_custkey")
+  }
+
+  /** Left semi join = EXISTS: customers having at least one
+    * high-value order.
+    */
+  def semiHighValue(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 250000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** Left anti join = NOT EXISTS: customers with no orders at all. */
+  def antiNoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .orderBy("c_custkey")
+  }
+
+  /** Explicit broadcast-hash join: supplier enriched through
+    * nation⋈region (both broadcast), counting suppliers per region.
+    */
+  def broadcastDims(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        round(sum(col("s_acctbal")), 2).as("total_bal")
+      )
+      .orderBy("r_name")
+  }
+
+  /** Non-equi range join: bucket orders into price tiers via an
+    * inline tier table joined on `lo <= price < hi`. The tier side is
+    * tiny → Spark plans BroadcastNestedLoopJoin; at 100 TB the fact
+    * side streams through without a shuffle.
+    */
+  def rangeJoinTiers(spark: SparkSession, dir: String): DataFrame = {
+    val tiers = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("T1_low", 0.0, 100000.0),
+        Row("T2_mid", 100000.0, 250000.0),
+        Row("T3_high", 250000.0, 1e9)
+      ),
+      StructType(Seq(
+        StructField("tier", StringType, nullable = false),
+        StructField("lo", DoubleType, nullable = false),
+        StructField("hi", DoubleType, nullable = false)
+      ))
+    )
+    val o = Tables.orders(spark, dir)
+    o.join(broadcast(tiers),
+        o("o_totalprice") >= tiers("lo") && o("o_totalprice") < tiers("hi"))
+      .groupBy(col("tier"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(avg(col("o_totalprice")), 2).as("avg_price")
+      )
+      .orderBy("tier")
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat media payloads as opaque binary
+  * columns with typed metadata, and run decode / feature-extract as
+  * batch-shaped partition-local transforms.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic fake ([[fakeDecode]]); everything
+  * around it — binary column handling, schema, the mapPartitions
+  * batch shape (the Scala analogue of mapInPandas: one iterator per
+  * partition, amortized per-batch setup), partition sizing — is real
+  * and tested. Swapping [[fakeDecode]] for a real JNI/codec call is a
+  * one-function change.
+  */
+object Multimodal {
+
+  /** A typed media record: payload + metadata, the shape a real
+    * image/audio table would have.
+    */
+  case class MediaRecord(media_id: Long, payload: Array[Byte],
+                         media_type: String, n_bytes: Long)
+
+  case class MediaFeature(media_id: Long, n_bytes: Long, width: Int,
+                          height: Int, checksum: Long)
+
+  /** Synthesize a binary media table from documents.text (UTF-8
+    * bytes as the opaque payload) — deterministic stand-in for real
+    * image bytes.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        col("text").cast("binary").as("payload"),
+        (when(col("doc_id") % 2 === 0, "image/png")
+          .otherwise("image/jpeg")).as("media_type"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes")
+      )
+
+  /** STUB — deterministic fake decoder. A real implementation would
+    * decode the image header here (e.g. via javax.imageio or a JNI
+    * codec); this fake derives "dimensions" and a checksum from the
+    * bytes so the pipeline is end-to-end testable and reproducible.
+    */
+  def fakeDecode(payload: Array[Byte]): (Int, Int, Long) = {
+    var h = 1125899906842597L // deterministic FNV-ish fold
+    var i = 0
+    while (i < payload.length) { h = h * 31 + (payload(i) & 0xff); i += 1 }
+    val width = 64 + math.floorMod(h, 512).toInt
+    val height = 64 + math.floorMod(h >> 16, 512).toInt
+    (width, height, h)
+  }
+
+  /** Partition-local batch decode: the mapPartitions shape keeps any
+    * per-batch native setup (codec contexts, model sessions) amortized
+    * across the partition — the direct Scala analogue of mapInPandas
+    * batch processing.
+    */
+  def decodeFeatures(spark: SparkSession, dir: String): Dataset[MediaFeature] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRecord]
+      .mapPartitions { it =>
+        // per-partition setup would happen here (once, not per row)
+        it.map { r =>
+          val (w, h, sum) = fakeDecode(r.payload)
+          MediaFeature(r.media_id, r.n_bytes, w, h, sum)
+        }
+      }
+  }
+
+  /** Oracle-checkable projection of the media pipeline: byte lengths
+    * are real (not faked), so DuckDB can verify the binary-column
+    * plumbing end-to-end.
+    */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("media_id"), col("media_type"), col("n_bytes"))
+      .orderBy("media_id")
+
+  /** Feature-extraction summary over the decoded (stub) features —
+    * exercises the full typed pipeline; deterministic, verified by
+    * unit test rather than SQL oracle (the fake decode is not SQL).
+    */
+  def featureSummary(spark: SparkSession, dir: String): DataFrame =
+    decodeFeatures(spark, dir).toDF()
+      .groupBy((col("media_id") % 10).as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("n_bytes")).as("total_bytes"),
+        min(col("width")).as("min_w"),
+        max(col("height")).as("max_h")
+      )
+      .orderBy("bucket")
+}

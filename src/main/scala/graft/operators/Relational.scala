@@ -1,0 +1,191 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational surface over the TPC-H-ish fixtures: scan,
+  * project, predicate, aggregate, distinct, top-k, set ops, scalar
+  * functions. The reference has only filter (regex, map-side —
+  * legacy/.../hw02/WordCountNoCombiner.java:31) and count/sum
+  * aggregation (worker.go:41-44, hw01/WordCount.java:52-66); the rest
+  * is engine-provided surface per SURVEY.md §2b.
+  *
+  * All queries are written declaratively so Catalyst pushes filters
+  * and prunes columns into the parquet scan, and partial aggregation
+  * happens map-side before the shuffle.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: the canonical partial+final
+    * aggregation workload. Filter is pushed to the scan; only 9 of 11
+    * lineitem columns are read.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        // 4-decimal products summed then rounded to 2 hit exact .xx50
+        // half-boundaries ~1% of rows; decimal arithmetic makes the
+        // sum exact and the rounding identical to DuckDB's
+        round(sum(col("l_extendedprice").cast("decimal(14,2)") *
+          (lit(1).cast("decimal(14,2)") - col("l_discount").cast("decimal(14,2)"))), 2)
+          .cast("double").as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Projection + conjunctive predicates + computed column. */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 100000.0)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        // no round: per-row IEEE multiply is bit-identical across
+        // engines, while round() at the .xx5 boundaries this product
+        // creates is not (Spark rounds on the shortest decimal repr,
+        // DuckDB on the binary value)
+        (col("o_totalprice") * 0.9).as("discounted"),
+        col("o_orderpriority")
+      )
+      .orderBy("o_orderkey")
+
+  /** Top-k: orderBy+limit compiles to TakeOrderedAndProject — a
+    * per-partition heap + driver merge, no global sort shuffle.
+    */
+  def topkOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  /** Exact + distinct aggregation over two keys. (HLL sketch variant
+    * `approx_count_distinct` is exercised in unit tests — not oracle
+    * comparable by design.)
+    */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows")
+      )
+
+  /** Multi-aggregate statistics with deterministic rounding. */
+  def aggStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
+        count(lit(1)).as("n")
+      )
+      .orderBy("l_returnflag")
+
+  /** UNION (distinct) of two key sets. */
+  def setUnion(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 5000.0).select(col("c_custkey").as("k"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 200000.0).select(col("o_custkey").as("k"))
+    c.union(o).distinct().orderBy("k")
+  }
+
+  /** INTERSECT of the same two key sets. */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 5000.0).select(col("c_custkey").as("k"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 200000.0).select(col("o_custkey").as("k"))
+    c.intersect(o).orderBy("k")
+  }
+
+  /** EXCEPT of the same two key sets. */
+  def setExcept(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 5000.0).select(col("c_custkey").as("k"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 200000.0).select(col("o_custkey").as("k"))
+    c.except(o).orderBy("k")
+  }
+
+  /** String scalar-function coverage: lower/upper/substring/length/
+    * replace/concat/trim/lpad — all codegen'd built-ins.
+    */
+  def scalarString(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        length(col("c_name")).cast("long").as("name_len"),
+        regexp_replace(col("c_mktsegment"), "[AEIOU]", "_").as("seg_masked"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded")
+      )
+      .orderBy("c_custkey")
+
+  /** Date/time scalar functions on a timestamp column. */
+  def scalarDate(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("ymd")
+      )
+      .orderBy("o_orderkey")
+
+  /** Math scalar functions; results rounded for cross-engine float
+    * stability.
+    */
+  def scalarMath(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_linenumber") === 1)
+      .select(
+        col("l_orderkey"),
+        round(abs(col("l_extendedprice") - 30000.0), 2).as("abs_diff"),
+        floor(col("l_quantity")).as("qty_floor"),
+        ceil(col("l_discount") * 100).as("disc_pct"),
+        round(sqrt(col("l_extendedprice")), 6).as("price_sqrt"),
+        round(log(col("l_extendedprice") + 1.0), 6).as("price_ln"),
+        pmod(col("l_orderkey"), lit(97)).as("key_mod")
+      )
+      .orderBy("l_orderkey")
+
+  /** Custom typed Aggregator (UDAF surface — the reference's
+    * pluggable ReduceFunc, worker.go:41): geometric mean of
+    * l_quantity per return flag. Partial-aggregates map-side because
+    * reduce/merge are associative.
+    */
+  def geoMeanQty(spark: SparkSession, dir: String): DataFrame = {
+    val geo = udaf(graft.functions.Aggregators.GeoMean)
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(geo(col("l_quantity")), 6).as("geo_qty"),
+        count(lit(1)).as("n")
+      )
+      .orderBy("l_returnflag")
+  }
+
+  /** JSON extraction from the events.props string column. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        get_json_object(col("props"), "$.k").cast("int").as("k")
+      )
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("k")
+}

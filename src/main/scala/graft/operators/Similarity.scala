@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (embedding:
+  * array<float>, 64-dim, L2-normalized at generation time — verified
+  * in FIXTURES probing; we still re-normalize defensively so the
+  * operator is correct on arbitrary input).
+  *
+  * Two paths, as a production ANN stack would have:
+  *  - brute-force cosine top-k: exact baseline. The dot product is a
+  *    single codegen'd higher-order-function expression
+  *    (aggregate(zip_with(...))) — no UDF, no driver loop. Query set
+  *    × corpus is a broadcast nested-loop join: at scale the small
+  *    query set broadcasts and the 100 TB corpus streams through
+  *    map-side, then per-query top-k aggregates without a global sort.
+  *  - LSH-bucketed (random hyperplanes): 16-bit signature from sign
+  *    patterns of deterministic pseudo-random hyperplanes; candidates
+  *    share a signature band; exact cosine re-ranks candidates.
+  */
+object Similarity {
+
+  /** Cosine similarity of two equal-length double arrays as a single
+    * column expression (codegen'd; sequential fold matches the
+    * oracle's list_cosine_similarity evaluation order).
+    */
+  def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    val na = sqrt(aggregate(a, lit(0.0), (s, v) => s + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0), (s, v) => s + v * v))
+    dot / (na * nb)
+  }
+
+  private def embDouble(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  /** Exact brute-force cosine top-k: for each query vector (vec_id <
+    * nQueries), the k nearest other vectors. Ranking is on the raw
+    * double similarity with vec_id tie-break; the emitted score is
+    * rounded for cross-engine comparison.
+    */
+  def bruteForceTopK(spark: SparkSession, dir: String,
+                     nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = emb.select(col("vec_id").as("cid"), col("v").as("cv"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥
+    * minSim. Exact but candidate-blocked by label (the corpus's
+    * cluster id) — at 100 TB the blocking key would be a coarse
+    * quantization (IVF cell); the join never goes all-pairs global.
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String,
+                       minSim: Double = 0.3): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val a = emb.select(col("vec_id").as("a"), col("label"), col("v").as("va"))
+    val b = emb.select(col("vec_id").as("b"), col("label"), col("v").as("vb"))
+    a.join(b, Seq("label"))
+      .filter(col("a") < col("b"))
+      .select(col("label"), col("a"), col("b"),
+        cosine(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= minSim)
+      .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
+      .orderBy("a", "b")
+  }
+
+  /** Random-hyperplane LSH signatures: nBits deterministic
+    * hyperplanes; component j of plane i = a hash-derived value in
+    * [-1, 1) from xxhash64(i, j) — fully deterministic, no RNG state.
+    * Signature bit i = (v · plane_i) >= 0.
+    */
+  def lshSignatures(emb: DataFrame, nBits: Int, dim: Int): DataFrame = {
+    // plane(i) dot v, with hash-derived coefficients folded into the
+    // aggregate expression; xxhash64 of two int literals is constant-
+    // folded by Catalyst, so each coefficient is a literal at codegen.
+    def planeDot(i: Int) = {
+      val terms = (0 until dim).map { j =>
+        val coef = (((i.toLong * 1315423911L + j.toLong * 2654435761L)
+          % 2000003L).toDouble / 1000001.5) - 1.0 // deterministic in [-1,1)
+        element_at(col("v"), j + 1) * lit(coef)
+      }
+      terms.reduce(_ + _)
+    }
+    emb.select(col("vec_id"), col("v"),
+      (0 until nBits).map(i =>
+        when(planeDot(i) >= 0.0, lit(1L << i)).otherwise(0L))
+        .reduce(_.bitwiseOR(_)).as("sig"))
+  }
+
+  /** ANN top-k via LSH bucketing: candidates share the full nBits
+    * signature OR any of the 4-bit bands; exact cosine re-ranks.
+    * Approximate by design — verified in tests for recall against
+    * bruteForceTopK, not oracle-hashed.
+    */
+  def annTopK(spark: SparkSession, dir: String,
+              nQueries: Int = 8, k: Int = 5, nBits: Int = 16): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val sigs = lshSignatures(emb, nBits, 64)
+    val bands = sigs.select(col("vec_id"), col("v"),
+      posexplode(array((0 until nBits / 4).map(bd =>
+        shiftright(col("sig"), bd * 4).bitwiseAND(lit(0xFL))): _*))
+        .as(Seq("band", "bkey")))
+    val q = bands.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("band"), col("bkey"))
+    val cand = bands.join(q, Seq("band", "bkey"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("vec_id").as("cid"), col("v").as("cv"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    cand
+      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), round(col("sim"), 6).as("sim"))
+      .orderBy("qid", "rnk")
+  }
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * documents table: token statistics, quality scoring, heuristic
+  * language ID, and document fingerprinting. All pure column
+  * expressions (codegen'd, no UDFs) so they run inside one
+  * WholeStageCodegen span per stage and scale embarrassingly —
+  * per-document work with no shuffle until the final aggregate.
+  */
+object TextAnalysis {
+
+  /** Per-language corpus statistics: document/token/char counts. */
+  def langStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("lang"),
+        col("n_chars"),
+        TextFns.nTokens(col("text")).as("n_tok")
+      )
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(col("n_tok")), 4).as("avg_tokens")
+      )
+      .orderBy("lang")
+
+  /** Per-document quality features: length, token stats, punctuation
+    * and whitespace ratios, uppercase ratio, mean token length — the
+    * standard cheap quality signals for corpus filtering.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val nch = length(txt).cast("double")
+    val toks = TextFns.wsTokens(txt)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(txt).cast("long").as("len"),
+        size(toks).cast("long").as("n_tokens"),
+        round(length(regexp_replace(txt, "[^\\p{Punct}]", "")) / nch, 6)
+          .as("punct_ratio"),
+        round(length(regexp_replace(txt, "[^ ]", "")) / nch, 6)
+          .as("space_ratio"),
+        round(length(regexp_replace(txt, "[^A-Z]", "")) / nch, 6)
+          .as("upper_ratio"),
+        round((nch - length(regexp_replace(txt, "[^ ]", ""))) /
+          size(toks).cast("double"), 6).as("avg_token_len")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish
+    * subword proxy (runs of letters, digits, or single non-space
+    * symbols — the classic GPT-2 pre-tokenizer shape without the
+    * merges table). Reported per source for corpus budgeting.
+    */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val ws = TextFns.nTokens(txt)
+    // BPE-ish proxy = alphanumeric runs + individual symbol chars,
+    // expressed without lookarounds so the DuckDB (RE2) oracle can
+    // state the identical computation.
+    val bpeish =
+      size(filter(split(txt, "[^a-zA-Z0-9]+"), t => length(t) > 0)) +
+        length(regexp_replace(txt, "[a-zA-Z0-9 ]", ""))
+    Tables.documents(spark, dir)
+      .select(col("source"), ws.as("ws_tokens"), bpeish.as("bpeish_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("bpeish_tokens")).as("total_bpeish_tokens"),
+        count(lit(1)).as("n_docs")
+      )
+      .orderBy("source")
+  }
+
+  /** Heuristic language ID by stopword voting: count hits of tiny
+    * per-language marker lexicons over the token set, argmax with a
+    * deterministic tie-break. (The fixture text is synthetic word
+    * soup, so the output is a deterministic function, not a claim of
+    * linguistic accuracy — the operator shape is what matters.)
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.wsTokens(lower(col("text")))
+    def hits(words: Seq[String]) =
+      size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        hits(Seq("the", "a", "of", "and")).cast("long").as("score_en"),
+        hits(Seq("le", "la", "et", "de")).cast("long").as("score_fr"),
+        hits(Seq("el", "la", "y", "de")).cast("long").as("score_es")
+      )
+      .withColumn("guess",
+        when(col("score_en") >= col("score_fr") &&
+             col("score_en") >= col("score_es"), "en")
+          .when(col("score_fr") >= col("score_es"), "fr")
+          .otherwise("es"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: md5 over normalized text (lowercase,
+    * collapsed whitespace) + duplicate-cluster size per fingerprint.
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(
+        min(col("doc_id")).as("first_doc"),
+        count(lit(1)).as("n_docs")
+      )
+      .orderBy("fp")
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series analytics over the events table: tumbling windows,
+  * sessionization, as-of join. The reference is batch-only
+  * (SURVEY.md §2b "Streaming: absent") — these are the
+  * oracle-checkable batch forms; the Structured Streaming variants
+  * live in graft.streaming and share the same logic.
+  *
+  * NOTE on event timestamps: events.ts is parquet timestamp[ns];
+  * Spark truncates to microseconds while DuckDB keeps TIMESTAMP_NS.
+  * Every query here emits timestamps as formatted strings (second
+  * precision) so the driver's hash compare never sees a precision
+  * mismatch.
+  */
+object TimeSeries {
+
+  /** Tumbling 1-hour window counts per event type — the batch
+    * equivalent of the streaming windowed aggregation. window() is
+    * epoch-aligned, so window.start == date_trunc('hour', ts).
+    */
+  def hourlyEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value")
+      )
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value")
+      )
+      .orderBy("hour_start", "event_type")
+
+  /** Sessionization with a 30-minute inactivity gap, expressed as
+    * window functions (lag → new-session flag → running sum = session
+    * id). One shuffle on user_id; scales linearly — the per-user
+    * state is a sort within the partition, never a driver collect.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("sess_end")
+      )
+      .orderBy("user_id", "session_id")
+  }
+
+  /** As-of join: for each purchase event, the most recent prior (or
+    * simultaneous) signup by the same user. Implemented shuffle-once:
+    * union the two tagged streams, sort per user by time, and carry
+    * the last seen signup time forward with last(ignoreNulls) — no
+    * per-row range probe, no driver state. This is the standard
+    * scalable as-of pattern (one exchange + one sort).
+    */
+  def asofPurchaseSignup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val tagged = ev.select(
+      col("user_id"), col("ts"), col("event_id"), col("event_type"),
+      when(col("event_type") === "signup", col("ts")).as("signup_ts")
+    )
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("last_signup", last(col("signup_ts"), ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_at"),
+        date_format(col("last_signup"), "yyyy-MM-dd HH:mm:ss").as("signup_at")
+      )
+      .orderBy("user_id", "event_id")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions and grouping sets — absent from the reference
+  * (SURVEY.md §2b), engine-provided. One shuffle per distinct
+  * partitioning; the three order-window queries share
+  * partitionBy(o_custkey) so their exchange is identical in shape.
+  */
+object Windows {
+
+  private def custDateWindow =
+    Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+
+  /** row_number + rank per customer by order date; latest 3 orders.
+    * Tie-break on o_orderkey keeps row_number deterministic.
+    */
+  def rankPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rnk")
+      )
+      .filter(col("rn") <= 3L)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running total per customer (rowsBetween unbounded→current). */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice"))
+          .over(custDateWindow.rowsBetween(Window.unboundedPreceding, 0)), 2)
+          .as("running_total")
+      )
+      .orderBy("o_custkey", "o_orderkey")
+
+  /** lag: delta vs the customer's previous order. */
+  def lagDelta(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") -
+          coalesce(lag(col("o_totalprice"), 1).over(custDateWindow), lit(0.0)), 2)
+          .as("delta_prev")
+      )
+      .orderBy("o_custkey", "o_orderkey")
+
+  /** ROLLUP on (returnflag, linestatus). NULL group markers are
+    * coalesced to 'ALL' so ordering semantics match the DuckDB oracle
+    * (Spark sorts NULLS FIRST, DuckDB NULLS LAST — sidestep entirely).
+    */
+  def rollupQty(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n")
+      )
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("sum_qty"), col("n")
+      )
+      .orderBy("rflag", "lstatus")
+
+  /** CUBE on (orderstatus, orderpriority). */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total")
+      )
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total")
+      )
+      .orderBy("status", "priority")
+}
