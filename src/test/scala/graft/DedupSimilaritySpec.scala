@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup: cluster sizes sum to document count") {
+    val docs = Tables.documents(spark, sf).count()
+    val summed = Dedup.exact(spark, sf).agg(sum("n_copies")).as[Long].collect().head
+    assert(summed == docs)
+  }
+
+  test("minhash LSH pairs are a subset of exact n-gram Jaccard pairs") {
+    // the verify step recomputes exact Jaccard on candidates, so every
+    // emitted pair must appear in the exhaustive inverted-index result
+    // with the identical score
+    val exact = Dedup.ngramJaccard(spark, sf)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val lsh = Dedup.minhashLsh(spark, sf, minJ = 0.2)
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (a, b, j) =>
+      assert(exact.contains((a, b)), s"LSH pair ($a,$b) not in exact set")
+      assert(math.abs(exact((a, b)) - j) < 1e-9)
+    }
+  }
+
+  test("minhash LSH recall >= 0.9 on pairs with J >= 0.3") {
+    val exact = Dedup.ngramJaccard(spark, sf)
+      .filter(col("jaccard") >= 0.3)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    val lsh = Dedup.minhashLsh(spark, sf, minJ = 0.3)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    if (exact.nonEmpty) {
+      val recall = exact.intersect(lsh).size.toDouble / exact.size
+      assert(recall >= 0.9, s"recall=$recall over ${exact.size} true pairs")
+    }
+  }
+
+  test("simhash: near-identical docs collide, signatures deterministic") {
+    val s1 = Dedup.simhashSigs(spark, sf).orderBy("doc_id")
+      .as[(Long, Long)].collect()
+    val s2 = Dedup.simhashSigs(spark, sf).orderBy("doc_id")
+      .as[(Long, Long)].collect()
+    assert(s1.sameElements(s2))
+    assert(s1.length == Tables.documents(spark, sf).count())
+  }
+
+  test("simhash pairs have hamming <= 3 and are symmetric-free (a<b)") {
+    val pairs = Dedup.simhashPairs(spark, sf)
+      .as[(Long, Long, Int)].collect()
+    pairs.foreach { case (a, b, h) =>
+      assert(a < b); assert(h <= 3)
+    }
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val one = Seq((Seq(0.6, 0.8), Seq(0.6, 0.8))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .as[Double].collect().head
+    assert(math.abs(one - 1.0) < 1e-12)
+  }
+
+  test("ANN recall >= 0.6 vs brute force top-5") {
+    val bf = Similarity.bruteForceTopK(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val ann = Similarity.annTopK(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recalls = bf.map { case (q, trueSet) =>
+      ann.getOrElse(q, Set.empty).intersect(trueSet).size.toDouble / trueSet.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean ANN recall $mean")
+  }
+
+  test("near-dup pairs only within label blocks and above threshold") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    Similarity.embeddingNearDup(spark, sf)
+      .as[(Long, Long, Double)].collect().foreach { case (a, b, s) =>
+        assert(emb(a) == emb(b))
+        assert(s >= 0.3)
+      }
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("media table: payload bytes round-trip and n_bytes is real") {
+    val rows = Multimodal.mediaTable(spark, sf)
+      .select(col("media_id"), col("payload"), col("n_bytes"))
+      .as[(Long, Array[Byte], Long)].collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { case (_, payload, n) => assert(payload.length.toLong == n) }
+  }
+
+  test("decode pipeline is deterministic and total") {
+    val a = Multimodal.decodeFeatures(spark, sf).collect().sortBy(_.media_id)
+    val b = Multimodal.decodeFeatures(spark, sf).collect().sortBy(_.media_id)
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+    a.foreach { f =>
+      assert(f.width >= 64 && f.width < 576)
+      assert(f.height >= 64 && f.height < 576)
+    }
+  }
+
+  test("fake decoder matches the column pipeline (seam check)") {
+    val viaPipeline = Multimodal.decodeFeatures(spark, sf)
+      .filter(_.media_id == 0L).collect().head
+    val payload = Multimodal.mediaTable(spark, sf)
+      .filter(col("media_id") === 0L)
+      .select(col("payload")).as[Array[Byte]].collect().head
+    val (w, h, sum) = Multimodal.fakeDecode(payload)
+    assert(viaPipeline.width == w && viaPipeline.height == h &&
+      viaPipeline.checksum == sum)
+  }
+}

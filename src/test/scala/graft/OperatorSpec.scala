@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Cross-operator invariants that the DuckDB oracle can't see
+  * (physical plan shape, approximate sketches, partition counts).
+  */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("semi + anti partition the customer set") {
+    val all = Tables.customer(spark, sf).count()
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").count()
+    assert(semi + anti == all)
+  }
+
+  test("broadcast joins actually broadcast (plan check)") {
+    val plan = Joins.broadcastDims(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("range-tier join broadcasts the tiny tier side, no shuffle of facts") {
+    val plan = Joins.rangeJoinTiers(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q1 pushes the shipdate filter into the parquet scan") {
+    val plan = Relational.pricingSummary(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q1 prunes columns: scan reads only the needed lineitem fields") {
+    val plan = Relational.pricingSummary(spark, sf)
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag"))
+    assert(!readSchema.contains("l_partkey"), s"unexpected column in $readSchema")
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val li = Tables.lineitem(spark, sf)
+    val (exact, approx) = li.agg(
+      countDistinct(col("l_partkey")).cast("double"),
+      approx_count_distinct(col("l_partkey"), 0.02).cast("double")
+    ).as[(Double, Double)].collect().head
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+
+  test("top-k uses TakeOrderedAndProject (no global sort shuffle)") {
+    val plan = Relational.topkOrders(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("set ops: union distinct >= intersect; except disjoint from intersect") {
+    val u = Relational.setUnion(spark, sf).as[Long].collect().toSet
+    val i = Relational.setIntersect(spark, sf).as[Long].collect().toSet
+    val e = Relational.setExcept(spark, sf).as[Long].collect().toSet
+    assert(i.subsetOf(u))
+    assert(e.intersect(i).isEmpty)
+    assert(e.subsetOf(u))
+  }
+
+  test("rollup row count = detail groups + returnflag groups + grand total") {
+    val li = Tables.lineitem(spark, sf)
+    val detail = li.select("l_returnflag", "l_linestatus").distinct().count()
+    val flags = li.select("l_returnflag").distinct().count()
+    val got = Windows.rollupQty(spark, sf).count()
+    assert(got == detail + flags + 1)
+  }
+
+  test("sessionize: session event counts sum to total events") {
+    val total = Tables.events(spark, sf).count()
+    val sessions = TimeSeries.sessionize(spark, sf)
+    val summed = sessions.agg(sum("n_events")).as[Long].collect().head
+    assert(summed == total)
+  }
+
+  test("as-of join: signup_at <= purchase_at whenever present") {
+    val bad = TimeSeries.asofPurchaseSignup(spark, sf)
+      .filter(col("signup_at").isNotNull && col("signup_at") > col("purchase_at"))
+      .count()
+    assert(bad == 0)
+  }
+}

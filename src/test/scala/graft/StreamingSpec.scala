@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.TimeSeries
+import graft.streaming.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming forms must agree with the oracle-checked batch forms on
+  * the same events fixture.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming hourly counts == batch hourly counts (complete mode)") {
+    val batch = TimeSeries.hourlyEvents(spark, sf)
+      .as[(String, String, Long, Double)].collect().toSet
+
+    val events = Tables.events(spark, sf)
+      .select(col("ts"), col("event_type"), col("value"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    mem.addData(events.as[(java.sql.Timestamp, String, Double)].collect().toSeq)
+    val streamed = Streaming.hourlyCounts(
+      mem.toDF().toDF("ts", "event_type", "value"))
+    val got = Streaming.runToMemory(spark, streamed, "hourly_out",
+        OutputMode.Complete())
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == batch)
+  }
+
+  test("stateful sessionize == window-function sessionize") {
+    val batch = TimeSeries.sessionize(spark, sf)
+      .select(col("user_id"), col("session_id"), col("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsMicros"))
+      .as[Streaming.Ev]
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streaming.Ev]
+    mem.addData(evs.collect().toSeq)
+    val sessions = Streaming.sessionize(mem.toDS())
+    val emitted = Streaming.runToMemory(spark, sessions.toDF(), "sess_out",
+        OutputMode.Append())
+      .select(col("user_id"), col("session_id"), col("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    // append mode emits only CLOSED sessions; every emitted session
+    // must match the batch result exactly
+    assert(emitted.nonEmpty)
+    assert(emitted.subsetOf(batch), s"${emitted.diff(batch).take(5)} not in batch")
+  }
+}
