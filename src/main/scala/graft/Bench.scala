@@ -3,6 +3,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
+    // untimed warmup: loads Spark's codegen/shuffle/parquet classes so
+    // the first timed query isn't charged ~4s of one-time JVM setup
+    // (a long-running cluster is always warm; per-query times stay real)
+    try spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_name").count().count()
+    catch { case _: Throwable => () } // warmup must never kill the run
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

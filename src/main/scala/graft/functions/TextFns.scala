@@ -27,17 +27,23 @@ object TextFns {
   /** Token count without materializing an explode. */
   def nTokens(c: Column): Column = size(wsTokens(c))
 
-  /** Word w-shingles (space-joined n-grams of whitespace tokens).
-    * Distinct set per document is the MinHash/Jaccard input.
+  /** n-shingles from an ALREADY-MATERIALIZED token array column.
+    * The lambda references `tokens` per element — pass a plain column
+    * (stage the tokenization in a projection first), never a complex
+    * expression, or it re-evaluates per element (O(len²) per row —
+    * measured 8s → 0.5s on the sf0.1 shingle pipeline).
     */
-  def wordShingles(c: Column, n: Int): Column = {
-    val toks = wsTokens(c)
-    // slide an n-window over the token array; drop the short tail
+  def shinglesOf(tokens: Column, n: Int): Column =
     filter(
-      transform(toks, (_, i) => array_join(slice(toks, i + 1, lit(n)), " ")),
-      (_, i) => i <= size(toks) - n
+      transform(tokens, (_, i) => array_join(slice(tokens, i + 1, lit(n)), " ")),
+      (_, i) => i <= size(tokens) - n
     )
-  }
+
+  /** Word w-shingles (space-joined n-grams of whitespace tokens).
+    * Convenience for small inputs/tests; hot paths should stage
+    * [[wsTokens]] in a projection and call [[shinglesOf]].
+    */
+  def wordShingles(c: Column, n: Int): Column = shinglesOf(wsTokens(c), n)
 
   /** Normalized text for fingerprinting: lowercase, collapse all
     * whitespace runs to single spaces, trim.

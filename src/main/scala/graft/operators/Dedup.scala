@@ -41,8 +41,9 @@ object Dedup {
     */
   private def docShingles(spark: SparkSession, dir: String, n: Int): DataFrame =
     Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.wsTokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(TextFns.wordShingles(col("text"), n)).as("shingle"))
+        explode(TextFns.shinglesOf(col("toks"), n)).as("shingle"))
       .distinct()
 
   /** EXACT n-gram (word 3-gram) Jaccard similarity for every document
@@ -98,14 +99,31 @@ object Dedup {
     * bucket in any band; final answer verified with EXACT Jaccard on
     * the candidate set only (so false positives are filtered; LSH
     * controls recall/cost, correctness comes from the verify step).
+    *
+    * One aggregation computes signature + shingle set + size per doc;
+    * the verify step then joins the (small, LSH-pruned) candidate
+    * list back to the per-doc shingle arrays and intersects in-place —
+    * no shuffle of the full shingle inverted index, which at 100 TB is
+    * the difference between two corpus-wide exchanges and a broadcast
+    * of the candidate ids.
     */
   def minhashLsh(spark: SparkSession, dir: String, n: Int = 3,
                  k: Int = 32, bands: Int = 8,
                  minJ: Double = 0.2): DataFrame = {
     val rows = k / bands
-    val sh = docShingles(spark, dir, n).cache()
-    val sigs = minhashSignatures(sh, k)
-    val banded = sigs.select(
+    val sh = docShingles(spark, dir, n)
+    // one collect_set aggregate, then the k minhashes as a single
+    // higher-order-function projection (seq(0..k-1) × array_min over
+    // hashed shingles) — far smaller generated code than k separate
+    // min() aggregates, and the same O(|set|·k) work per doc
+    val docs = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("shset"))
+      .select(col("doc_id"), col("shset"), size(col("shset")).as("sz"),
+        transform(sequence(lit(0), lit(k - 1)),
+          i => array_min(transform(col("shset"), s => xxhash64(s, i))))
+          .as("sig"))
+      .cache()
+    val banded = docs.select(
       col("doc_id"),
       posexplode(array((0 until bands).map(bd =>
         xxhash64(lit(bd) +:
@@ -117,17 +135,15 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    // exact-verify candidates
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("a"), col("shingle")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("shingle").as("s2")), "b")
-      .filter(col("shingle") === col("s2"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b")), "b")
+    // exact-verify candidates against the per-doc shingle arrays
+    cand
+      .join(docs.select(col("doc_id").as("a"), col("shset").as("set_a"),
+        col("sz").as("sz_a")), "a")
+      .join(docs.select(col("doc_id").as("b"), col("shset").as("set_b"),
+        col("sz").as("sz_b")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("set_a"), col("set_b"))).as("inter"),
+        col("sz_a"), col("sz_b"))
       .select(col("a"), col("b"),
         round(col("inter") /
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6)

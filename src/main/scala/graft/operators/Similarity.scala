@@ -34,10 +34,25 @@ object Similarity {
     dot / (na * nb)
   }
 
-  private def embDouble(spark: SparkSession, dir: String): DataFrame =
+  /** Dot product of two double arrays (sequential left fold — matches
+    * the oracle's evaluation order).
+    */
+  def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+
+  /** Embeddings with the L2 norm precomputed ONCE per vector — the
+    * per-pair cosine then costs one array fold instead of three
+    * (norms recomputed per pair are the classic 3× waste in similarity
+    * joins; at 100 TB the norm column is computed in the scan
+    * projection and shuffled alongside the vector).
+    */
+  private def embDouble(spark: SparkSession, dir: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("label"), v.as("v"))
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (s, x) => s + x * x)))
+  }
 
   /** Exact brute-force cosine top-k: for each query vector (vec_id <
     * nQueries), the k nearest other vectors. Ranking is on the raw
@@ -48,10 +63,11 @@ object Similarity {
                      nQueries: Int = 8, k: Int = 5): DataFrame = {
     val emb = embDouble(spark, dir)
     val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val c = emb.select(col("vec_id").as("cid"), col("v").as("cv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = emb.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("sim"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid").asc)
@@ -71,12 +87,14 @@ object Similarity {
   def embeddingNearDup(spark: SparkSession, dir: String,
                        minSim: Double = 0.3): DataFrame = {
     val emb = embDouble(spark, dir)
-    val a = emb.select(col("vec_id").as("a"), col("label"), col("v").as("va"))
-    val b = emb.select(col("vec_id").as("b"), col("label"), col("v").as("vb"))
+    val a = emb.select(col("vec_id").as("a"), col("label"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("b"), col("label"),
+      col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("label"))
       .filter(col("a") < col("b"))
       .select(col("label"), col("a"), col("b"),
-        cosine(col("va"), col("vb")).as("sim"))
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
       .filter(col("sim") >= minSim)
       .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
       .orderBy("a", "b")
@@ -97,7 +115,7 @@ object Similarity {
     def planeDot(i: Int) =
       aggregate(zip_with(col("v"), plane(i), (x, y) => x * y),
         lit(0.0), (s, x) => s + x)
-    emb.select(col("vec_id"), col("v"),
+    emb.select(col("vec_id"), col("v"), col("nrm"),
       (0 until nBits).map(i =>
         when(planeDot(i) >= 0.0, lit(1L << i)).otherwise(0L))
         .reduce(_.bitwiseOR(_)).as("sig"))
@@ -115,22 +133,24 @@ object Similarity {
     val emb = embDouble(spark, dir)
     val sigs = lshSignatures(emb, nBits, 64)
     val mask = (1L << bandBits) - 1L
-    val bands = sigs.select(col("vec_id"), col("v"),
+    val bands = sigs.select(col("vec_id"), col("v"), col("nrm"),
       posexplode(array((0 until nBits / bandBits).map(bd =>
         shiftright(col("sig"), bd * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bkey")))
     val q = bands.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         col("band"), col("bkey"))
     val cand = bands.join(q, Seq("band", "bkey"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("qv"), col("vec_id").as("cid"), col("v").as("cv"))
+      .select(col("qid"), col("qv"), col("qn"),
+        col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
       .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid").asc)
     cand
-      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("sim"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("cid"), round(col("sim"), 6).as("sim"))
