@@ -61,13 +61,20 @@ object Similarity {
     */
   def bruteForceTopK(spark: SparkSession, dir: String,
                      nQueries: Int = 8, k: Int = 5): DataFrame = {
-    val emb = embDouble(spark, dir)
+    graft.functions.GraftFunctions.register(spark)
+    val ndot = graft.functions.GraftFunctions.dot _
+    // native dot product straight over the float arrays: same math as
+    // the double-widened fold (and the oracle), but a codegen'd
+    // primitive loop with no per-row array conversion
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val c = emb.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+        (ndot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid").asc)
@@ -86,7 +93,11 @@ object Similarity {
     */
   def embeddingNearDup(spark: SparkSession, dir: String,
                        minSim: Double = 0.3): DataFrame = {
-    val emb = embDouble(spark, dir)
+    graft.functions.GraftFunctions.register(spark)
+    val ndot = graft.functions.GraftFunctions.dot _
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
     val a = emb.select(col("vec_id").as("a"), col("label"),
       col("v").as("va"), col("nrm").as("na"))
     val b = emb.select(col("vec_id").as("b"), col("label"),
@@ -94,7 +105,7 @@ object Similarity {
     a.join(b, Seq("label"))
       .filter(col("a") < col("b"))
       .select(col("label"), col("a"), col("b"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+        (ndot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
       .filter(col("sim") >= minSim)
       .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
       .orderBy("a", "b")
