@@ -38,6 +38,12 @@ object SparkEntry {
     "scalar_math"    -> (Relational.scalarMath(_, _)),
     "json_extract"   -> (Relational.jsonExtract(_, _)),
     "udaf_geomean"   -> (Relational.geoMeanQty(_, _)),
+    "array_stats"    -> (Relational.arrayStats(_, _)),
+    "pivot_orders"   -> (Relational.pivotOrders(_, _)),
+    "above_avg"      -> (Relational.aboveAvgOrders(_, _)),
+    "percentiles"    -> (Relational.percentiles(_, _)),
+    "salted_wordcount" -> (Relational.saltedWordCount(_, _)),
+    "unpivot_part"   -> (Relational.unpivotPart(_, _)),
     // ---- joins ----
     "join_inner_nation"  -> (Joins.innerPerNation(_, _)),
     "join_q3_shipping"   -> (Joins.shippingPriority(_, _)),
@@ -52,6 +58,8 @@ object SparkEntry {
     "win_lag"     -> (Windows.lagDelta(_, _)),
     "rollup_qty"  -> (Windows.rollupQty(_, _)),
     "cube_orders" -> (Windows.cubeOrders(_, _)),
+    "win_range_frame" -> (Windows.trailingHourCount(_, _)),
+    "win_quartiles"   -> (Windows.quartiles(_, _)),
     // ---- time series (batch forms; streaming variants in graft.streaming) ----
     "ts_hourly"    -> (TimeSeries.hourlyEvents(_, _)),
     "ts_sessionize" -> (TimeSeries.sessionize(_, _)),
@@ -154,6 +162,53 @@ object SparkEntry {
     "udaf_geomean" ->
       """SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 6) AS geo_qty, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "array_stats" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        | list_min(CAST(embedding AS DOUBLE[])) AS vmin,
+        | list_max(CAST(embedding AS DOUBLE[])) AS vmax,
+        | round(list_sum(CAST(embedding AS DOUBLE[])), 4) AS vsum,
+        | round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 4) AS vsq
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "pivot_orders" ->
+      """SELECT o_orderpriority,
+        | count(*) FILTER (o_orderstatus = 'F') AS n_f,
+        | count(*) FILTER (o_orderstatus = 'O') AS n_o,
+        | count(*) FILTER (o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "above_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > 1.5 * (SELECT avg(i.o_totalprice) FROM orders i
+        |  WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "salted_wordcount" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(text, '[^a-zA-Z]+')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+    "unpivot_part" ->
+      """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
+    "win_range_frame" ->
+      """SELECT user_id, event_id, count(*) OVER (PARTITION BY user_id
+        |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "win_quartiles" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | first_value(o_orderkey) OVER wf AS first_key,
+        | last_value(o_orderkey) OVER wf AS last_key
+        |FROM orders WINDOW
+        | w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+        | wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "join_inner_nation" ->
       """SELECT n_name, round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS revenue, count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey

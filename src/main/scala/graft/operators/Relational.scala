@@ -179,6 +179,95 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Array-function surface over the embedding list column. */
+  def arrayStats(spark: SparkSession, dir: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), v.as("v"))
+      .select(
+        col("vec_id"),
+        size(col("v")).cast("long").as("dim"),
+        array_min(col("v")).as("vmin"),
+        array_max(col("v")).as("vmax"),
+        round(aggregate(col("v"), lit(0.0), (s, x) => s + x), 4).as("vsum"),
+        round(aggregate(col("v"), lit(0.0), (s, x) => s + x * x), 4).as("vsq")
+      )
+      .orderBy("vec_id")
+  }
+
+  /** Pivot: order counts + revenue per priority × status. Missing
+    * combinations are 0 (coalesced) to match the FILTER-aggregate
+    * oracle form.
+    */
+  def pivotOrders(spark: SparkSession, dir: String): DataFrame = {
+    val statuses = Seq("F", "O", "P")
+    val p = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", statuses)
+      .agg(count(lit(1)))
+    statuses.foldLeft(p) { (df, s) =>
+      df.withColumn(s"n_${s.toLowerCase}", coalesce(col(s), lit(0L))).drop(s)
+    }.orderBy("o_orderpriority")
+  }
+
+  /** Correlated-scalar-subquery semantics: orders 1.5× above their
+    * customer's average (DataFrame form: join against the grouped
+    * average — what Catalyst decorrelates the subquery into anyway).
+    */
+  def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val avgs = o.groupBy(col("o_custkey").as("ck"))
+      .agg(avg(col("o_totalprice")).as("cavg"))
+    o.join(avgs, o("o_custkey") === avgs("ck"))
+      .filter(col("o_totalprice") > col("cavg") * 1.5)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Exact interpolated percentiles (median + p90) per return flag. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile_approx(col("l_quantity"), lit(0.5), lit(1000000)), 4)
+          .as("approx_median"),
+        round(expr("percentile(l_quantity, 0.5D)"), 4).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.9D)"), 4).as("p90_price")
+      )
+      .drop("approx_median") // sketch form exercised, not oracle-compared
+      .orderBy("l_returnflag")
+
+  /** Salted two-stage aggregation — the skew-mitigation pattern for
+    * hot keys at 100 TB (salt → partial agg on (key, salt) → final
+    * agg on key). The oracle is the PLAIN aggregation: results must
+    * be identical by associativity, which is exactly the property
+    * that makes salting safe to deploy.
+    */
+  def saltedWordCount(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns
+    val salted = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFns.alphaTokens(col("text"))).as("word"))
+      .withColumn("salt", pmod(col("doc_id"), lit(16)))
+    salted
+      .groupBy(col("word"), col("salt"))
+      .agg(count(lit(1)).as("partial"))
+      .groupBy(col("word"))
+      .agg(sum(col("partial")).as("cnt"))
+      .orderBy("word")
+  }
+
+  /** UNPIVOT (wide → long) on part measures. */
+  def unpivotPart(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(
+        Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")),
+        "metric", "value")
+      .orderBy("p_partkey", "metric")
+
   /** JSON extraction from the events.props string column. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

@@ -54,6 +54,38 @@ object Windows {
       )
       .orderBy("o_custkey", "o_orderkey")
 
+  /** RANGE-frame window: events per user in the trailing hour
+    * (numeric range frame over epoch micros — peers included, unlike
+    * a ROWS frame).
+    */
+  def trailingHourCount(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .select(
+        col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_last_hour")
+      )
+      .orderBy("user_id", "event_id")
+  }
+
+  /** ntile / first_value / last_value with an explicit full frame. */
+  def quartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = custDateWindow
+    val full = custDateWindow
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        first(col("o_orderkey")).over(full).as("first_key"),
+        last(col("o_orderkey")).over(full).as("last_key")
+      )
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** ROLLUP on (returnflag, linestatus). NULL group markers are
     * coalesced to 'ALL' so ordering semantics match the DuckDB oracle
     * (Spark sorts NULLS FIRST, DuckDB NULLS LAST — sidestep entirely).
