@@ -38,6 +38,8 @@ object SparkEntry {
     "scalar_math"    -> (Relational.scalarMath(_, _)),
     "json_extract"   -> (Relational.jsonExtract(_, _)),
     "udaf_geomean"   -> (Relational.geoMeanQty(_, _)),
+    "scalar_regex"   -> (Relational.scalarRegex(_, _)),
+    "date_arith"     -> (Relational.dateArith(_, _)),
     "array_stats"    -> (Relational.arrayStats(_, _)),
     "pivot_orders"   -> (Relational.pivotOrders(_, _)),
     "above_avg"      -> (Relational.aboveAvgOrders(_, _)),
@@ -79,6 +81,7 @@ object SparkEntry {
     "sim_topk"    -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "sim_neardup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     "sim_ann"     -> ((s, d) => Similarity.annTopK(s, d)),
+    "sim_ivf"     -> ((s, d) => Similarity.ivfTopK(s, d)),
     // ---- multimodal plumbing ----
     "mm_meta"     -> (Multimodal.mediaMeta(_, _)),
     "mm_features" -> (Multimodal.featureSummary(_, _))
@@ -162,6 +165,18 @@ object SparkEntry {
     "udaf_geomean" ->
       """SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 6) AS geo_qty, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "scalar_regex" ->
+      """SELECT c_custkey, regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        | regexp_matches(c_name, '[0-9]{3}') AS has3digits,
+        | split_part(c_name, '#', 2) AS name_tail
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "date_arith" ->
+      """SELECT o_orderkey,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1995-06-17') AS BIGINT) AS days_to_mid,
+        | strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        | strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        | CAST(isodow(o_orderdate) AS BIGINT) AS isodow
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "array_stats" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         | list_min(CAST(embedding AS DOUBLE[])) AS vmin,

@@ -179,6 +179,33 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Regex scalar functions: extract, boolean match, split-part. */
+  def scalarRegex(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        col("c_name").rlike("[0-9]{3}").as("has3digits"),
+        element_at(split(col("c_name"), "#"), 2).as("name_tail")
+      )
+      .orderBy("c_custkey")
+
+  /** Date arithmetic: day diffs, interval add, month boundaries,
+    * ISO weekday (the one weekday numbering Spark and DuckDB share).
+    */
+  def dateArith(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("o_orderdate").cast("date")
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        datediff(lit("1995-06-17").cast("date"), d).cast("long").as("days_to_mid"),
+        date_format(date_add(d, 30), "yyyy-MM-dd").as("plus30"),
+        date_format(last_day(d), "yyyy-MM-dd").as("month_end"),
+        (weekday(d) + 1).cast("long").as("isodow")
+      )
+      .orderBy("o_orderkey")
+  }
+
   /** Array-function surface over the embedding list column. */
   def arrayStats(spark: SparkSession, dir: String): DataFrame = {
     val v = transform(col("embedding"), x => x.cast("double"))

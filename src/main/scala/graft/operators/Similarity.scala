@@ -132,6 +132,77 @@ object Similarity {
         .reduce(_.bitwiseOR(_)).as("sig"))
   }
 
+  /** IVF-style ANN: a coarse quantizer (deterministic seeds + one
+    * Lloyd iteration, pure DataFrame — no RNG, no driver loops)
+    * partitions the corpus into cells; each query probes its nProbe
+    * nearest cells and exact-scores only those inverted lists.
+    *
+    * 100 TB shape: centroids are tiny and broadcast everywhere; the
+    * corpus is scanned once for assignment (in production the cell id
+    * would be written at ingest and the inverted lists bucketed on
+    * disk); per-query work is |cells probed| × |list|, never corpus-
+    * wide. Approximate by design — recall-tested against
+    * bruteForceTopK, not oracle-hashed.
+    */
+  def ivfTopK(spark: SparkSession, dir: String,
+              nQueries: Int = 8, k: Int = 5, nCells: Int = 16,
+              nProbe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val ndot = graft.functions.GraftFunctions.dot _
+    val emb = embDouble(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+
+    // seed centroids: first nCells vectors by id (deterministic)
+    val seeds = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    // assign every vector to its nearest seed (cosine), then recompute
+    // cell means elementwise — one Lloyd iteration
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("s").desc, col("cell").asc)
+    val assigned = emb.join(broadcast(seeds), lit(true))
+      .select(col("vec_id"), col("v"), col("cell"),
+        (ndot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("s"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cell"))
+    val centroids = assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cell"), transform(col("dm"), e => e.getField("m")).as("cv"))
+      .withColumn("cn", sqrt(ndot(col("cv"), col("cv"))))
+
+    // re-assign the corpus to the refined centroids = the inverted lists
+    val lists = emb.join(broadcast(centroids), lit(true))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        (ndot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("s"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+
+    // queries probe their nProbe nearest centroids
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("s").desc, col("cell").asc)
+    val probes = q.join(broadcast(centroids), lit(true))
+      .select(col("qid"), col("qv"), col("qn"), col("cell"),
+        (ndot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("s"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qv"), col("qn"), col("cell"))
+
+    // exact-score only the probed cells' lists
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    probes.join(lists, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        (ndot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+      .withColumn("rnk", row_number().over(wk).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), round(col("sim"), 6).as("sim"))
+      .orderBy("qid", "rnk")
+  }
+
   /** ANN top-k via LSH banding: candidates share any 3-bit band of
     * the signature (8 bands × 3 bits ⇒ expected recall ≈ 0.87 for
     * ~60° neighbors while pruning most of the corpus); exact cosine

@@ -78,6 +78,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(mean >= 0.6, s"mean ANN recall $mean")
   }
 
+  test("IVF recall >= 0.6 vs brute force top-5; deterministic") {
+    val bf = Similarity.bruteForceTopK(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val ivf1 = Similarity.ivfTopK(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    val ivf2 = Similarity.ivfTopK(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(ivf1.sameElements(ivf2)) // no RNG anywhere
+    val byQ = ivf1.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recalls = bf.map { case (q, t) =>
+      byQ.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean IVF recall $mean")
+  }
+
   test("near-dup pairs only within label blocks and above threshold") {
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap

@@ -76,6 +76,26 @@ class TextIOJobSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("csv and json sinks/sources round-trip") {
+    val out = Files.createTempDirectory("graft-fmt").toFile.getAbsolutePath
+    val orig = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey").limit(50)
+
+    orig.write.option("header", "true").csv(s"$out/csv")
+    val fromCsv = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(s"$out/csv")
+    assert(fromCsv.count() == 50)
+    assert(fromCsv.columns.toSeq == orig.columns.toSeq)
+
+    orig.write.json(s"$out/json")
+    val fromJson = spark.read.json(s"$out/json")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val a = orig.as[(Long, String, Double)].collect().toSet
+    val b = fromJson.as[(Long, String, Double)].collect().toSet
+    assert(a == b)
+  }
+
   test("job API validation mirrors the REST handler") {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
