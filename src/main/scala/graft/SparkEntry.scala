@@ -38,6 +38,8 @@ object SparkEntry {
     "scalar_math"    -> (Relational.scalarMath(_, _)),
     "json_extract"   -> (Relational.jsonExtract(_, _)),
     "udaf_geomean"   -> (Relational.geoMeanQty(_, _)),
+    "map_funcs"      -> (Relational.mapFuncs(_, _)),
+    "sketch_approx"  -> (Relational.sketches(_, _)),
     "scalar_regex"   -> (Relational.scalarRegex(_, _)),
     "date_arith"     -> (Relational.dateArith(_, _)),
     "array_stats"    -> (Relational.arrayStats(_, _)),
@@ -84,7 +86,15 @@ object SparkEntry {
     "sim_ivf"     -> ((s, d) => Similarity.ivfTopK(s, d)),
     // ---- multimodal plumbing ----
     "mm_meta"     -> (Multimodal.mediaMeta(_, _)),
-    "mm_features" -> (Multimodal.featureSummary(_, _))
+    "mm_features" -> (Multimodal.featureSummary(_, _)),
+    "mm_frames"   -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Multimodal.sampleFrames(s, d).toDF()
+        .groupBy(col("media_id")).agg(
+          count(lit(1)).as("n_frames"),
+          sum(col("n_bytes")).as("sampled_bytes"))
+        .orderBy("media_id")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -165,6 +175,17 @@ object SparkEntry {
     "udaf_geomean" ->
       """SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 6) AS geo_qty, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "map_funcs" ->
+      """SELECT user_id, count(DISTINCT event_type) AS n_types,
+        | count(*) FILTER (event_type = 'click') AS clicks,
+        | count(*) FILTER (event_type = 'purchase') AS purchases,
+        | array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "mm_frames" ->
+      """SELECT doc_id AS media_id,
+        | CAST(ceil((strlen(text) // 32) / 4.0) AS BIGINT) AS n_frames,
+        | CAST(ceil((strlen(text) // 32) / 4.0) * 32 AS BIGINT) AS sampled_bytes
+        |FROM documents WHERE strlen(text) >= 32 ORDER BY media_id""".stripMargin,
     "scalar_regex" ->
       """SELECT c_custkey, regexp_extract(c_name, '([0-9]+)', 1) AS digits,
         | regexp_matches(c_name, '[0-9]{3}') AS has3digits,

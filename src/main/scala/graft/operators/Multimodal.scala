@@ -72,6 +72,43 @@ object Multimodal {
       }
   }
 
+  /** STUB — "resize": deterministic fake producing target-dimension
+    * features from the decoded record (a real impl would rescale
+    * pixels; the pipeline shape — typed in/out, partition-local — is
+    * the real part).
+    */
+  def resizeStub(f: MediaFeature, targetW: Int, targetH: Int): MediaFeature =
+    f.copy(width = targetW, height = targetH,
+      checksum = f.checksum * 31 + targetW * 65521 + targetH)
+
+  /** Resize stage over the decoded features (mapPartitions batch
+    * shape, like decodeFeatures).
+    */
+  def resized(spark: SparkSession, dir: String,
+              targetW: Int = 224, targetH: Int = 224): Dataset[MediaFeature] = {
+    import spark.implicits._
+    decodeFeatures(spark, dir).mapPartitions(_.map(resizeStub(_, targetW, targetH)))
+  }
+
+  case class Frame(media_id: Long, frame_no: Int, offset: Long, n_bytes: Long)
+
+  /** STUB — "frame sampling": treat the payload as a media container
+    * and emit every strideBytes-th fixed-size frame (deterministic;
+    * a real impl would demux). One row per sampled frame — the
+    * 1→many explode shape of video pipelines, partition-local.
+    */
+  def sampleFrames(spark: SparkSession, dir: String,
+                   frameBytes: Int = 32, stride: Int = 4): Dataset[Frame] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRecord].flatMap { r =>
+      val nFrames = r.payload.length / frameBytes
+      (0 until nFrames by stride).iterator.map { i =>
+        Frame(r.media_id, i, i.toLong * frameBytes,
+          math.min(frameBytes, r.payload.length - i * frameBytes).toLong)
+      }
+    }
+  }
+
   /** Oracle-checkable projection of the media pipeline: byte lengths
     * are real (not faked), so DuckDB can verify the binary-column
     * plumbing end-to-end.

@@ -179,6 +179,42 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Map-function surface: build a map column (event_type → count per
+    * user), then extract scalars from it. The oracle states the same
+    * facts with FILTER aggregates — map construction/lookup must agree.
+    */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("n"))))
+        .as("m"))
+      .select(
+        col("user_id"),
+        size(col("m")).cast("long").as("n_types"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("clicks"),
+        coalesce(element_at(col("m"), "purchase"), lit(0L)).as("purchases"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("types")
+      )
+      .orderBy("user_id")
+
+  /** Approximate sketches (HLL distinct, quantile sketch) — exposed as
+    * a registry entry; deterministic for fixed input but
+    * implementation-specific, so verified by unit test against exact
+    * values rather than the DuckDB oracle.
+    */
+  def sketches(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)), 2)
+          .as("approx_median_price"),
+        count(lit(1)).as("n")
+      )
+      .orderBy("l_returnflag")
+
   /** Regex scalar functions: extract, boolean match, split-part. */
   def scalarRegex(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)

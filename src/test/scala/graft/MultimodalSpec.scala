@@ -25,6 +25,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize stage: all features at target dims, checksums chained") {
+    val rs = Multimodal.resized(spark, sf, 224, 224).collect()
+    assert(rs.nonEmpty)
+    rs.foreach { f => assert(f.width == 224 && f.height == 224) }
+    val orig = Multimodal.decodeFeatures(spark, sf).collect()
+      .map(f => f.media_id -> f).toMap
+    rs.foreach { f =>
+      val o = orig(f.media_id)
+      assert(f.checksum == o.checksum * 31 + 224 * 65521 + 224)
+    }
+  }
+
+  test("frame sampling: offsets on stride, full frames only") {
+    val frames = Multimodal.sampleFrames(spark, sf).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { fr =>
+      assert(fr.frame_no % 4 == 0)
+      assert(fr.offset == fr.frame_no.toLong * 32)
+      assert(fr.n_bytes == 32)
+    }
+    val perDoc = frames.groupBy(_.media_id).view.mapValues(_.length)
+    val nbytes = Multimodal.mediaTable(spark, sf)
+      .select("media_id", "n_bytes")
+      .as[(Long, Long)].collect().toMap
+    perDoc.foreach { case (id, n) =>
+      assert(n == math.ceil((nbytes(id) / 32) / 4.0).toInt)
+    }
+  }
+
   test("fake decoder matches the column pipeline (seam check)") {
     val viaPipeline = Multimodal.decodeFeatures(spark, sf)
       .filter(_.media_id == 0L).collect().head

@@ -29,6 +29,20 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming dedup within watermark drops exact duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    mem.addData(Seq((t0, "a"), (t0, "a"), (t0, "b"), (t0, "a"), (t0, "c"), (t0, "b")))
+    val deduped = mem.toDF().toDF("ts", "k")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("k")
+    val got = Streaming.runToMemory(spark, deduped, "dedup_out",
+        OutputMode.Append())
+      .select("k").as[String].collect().sorted
+    assert(got.toSeq == Seq("a", "b", "c"))
+  }
+
   test("stateful sessionize == window-function sessionize") {
     val batch = TimeSeries.sessionize(spark, sf)
       .select(col("user_id"), col("session_id"), col("n_events"))
