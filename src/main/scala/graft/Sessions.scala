@@ -20,6 +20,8 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // native function registration at session build
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // events.ts is timestamp[ns]; Spark 4 otherwise refuses the scan
       // (see Tables.events for the long→timestamp rebuild)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

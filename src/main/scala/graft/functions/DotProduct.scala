@@ -90,6 +90,22 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot"
 }
 
+/** SparkSessionExtensions entry point: injects graft's native
+  * functions at session build time. Enable with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * (done in graft.Sessions) — the idiomatic registration path for a
+  * library shipping Catalyst expressions; [[GraftFunctions.register]]
+  * remains as an imperative fallback for externally-built sessions.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+}
+
 /** Registration + Column-level access for graft's native expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.{Column, SparkSession}

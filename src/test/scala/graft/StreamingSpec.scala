@@ -29,6 +29,34 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("late data beyond the watermark is dropped from windowed aggs") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val agg = Streaming.hourlyCounts(mem.toDF().toDF("ts", "event_type", "value"))
+    val q = agg.writeStream.outputMode(
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("late_out").start()
+    // batch 1: events up to 12:00 → watermark advances to 10:00
+    mem.addData(Seq(
+      (ts("2024-01-01 05:30:00"), "click", 1.0),
+      (ts("2024-01-01 12:00:00"), "click", 1.0)))
+    q.processAllAvailable()
+    // batch 2: an event at 05:45 — older than the 10:00 watermark
+    mem.addData(Seq((ts("2024-01-01 05:45:00"), "click", 99.0)))
+    q.processAllAvailable()
+    // batch 3: advance far so every open window closes and emits
+    mem.addData(Seq((ts("2024-01-02 00:00:00"), "click", 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("late_out")
+      .select("hour_start", "n").as[(String, Long)].collect().toMap
+    // the 05:00 window emitted exactly 1 event — the late 05:45 row
+    // was discarded, not merged
+    assert(out("2024-01-01 05:00:00") == 1L)
+    assert(out("2024-01-01 12:00:00") == 1L)
+  }
+
   test("streaming dedup within watermark drops exact duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
