@@ -74,6 +74,7 @@ object SparkEntry {
     "text_tokens"      -> (TextAnalysis.tokenCounts(_, _)),
     "text_langid"      -> (TextAnalysis.langId(_, _)),
     "text_fingerprint" -> (TextAnalysis.fingerprints(_, _)),
+    "text_rollhash"    -> (TextAnalysis.rollingHash(_, _)),
     // ---- dedup family ----
     "dedup_exact"   -> (Dedup.exact(_, _)),
     "dedup_ngram"   -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -371,6 +372,12 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         | min(doc_id) AS first_doc, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "text_rollhash" ->
+      """SELECT doc_id,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |   (a, b) -> (a * 31 + b) % 1000000007) AS rollhash
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

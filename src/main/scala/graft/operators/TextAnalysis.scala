@@ -106,6 +106,24 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Polynomial rolling hash (Karp–Rabin family) over the document's
+    * characters: h = fold(h*31 + code) mod 1e9+7 — the incremental
+    * hash a streaming fingerprinter maintains, as one codegen'd fold
+    * (mod applied per step keeps the accumulator bounded, so no
+    * overflow under ANSI arithmetic).
+    */
+  def rollingHash(spark: SparkSession, dir: String): DataFrame = {
+    val chars = filter(split(col("text"), ""), c => length(c) > 0)
+    val codes = transform(chars, c => ascii(c).cast("long"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        aggregate(codes, lit(0L),
+          (s, c) => pmod(s * 31L + c, lit(1000000007L))).as("rollhash")
+      )
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: md5 over normalized text (lowercase,
     * collapsed whitespace) + duplicate-cluster size per fingerprint.
     */
