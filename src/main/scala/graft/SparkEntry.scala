@@ -38,6 +38,7 @@ object SparkEntry {
     "scalar_math"    -> (Relational.scalarMath(_, _)),
     "json_extract"   -> (Relational.jsonExtract(_, _)),
     "udaf_geomean"   -> (Relational.geoMeanQty(_, _)),
+    "sql_q1"         -> (Relational.sqlPricingSummary(_, _)),
     "map_funcs"      -> (Relational.mapFuncs(_, _)),
     "sketch_approx"  -> (Relational.sketches(_, _)),
     "scalar_regex"   -> (Relational.scalarRegex(_, _)),
@@ -176,6 +177,14 @@ object SparkEntry {
     "udaf_geomean" ->
       """SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 6) AS geo_qty, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "sql_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |   (CAST(1 AS DECIMAL(14,2)) - CAST(l_discount AS DECIMAL(14,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "map_funcs" ->
       """SELECT user_id, count(DISTINCT event_type) AS n_types,
         | count(*) FILTER (event_type = 'click') AS clicks,

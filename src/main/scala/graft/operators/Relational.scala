@@ -179,6 +179,25 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** SQL front door: the same engine surface through spark.sql over
+    * registered temp views (the reference's "query" is compiled into
+    * the worker binary; ours is declarative text too, when wanted).
+    */
+  def sqlPricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |    (CAST(1 AS DECIMAL(14,2)) - CAST(l_discount AS DECIMAL(14,2)))), 2)
+        |    AS DOUBLE) AS sum_disc_price,
+        |  count(1) AS count_order
+        |FROM lineitem_v
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   /** Map-function surface: build a map column (event_type → count per
     * user), then extract scalars from it. The oracle states the same
     * facts with FILTER aggregates — map construction/lookup must agree.

@@ -50,6 +50,16 @@ class PropertySpec extends SparkSpec {
     assert(once.count() == once.dropDuplicates("text").count())
   }
 
+  test("rolling hash matches a plain-Scala reference fold") {
+    def ref(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().take(20)
+    val got = graft.operators.TextAnalysis.rollingHash(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    texts.foreach { case (id, t) => assert(got(id) == ref(t), s"doc $id") }
+  }
+
   test("fingerprint is whitespace/case-normalization invariant") {
     val df = Seq("Hello  World", "hello world", " HELLO WORLD ").toDF("text")
       .select(TextFns.fingerprint(col("text")).as("fp"))

@@ -29,6 +29,21 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("stream-static join: streaming events enrich against a static dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val users = Seq((0L, "gold"), (1L, "silver"), (2L, "bronze"))
+      .toDF("user_id", "tier") // static side
+    val mem = MemoryStream[(Long, Double)]
+    mem.addData(Seq((0L, 10.0), (1L, 5.0), (0L, 7.0), (2L, 1.0), (9L, 99.0)))
+    val joined = mem.toDF().toDF("user_id", "value")
+      .join(users, Seq("user_id")) // inner: unknown user 9 drops
+      .groupBy(col("tier")).agg(sum(col("value")).as("total"))
+    val got = Streaming.runToMemory(spark, joined, "ss_join_out",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("gold" -> 17.0, "silver" -> 5.0, "bronze" -> 1.0))
+  }
+
   test("late data beyond the watermark is dropped from windowed aggs") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
