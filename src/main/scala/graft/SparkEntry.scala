@@ -57,6 +57,7 @@ object SparkEntry {
     "join_anti_noorders" -> (Joins.antiNoOrders(_, _)),
     "join_broadcast_dims" -> (Joins.broadcastDims(_, _)),
     "join_range_tiers"   -> (Joins.rangeJoinTiers(_, _)),
+    "join_interval"      -> (Joins.intervalClickPurchase(_, _)),
     // ---- windows & grouping sets ----
     "win_rank"    -> (Windows.rankPerCustomer(_, _)),
     "win_running" -> (Windows.runningTotal(_, _)),
@@ -293,6 +294,15 @@ object SparkEntry {
         | ('T3_high', 250000.0, 1000000000.0)) AS t(tier, lo, hi)
         |ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY tier ORDER BY tier""".stripMargin,
+    "join_interval" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+        |SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+        | b.us - a.us AS delta_us
+        |FROM ev a JOIN ev b ON a.user_id = b.user_id
+        | AND b.us > a.us AND b.us - a.us <= 300000000
+        |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        |ORDER BY a.user_id, click_id, purchase_id""".stripMargin,
     "win_rank" ->
       """SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn, CAST(rnk AS BIGINT) AS rnk
         |FROM (SELECT o_custkey, o_orderkey,

@@ -109,6 +109,37 @@ object Joins {
       .orderBy("r_name")
   }
 
+  /** Interval join, bucketed: click→purchase conversions by the same
+    * user within 5 minutes. A naive theta join is per-user quadratic;
+    * here each side is bucketed to 5-minute epochs and the right side
+    * probes only buckets {b, b+1} (any pair within the interval spans
+    * at most adjacent buckets), turning the non-equi condition into an
+    * equi-join on (user_id, bucket) + a residual filter — the standard
+    * scalable interval-join shape. The oracle states the plain theta
+    * join; results must be identical.
+    */
+  def intervalClickPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val bucketUs = 300000000L // 5 min in micros
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val b = expr(s"us div $bucketUs") // integer division — no FP drift
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("us").as("cus"), explode(array(b, b + 1)).as("bucket"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("us").as("pus"), b.as("bucket"))
+    // a qualifying pair lands in exactly one bucket value, so the
+    // equi-join introduces no duplicates
+    clicks.join(purchases, Seq("user_id", "bucket"))
+      .filter(col("pus") > col("cus") &&
+        col("pus") - col("cus") <= bucketUs)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("pus") - col("cus")).as("delta_us"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
   /** Non-equi range join: bucket orders into price tiers via an
     * inline tier table joined on `lo <= price < hi`. The tier side is
     * tiny → Spark plans BroadcastNestedLoopJoin; at 100 TB the fact
