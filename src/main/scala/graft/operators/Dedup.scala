@@ -58,6 +58,10 @@ object Dedup {
     val sh = docShingles(spark, dir, n).cache()
     val sizes = sh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("sz"))
+    // inverted-index self-join on the shingle. (A collect_list +
+    // nested-transform pair expansion was measured ~2× slower cold —
+    // lambda-heavy codegen and large intermediate pair arrays — so the
+    // join form stays.) df cap bounds the per-shingle pair blowup.
     val capped = sh.join(
       sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf)
@@ -78,20 +82,6 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= minJ)
       .orderBy("a", "b")
-  }
-
-  /** MinHash signatures: k independent hash functions derived from
-    * xxhash64(shingle, seed_i); signature element i = min over the
-    * doc's shingles. Returns (doc_id, sig array).
-    */
-  def minhashSignatures(docShingles: DataFrame, k: Int): DataFrame = {
-    val mins = (0 until k).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
-    docShingles
-      .groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
 
   /** MinHash + LSH near-dup: k=32 hashes, 8 bands × 4 rows. Bucket
