@@ -142,6 +142,60 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Duplicate-cluster assignment: connected components over the
+    * near-dup pair graph (edges = [[ngramJaccard]] pairs with J ≥
+    * minJ), so each document maps to a canonical keeper (the minimum
+    * doc id reachable from it) — the step that turns pairwise
+    * similarity into actual keep/drop decisions.
+    *
+    * Algorithm: iterative min-label propagation (each round joins the
+    * current labels across the symmetric edge list and takes the
+    * min). Rounds are whole DataFrame jobs — the driver loop only
+    * orchestrates; per-round work is one shuffle join, the standard
+    * large-graph CC shape (label propagation converges in O(diameter)
+    * rounds; near-dup cluster diameters are tiny).
+    */
+  def dedupClusters(spark: SparkSession, dir: String,
+                    minJ: Double = 0.5, maxRounds: Int = 10): DataFrame = {
+    val pairs = ngramJaccard(spark, dir, minJ = minJ)
+      .select(col("a"), col("b"))
+    val edges = pairs
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .cache()
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).cache()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val viaNeighbors = edges
+        .join(labels.select(col("doc_id").as("b"), col("label")), "b")
+        .groupBy(col("a")).agg(min(col("label")).as("nlabel"))
+      val next = labels
+        .join(viaNeighbors.select(col("a").as("doc_id"), col("nlabel")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .cache()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+      round += 1
+    }
+    labels
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"),
+        array_sort(collect_list(col("doc_id"))).as("members"))
+      .select(col("label").as("keep_id"), col("cluster_size"),
+        array_join(transform(col("members"), _.cast("string")), ",")
+          .as("members"))
+      .filter(col("cluster_size") >= 2) // singletons aren't duplicates
+      .orderBy("keep_id")
+  }
+
   /** SimHash-64 signatures as one LongType column: hash each distinct
     * token with xxhash64, vote per bit (+1 set / −1 clear), signature
     * bit i = sign of vote i. The 64 per-bit votes are 64 aggregate

@@ -40,6 +40,27 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dedup clusters: consistent with the pair graph") {
+    val clusters = Dedup.dedupClusters(spark, sf, minJ = 0.5)
+      .as[(Long, Long, String)].collect()
+    val memberOf = clusters.flatMap { case (keep, _, ms) =>
+      ms.split(",").map(_.toLong -> keep)
+    }.toMap
+    // keep_id is the minimum member; sizes match the member lists
+    clusters.foreach { case (keep, size, ms) =>
+      val ids = ms.split(",").map(_.toLong)
+      assert(ids.min == keep)
+      assert(ids.length.toLong == size && size >= 2)
+    }
+    // no doc in two clusters
+    assert(memberOf.size == clusters.map(_._3.split(",").length).sum)
+    // every >=0.5 pair is within one cluster
+    Dedup.ngramJaccard(spark, sf, minJ = 0.5)
+      .as[(Long, Long, Double)].collect().foreach { case (a, b, _) =>
+        assert(memberOf(a) == memberOf(b), s"pair ($a,$b) split across clusters")
+      }
+  }
+
   test("simhash: near-identical docs collide, signatures deterministic") {
     val s1 = Dedup.simhashSigs(spark, sf).orderBy("doc_id")
       .as[(Long, Long)].collect()
