@@ -1,0 +1,31 @@
+package graft
+
+/** Guards on the driver contract itself: every oracle key must have a
+  * query, and every query must pass Catalyst analysis (schema
+  * resolution — catches missing columns/type errors without paying
+  * execution time for all 63 queries).
+  */
+class RegistrySpec extends SparkSpec {
+
+  test("every oracleSql key has a matching queries entry") {
+    val orphan = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    assert(orphan.isEmpty, s"oracle entries without queries: $orphan")
+  }
+
+  test("query names are unique and non-empty") {
+    assert(SparkEntry.queries.keySet.forall(_.nonEmpty))
+    assert(SparkEntry.queries.size >= 60)
+  }
+
+  test("all queries analyze (schema resolves) at sf0.001") {
+    val failures = SparkEntry.queries.flatMap { case (name, fn) =>
+      try { fn(spark, sf).schema; None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("entry() returns rows (driver smoke parity)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
