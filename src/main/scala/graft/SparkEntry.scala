@@ -39,6 +39,7 @@ object SparkEntry {
     "json_extract"   -> (Relational.jsonExtract(_, _)),
     "udaf_geomean"   -> (Relational.geoMeanQty(_, _)),
     "sql_q1"         -> (Relational.sqlPricingSummary(_, _)),
+    "histogram_prices" -> (Relational.histogramPrices(_, _)),
     "map_funcs"      -> (Relational.mapFuncs(_, _)),
     "sketch_approx"  -> (Relational.sketches(_, _)),
     "scalar_regex"   -> (Relational.scalarRegex(_, _)),
@@ -179,6 +180,10 @@ object SparkEntry {
     "udaf_geomean" ->
       """SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 6) AS geo_qty, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "histogram_prices" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) * 50000 AS BIGINT) AS bucket_lo,
+        | count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket_lo""".stripMargin,
     "sql_q1" ->
       """SELECT l_returnflag, l_linestatus,
         | round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,

@@ -179,6 +179,18 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Histogram/binning: fixed-width buckets over order values (the
+    * floor-division binning both engines compute identically on
+    * doubles; bucket edges land on exact cent values).
+    */
+  def histogramPrices(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select((floor(col("o_totalprice") / 50000.0) * 50000L)
+        .cast("long").as("bucket_lo"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket_lo")
+
   /** SQL front door: the same engine surface through spark.sql over
     * registered temp views (the reference's "query" is compiled into
     * the worker binary; ours is declarative text too, when wanted).
