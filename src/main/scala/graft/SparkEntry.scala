@@ -59,6 +59,8 @@ object SparkEntry {
     "join_broadcast_dims" -> (Joins.broadcastDims(_, _)),
     "join_range_tiers"   -> (Joins.rangeJoinTiers(_, _)),
     "join_interval"      -> (Joins.intervalClickPurchase(_, _)),
+    "q5_local_supplier"  -> (Joins.localSupplierVolume(_, _)),
+    "q10_returned_items" -> (Joins.returnedItemCustomers(_, _)),
     // ---- windows & grouping sets ----
     "win_rank"    -> (Windows.rankPerCustomer(_, _)),
     "win_running" -> (Windows.runningTotal(_, _)),
@@ -300,6 +302,28 @@ object SparkEntry {
         | ('T3_high', 250000.0, 1000000000.0)) AS t(tier, lo, hi)
         |ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY tier ORDER BY tier""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |   (CAST(1 AS DECIMAL(14,2)) - CAST(l_discount AS DECIMAL(14,2)))), 2) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |   (CAST(1 AS DECIMAL(14,2)) - CAST(l_discount AS DECIMAL(14,2)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
     "join_interval" ->
       """WITH ev AS (SELECT user_id, event_id, event_type,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)

@@ -109,6 +109,51 @@ object Joins {
       .orderBy("r_name")
   }
 
+  private def discountedRevenue =
+    sum(col("l_extendedprice").cast("decimal(14,2)") *
+      (lit(1).cast("decimal(14,2)") - col("l_discount").cast("decimal(14,2)")))
+
+  /** TPC-H Q5 shape: 6-table join (region⋈nation⋈customer⋈orders⋈
+    * lineitem⋈supplier with the local-supplier constraint), revenue
+    * per nation. Dims broadcast; the fact chain shuffles once per
+    * fact-fact key.
+    */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(discountedRevenue, 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** TPC-H Q10 shape: customers who returned items, ranked by lost
+    * revenue, top 20.
+    */
+  def returnedItemCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    val n = Tables.nation(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(discountedRevenue, 2).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   /** Interval join, bucketed: click→purchase conversions by the same
     * user within 5 minutes. A naive theta join is per-user quadratic;
     * here each side is bucketed to 5-minute epochs and the right side
