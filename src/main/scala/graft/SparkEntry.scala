@@ -80,6 +80,7 @@ object SparkEntry {
     "text_langid"      -> (TextAnalysis.langId(_, _)),
     "text_fingerprint" -> (TextAnalysis.fingerprints(_, _)),
     "text_rollhash"    -> (TextAnalysis.rollingHash(_, _)),
+    "text_langid_ngram" -> (TextAnalysis.langIdNgram(_, _)),
     // ---- dedup family ----
     "dedup_exact"   -> (Dedup.exact(_, _)),
     "dedup_ngram"   -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -396,7 +397,10 @@ object SparkEntry {
         | round(length(regexp_replace(text, '[^ ]', '', 'g')) / CAST(length(text) AS DOUBLE), 6) AS space_ratio,
         | round(length(regexp_replace(text, '[^A-Z]', '', 'g')) / CAST(length(text) AS DOUBLE), 6) AS upper_ratio,
         | round((length(text) - length(regexp_replace(text, '[^ ]', '', 'g'))) /
-        |   CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE), 6) AS avg_token_len
+        |   CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE), 6) AS avg_token_len,
+        | round(len(list_filter(list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+        |     x -> list_contains(['the','a','of','and','is','to'], x))) /
+        |   CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE), 6) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT source,
@@ -416,6 +420,21 @@ object SparkEntry {
         | CAST(score_es AS BIGINT) AS score_es,
         | CASE WHEN score_en >= score_fr AND score_en >= score_es THEN 'en'
         |      WHEN score_fr >= score_es THEN 'fr' ELSE 'es' END AS guess
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_langid_ngram" ->
+      """WITH s AS (SELECT doc_id, lower(text) AS t FROM documents)
+        |SELECT doc_id,
+        | CAST((length(t) - length(replace(t, 'the', ''))) / 3 AS BIGINT)
+        |  + CAST((length(t) - length(replace(t, 'and', ''))) / 3 AS BIGINT)
+        |  + CAST((length(t) - length(replace(t, 'ing', ''))) / 3 AS BIGINT) AS score_en,
+        | CAST((length(t) - length(replace(t, 'sch', ''))) / 3 AS BIGINT)
+        |  + CAST((length(t) - length(replace(t, 'der', ''))) / 3 AS BIGINT)
+        |  + CAST((length(t) - length(replace(t, 'und', ''))) / 3 AS BIGINT) AS score_de,
+        | CAST((length(t) - length(replace(t, 'que', ''))) / 3 AS BIGINT)
+        |  + CAST((length(t) - length(replace(t, 'los', ''))) / 3 AS BIGINT)
+        |  + CAST((length(t) - length(replace(t, 'ent', ''))) / 3 AS BIGINT) AS score_es,
+        | CASE WHEN score_en >= score_de AND score_en >= score_es THEN 'en'
+        |      WHEN score_de >= score_es THEN 'de' ELSE 'es' END AS guess
         |FROM s ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,

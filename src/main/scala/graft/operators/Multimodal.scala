@@ -55,6 +55,29 @@ object Multimodal {
     (width, height, h)
   }
 
+  /** Repartition the media table so each partition carries at most
+    * ~budgetBytes of payload: cumulative-bytes bucketing (window
+    * cumsum → integer-divide by the budget → repartition on the
+    * bucket). This is how a decode stage bounds its per-task memory
+    * when payload sizes are wildly skewed — a byte budget, not a row
+    * count. The window runs on metadata columns only (id + size),
+    * never the payloads.
+    */
+  def partitionByByteBudget(df: DataFrame, budgetBytes: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("media_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val bucketed = df
+      .withColumn("_bucket",
+        floor((sum(col("n_bytes")).over(w) - lit(1)) / budgetBytes).cast("int"))
+    val nBuckets = math.max(1,
+      bucketed.agg(max(col("_bucket"))).head().getInt(0) + 1)
+    // range partitioning keeps buckets contiguous and (with nBuckets
+    // partitions over nBuckets distinct values) ~1:1 bucket→partition;
+    // a hash repartition could merge several buckets into one task
+    bucketed.repartitionByRange(nBuckets, col("_bucket")).drop("_bucket")
+  }
+
   /** Partition-local batch decode: the mapPartitions shape keeps any
     * per-batch native setup (codec contexts, model sessions) amortized
     * across the partition — the direct Scala analogue of mapInPandas

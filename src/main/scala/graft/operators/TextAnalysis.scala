@@ -51,7 +51,10 @@ object TextAnalysis {
         round(length(regexp_replace(txt, "[^A-Z]", "")) / nch, 6)
           .as("upper_ratio"),
         round((nch - length(regexp_replace(txt, "[^ ]", ""))) /
-          size(toks).cast("double"), 6).as("avg_token_len")
+          size(toks).cast("double"), 6).as("avg_token_len"),
+        round(size(filter(toks, t =>
+          t.isin(Seq("the", "a", "of", "and", "is", "to").map(lit(_)): _*))) /
+          size(toks).cast("double"), 6).as("stopword_ratio")
       )
       .orderBy("doc_id")
   }
@@ -102,6 +105,35 @@ object TextAnalysis {
         when(col("score_en") >= col("score_fr") &&
              col("score_en") >= col("score_es"), "en")
           .when(col("score_fr") >= col("score_es"), "fr")
+          .otherwise("es"))
+      .orderBy("doc_id")
+  }
+
+  /** Character-n-gram language ID: score each language by occurrence
+    * counts of characteristic char trigrams (literal substring counts
+    * via the replace-length trick — portable to any engine), argmax
+    * with deterministic tie-break. Complements the stopword-lexicon
+    * variant in [[langId]].
+    */
+  def langIdNgram(spark: SparkSession, dir: String): DataFrame = {
+    // literal substring counts via the replace-length identity —
+    // regex-free, so both engines compute the same thing exactly
+    def nCount(s: String) =
+      ((length(lower(col("text"))) -
+        length(expr(s"replace(lower(text), '$s', '')"))) / s.length)
+        .cast("long")
+    def score(ngrams: Seq[String]) = ngrams.map(nCount).reduce(_ + _)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        score(Seq("the", "and", "ing")).as("score_en"),
+        score(Seq("sch", "der", "und")).as("score_de"),
+        score(Seq("que", "los", "ent")).as("score_es")
+      )
+      .withColumn("guess",
+        when(col("score_en") >= col("score_de") &&
+             col("score_en") >= col("score_es"), "en")
+          .when(col("score_de") >= col("score_es"), "de")
           .otherwise("es"))
       .orderBy("doc_id")
   }

@@ -54,6 +54,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("byte-budget partitioning bounds per-partition payload bytes") {
+    val budget = 20000L
+    val parted = Multimodal.partitionByByteBudget(
+      Multimodal.mediaTable(spark, sf), budget)
+    assert(parted.rdd.getNumPartitions > 1)
+    assert(parted.count() == Tables.documents(spark, sf).count())
+    // the bucketing invariant: every cumsum bucket carries at most
+    // budget + one record's bytes (the record that crosses the edge)
+    val maxRec = Multimodal.mediaTable(spark, sf)
+      .agg(max("n_bytes")).as[Long].collect().head
+    val bucketBytes = Multimodal.mediaTable(spark, sf)
+      .orderBy("media_id")
+      .select(col("media_id"), col("n_bytes"))
+      .as[(Long, Long)].collect()
+      .scanLeft(0L)(_ + _._2).tail
+      .map(cum => (cum - 1) / budget)
+      .zip(Multimodal.mediaTable(spark, sf).orderBy("media_id")
+        .select("n_bytes").as[Long].collect())
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    bucketBytes.foreach { case (bk, b) =>
+      assert(b <= budget + maxRec, s"bucket $bk carries $b bytes")
+    }
+  }
+
   test("fake decoder matches the column pipeline (seam check)") {
     val viaPipeline = Multimodal.decodeFeatures(spark, sf)
       .filter(_.media_id == 0L).collect().head
