@@ -74,6 +74,16 @@ class OperatorSpec extends SparkSpec {
     assert(got == detail + flags + 1)
   }
 
+  test("sessionize keeps ONE data shuffle (windows + agg share it)") {
+    val plan = TimeSeries.sessionize(spark, sf).queryExecution
+      .executedPlan.toString
+    val dataExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    // hash(user_id) feeds both window functions AND the session agg;
+    // the only other exchange is the output-ordering rangepartitioning
+    assert(dataExchanges == 1, s"expected 1 hash exchange:\n$plan")
+  }
+
   test("sessionize: session event counts sum to total events") {
     val total = Tables.events(spark, sf).count()
     val sessions = TimeSeries.sessionize(spark, sf)
