@@ -33,6 +33,8 @@ object SparkEntry {
     "set_union"      -> (Relational.setUnion(_, _)),
     "set_intersect"  -> (Relational.setIntersect(_, _)),
     "set_except"     -> (Relational.setExcept(_, _)),
+    "set_union_all"  -> (Relational.setUnionAll(_, _)),
+    "grouping_sets"  -> (Relational.groupingSetsQty(_, _)),
     "scalar_string"  -> (Relational.scalarString(_, _)),
     "scalar_date"    -> (Relational.scalarDate(_, _)),
     "scalar_math"    -> (Relational.scalarMath(_, _)),
@@ -155,6 +157,18 @@ object SparkEntry {
     "set_except" ->
       """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000.0
         |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0 ORDER BY k""".stripMargin,
+    "set_union_all" ->
+      """SELECT k, count(*) AS n FROM (
+        | SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000.0
+        | UNION ALL SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)
+        |GROUP BY k ORDER BY k""".stripMargin,
+    "grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        | coalesce(l_linestatus, 'ALL') AS lstatus,
+        | round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rflag, lstatus""".stripMargin,
     "scalar_string" ->
       """SELECT c_custkey, upper(c_name) AS name_upper, substring(c_name, 1, 8) AS name_prefix,
         | CAST(length(c_name) AS BIGINT) AS name_len,

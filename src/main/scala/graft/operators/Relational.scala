@@ -117,6 +117,32 @@ object Relational {
     c.except(o).orderBy("k")
   }
 
+  /** UNION ALL (bag semantics — duplicates kept), counted per key to
+    * stay deterministic.
+    */
+  def setUnionAll(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 5000.0).select(col("c_custkey").as("k"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 200000.0).select(col("o_custkey").as("k"))
+    c.unionAll(o).groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .orderBy("k")
+  }
+
+  /** Explicit GROUPING SETS — (returnflag), (linestatus), and grand
+    * total, which neither rollup nor cube produces as a set.
+    */
+  def groupingSetsQty(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(1) AS n
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rflag, lstatus""".stripMargin)
+  }
+
   /** String scalar-function coverage: lower/upper/substring/length/
     * replace/concat/trim/lpad — all codegen'd built-ins.
     */
