@@ -156,7 +156,7 @@ object Dedup {
     * rounds; near-dup cluster diameters are tiny).
     */
   def dedupClusters(spark: SparkSession, dir: String,
-                    minJ: Double = 0.5, maxRounds: Int = 10): DataFrame = {
+                    minJ: Double = 0.5, maxRounds: Int = 20): DataFrame = {
     val pairs = ngramJaccard(spark, dir, minJ = minJ)
       .select(col("a"), col("b"))
     val edges = pairs
@@ -185,6 +185,11 @@ object Dedup {
       converged = changed == 0L
       round += 1
     }
+    if (!converged)
+      // surface it loudly — an unconverged run would silently split
+      // clusters; with path lengths this needs diameter > maxRounds
+      System.err.println(
+        s"[graft] dedupClusters hit maxRounds=$maxRounds before convergence")
     labels
       .groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"),
