@@ -63,6 +63,8 @@ object SparkEntry {
     "join_interval"      -> (Joins.intervalClickPurchase(_, _)),
     "q5_local_supplier"  -> (Joins.localSupplierVolume(_, _)),
     "q10_returned_items" -> (Joins.returnedItemCustomers(_, _)),
+    "q14_promo_share"    -> (Joins.promoRevenueShare(_, _)),
+    "q19_brand_quantity" -> (Joins.brandQuantityRevenue(_, _)),
     // ---- windows & grouping sets ----
     "win_rank"    -> (Windows.rankPerCustomer(_, _)),
     "win_running" -> (Windows.runningTotal(_, _)),
@@ -339,6 +341,23 @@ object SparkEntry {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT round(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |   THEN CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |     (CAST(1 AS DECIMAL(14,2)) - CAST(l_discount AS DECIMAL(14,2)))
+        |   ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE) * 100.0 /
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |   (CAST(1 AS DECIMAL(14,2)) - CAST(l_discount AS DECIMAL(14,2)))) AS DOUBLE), 4) AS promo_pct,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "q19_brand_quantity" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |   (CAST(1 AS DECIMAL(14,2)) - CAST(l_discount AS DECIMAL(14,2)))), 2) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#5' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
     "join_interval" ->
       """WITH ev AS (SELECT user_id, event_id, event_type,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)

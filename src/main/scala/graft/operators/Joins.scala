@@ -137,6 +137,48 @@ object Joins {
       .orderBy("n_name")
   }
 
+  /** TPC-H Q14 shape: promo revenue share — conditional aggregation
+    * over a fact⋈dim join. The ratio divides two decimal-exact sums,
+    * cast to double only at the end.
+    */
+  def promoRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val disc = col("l_extendedprice").cast("decimal(14,2)") *
+      (lit(1).cast("decimal(14,2)") - col("l_discount").cast("decimal(14,2)"))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0)
+          .cast("decimal(14,2)"))).cast("double") * 100.0 /
+          sum(disc).cast("double"), 4).as("promo_pct"),
+        count(lit(1)).as("n_items")
+      )
+  }
+
+  /** TPC-H Q19 shape: disjunctive multi-attribute predicates
+    * (brand × size-range × quantity-range OR-branches) over the
+    * fact⋈dim join — the predicate-complexity stress case; Catalyst
+    * pushes the common l_quantity bounds below the join.
+    */
+  def brandQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#19" && col("p_size").between(5, 20) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#5" && col("p_size").between(10, 40) &&
+          col("l_quantity").between(20, 50)))
+      .agg(
+        round(sum(col("l_extendedprice").cast("decimal(14,2)") *
+          (lit(1).cast("decimal(14,2)") - col("l_discount").cast("decimal(14,2)"))), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+  }
+
   /** TPC-H Q10 shape: customers who returned items, ranked by lost
     * revenue, top 20.
     */
