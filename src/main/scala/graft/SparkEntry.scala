@@ -72,6 +72,7 @@ object SparkEntry {
     "rollup_qty"  -> (Windows.rollupQty(_, _)),
     "cube_orders" -> (Windows.cubeOrders(_, _)),
     "win_range_frame" -> (Windows.trailingHourCount(_, _)),
+    "typed_order_gaps" -> (Windows.typedOrderGaps(_, _)),
     "win_quartiles"   -> (Windows.quartiles(_, _)),
     // ---- time series (batch forms; streaming variants in graft.streaming) ----
     "ts_hourly"    -> (TimeSeries.hourlyEvents(_, _)),
@@ -271,6 +272,13 @@ object SparkEntry {
         |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "typed_order_gaps" ->
+      """WITH t AS (SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS us FROM orders),
+        |g AS (SELECT o_custkey, us - lag(us, 1) OVER
+        |   (PARTITION BY o_custkey ORDER BY us ASC, o_orderkey ASC) AS gap FROM t)
+        |SELECT o_custkey, count(*) AS n_orders,
+        | CAST(coalesce(max(gap // 86400000000), 0) AS BIGINT) AS max_gap_days
+        |FROM g GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "win_quartiles" ->
       """SELECT o_custkey, o_orderkey,
         | CAST(ntile(4) OVER w AS BIGINT) AS quartile,

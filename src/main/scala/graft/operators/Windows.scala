@@ -54,6 +54,31 @@ object Windows {
       )
       .orderBy("o_custkey", "o_orderkey")
 
+  /** Typed per-group imperative logic (KeyValueGroupedDataset
+    * .mapGroups — the batch face of the reference's user-supplied
+    * ReduceFunc shape): per customer, the maximum day-gap between
+    * consecutive orders. The oracle states the same fact with window
+    * functions — the typed and declarative forms must agree.
+    */
+  def typedOrderGaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        // o_orderdate is TIMESTAMP_NTZ; cast via session-UTC for epoch
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (cust, it) =>
+        val times = it.toArray.sortBy(r => (r._3, r._2)).map(_._3)
+        val maxGapDays =
+          if (times.length < 2) 0L
+          else times.sliding(2).map(w => (w(1) - w(0)) / 86400000000L).max
+        (cust, times.length.toLong, maxGapDays)
+      }
+      .toDF("o_custkey", "n_orders", "max_gap_days")
+      .orderBy("o_custkey")
+  }
+
   /** RANGE-frame window: events per user in the trailing hour
     * (numeric range frame over epoch micros — peers included, unlike
     * a ROWS frame).
