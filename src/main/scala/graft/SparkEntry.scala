@@ -73,6 +73,8 @@ object SparkEntry {
     "cube_orders" -> (Windows.cubeOrders(_, _)),
     "win_range_frame" -> (Windows.trailingHourCount(_, _)),
     "typed_order_gaps" -> (Windows.typedOrderGaps(_, _)),
+    "win_distribution" -> (Windows.distributionRanks(_, _)),
+    "bool_aggs"        -> (Relational.boolAggs(_, _)),
     "win_quartiles"   -> (Windows.quartiles(_, _)),
     // ---- time series (batch forms; streaming variants in graft.streaming) ----
     "ts_hourly"    -> (TimeSeries.hourlyEvents(_, _)),
@@ -272,6 +274,19 @@ object SparkEntry {
         |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "win_distribution" ->
+      """SELECT o_custkey, o_orderkey,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "bool_aggs" ->
+      """SELECT o_custkey,
+        | bool_or(o_totalprice > 200000.0) AS any_high,
+        | bool_and(o_totalprice > 0.0) AS all_positive,
+        | count(*) FILTER (o_orderstatus = 'F') AS n_final,
+        | count(*) AS n
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "typed_order_gaps" ->
       """WITH t AS (SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS us FROM orders),
         |g AS (SELECT o_custkey, us - lag(us, 1) OVER

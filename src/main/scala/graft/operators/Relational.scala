@@ -117,6 +117,18 @@ object Relational {
     c.except(o).orderBy("k")
   }
 
+  /** Boolean aggregates + conditional counting per customer. */
+  def boolAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        bool_or(col("o_totalprice") > 200000.0).as("any_high"),
+        bool_and(col("o_totalprice") > 0.0).as("all_positive"),
+        count_if(col("o_orderstatus") === "F").as("n_final"),
+        count(lit(1)).as("n")
+      )
+      .orderBy("o_custkey")
+
   /** UNION ALL (bag semantics — duplicates kept), counted per key to
     * stay deterministic.
     */

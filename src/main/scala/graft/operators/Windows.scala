@@ -111,6 +111,21 @@ object Windows {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Distribution window functions: percent_rank / cume_dist over a
+    * unique ordering. Emitted unrounded — both engines divide the
+    * same small integers, so the doubles are bit-identical.
+    */
+  def distributionRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = custDateWindow
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume")
+      )
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** ROLLUP on (returnflag, linestatus). NULL group markers are
     * coalesced to 'ALL' so ordering semantics match the DuckDB oracle
     * (Spark sorts NULLS FIRST, DuckDB NULLS LAST — sidestep entirely).
