@@ -88,6 +88,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprints(_, _)),
     "text_rollhash"    -> (TextAnalysis.rollingHash(_, _)),
     "text_langid_ngram" -> (TextAnalysis.langIdNgram(_, _)),
+    "fuzzy_name_match"  -> ((s, d) => TextAnalysis.fuzzyNameMatch(s, d)),
     // ---- dedup family ----
     "dedup_exact"   -> (Dedup.exact(_, _)),
     "dedup_ngram"   -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -492,6 +493,12 @@ object SparkEntry {
         | CASE WHEN score_en >= score_de AND score_en >= score_es THEN 'en'
         |      WHEN score_de >= score_es THEN 'de' ELSE 'es' END AS guess
         |FROM s ORDER BY doc_id""".stripMargin,
+    "fuzzy_name_match" ->
+      """SELECT p.c_custkey AS probe_id, m.c_custkey AS match_id,
+        | CAST(levenshtein(p.c_name, m.c_name) AS BIGINT) AS dist
+        |FROM customer p JOIN customer m ON p.c_custkey < 50 AND p.c_custkey <> m.c_custkey
+        |WHERE levenshtein(p.c_name, m.c_name) <= 2
+        |ORDER BY probe_id, match_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         | min(doc_id) AS first_doc, count(*) AS n_docs

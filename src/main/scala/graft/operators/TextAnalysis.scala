@@ -109,6 +109,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Fuzzy name matching (entity-resolution probe): a bounded probe
+    * set of names looked up against the full directory by Levenshtein
+    * distance ≤ maxDist. The probe side stays small and broadcasts —
+    * the directory streams through map-side; at 100 TB the probe set
+    * is the "new batch" being resolved against the corpus. (A full
+    * corpus×corpus fuzzy self-join would additionally block on
+    * length/q-gram keys; the probe pattern is the common production
+    * shape.)
+    */
+  def fuzzyNameMatch(spark: SparkSession, dir: String,
+                     nProbes: Int = 50, maxDist: Int = 2): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val probes = c.filter(col("c_custkey") < nProbes)
+      .select(col("c_custkey").as("probe_id"), col("c_name").as("probe_name"))
+    val directory = c.select(col("c_custkey").as("match_id"),
+      col("c_name").as("match_name"))
+    directory.join(broadcast(probes), col("probe_id") =!= col("match_id"))
+      .select(col("probe_id"), col("match_id"),
+        levenshtein(col("probe_name"), col("match_name")).cast("long")
+          .as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy("probe_id", "match_id")
+  }
+
   /** Character-n-gram language ID: score each language by occurrence
     * counts of characteristic char trigrams (literal substring counts
     * via the replace-length trick — portable to any engine), argmax
