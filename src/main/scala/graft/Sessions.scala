@@ -25,6 +25,8 @@ object Sessions {
       // events.ts is timestamp[ns]; Spark 4 otherwise refuses the scan
       // (see Tables.events for the long→timestamp rebuild)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-table demos (saveAsTable) write here, never the repo
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
 
   def local(appName: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

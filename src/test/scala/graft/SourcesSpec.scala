@@ -23,6 +23,31 @@ class SourcesSpec extends SparkSpec {
       orig.as[(Long, Int, Double, String)].collect().toSet)
   }
 
+  test("bucketed tables: co-located join with ZERO exchanges") {
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("orders_b")
+    Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("lineitem_b")
+
+    val joined = spark.table("lineitem_b").hint("merge")
+      .join(spark.table("orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+    joined.count() // finalize AQE
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    // bucket layout satisfies both sides' distribution — no shuffle
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+
+    val expected = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(joined.count() == expected)
+  }
+
   test("partitioned parquet write → scan prunes partitions on filter") {
     val out = Files.createTempDirectory("graft-part").toFile.getAbsolutePath
     Tables.orders(spark, sf)
