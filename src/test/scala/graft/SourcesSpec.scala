@@ -26,6 +26,13 @@ class SourcesSpec extends SparkSpec {
   test("bucketed tables: co-located join with ZERO exchanges") {
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    // the in-memory catalog forgets tables between JVMs but the
+    // warehouse directories persist — clear them or CTAS refuses
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(s"/tmp/graft_warehouse/$t")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("orders_b")
