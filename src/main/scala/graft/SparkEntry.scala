@@ -60,6 +60,7 @@ object SparkEntry {
     "join_anti_noorders" -> (Joins.antiNoOrders(_, _)),
     "join_broadcast_dims" -> (Joins.broadcastDims(_, _)),
     "join_range_tiers"   -> (Joins.rangeJoinTiers(_, _)),
+    "join_skew_salted"   -> ((s, d) => Joins.saltedSkewJoin(s, d)),
     "join_interval"      -> (Joins.intervalClickPurchase(_, _)),
     "q5_local_supplier"  -> (Joins.localSupplierVolume(_, _)),
     "q10_returned_items" -> (Joins.returnedItemCustomers(_, _)),
@@ -94,6 +95,7 @@ object SparkEntry {
     "dedup_ngram"   -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_minhash_md5" -> ((s, d) => Dedup.minhashLshMd5(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     // ---- similarity search ----
     "sim_topk"    -> ((s, d) => Similarity.bruteForceTopK(s, d)),
@@ -343,6 +345,14 @@ object SparkEntry {
         | ('T3_high', 250000.0, 1000000000.0)) AS t(tier, lo, hi)
         |ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY tier ORDER BY tier""".stripMargin,
+    // oracle is the PLAIN join: salting must be result-invariant
+    "join_skew_salted" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS revenue
+        |FROM (SELECT CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE o_custkey END AS hk,
+        |        o_totalprice FROM orders) o
+        |JOIN customer ON hk = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
         | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
@@ -512,10 +522,14 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // df cap (<= 8) mirrors Dedup.ngramJaccard's maxDf exactly: both
+    // engines score Jaccard over the same capped shingle universe
     "dedup_ngram" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |sh0 AS (SELECT DISTINCT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
         |   for i in range(1, len(t) - 1)]) AS shingle FROM toks WHERE len(t) >= 3),
+        |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 8),
+        |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2)
@@ -524,8 +538,10 @@ object SparkEntry {
         |ORDER BY a, b""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |sh0 AS (SELECT DISTINCT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
         |   for i in range(1, len(t) - 1)]) AS shingle FROM toks WHERE len(t) >= 3),
+        |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 8),
+        |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2),
@@ -541,6 +557,28 @@ object SparkEntry {
         |SELECT label AS keep_id, count(*) AS cluster_size,
         | array_to_string(list_sort(list(doc_id)), ',') AS members
         |FROM labels GROUP BY label HAVING count(*) >= 2 ORDER BY keep_id""".stripMargin,
+    // full banded-LSH pipeline on an md5 hash family: signatures,
+    // banding, candidate set and verify all recomputed independently
+    // by DuckDB — candidates must match bit-for-bit
+    "dedup_minhash_md5" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |   for i in range(1, len(t) - 1)]) AS shingle FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |mh AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+        |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+        |bk AS (SELECT doc_id, i // 4 AS band, md5(string_agg(h, '|' ORDER BY i)) AS bucket
+        |  FROM mh GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x JOIN bk y
+        |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+        |inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.a
+        |  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+        |  GROUP BY c.a, c.b)
+        |SELECT a, b, round(i / CAST(za.sz + zb.sz - i AS DOUBLE), 6) AS jaccard
+        |FROM inter JOIN sizes za ON za.doc_id = a JOIN sizes zb ON zb.doc_id = b
+        |WHERE i / CAST(za.sz + zb.sz - i AS DOUBLE) >= 0.2
+        |ORDER BY a, b""".stripMargin,
     "sim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT q.vec_id AS qid, c.vec_id AS cid, list_cosine_similarity(q.v, c.v) AS sim

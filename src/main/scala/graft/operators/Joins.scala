@@ -227,6 +227,65 @@ object Joins {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** Salted skew join — the pattern that keeps a fact⋈fact shuffle
+    * join alive when one key holds a disproportionate share of rows
+    * (the first thing that breaks at 100× scale: every row of the hot
+    * key lands on one reducer).
+    *
+    * A deliberately skewed key is synthesized (every 4th order is
+    * re-pointed at customer 1 → ~25% of the fact on one key), then:
+    *   1. hot keys are identified with a cheap fact-side count
+    *     aggregate (output is tiny by definition — at most
+    *     |fact|/threshold keys — and broadcast, never collected);
+    *   2. fact rows on hot keys get a deterministic salt in [0, S)
+    *     (hash of the row's unique key — reproducible, no RNG);
+    *   3. the other side replicates each HOT key's row S times (cold
+    *     keys stay single) via explode, so join key (k, salt) matches
+    *     exactly one replica per fact row;
+    *   4. the join is forced to shuffle (`shuffle_hash` hint) — the
+    *     broadcast escape hatch would hide the skew problem this
+    *     operator exists to solve (a real hot dim may not fit in
+    *     memory).
+    * Result is provably identical to the unsalted join (each fact row
+    * meets exactly one replica), so the DuckDB oracle is the plain
+    * join. The hot key's rows now spread across S reducer partitions
+    * instead of one. AQE's OptimizeSkewedJoin does this splitting
+    * adaptively for sort-merge joins; the explicit salt is the
+    * portable form that also covers aggregate keys and pre-AQE
+    * engines.
+    */
+  def saltedSkewJoin(spark: SparkSession, dir: String, salts: Int = 8,
+                     hotThreshold: Long = 100): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .select(
+        when(col("o_orderkey") % 4 === 0, 1L)
+          .otherwise(col("o_custkey")).as("hk"),
+        col("o_orderkey"), col("o_totalprice"))
+    val hot = orders.groupBy(col("hk"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > hotThreshold)
+      .select(col("hk"), lit(true).as("is_hot"))
+    val fact = orders.join(broadcast(hot), Seq("hk"), "left")
+      .select(col("hk"), col("o_totalprice"),
+        when(col("is_hot"),
+          pmod(xxhash64(col("o_orderkey")), lit(salts.toLong)))
+          .otherwise(lit(0L)).as("salt"))
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .join(broadcast(hot.withColumnRenamed("hk", "c_custkey")),
+        Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        explode(when(col("is_hot"),
+          sequence(lit(0L), lit(salts.toLong - 1L)))
+          .otherwise(array(lit(0L)))).as("salt"))
+    fact.hint("shuffle_hash")
+      .join(dim, fact("hk") === dim("c_custkey") &&
+        fact("salt") === dim("salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Non-equi range join: bucket orders into price tiers via an
     * inline tier table joined on `lo <= price < hi`. The tier side is
     * tiny → Spark plans BroadcastNestedLoopJoin; at 100 TB the fact

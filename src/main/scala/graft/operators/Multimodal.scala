@@ -56,26 +56,60 @@ object Multimodal {
   }
 
   /** Repartition the media table so each partition carries at most
-    * ~budgetBytes of payload: cumulative-bytes bucketing (window
-    * cumsum → integer-divide by the budget → repartition on the
-    * bucket). This is how a decode stage bounds its per-task memory
-    * when payload sizes are wildly skewed — a byte budget, not a row
-    * count. The window runs on metadata columns only (id + size),
-    * never the payloads.
+    * ~budgetBytes of payload — how a decode stage bounds its per-task
+    * memory when payload sizes are wildly skewed (a byte budget, not a
+    * row count).
+    *
+    * The cumulative byte sum is a two-pass distributed prefix sum on a
+    * metadata-only projection (media_id + n_bytes — payloads are never
+    * shuffled for the bookkeeping):
+    *   1. range-partition the metadata by media_id and compute one
+    *      byte total per partition (a tiny per-partition aggregate;
+    *      collecting it is one row per partition, not per record);
+    *   2. broadcast the per-partition prefix offsets back and finish
+    *      the cumsum with a window PARTITIONED BY the physical
+    *      partition id — every partition sums independently, unlike a
+    *      global Window.orderBy which serializes the whole table
+    *      through one task.
+    * Bucket = (offset + within-partition cumsum − 1) / budget; the
+    * payload table then shuffles ONCE on the bucket.
     */
   def partitionByByteBudget(df: DataFrame, budgetBytes: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("media_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val bucketed = df
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val nMeta = math.max(1, spark.sparkContext.defaultParallelism)
+    // metadata-only pass; cache pins the range placement so pass 1
+    // (per-partition totals) and pass 2 (cumsum) see identical rows
+    val meta = df.select(col("media_id"), col("n_bytes"))
+      .repartitionByRange(nMeta, col("media_id"))
+      .sortWithinPartitions(col("media_id"))
+      .withColumn("_pid", spark_partition_id())
+      .cache()
+    val partTotals = meta.groupBy(col("_pid"))
+      .agg(sum(col("n_bytes")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = partTotals.map { case (pid, t) =>
+      val off = acc; acc += t; (pid, off)
+    }
+    val totalBytes = acc
+    val nBuckets = math.max(1, ((totalBytes + budgetBytes - 1) / budgetBytes).toInt)
+    import spark.implicits._
+    val offsetDf = offsets.toSeq.toDF("_pid", "_offset")
+    val w = Window.partitionBy(col("_pid")).orderBy(col("media_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val buckets = meta
+      .join(broadcast(offsetDf), "_pid")
       .withColumn("_bucket",
-        floor((sum(col("n_bytes")).over(w) - lit(1)) / budgetBytes).cast("int"))
-    val nBuckets = math.max(1,
-      bucketed.agg(max(col("_bucket"))).head().getInt(0) + 1)
-    // range partitioning keeps buckets contiguous and (with nBuckets
-    // partitions over nBuckets distinct values) ~1:1 bucket→partition;
-    // a hash repartition could merge several buckets into one task
-    bucketed.repartitionByRange(nBuckets, col("_bucket")).drop("_bucket")
+        floor((col("_offset") + sum(col("n_bytes")).over(w) - lit(1)) /
+          budgetBytes).cast("int"))
+      .select(col("media_id").as("_bid"), col("_bucket"))
+    // one payload shuffle; range partitioning keeps buckets contiguous
+    // and (with nBuckets partitions over nBuckets distinct values)
+    // ~1:1 bucket→partition — a hash repartition could merge buckets
+    df.join(buckets, col("media_id") === col("_bid"))
+      .repartitionByRange(nBuckets, col("_bucket"))
+      .drop("_bid", "_bucket")
   }
 
   /** Partition-local batch decode: the mapPartitions shape keeps any

@@ -33,39 +33,67 @@ object Streaming {
       )
 
   case class Ev(user_id: Long, event_id: Long, tsMicros: Long)
+  /** [[Ev]] + the timestamp column the watermark is declared on
+    * (public: Spark's generated deserializer can't access a private
+    * class).
+    */
+  case class EvT(user_id: Long, event_id: Long, tsMicros: Long,
+                 ts: java.sql.Timestamp)
   case class SessState(sessionId: Long, lastTs: Long, nEvents: Long,
                        startTs: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
                         start_micros: Long, end_micros: Long)
 
-  /** Stateful sessionization (30-min gap) via flatMapGroupsWithState:
-    * one state record per user; a session is emitted when a new event
-    * arrives past the gap (or the group times out). Event-time order
-    * within a micro-batch is enforced by sorting the batch iterator —
-    * state stays O(1) per key either way.
+  /** Stateful sessionization (30-min gap) via flatMapGroupsWithState
+    * with an event-time timeout: one state record per user; a session
+    * is emitted when a new event arrives past the gap, OR when the
+    * watermark passes the session's last event + gap (the timeout
+    * path) — so idle users' open sessions drain instead of being held
+    * forever. Event-time order within a micro-batch is enforced by
+    * sorting the batch iterator — state stays O(1) per key either way.
+    *
+    * watermarkDelay bounds how long late events are admitted; the
+    * timeout target is max(lastTs + gap, watermark + 1ms) as required
+    * by the event-time-timeout contract.
     */
-  def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+  def sessionize(events: Dataset[Ev],
+                 watermarkDelay: String = "1 hour"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMicros = 1800L * 1000000L
     events
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", watermarkDelay)
+      .as[EvT]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
-          val evs = it.toSeq.sortBy(e => (e.tsMicros, e.event_id))
-          var out = List.empty[SessionOut]
-          var st = state.getOption.getOrElse(SessState(0L, Long.MinValue, 0L, 0L))
-          evs.foreach { e =>
-            if (st.nEvents == 0L || e.tsMicros - st.lastTs > gapMicros) {
-              if (st.nEvents > 0L)
-                out ::= SessionOut(user, st.sessionId, st.nEvents, st.startTs, st.lastTs)
-              st = SessState(st.sessionId + 1L, e.tsMicros, 1L, e.tsMicros)
-            } else {
-              st = st.copy(lastTs = e.tsMicros, nEvents = st.nEvents + 1L)
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[EvT], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gap with no new events: the
+            // open session is final — emit and clear
+            val st = state.get
+            state.remove()
+            Iterator.single(
+              SessionOut(user, st.sessionId, st.nEvents, st.startTs, st.lastTs))
+          } else {
+            val evs = it.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+            var out = List.empty[SessionOut]
+            var st = state.getOption.getOrElse(SessState(0L, Long.MinValue, 0L, 0L))
+            evs.foreach { e =>
+              if (st.nEvents == 0L || e.tsMicros - st.lastTs > gapMicros) {
+                if (st.nEvents > 0L)
+                  out ::= SessionOut(user, st.sessionId, st.nEvents, st.startTs, st.lastTs)
+                st = SessState(st.sessionId + 1L, e.tsMicros, 1L, e.tsMicros)
+              } else {
+                st = st.copy(lastTs = e.tsMicros, nEvents = st.nEvents + 1L)
+              }
             }
+            state.update(st)
+            val target = st.lastTs / 1000L + gapMicros / 1000L
+            state.setTimeoutTimestamp(
+              math.max(target, state.getCurrentWatermarkMs() + 1L))
+            out.reverseIterator
           }
-          state.update(st)
-          out.reverseIterator
       }
   }
 

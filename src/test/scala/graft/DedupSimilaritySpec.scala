@@ -15,8 +15,9 @@ class DedupSimilaritySpec extends SparkSpec {
   test("minhash LSH pairs are a subset of exact n-gram Jaccard pairs") {
     // the verify step recomputes exact Jaccard on candidates, so every
     // emitted pair must appear in the exhaustive inverted-index result
-    // with the identical score
-    val exact = Dedup.ngramJaccard(spark, sf)
+    // with the identical score. minhashLsh scores over the UNCAPPED
+    // shingle universe, so the reference must too (maxDf off)
+    val exact = Dedup.ngramJaccard(spark, sf, maxDf = Int.MaxValue)
       .as[(Long, Long, Double)].collect()
       .map { case (a, b, j) => (a, b) -> j }.toMap
     val lsh = Dedup.minhashLsh(spark, sf, minJ = 0.2)
@@ -29,7 +30,7 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("minhash LSH recall >= 0.9 on pairs with J >= 0.3") {
-    val exact = Dedup.ngramJaccard(spark, sf)
+    val exact = Dedup.ngramJaccard(spark, sf, maxDf = Int.MaxValue)
       .filter(col("jaccard") >= 0.3)
       .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
     val lsh = Dedup.minhashLsh(spark, sf, minJ = 0.3)

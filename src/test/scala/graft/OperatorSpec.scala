@@ -29,6 +29,35 @@ class OperatorSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("salted skew join: shuffle join engaged, salt spreads the hot key") {
+    val df = Joins.saltedSkewJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the mitigation must actually engage: a shuffled (not broadcast)
+    // main join, and the dim-side salt replication (explode)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.contains("Generate explode"), plan)
+    // result-invariant vs the plain unsalted join
+    val plain = Tables.orders(spark, sf)
+      .select(when(col("o_orderkey") % 4 === 0, 1L)
+        .otherwise(col("o_custkey")).as("hk"), col("o_totalprice"))
+      .join(Tables.customer(spark, sf),
+        col("hk") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy("c_mktsegment")
+      .collect()
+    assert(df.collect().sameElements(plain))
+    // the hot key's fact rows really do carry more than one salt
+    val orders = Tables.orders(spark, sf)
+      .select(when(col("o_orderkey") % 4 === 0, 1L)
+        .otherwise(col("o_custkey")).as("hk"), col("o_orderkey"))
+    val hotSalts = orders.filter(col("hk") === 1L)
+      .select(pmod(xxhash64(col("o_orderkey")), lit(8L)).as("salt"))
+      .distinct().count()
+    assert(hotSalts == 8L, s"hot key spread over $hotSalts salts")
+  }
+
   test("q1 pushes the shipdate filter into the parquet scan") {
     val plan = Relational.pricingSummary(spark, sf)
       .queryExecution.executedPlan.toString

@@ -17,11 +17,19 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.queries.size >= 60)
   }
 
+  // builders whose plan CONSTRUCTION runs driver-side actions (the
+  // label-propagation loop must execute per-round jobs to converge) —
+  // excluded here so this stays an analysis-only smoke test; they get
+  // full execution coverage in their own specs and in Verify
+  private val eagerBuilders = Set("dedup_clusters")
+
   test("all queries analyze (schema resolves) at sf0.001") {
-    val failures = SparkEntry.queries.flatMap { case (name, fn) =>
-      try { fn(spark, sf).schema; None }
-      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
-    }
+    val failures = SparkEntry.queries
+      .filterNot { case (name, _) => eagerBuilders(name) }
+      .flatMap { case (name, fn) =>
+        try { fn(spark, sf).schema; None }
+        catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+      }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 

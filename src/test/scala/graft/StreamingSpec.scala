@@ -86,6 +86,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq("a", "b", "c"))
   }
 
+  test("sessionize emits an idle user's open session via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val us = 1000000L
+    val mem = MemoryStream[Streaming.Ev]
+    val q = Streaming.sessionize(mem.toDS(), watermarkDelay = "10 minutes")
+      .toDF().writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_timeout_out").start()
+    // base offset keeps every event strictly above the initial
+    // watermark (0), which would otherwise drop a t=0 row as late
+    val t0 = 1000L * us
+    // user 1: two events 10s apart → one session left OPEN
+    mem.addData(Seq(Streaming.Ev(1L, 1L, t0), Streaming.Ev(1L, 2L, t0 + 10L * us)))
+    q.processAllAvailable()
+    // user 2 two hours later pushes the watermark far past user 1's
+    // lastTs + 30min gap; the next batches process user 1's timeout
+    mem.addData(Seq(Streaming.Ev(2L, 3L, t0 + 7200L * us)))
+    q.processAllAvailable()
+    mem.addData(Seq(Streaming.Ev(2L, 4L, t0 + 7300L * us)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_timeout_out")
+      .select("user_id", "n_events", "start_micros", "end_micros")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the OPEN session was emitted by the timeout path, with its real
+    // bounds — not silently withheld
+    assert(got.contains((1L, 2L, t0, t0 + 10L * us)), s"emitted: $got")
+  }
+
   test("stateful sessionize == window-function sessionize") {
     val batch = TimeSeries.sessionize(spark, sf)
       .select(col("user_id"), col("session_id"), col("n_events"))

@@ -15,8 +15,15 @@ oracle = json.load(open(f"{outDir}/oracle_sql.json"))
 
 def canon(df):
     df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    return df
+    # sort on non-float columns only: cross-engine floats can differ
+    # within tolerance, and using them as sort keys would misalign rows
+    keys = [c for c in df.columns if df[c].dtype.kind != 'f']
+    if not keys:  # all-float frame: sort on rounded copies, compare originals
+        for c in list(df.columns):
+            df['_sk_' + c] = df[c].round(6)
+        keys = [c for c in df.columns if c.startswith('_sk_')]
+    df = df.sort_values(by=keys, kind='mergesort').reset_index(drop=True)
+    return df[[c for c in df.columns if not c.startswith('_sk_')]]
 
 ok = fail = 0
 for name, sql in sorted(oracle.items()):
