@@ -90,6 +90,12 @@ object SparkEntry {
     "text_rollhash"    -> (TextAnalysis.rollingHash(_, _)),
     "text_langid_ngram" -> (TextAnalysis.langIdNgram(_, _)),
     "fuzzy_name_match"  -> ((s, d) => TextAnalysis.fuzzyNameMatch(s, d)),
+    "text_repetition"   -> (TextAnalysis.repetitionScore(_, _)),
+    "text_vocab"        -> (TextAnalysis.vocabStats(_, _)),
+    "pii_scan"          -> (TextAnalysis.piiScan(_, _)),
+    // ---- corpus curation ----
+    "sample_split"      -> (Curation.sampleSplit(_, _)),
+    "contamination"     -> ((s, d) => Curation.benchmarkContamination(s, d)),
     // ---- dedup family ----
     "dedup_exact"   -> (Dedup.exact(_, _)),
     "dedup_ngram"   -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -509,6 +515,53 @@ object SparkEntry {
         |FROM customer p JOIN customer m ON p.c_custkey < 50 AND p.c_custkey <> m.c_custkey
         |WHERE levenshtein(p.c_name, m.c_name) <= 2
         |ORDER BY probe_id, match_id""".stripMargin,
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS gram
+        |  FROM toks WHERE len(t) >= 2),
+        |c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams, count(*) AS n_distinct,
+        | round(1.0 - count(*) / CAST(sum(n) AS DOUBLE), 6) AS dup_ratio,
+        | round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS top_gram_share
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_vocab" ->
+      """WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok FROM documents),
+        |c AS (SELECT source, tok, count(*) AS n FROM tok GROUP BY source, tok)
+        |SELECT source, count(*) AS n_types, CAST(sum(n) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        | round(count(*) / CAST(sum(n) AS DOUBLE), 6) AS type_token_ratio
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "pii_scan" ->
+      """SELECT c_custkey,
+        | CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+        | CAST(coalesce(list_max(list_transform(regexp_extract_all(c_name, '[0-9]+'),
+        |   x -> length(x))), 0) AS BIGINT) AS longest_run,
+        | regexp_replace(c_name, '[0-9]', '*', 'g') AS redacted,
+        | regexp_replace(substr(c_name, 1, length(c_name) - 4), '[0-9]', '*', 'g')
+        |   || right(c_name, 4) AS masked_keep4
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    // split assignment is a pure function of md5 hex — DuckDB
+    // recomputes the identical train/val/test decision per doc
+    "sample_split" ->
+      """WITH s AS (SELECT source,
+        |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tok,
+        |  CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+        |       WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM documents)
+        |SELECT source, split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin,
+    "contamination" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |   for i in range(1, len(t) - 1)]) AS shingle FROM toks WHERE len(t) >= 3),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+        |corpus AS (SELECT * FROM sh WHERE doc_id >= 20),
+        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+        |ov AS (SELECT doc_id, count(*) AS n_overlap FROM corpus JOIN bench USING (shingle) GROUP BY doc_id)
+        |SELECT doc_id, n_shingles, n_overlap,
+        | round(n_overlap / CAST(n_shingles AS DOUBLE), 6) AS overlap_ratio
+        |FROM sizes JOIN ov USING (doc_id) ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         | min(doc_id) AS first_doc, count(*) AS n_docs

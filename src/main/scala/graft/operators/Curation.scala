@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for a training-data pipeline: the
+  * decisions made AFTER per-document features exist — which split a
+  * document lands in, and whether it leaks evaluation data.
+  *
+  * Both are pure column/join pipelines (no RNG, no UDFs): split
+  * assignment hashes a stable key, contamination is an inverted-index
+  * join — the shapes that hold at 100 TB.
+  */
+object Curation {
+
+  /** Deterministic train/val/test split: the first hex digit of
+    * `md5("split:" doc_id)` buckets each document 12/2/2 (75% /
+    * 12.5% / 12.5%). Salting the key with a literal prefix decouples
+    * this split from any other doc_id-keyed hash in the pipeline;
+    * hashing (instead of `rand()`) makes assignment reproducible
+    * across runs, engines, and partitionings — the property that
+    * matters when a 100 TB corpus is re-materialized and splits must
+    * not drift. The hex-digit comparison is plain ASCII string
+    * ordering, so DuckDB recomputes the identical assignment.
+    */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    val hexDigit = substring(
+      md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 1)
+    Tables.documents(spark, dir)
+      .select(col("source"), TextFns.nTokens(col("text")).as("n_tok"),
+        when(hexDigit <= "b", "train")
+          .when(hexDigit <= "d", "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"))
+      .orderBy("source", "split")
+  }
+
+  /** Benchmark-contamination scan: for every corpus document, the
+    * share of its word 3-grams that also appear in a benchmark set
+    * (stand-in here: docs with doc_id < benchMax) — the standard
+    * "did eval data leak into training data" check.
+    *
+    * Shape: the benchmark's distinct shingles are tiny relative to
+    * the corpus (an eval suite, not another corpus), so they
+    * BROADCAST; the corpus side streams through map-side with no
+    * shuffle of its shingles until the per-doc count aggregate. Docs
+    * with zero overlap drop out of the inner join and are reported
+    * implicitly — at 100 TB the contaminated set is the small one.
+    */
+  def benchmarkContamination(spark: SparkSession, dir: String,
+                             benchMax: Long = 20, n: Int = 3): DataFrame = {
+    val sh = Dedup.docShingles(spark, dir, n).cache()
+    val bench = sh.filter(col("doc_id") < benchMax)
+      .select(col("shingle")).distinct()
+    val corpus = sh.filter(col("doc_id") >= benchMax)
+    val sizes = corpus.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val overlap = corpus.join(broadcast(bench), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    sizes.join(overlap, "doc_id")
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        round(col("n_overlap") / col("n_shingles").cast("double"), 6)
+          .as("overlap_ratio"))
+      .orderBy("doc_id")
+  }
+}

@@ -37,9 +37,11 @@ object Dedup {
       .orderBy("keep_id")
 
   /** Distinct (doc, shingle) pairs — shared candidate-generation
-    * input for the Jaccard variants.
+    * input for the Jaccard variants (and corpus-curation ops like
+    * [[Curation.benchmarkContamination]]).
     */
-  private def docShingles(spark: SparkSession, dir: String, n: Int): DataFrame =
+  private[operators] def docShingles(spark: SparkSession, dir: String,
+                                     n: Int): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), TextFns.wsTokens(col("text")).as("toks"))
       .select(col("doc_id"),

@@ -162,6 +162,76 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Intra-document repetition score (the Gopher/C4-style quality
+    * rule): per document, the fraction of duplicate word 2-grams and
+    * the share of the single most repeated 2-gram. Highly repetitive
+    * documents (boilerplate, keyword stuffing, templated spam) score
+    * high and get filtered before training. Two grouped aggregates
+    * keyed by (doc, gram) then doc — partial-agg friendly, no state
+    * beyond the counts.
+    */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(TextFns.shinglesOf(col("toks"), 2)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("n")).as("max_rep"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct") / col("n_grams").cast("double"), 6)
+          .as("dup_ratio"),
+        round(col("max_rep") / col("n_grams").cast("double"), 6)
+          .as("top_gram_share"))
+      .orderBy("doc_id")
+
+  /** Per-source vocabulary statistics: type count, token count,
+    * hapax legomena (tokens seen once — the long tail a tokenizer
+    * trainer cares about), and type-token ratio. Two-level aggregate:
+    * (source, token) counts combine map-side, then one small
+    * per-source rollup.
+    */
+  def vocabStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(TextFns.wsTokens(lower(col("text")))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("n")).as("n_tokens"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_types"), col("n_tokens"), col("n_hapax"),
+        round(col("n_types") / col("n_tokens").cast("double"), 6)
+          .as("type_token_ratio"))
+      .orderBy("source")
+
+  /** PII-style detection and redaction over a text field (customer
+    * names carry digit runs in the fixture): digit-run counts, the
+    * longest run, full redaction, and partial masking that keeps the
+    * last 4 characters (the card-number convention). All regex/string
+    * column ops — the redaction path a pipeline runs before text ever
+    * leaves the secure zone, so it must be cheap and codegen'd.
+    */
+  def piiScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        regexp_count(col("c_name"), lit("[0-9]+")).cast("long")
+          .as("n_digit_runs"),
+        coalesce(
+          array_max(transform(
+            regexp_extract_all(col("c_name"), lit("[0-9]+"), lit(0)),
+            x => length(x))), lit(0)).cast("long").as("longest_run"),
+        regexp_replace(col("c_name"), "[0-9]", "*").as("redacted"),
+        concat(
+          regexp_replace(
+            expr("substring(c_name, 1, length(c_name) - 4)"), "[0-9]", "*"),
+          substring(col("c_name"), -4, 4)).as("masked_keep4"))
+      .orderBy("c_custkey")
+
   /** Polynomial rolling hash (Karp–Rabin family) over the document's
     * characters: h = fold(h*31 + code) mod 1e9+7 — the incremental
     * hash a streaming fingerprinter maintains, as one codegen'd fold

@@ -97,6 +97,34 @@ object Streaming {
       }
   }
 
+  /** Stream-stream interval join — the streaming twin of the batch
+    * `join_interval` query: click→purchase conversions by the same
+    * user within `withinMinutes`. Both sides carry watermarks so the
+    * join state is BOUNDED: a click can be dropped from state once
+    * the purchase-side watermark passes click.ts + window (Spark
+    * derives the state-cleanup predicate from the time-range
+    * condition — without it, stream-stream join state grows forever).
+    * Inner-join matches emit as they arrive; the watermark only
+    * gates state eviction.
+    *
+    * Expects two streaming DataFrames with (user_id, event_id, ts).
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        withinMinutes: Int = 5): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    c.join(p,
+        col("c_user") === col("p_user") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"interval $withinMinutes minutes"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("delta_us"))
+  }
+
   /** Run a streaming query over a bounded source into a memory sink
     * and return the sink table — test/demo harness for local runs.
     */

@@ -114,6 +114,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((1L, 2L, t0, t0 + 10L * us)), s"emitted: $got")
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val batch = graft.operators.Joins.intervalClickPurchase(spark, sf)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("delta_us"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .as[(Long, Long, String, java.sql.Timestamp)].collect()
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    clicks.addData(ev.filter(_._3 == "click").map(e => (e._1, e._2, e._4)).toSeq)
+    purchases.addData(ev.filter(_._3 == "purchase").map(e => (e._1, e._2, e._4)).toSeq)
+    val joined = Streaming.clickPurchaseJoin(
+      clicks.toDF().toDF("user_id", "event_id", "ts"),
+      purchases.toDF().toDF("user_id", "event_id", "ts"))
+    val got = Streaming.runToMemory(spark, joined, "ssj_out", OutputMode.Append())
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == batch, s"missing=${batch.diff(got).take(3)} extra=${got.diff(batch).take(3)}")
+  }
+
   test("stateful sessionize == window-function sessionize") {
     val batch = TimeSeries.sessionize(spark, sf)
       .select(col("user_id"), col("session_id"), col("n_events"))
