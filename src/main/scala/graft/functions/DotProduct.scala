@@ -98,12 +98,15 @@ case class DotProduct(left: Expression, right: Expression)
   * remains as an imperative fallback for externally-built sessions.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    // fuzzy-match predicate optimization (length guard + banded DP)
+    e.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
+  }
 }
 
 /** Registration + Column-level access for graft's native expressions. */
