@@ -66,6 +66,9 @@ object SparkEntry {
     "q10_returned_items" -> (Joins.returnedItemCustomers(_, _)),
     "q14_promo_share"    -> (Joins.promoRevenueShare(_, _)),
     "q19_brand_quantity" -> (Joins.brandQuantityRevenue(_, _)),
+    "q6_forecast"        -> (Joins.forecastRevenue(_, _)),
+    "q15_top_supplier"   -> (Joins.topSupplier(_, _)),
+    "q18_large_orders"   -> ((s, d) => Joins.largeVolumeOrders(s, d)),
     // ---- windows & grouping sets ----
     "win_rank"    -> (Windows.rankPerCustomer(_, _)),
     "win_running" -> (Windows.runningTotal(_, _)),
@@ -398,6 +401,32 @@ object SparkEntry {
         |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
         |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#5' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+    "q6_forecast" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |   CAST(l_discount AS DECIMAL(14,2))), 2) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |   (CAST(1 AS DECIMAL(14,2)) - CAST(l_discount AS DECIMAL(14,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(round(total_rev, 2) AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING round(CAST(sum(l_quantity) AS DOUBLE), 2) > 350.0)
+        |SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "join_interval" ->
       """WITH ev AS (SELECT user_id, event_id, event_type,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
@@ -650,8 +679,13 @@ object SparkEntry {
         | CAST(strlen(text) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin
     // no oracle (rows-only + ScalaTest verification):
-    //   dedup_minhash, dedup_simhash — xxhash64 family not in DuckDB;
-    //   sim_ann — approximate by design (recall-tested vs sim_topk);
+    //   dedup_minhash, dedup_simhash — xxhash64 family not in DuckDB
+    //     (the md5 family variant dedup_minhash_md5 IS oracle-checked
+    //     end-to-end, covering the banding pipeline cross-engine);
+    //   sim_ann, sim_ivf — approximate by design (recall-tested vs
+    //     the oracle-checked sim_topk);
+    //   sketch_approx — engine-specific HLL sketches (bounds-tested
+    //     vs the exact distinct counts);
     //   mm_features — stubbed binary decode is not SQL.
   )
 }

@@ -227,6 +227,70 @@ object Joins {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** TPC-H Q6 shape (forecast revenue change): a single scan with
+    * three conjunctive predicates and one aggregate — the canonical
+    * full-pushdown query. All three filters reach the parquet scan;
+    * the revenue product uses decimal arithmetic so the sum is exact
+    * and rounds identically in DuckDB (see pricingSummary).
+    */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        round(sum(col("l_extendedprice").cast("decimal(14,2)") *
+          col("l_discount").cast("decimal(14,2)")), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    * keep the max. The max is a broadcast scalar (one row) joined
+    * back as an equality filter — NOT a global window, which would
+    * serialize the aggregate through one task. The equality compares
+    * DECIMALS (exact on both engines); rounding to double happens
+    * only in the output projection.
+    */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(14,2)") *
+        (lit(1).cast("decimal(14,2)") - col("l_discount").cast("decimal(14,2)")))
+        .as("total_rev"))
+    val best = rev.agg(max(col("total_rev")).as("best_rev"))
+    rev.join(broadcast(best), col("total_rev") === col("best_rev"))
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("total_rev"), 2).cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q18 shape (large-volume orders): orders whose total
+    * quantity exceeds a threshold, with their customer. The HAVING
+    * aggregate runs on lineitem alone (partial-agg friendly, tiny
+    * survivor set), then joins orders + customer — the survivors
+    * drive the probe side, so at 100 TB the expensive join only sees
+    * the filtered keys.
+    */
+  def largeVolumeOrders(spark: SparkSession, dir: String,
+                        minQty: Double = 350.0): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    big.join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
   /** Salted skew join — the pattern that keeps a fact⋈fact shuffle
     * join alive when one key holds a disproportionate share of rows
     * (the first thing that breaks at 100× scale: every row of the hot

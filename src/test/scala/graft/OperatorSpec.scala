@@ -58,6 +58,23 @@ class OperatorSpec extends SparkSpec {
     assert(hotSalts == 8L, s"hot key spread over $hotSalts salts")
   }
 
+  test("q6 pushes all three predicate families into the parquet scan") {
+    // the plan string truncates the PushedFilters list at 100 chars,
+    // so assert on the per-column entries that survive truncation
+    val plan = Joins.forecastRevenue(spark, sf)
+      .queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator
+      .find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("IsNotNull(l_shipdate)"), plan)
+    assert(pushed.contains("IsNotNull(l_discount)"), plan)
+    assert(pushed.contains("IsNotNull(l_quantity)"), plan)
+    assert(pushed.contains("GreaterThanOrEqual(l_shipda"), plan)
+    // scan reads exactly the four needed columns
+    assert(plan.contains(
+      "struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"),
+      plan)
+  }
+
   test("q1 pushes the shipdate filter into the parquet scan") {
     val plan = Relational.pricingSummary(spark, sf)
       .queryExecution.executedPlan.toString
