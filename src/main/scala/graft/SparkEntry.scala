@@ -24,6 +24,7 @@ object SparkEntry {
     "wordcount_alpha"    -> (WordCount.alpha(_, _)),
     "wordcount_filtered" -> (WordCount.filtered(_, _)),
     "wordcount_flatmap"  -> (WordCount.flatMapTokens(_, _)),
+    "kv_roundtrip"       -> (graft.sources.TextIO.kvRoundTrip(_, _)),
     // ---- relational core ----
     "q1_pricing"     -> (Relational.pricingSummary(_, _)),
     "filter_project" -> (Relational.filterProject(_, _)),
@@ -126,6 +127,13 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "wordcount_alpha" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(text, '[^a-zA-Z]+')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+    // same SQL as wordcount_alpha: the Spark side routes through the
+    // writeKV text sink + KVDataSource V2 read-back, so a green hash
+    // certifies the on-disk "key value" format round-trips losslessly
+    "kv_roundtrip" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split_regex(text, '[^a-zA-Z]+')) AS word FROM documents)
         |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,

@@ -64,6 +64,22 @@ object TextIO {
       .saveAsTextFile(path)
   }
 
+  /** Full sink→source round trip through the reference's on-disk
+    * format: word-count the documents table, write it as nReduce
+    * `"key value"` reduce-output files (the reference's mr-out
+    * contract), then read it back through the DataSource V2
+    * (`KVDataSource`) as a real table. Oracle = the word count SQL
+    * itself, so the compare proves byte-level sink/source fidelity
+    * cross-engine, not just Spark-reads-what-Spark-wrote.
+    */
+  def kvRoundTrip(spark: SparkSession, dir: String, nReduce: Int = 10): DataFrame = {
+    val out = s"/tmp/graft_kv_rt_${new java.io.File(dir).getName}"
+    writeKV(graft.operators.WordCount.alpha(spark, dir), "word", "cnt", out, nReduce)
+    spark.read.format("graft.sources.KVDataSource").load(out)
+      .select(col("key").as("word"), col("value").as("cnt"))
+      .orderBy("word")
+  }
+
   /** Read back a writeKV directory into (key, value) rows. */
   def readKV(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)

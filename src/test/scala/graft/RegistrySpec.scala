@@ -21,7 +21,8 @@ class RegistrySpec extends SparkSpec {
   // label-propagation loop must execute per-round jobs to converge) —
   // excluded here so this stays an analysis-only smoke test; they get
   // full execution coverage in their own specs and in Verify
-  private val eagerBuilders = Set("dedup_clusters")
+  // (kv_roundtrip's builder executes the writeKV sink job up front)
+  private val eagerBuilders = Set("dedup_clusters", "kv_roundtrip")
 
   test("all queries analyze (schema resolves) at sf0.001") {
     val failures = SparkEntry.queries

@@ -23,6 +23,39 @@ class SourcesSpec extends SparkSpec {
       orig.as[(Long, Int, Double, String)].collect().toSet)
   }
 
+  test("KV DataSource V2 round-trips writeKV output exactly") {
+    val out = Files.createTempDirectory("graft-kv-v2").toFile.getAbsolutePath + "/wc"
+    val wc = graft.operators.WordCount.alpha(spark, sf)
+    graft.sources.TextIO.writeKV(wc, "word", "cnt", out, nReduce = 4)
+    val back = spark.read.format("graft.sources.KVDataSource").load(out)
+    assert(back.schema.fieldNames.toSeq == Seq("key", "value"))
+    val expect = wc.as[(String, Long)].collect().toMap
+    val got = back.as[(String, Long)].collect().toMap
+    assert(got == expect)
+    // one InputPartition per reduce-output file
+    assert(back.rdd.getNumPartitions == 4)
+  }
+
+  test("KV DataSource V2 prunes columns and pushes key filters") {
+    val out = Files.createTempDirectory("graft-kv-v2p").toFile.getAbsolutePath + "/wc"
+    val wc = graft.operators.WordCount.alpha(spark, sf)
+    graft.sources.TextIO.writeKV(wc, "word", "cnt", out, nReduce = 2)
+    val q = spark.read.format("graft.sources.KVDataSource").load(out)
+      .filter(col("key").startsWith("t"))
+      .select("key")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<key:string>"), plan)
+    assert(plan.contains("PushedFilters: [StringStartsWith(key,t)"), plan)
+    val expect = wc.filter(col("word").startsWith("t"))
+      .select("word").as[String].collect().toSet
+    assert(q.as[String].collect().toSet == expect)
+    // unsupported filters stay post-scan and still evaluate correctly
+    val q2 = spark.read.format("graft.sources.KVDataSource").load(out)
+      .filter(col("value") > 100L)
+    val expect2 = wc.filter(col("cnt") > 100L).count()
+    assert(q2.count() == expect2)
+  }
+
   test("bucketed tables: co-located join with ZERO exchanges") {
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
