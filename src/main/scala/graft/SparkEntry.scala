@@ -97,9 +97,13 @@ object SparkEntry {
     "text_repetition"   -> (TextAnalysis.repetitionScore(_, _)),
     "text_vocab"        -> (TextAnalysis.vocabStats(_, _)),
     "pii_scan"          -> (TextAnalysis.piiScan(_, _)),
+    "tfidf_keywords"    -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),
+    "bpe_pairs"         -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     // ---- corpus curation ----
     "sample_split"      -> (Curation.sampleSplit(_, _)),
     "contamination"     -> ((s, d) => Curation.benchmarkContamination(s, d)),
+    "cross_dedup"       -> ((s, d) => Curation.crossDedup(s, d)),
+    "quality_gate"      -> (Curation.qualityGate(_, _)),
     // ---- dedup family ----
     "dedup_exact"   -> (Dedup.exact(_, _)),
     "dedup_ngram"   -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -599,6 +603,45 @@ object SparkEntry {
         |SELECT doc_id, n_shingles, n_overlap,
         | round(n_overlap / CAST(n_shingles AS DOUBLE), 6) AS overlap_ratio
         |FROM sizes JOIN ov USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "cross_dedup" ->
+      """WITH fp AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        | FROM documents)
+        |SELECT f.doc_id, f.fp FROM fp f
+        |WHERE f.doc_id >= 50
+        |  AND f.fp NOT IN (SELECT fp FROM fp WHERE doc_id < 50)
+        |ORDER BY f.doc_id""".stripMargin,
+    "quality_gate" ->
+      """WITH med AS (SELECT source, quantile_cont(n_chars, 0.5) AS median_chars
+        |  FROM documents GROUP BY source)
+        |SELECT d.source, m.median_chars,
+        | CAST(sum(CASE WHEN d.n_chars > m.median_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | count(*) AS n_total
+        |FROM documents d JOIN med m ON d.source = m.source
+        |GROUP BY d.source, m.median_chars ORDER BY d.source""".stripMargin,
+    "tfidf_keywords" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(text), '[^a-z]+')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+        |  WHERE word <> '' GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+        |r AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |   tf.tf * ln(n.n_docs / CAST(df.df AS DOUBLE)) AS tfidf,
+        |   row_number() OVER (PARTITION BY tf.doc_id
+        |     ORDER BY tf.tf DESC, df.df ASC, tf.word ASC) AS rnk
+        |  FROM tf JOIN df USING (word), n)
+        |SELECT doc_id, rnk, word, tf, df, tfidf
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "bpe_pairs" ->
+      """WITH toks AS (SELECT list_filter(
+        |  string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ts
+        | FROM documents),
+        |pairs AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+        |   i -> ts[i] || ' ' || ts[i+1])) AS pair
+        | FROM toks WHERE len(ts) >= 2)
+        |SELECT pair, count(*) AS cnt FROM pairs
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "text_fingerprint" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         | min(doc_id) AS first_doc, count(*) AS n_docs

@@ -51,6 +51,51 @@ object Curation {
     * with zero overlap drop out of the inner join and are reported
     * implicitly — at 100 TB the contaminated set is the small one.
     */
+  /** Cross-corpus exact decontamination: drop every corpus document
+    * whose normalized-text fingerprint also appears in an evaluation
+    * set (stand-in: docs with doc_id < evalMax). The complement of
+    * [[benchmarkContamination]]: that one MEASURES n-gram leakage,
+    * this one REMOVES verbatim leaks.
+    *
+    * Shape: LEFT ANTI join on the 128-bit fingerprint — the corpus
+    * side shuffles 32-byte digests (never text), and the eval side is
+    * small enough to broadcast, so at 100 TB this is one map-side
+    * probe per document. Keyed on md5 (not xxhash64) so the oracle
+    * recomputes identical digests.
+    */
+  def crossDedup(spark: SparkSession, dir: String, evalMax: Long = 50): DataFrame = {
+    val fp = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+    val eval = fp.filter(col("doc_id") < evalMax).select(col("fp"))
+    fp.filter(col("doc_id") >= evalMax)
+      .join(broadcast(eval), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality gate: keep documents strictly above their source's
+    * median length — the stratified quantile filter every curation
+    * pipeline applies (per-domain thresholds, not one global cutoff,
+    * so a verbose domain doesn't starve a terse one).
+    *
+    * Shape: the per-source medians are a tiny aggregate (one row per
+    * source) broadcast back onto the corpus — two narrow passes, no
+    * per-row window. `percentile` interpolates exactly like DuckDB's
+    * `quantile_cont`, so the cutoff is cross-engine exact.
+    */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val med = docs.groupBy(col("source"))
+      .agg(percentile(col("n_chars"), lit(0.5)).as("median_chars"))
+    docs.join(broadcast(med), "source")
+      .groupBy(col("source"), col("median_chars"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("n_chars") > col("median_chars"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .select(col("source"), col("median_chars"), col("n_kept"), col("n_total"))
+      .orderBy("source")
+  }
+
   def benchmarkContamination(spark: SparkSession, dir: String,
                              benchMax: Long = 20, n: Int = 3): DataFrame = {
     val sh = Dedup.docShingles(spark, dir, n).cache()

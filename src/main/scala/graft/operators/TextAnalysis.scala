@@ -262,4 +262,55 @@ object TextAnalysis {
         count(lit(1)).as("n_docs")
       )
       .orderBy("fp")
+
+  /** TF-IDF keyword extraction: top-3 terms per document. Ranking is
+    * INTEGER-exact (tf desc, then rarity df asc, then term asc) so
+    * the cross-engine order never depends on a float compare; the
+    * tf·ln(N/df) score itself is emitted as a value column where the
+    * oracle's 1e-9 tolerance absorbs libm ulp differences.
+    *
+    * Shape: tf is one partial-agg pass over exploded tokens; df and
+    * the corpus size N are aggregates OF tf (no second scan of the
+    * text); the df table joins back on the term key — at 100 TB
+    * that's a shuffle of (term, df) pairs, already vocabulary-sized,
+    * not corpus-sized.
+    */
+  def tfidfKeywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextFns.alphaTokens(lower(col("text")))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = tf.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("word").asc)
+    tf.join(df, "word").crossJoin(broadcast(n))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("word"), col("tf"), col("df"),
+        (col("tf") * log(col("n_docs") / col("df"))).as("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** Adjacent-token-pair frequencies — the counting step of one BPE
+    * merge round (the pair with the top count is the next merge).
+    * Pairs are built with an index-lambda zip over the staged token
+    * array (no self-join, no window over exploded rows), then one
+    * partial-agg count and a TakeOrdered top-20 — at 100 TB the only
+    * shuffle is vocabulary²-bounded pair counts.
+    */
+  def bpePairs(spark: SparkSession, dir: String, topK: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .select(TextFns.alphaTokens(lower(col("text"))).as("ts"))
+      .filter(size(col("ts")) >= 2) // sequence(0, -1) would descend
+      .select(explode(expr(
+        "transform(sequence(0, size(ts)-2), i -> concat(ts[i], ' ', ts[i+1]))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topK)
 }
