@@ -98,16 +98,21 @@ object Curation {
 
   def benchmarkContamination(spark: SparkSession, dir: String,
                              benchMax: Long = 20, n: Int = 3): DataFrame = {
-    val sh = Dedup.docShingles(spark, dir, n).cache()
+    val sh = Dedup.docShingles(spark, dir, n)
+    // tiny side: the benchmark scan pushes doc_id < benchMax into the
+    // parquet read, so re-deriving its shingles costs one small scan
+    // (cheaper at 100 TB than caching the corpus-sized shingle set)
     val bench = sh.filter(col("doc_id") < benchMax)
       .select(col("shingle")).distinct()
-    val corpus = sh.filter(col("doc_id") >= benchMax)
-    val sizes = corpus.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"))
-    val overlap = corpus.join(broadcast(bench), "shingle")
+      .withColumn("hit", lit(1))
+    // ONE pass over corpus shingles: the broadcast left join marks
+    // benchmark hits in-flight, and a single partial-agg pass counts
+    // total and hit shingles together (no cache, no second shuffle)
+    sh.filter(col("doc_id") >= benchMax)
+      .join(broadcast(bench), Seq("shingle"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_overlap"))
-    sizes.join(overlap, "doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
+      .filter(col("n_overlap") > 0) // parity with the inner-join form
       .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
         round(col("n_overlap") / col("n_shingles").cast("double"), 6)
           .as("overlap_ratio"))
