@@ -70,6 +70,12 @@ object SparkEntry {
     "q6_forecast"        -> (Joins.forecastRevenue(_, _)),
     "q15_top_supplier"   -> (Joins.topSupplier(_, _)),
     "q18_large_orders"   -> ((s, d) => Joins.largeVolumeOrders(s, d)),
+    "q4_priority"        -> (Joins.orderPriorityCheck(_, _)),
+    "q7_nation_volume"   -> ((s, d) => Joins.nationVolume(s, d)),
+    "q12_late_mix"       -> (Joins.latePriorityMix(_, _)),
+    "q13_custdist"       -> (Joins.orderDistribution(_, _)),
+    "q17_small_qty"      -> (Joins.smallQtyRevenue(_, _)),
+    "q22_idle_balance"   -> (Joins.idleBalanceCustomers(_, _)),
     // ---- windows & grouping sets ----
     "win_rank"    -> (Windows.rankPerCustomer(_, _)),
     "win_running" -> (Windows.runningTotal(_, _)),
@@ -439,6 +445,62 @@ object SparkEntry {
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |   (CAST(1 AS DECIMAL(14,2)) - CAST(l_discount AS DECIMAL(14,2)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q12_late_mix" ->
+      """SELECT l_linestatus,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        | SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT JOIN orders
+        |   ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        | GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q17_small_qty" ->
+      """WITH agg AS (SELECT l_partkey AS pk, sum(l_quantity) AS sum_q, count(*) AS cnt
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey JOIN agg ON l_partkey = pk
+        |WHERE p_brand = 'Brand#13' AND p_size < 5
+        |  AND l_quantity * 5 * cnt < sum_q""".stripMargin,
+    "q22_idle_balance" ->
+      """WITH pos AS (SELECT sum(CAST(c_acctbal AS DECIMAL(14,2))) AS s, count(*) AS n
+        |  FROM customer WHERE CAST(c_acctbal AS DECIMAL(14,2)) > 0)
+        |SELECT c_mktsegment, count(*) AS numcust,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, pos
+        |WHERE CAST(c_acctbal AS DECIMAL(14,2)) * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "join_interval" ->
       """WITH ev AS (SELECT user_id, event_id, event_type,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)

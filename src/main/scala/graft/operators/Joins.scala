@@ -291,6 +291,142 @@ object Joins {
       .orderBy("o_orderkey")
   }
 
+  /** TPC-H Q4 shape (order-priority check): orders in a quarter that
+    * have at least one late-shipped line (shipdate > orderdate + 60d;
+    * the fixture carries no commit/receipt dates, so lateness is
+    * defined against the order date — same EXISTS plan shape).
+    * LEFT SEMI join: the probe stops at the first matching line, no
+    * row multiplication, and the quarter filter pushes into the
+    * orders scan before the join.
+    */
+  def orderPriorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q7 shape (volume shipping between two nations): revenue
+    * flowing supplier-nation → customer-nation per shipment year, for
+    * one nation pair in both directions. The two nation dims
+    * broadcast onto supplier and customer; lineitem⋈orders is the
+    * only fact shuffle; the pair filter collapses the keyspace before
+    * the aggregate.
+    */
+  def nationVolume(spark: SparkSession, dir: String,
+                   na: String = "NATION_1", nb: String = "NATION_2"): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sk"))
+      .join(broadcast(n2), col("c_nationkey") === col("ck"))
+      .filter((col("supp_nation") === na && col("cust_nation") === nb) ||
+        (col("supp_nation") === nb && col("cust_nation") === na))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(14,2)") *
+          (lit(1).cast("decimal(14,2)") - col("l_discount").cast("decimal(14,2)"))), 2)
+        .cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q12 shape (late shipment priority mix): lines shipped >30
+    * days after their order date in 1996, split per line status into
+    * high-/low-priority counts. One fact⋈fact join; the year filter
+    * pushes into the lineitem scan; the CASE sums are a partial agg.
+    */
+  def latePriorityMix(spark: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** TPC-H Q13 shape (customer order distribution): orders-per-
+    * customer histogram INCLUDING zero-order customers — the left
+    * outer join with a predicate on the RIGHT side's rows (priority
+    * filter lives in the join condition, so unmatched customers
+    * survive). Two partial-agg passes, both on already-shuffled keys.
+    */
+  def orderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey") &&
+        o("o_orderpriority") =!= "5-LOW", "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q17 shape (small-quantity revenue): lines of one brand's
+    * small parts with quantity below 20% of that part's average.
+    * The correlated `avg` is decorrelated into one per-part aggregate
+    * joined back; the threshold compare is the EXACT integer rewrite
+    * `5·q·cnt < sum(q)` (quantities are integral doubles ≤ 2^53), so
+    * no cross-engine float boundary can flip a row's membership.
+    */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity")).as("sum_q"), count(lit(1)).as("cnt"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#13" && col("p_size") < 5)
+      .select(col("p_partkey"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") * lit(5.0) * col("cnt") < col("sum_q"))
+      .agg((sum(col("l_extendedprice").cast("decimal(14,2)")).cast("double") / 7.0)
+        .as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q22 shape (idle wealthy customers): customers with an
+    * above-average positive balance and no URGENT orders, per market
+    * segment (every fixture customer has some order, so the anti
+    * side filters to urgent ones to stay non-vacuous — same plan
+    * shape as the original's no-orders test). The global threshold
+    * is a 1-row broadcast; membership uses EXACT decimal·count
+    * arithmetic (never a double average, so the boundary can't flip
+    * cross-engine); the no-urgent-orders test is a LEFT ANTI join on
+    * the filtered order keys only.
+    */
+  def idleBalanceCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .withColumn("bal", col("c_acctbal").cast("decimal(14,2)"))
+    val thr = c.filter(col("bal") > 0)
+      .agg(sum(col("bal")).as("s"), count(lit(1)).as("n"))
+    c.crossJoin(broadcast(thr))
+      .filter(col("bal") * col("n") > col("s"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal")).cast("double").as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Salted skew join — the pattern that keeps a fact⋈fact shuffle
     * join alive when one key holds a disproportionate share of rows
     * (the first thing that breaks at 100× scale: every row of the hot
