@@ -106,6 +106,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
     // fuzzy-match predicate optimization (length guard + banded DP)
     e.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
+    // whole-operator extension: sequence packing (logical node +
+    // strategy + physical exec — graft.plans.PackSequences)
+    e.injectPlannerStrategy(_ => graft.plans.PackSequencesStrategy)
   }
 }
 
