@@ -10,9 +10,20 @@ object Bench {
     // untimed warmup: loads Spark's codegen/shuffle/parquet classes so
     // the first timed query isn't charged ~4s of one-time JVM setup
     // (a long-running cluster is always warm; per-query times stay real)
-    try spark.read.parquet(s"$sfDir/region.parquet")
-      .groupBy("r_name").count().count()
-    catch { case _: Throwable => () } // warmup must never kill the run
+    try {
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .groupBy("r_name").count().count()
+      // also touch the JSON-parse and window codegen paths: their
+      // one-time class loading otherwise lands on whichever query
+      // alphabetically hits them first (measured ~5s on json_extract)
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      spark.range(1000).toDF("id")
+        .select(get_json_object(concat(lit("{\"k\":"), col("id"), lit("}")), "$.k")
+          .cast("long").as("k"))
+        .select(sum(col("k")).over(Window.orderBy("k")).as("s"))
+        .count()
+    } catch { case _: Throwable => () } // warmup must never kill the run
     // (name, seconds, error) — a failed query is reported as an error
     // entry and fails the whole run (nonzero exit), never as a silent
     // "-1s" timing that could read as fast

@@ -76,6 +76,13 @@ object SparkEntry {
     "q13_custdist"       -> (Joins.orderDistribution(_, _)),
     "q17_small_qty"      -> (Joins.smallQtyRevenue(_, _)),
     "q22_idle_balance"   -> (Joins.idleBalanceCustomers(_, _)),
+    "q2_min_cost"        -> (Joins.minCostSupplier(_, _)),
+    "q8_market_share"    -> (Joins.marketShare(_, _)),
+    "q9_profit"          -> (Joins.profitByNation(_, _)),
+    "q11_important"      -> (Joins.importantParts(_, _)),
+    "q16_supplier_cnt"   -> (Joins.supplierCountByPart(_, _)),
+    "q20_excess"         -> (Joins.excessSuppliers(_, _)),
+    "q21_waiting"        -> (Joins.waitingSuppliers(_, _)),
     // ---- windows & grouping sets ----
     "win_rank"    -> (Windows.rankPerCustomer(_, _)),
     "win_running" -> (Windows.runningTotal(_, _)),
@@ -125,6 +132,10 @@ object SparkEntry {
     // ---- multimodal plumbing ----
     "mm_meta"     -> (Multimodal.mediaMeta(_, _)),
     "mm_features" -> (Multimodal.featureSummary(_, _)),
+    // ---- sequence packing (custom LogicalPlan+SparkPlan; no SQL
+    //      oracle: greedy packing is a sequential recurrence —
+    //      PackingSpec pins budget/density/determinism invariants) ----
+    "seq_pack"    -> ((s, d) => Packing.seqPack(s, d)),
     "mm_frames"   -> ((s, d) => {
       import org.apache.spark.sql.functions._
       Multimodal.sampleFrames(s, d).toDF()
@@ -445,6 +456,117 @@ object SparkEntry {
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "q2_min_cost" ->
+      """WITH offers AS (
+        |  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+        |         min(l_extendedprice / l_quantity) AS unit_price
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |    AND p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  GROUP BY 1,2,3,4,5,6
+        |), minp AS (
+        |  SELECT p_partkey AS mk, min(unit_price) AS min_price
+        |  FROM offers GROUP BY 1
+        |)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |       round(unit_price, 6) AS unit_price
+        |FROM offers JOIN minp ON p_partkey = mk AND unit_price = min_price
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |        THEN CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |             (1 - CAST(l_discount AS DECIMAL(14,2))) ELSE 0 END) AS DOUBLE) /
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |             (1 - CAST(l_discount AS DECIMAL(14,2)))) AS DOUBLE), 6)
+        |    AS mkt_share
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(14,2))) -
+        |      CAST(p_retailprice AS DECIMAL(14,2)) * CAST('0.1' AS DECIMAL(4,2)) *
+        |      CAST(l_quantity AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1,2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_important" ->
+      """WITH vals AS (
+        |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS value
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  GROUP BY 1
+        |), tot AS (SELECT sum(value) AS total FROM vals)
+        |SELECT l_partkey, CAST(round(value, 2) AS DOUBLE) AS part_value
+        |FROM vals, tot WHERE value * 1000 > total
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#4' AND p_size IN (1,5,9,13,17,21,25,29)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1,2,3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_excess" ->
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS pair_qty
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_name LIKE 'blue%'
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY 1,2
+        |), per_part AS (
+        |  SELECT l_partkey AS pk, sum(pair_qty) AS part_qty
+        |  FROM shipped GROUP BY 1
+        |)
+        |SELECT s_name, s_acctbal FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM shipped
+        |  JOIN per_part ON l_partkey = pk AND pair_qty * 2 > part_qty)
+        |ORDER BY s_name""".stripMargin,
+    "q21_waiting" ->
+      """WITH lines AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         bool_or(l_shipdate > o_orderdate + INTERVAL 45 DAY) AS late
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        |  GROUP BY 1,2
+        |), l1 AS (SELECT l_orderkey, l_suppkey FROM lines WHERE late)
+        |SELECT s_name, n_name, count(*) AS numwait
+        |FROM l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM lines o
+        |        WHERE o.l_orderkey = l1.l_orderkey
+        |          AND o.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lines o
+        |        WHERE o.l_orderkey = l1.l_orderkey
+        |          AND o.l_suppkey <> l1.l_suppkey AND o.late)
+        |GROUP BY 1,2
+        |ORDER BY numwait DESC, s_name""".stripMargin,
     "q4_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

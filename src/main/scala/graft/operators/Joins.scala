@@ -514,4 +514,246 @@ object Joins {
       )
       .orderBy("tier")
   }
+
+  // ------------------------------------------------------------------
+  // Remaining TPC-H query shapes (Q2/Q8/Q9/Q11/Q16/Q20/Q21) — the
+  // fixture has no partsupp table, so the part↔supplier relation is
+  // the distinct (l_partkey, l_suppkey) pairs of lineitem and
+  // ps_supplycost's stand-in is the offered unit price
+  // l_extendedprice/l_quantity (per-row IEEE division — bit-identical
+  // in Spark and DuckDB, so min/equality on it is cross-engine safe).
+  // ------------------------------------------------------------------
+
+  /** TPC-H Q2 shape (min-cost supplier): for mid-size STANDARD parts,
+    * the EUROPE supplier offering the lowest unit price. The
+    * correlated MIN subquery is decorrelated into a per-part
+    * aggregate joined back on equality; all dimension sides
+    * (part/supplier/nation/region) broadcast, so the only shuffle is
+    * the offers aggregation on (part,supplier). ORDER BY covers a
+    * unique key set so the LIMIT cut is deterministic cross-engine.
+    */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === "STANDARD" && col("p_size").between(10, 20))
+      .select(col("p_partkey"), col("p_name"))
+    val eurSup = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir))
+          .filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val offers = Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eurSup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_name"),
+        col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+    val minPer = offers.groupBy(col("p_partkey").as("mk"))
+      .agg(min(col("unit_price")).as("min_price"))
+    offers.join(minPer,
+        col("p_partkey") === col("mk") && col("unit_price") === col("min_price"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"),
+        round(col("unit_price"), 6).as("unit_price"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q8 shape (national market share): of EUROPE customers'
+    * 1996–1997 order volume, the share supplied by NATION_3, per
+    * order year. Numerator/denominator are exact decimal sums; the
+    * ratio is a double division of identical operands on both
+    * engines, so no rounding boundary can flip it.
+    */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val custEur = Tables.customer(spark, dir)
+      .join(broadcast(n.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir))
+          .filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val vol = col("l_extendedprice").cast("decimal(14,2)") *
+      (lit(1).cast("decimal(14,2)") - col("l_discount").cast("decimal(14,2)"))
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(custEur), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_3", vol)
+          .otherwise(lit(0).cast("decimal(14,2)"))).as("num"),
+        sum(vol).as("den"))
+      .select(col("o_year"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9 shape (product-type profit): profit per supplier nation
+    * per order year over parts named like '%widget%'; the supply-cost
+    * term is p_retailprice-based (no partsupp in the fixture). All
+    * arithmetic in decimal; rounded to cents then cast double only in
+    * the output projection.
+    */
+  def profitByNation(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"),
+        col("p_retailprice").cast("decimal(14,2)").as("p_cost"))
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val amount =
+      col("l_extendedprice").cast("decimal(14,2)") *
+        (lit(1).cast("decimal(14,2)") - col("l_discount").cast("decimal(14,2)")) -
+        col("p_cost") * lit("0.1").cast("decimal(4,2)") *
+          col("l_quantity").cast("decimal(14,2)")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("bigint").as("o_year"))
+      .agg(round(sum(amount), 2).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 shape (important part values): per-part value supplied
+    * by ASIA-nation suppliers, keeping parts above 0.1% of the global
+    * total. The global threshold is a 1-row broadcast; membership is
+    * the EXACT decimal rewrite `value*1000 > total` — never a double
+    * fraction, so the boundary can't flip cross-engine.
+    */
+  def importantParts(spark: SparkSession, dir: String): DataFrame = {
+    val asiaSup = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir))
+          .filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"))
+    val vals = Tables.lineitem(spark, dir)
+      .join(broadcast(asiaSup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(14,2)")).as("value"))
+    val total = vals.agg(sum(col("value")).as("total"))
+    vals.crossJoin(broadcast(total))
+      .filter(col("value") * lit(1000) > col("total"))
+      .select(col("l_partkey"),
+        round(col("value"), 2).cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q16 shape (supplier count by part attributes): distinct
+    * suppliers per (brand, type, size) from lineitem's part–supplier
+    * pairs, excluding one brand and "complaint" suppliers (negative
+    * balance — the fixture has no comment text) via NOT IN → anti
+    * join. The pair-distinct runs on lineitem alone before any join.
+    */
+  def supplierCountByPart(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val complaints = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#4" &&
+        col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    pairs
+      .join(broadcast(complaints),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q20 shape (dominant suppliers of promo parts): AMERICA
+    * suppliers who shipped more than half of some 'blue…' part's 1996
+    * volume. The correlated half-of-total test is decorrelated into a
+    * per-part total joined back; the compare is the EXACT integral
+    * rewrite `2*pair_qty > part_qty` (quantities are integral doubles,
+    * sums < 2^53). Supplier membership via LEFT SEMI on the dominant
+    * pairs.
+    */
+  def excessSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val bluep = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("blue"))
+      .select(col("p_partkey"))
+    val shipped = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(bluep), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("pair_qty"))
+    val perPart = shipped.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("pair_qty")).as("part_qty"))
+    val dominant = shipped.join(perPart,
+        col("l_partkey") === col("pk") &&
+        col("pair_qty") * 2 > col("part_qty"))
+      .select(col("l_suppkey"))
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir))
+          .filter(col("r_name") === "AMERICA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy("s_name")
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): for
+    * finished orders, suppliers with a late line (shipdate >
+    * orderdate + 45d — the fixture has no commit/receipt dates) where
+    * ANOTHER supplier contributed a line (EXISTS → left semi with an
+    * extra non-equi condition on the equi join) and NO other supplier
+    * was late (NOT EXISTS → left anti, same shape). Granularity is
+    * distinct (order, supplier) so a supplier counts once per order.
+    */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"))
+          .as("late"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("late"))
+    val l1 = lines.filter(col("late"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val others = lines.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"),
+      col("late").as("late2"))
+    l1
+      .join(others,
+        col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+        "left_semi")
+      .join(others.filter(col("late2")),
+        col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+        "left_anti")
+      .join(broadcast(Tables.supplier(spark, dir)
+          .join(broadcast(Tables.nation(spark, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"), col("n_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
 }
