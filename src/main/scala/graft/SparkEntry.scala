@@ -62,6 +62,7 @@ object SparkEntry {
     "join_broadcast_dims" -> (Joins.broadcastDims(_, _)),
     "join_range_tiers"   -> (Joins.rangeJoinTiers(_, _)),
     "join_skew_salted"   -> ((s, d) => Joins.saltedSkewJoin(s, d)),
+    "bloom_join"         -> ((s, d) => Joins.bloomPrefilteredJoin(s, d)),
     "join_interval"      -> (Joins.intervalClickPurchase(_, _)),
     "q5_local_supplier"  -> (Joins.localSupplierVolume(_, _)),
     "q10_returned_items" -> (Joins.returnedItemCustomers(_, _)),
@@ -117,6 +118,9 @@ object SparkEntry {
     "contamination"     -> ((s, d) => Curation.benchmarkContamination(s, d)),
     "cross_dedup"       -> ((s, d) => Curation.crossDedup(s, d)),
     "quality_gate"      -> (Curation.qualityGate(_, _)),
+    "mixture_sample"    -> (Curation.mixtureSample(_, _)),
+    "lm_score"          -> ((s, d) => TextAnalysis.lmScore(s, d)),
+    "emb_quantize"      -> (Similarity.embQuantize(_, _)),
     // ---- dedup family ----
     "dedup_exact"   -> (Dedup.exact(_, _)),
     "dedup_ngram"   -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -456,6 +460,50 @@ object SparkEntry {
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "bloom_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+        |    AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal > 8000
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "mixture_sample" ->
+      """SELECT doc_id, lang, source
+        |FROM documents
+        |JOIN (VALUES ('en','f0000000'),('de','80000000'),('es','80000000'),
+        |             ('fr','40000000'),('zh','20000000')) AS rates(r_lang, thresh)
+        |  ON lang = r_lang
+        |WHERE substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) < thresh
+        |ORDER BY doc_id""".stripMargin,
+    "lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM vocab)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |       round(avg(ln(cnt / CAST(total AS DOUBLE))), 6) AS lm_score
+        |FROM tok JOIN vocab USING (tok), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "emb_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(scale, 6) AS scale,
+        |  round(list_sum(list_transform(embedding,
+        |    x -> pow(CAST(x AS DOUBLE)
+        |         - round(CAST(x AS DOUBLE) / scale) * scale, 2)))
+        |    / len(embedding), 6) AS mse,
+        |  CAST(len(list_filter(embedding,
+        |    x -> round(abs(CAST(x AS DOUBLE)) / scale) = 0)) AS BIGINT) AS n_zero
+        |FROM s WHERE scale > 0
+        |ORDER BY vec_id""".stripMargin,
     "q2_min_cost" ->
       """WITH offers AS (
         |  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,

@@ -118,4 +118,33 @@ object Curation {
           .as("overlap_ratio"))
       .orderBy("doc_id")
   }
+
+  /** Deterministic domain/language-mixture sampling — the step that
+    * turns a raw corpus into a training mixture with per-language
+    * quotas. Membership is a pure hash test: keep a doc iff the first
+    * 8 hex chars of md5("mix:" + doc_id) sort below the language's
+    * threshold (rate × 2³²  as zero-padded hex, compared as strings —
+    * fixed-width lowercase hex compares identically to the integer in
+    * both engines, no parsing). Deterministic ⇒ re-runs and retries
+    * keep the same rows (no `rand()` — a retried task would sample
+    * differently); seedable by changing the salt. The rates table is
+    * a broadcast; at 100 TB the scan streams map-side only.
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rates = Seq(
+      ("en", "f0000000"), // 93.75%
+      ("de", "80000000"), // 50%
+      ("es", "80000000"), // 50%
+      ("fr", "40000000"), // 25%
+      ("zh", "20000000")  // 12.5%
+    ).toDF("r_lang", "thresh")
+    Tables.documents(spark, dir)
+      .join(broadcast(rates), col("lang") === col("r_lang"))
+      .filter(substring(
+        md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8)
+        < col("thresh"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
 }

@@ -717,6 +717,35 @@ object Joins {
       .orderBy("s_name")
   }
 
+  /** Bloom-prefiltered join: build a Bloom filter over the small
+    * (filtered) side's keys, probe it on the fact side BEFORE the
+    * shuffle, then run the exact join — false positives are removed
+    * by the join, so the result is exactly the plain join's (oracle-
+    * checked) while the shuffle carries only might-match rows. This
+    * is the explicit form of Spark's runtime row-level filtering; at
+    * 100 TB it's the difference between shuffling the whole fact
+    * table and shuffling ~selectivity of it. The probe is a native
+    * codegen'd expression ([[graft.functions.BloomMightContain]]);
+    * the two driver actions (count + filter build) scan only the
+    * already-filtered dimension side.
+    */
+  def bloomPrefilteredJoin(spark: SparkSession, dir: String,
+                           minBal: Double = 8000.0): DataFrame = {
+    val rich = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > minBal)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val bloom = rich.stat.bloomFilter("c_custkey",
+      math.max(rich.count(), 1L), 0.01)
+    Tables.orders(spark, dir)
+      .filter(graft.functions.BloomMightContain.probe(col("o_custkey"), bloom))
+      .join(rich, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(14,2)")), 2)
+          .cast("double").as("total_price"))
+      .orderBy("c_mktsegment")
+  }
+
   /** TPC-H Q21 shape (suppliers who kept orders waiting): for
     * finished orders, suppliers with a late line (shipdate >
     * orderdate + 45d — the fixture has no commit/receipt dates) where

@@ -238,4 +238,33 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("cid"), round(col("sim"), 6).as("sim"))
       .orderBy("qid", "rnk")
   }
+
+  /** Symmetric int8 quantization stats per embedding — the storage
+    * step that shrinks a served vector index 4×: scale = max|x|/127,
+    * q = round(x/scale) (never clips by construction), error =
+    * mean squared dequantization residual. Pure per-row column math,
+    * no shuffle at all; every engine cost is in the scan. Elements
+    * are widened float→double (exact) before any arithmetic so both
+    * engines fold the same doubles; round-to-integer agrees across
+    * engines even at exact .5 (both round half away from zero).
+    */
+  def embQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        col("embedding"),
+        (expr("array_max(transform(embedding, x -> abs(cast(x as double))))")
+          / 127.0).as("scale"))
+      .filter(col("scale") > 0)
+      .select(col("vec_id"),
+        size(col("embedding")).cast("bigint").as("dim"),
+        round(col("scale"), 6).as("scale"),
+        round(expr(
+          """aggregate(embedding, cast(0.0 as double),
+            |  (acc, x) -> acc + pow(cast(x as double)
+            |      - round(cast(x as double) / scale) * scale, 2))
+            |""".stripMargin) / size(col("embedding")), 6).as("mse"),
+        expr(
+          "size(filter(embedding, x -> round(abs(cast(x as double)) / scale) = 0d))")
+          .cast("bigint").as("n_zero"))
+      .orderBy("vec_id")
 }

@@ -313,4 +313,30 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("pair"))
       .limit(topK)
+
+  /** Unigram language-model scoring — the corpus-statistics proxy
+    * for perplexity filtering (train a unigram LM on the corpus,
+    * score each doc by mean token log-probability; outliers are
+    * boilerplate/noise candidates). Two aggregations: the vocab
+    * (token → count) shuffles once on token; the per-doc score
+    * shuffles once on doc_id. The corpus-total is a 1-row broadcast.
+    * At 100 TB the vocab join is the classic fact⋈fact shuffle on a
+    * Zipf key — partial aggregation absorbs the head tokens before
+    * the exchange.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextFns.wsTokens(lower(col("text")))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    toks
+      .join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        round(avg(log(col("cnt") / col("total").cast("double"))), 6)
+          .as("lm_score"))
+      .orderBy("doc_id")
+  }
 }

@@ -22,7 +22,7 @@ class RegistrySpec extends SparkSpec {
   // excluded here so this stays an analysis-only smoke test; they get
   // full execution coverage in their own specs and in Verify
   // (kv_roundtrip's builder executes the writeKV sink job up front)
-  private val eagerBuilders = Set("dedup_clusters", "kv_roundtrip")
+  private val eagerBuilders = Set("dedup_clusters", "kv_roundtrip", "bloom_join")
 
   test("all queries analyze (schema resolves) at sf0.001") {
     val failures = SparkEntry.queries
