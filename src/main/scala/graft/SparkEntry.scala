@@ -45,6 +45,9 @@ object SparkEntry {
     "histogram_prices" -> (Relational.histogramPrices(_, _)),
     "map_funcs"      -> (Relational.mapFuncs(_, _)),
     "sketch_approx"  -> (Relational.sketches(_, _)),
+    // no SQL oracle: DuckDB's HLL internals differ — SketchMergeSpec
+    // pins union-losslessness + an error bound vs the exact counts
+    "sketch_hll_merge" -> (Relational.hllMerge(_, _)),
     "scalar_regex"   -> (Relational.scalarRegex(_, _)),
     "date_arith"     -> (Relational.dateArith(_, _)),
     "array_stats"    -> (Relational.arrayStats(_, _)),

@@ -284,6 +284,35 @@ object Relational {
       )
       .orderBy("l_returnflag")
 
+  /** Mergeable distinct-count sketches — the 100 TB pattern behind
+    * every "distinct users per X, and overall" dashboard: each group
+    * (at scale: each shard/partition/day) builds an HLL sketch
+    * INDEPENDENTLY, and the global count is the union of the
+    * sketches, never a re-scan. HLL union is lossless at equal lgK,
+    * so estimate(union(per-group sketches)) == estimate(one global
+    * sketch) exactly — SketchMergeSpec pins that plus an error bound
+    * vs the exact count. No SQL oracle: DuckDB's HLL internals
+    * differ; the exact distinct counts in the output ARE cross-
+    * checkable and the estimates are invariant-tested.
+    */
+  def hllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("hll_sketch_agg(o_custkey, 12)").as("sk"),
+        countDistinct(col("o_custkey")).as("exact_custs"))
+    val merged = per.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+        .cast("bigint").as("est_custs"))
+      .crossJoin(broadcast(Tables.orders(spark, dir)
+        .agg(countDistinct(col("o_custkey")).as("exact_custs"))))
+      .select(lit("ALL").as("grp"), col("est_custs"), col("exact_custs"))
+    per.select(col("o_orderpriority").as("grp"),
+        expr("hll_sketch_estimate(sk)").cast("bigint").as("est_custs"),
+        col("exact_custs"))
+      .unionAll(merged)
+      .orderBy("grp")
+  }
+
   /** Regex scalar functions: extract, boolean match, split-part. */
   def scalarRegex(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)

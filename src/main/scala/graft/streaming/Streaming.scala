@@ -125,6 +125,22 @@ object Streaming {
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("delta_us"))
   }
 
+  /** Streaming exact dedup — the streaming twin of the batch
+    * `dedup_exact` operator, with BOUNDED state: rows are keyed by a
+    * content digest and `dropDuplicatesWithinWatermark` suppresses
+    * any duplicate arriving while the first copy's digest is still in
+    * state; the digest is evicted once the event-time watermark
+    * passes its arrival window. Plain `dropDuplicates` on a stream
+    * would keep every digest forever — at 100 TB/day of ingest the
+    * state store IS the bottleneck, so eviction is the operator.
+    * Expects (ts, payload) rows; emits the first copy of each payload.
+    */
+  def dedupStream(rows: DataFrame, horizon: String = "10 minutes"): DataFrame =
+    rows
+      .withColumn("digest", md5(col("payload").cast("binary")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("digest")
+
   /** Run a streaming query over a bounded source into a memory sink
     * and return the sink table — test/demo harness for local runs.
     */

@@ -158,4 +158,27 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.nonEmpty)
     assert(emitted.subsetOf(batch), s"${emitted.diff(batch).take(5)} not in batch")
   }
+
+  test("streaming dedup keeps first copy, drops in-horizon duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val dedup = Streaming.dedupStream(mem.toDF().toDF("ts", "payload"))
+    val q = dedup.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out").start()
+    mem.addData(Seq(
+      (ts("2024-01-01 10:00:00"), "alpha"),
+      (ts("2024-01-01 10:00:30"), "alpha"), // dup within horizon → dropped
+      (ts("2024-01-01 10:01:00"), "beta")))
+    q.processAllAvailable()
+    mem.addData(Seq(
+      (ts("2024-01-01 10:02:00"), "alpha"), // still within horizon → dropped
+      (ts("2024-01-01 10:03:00"), "gamma")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out")
+      .select(col("payload")).as[String].collect().toSeq
+    assert(got.sorted == Seq("alpha", "beta", "gamma"),
+      s"got $got")
+  }
 }
