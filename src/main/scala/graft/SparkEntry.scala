@@ -48,6 +48,7 @@ object SparkEntry {
     // no SQL oracle: DuckDB's HLL internals differ — SketchMergeSpec
     // pins union-losslessness + an error bound vs the exact counts
     "sketch_hll_merge" -> (Relational.hllMerge(_, _)),
+    "sketch_kll_merge" -> (Relational.kllMerge(_, _)),
     "scalar_regex"   -> (Relational.scalarRegex(_, _)),
     "date_arith"     -> (Relational.dateArith(_, _)),
     "array_stats"    -> (Relational.arrayStats(_, _)),
@@ -131,6 +132,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_minhash_md5" -> ((s, d) => Dedup.minhashLshMd5(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dedup_blocks"  -> ((s, d) => Dedup.blockDedup(s, d)),
     // ---- similarity search ----
     "sim_topk"    -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "sim_neardup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
@@ -463,6 +465,21 @@ object SparkEntry {
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "dedup_blocks" ->
+      """WITH blocks AS (
+        |  SELECT doc_id,
+        |    md5(unnest(list_transform(
+        |      range(CAST(ceil(length(text) / 64.0) AS BIGINT)),
+        |      i -> substring(text, CAST(i * 64 + 1 AS INT), 64)))) AS h
+        |  FROM documents WHERE length(text) > 0),
+        |shared AS (
+        |  SELECT h FROM blocks GROUP BY h HAVING count(DISTINCT doc_id) > 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(count(*) FILTER (h IN (SELECT h FROM shared)) AS BIGINT)
+        |    AS n_shared,
+        |  round(count(*) FILTER (h IN (SELECT h FROM shared))
+        |    / CAST(count(*) AS DOUBLE), 6) AS shared_ratio
+        |FROM blocks GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "bloom_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)

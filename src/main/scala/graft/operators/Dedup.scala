@@ -181,6 +181,43 @@ object Dedup {
     * this variant proves the banding logic against an independent
     * engine.
     */
+  /** Block-level (sub-document) dedup — boilerplate detection at the
+    * granularity real pipelines strip it: fixed 64-char blocks per
+    * doc, a block is "shared" when its md5 occurs in more than one
+    * distinct document. Per-doc output is the shared-block ratio (a
+    * doc that is mostly shared blocks is template/boilerplate). The
+    * only corpus-wide state is the shared-hash set — 16-byte digests
+    * with df>1, a tiny fraction of the corpus — joined back to block
+    * positions; raw text never shuffles twice. The full-document
+    * exact/near dedup family handles whole-doc copies; this catches
+    * the headers/footers/navigation they miss.
+    */
+  def blockDedup(spark: SparkSession, dir: String,
+                 blockLen: Int = 64): DataFrame = {
+    val blocks = Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        explode(expr(
+          s"""transform(
+             |  sequence(0, cast(ceil(length(text) / $blockLen.0) as int) - 1),
+             |  i -> substring(text, i * $blockLen + 1, $blockLen))
+             |""".stripMargin)).as("block"))
+      .select(col("doc_id"), md5(col("block")).as("h"))
+    val shared = blocks.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > 1)
+      .select(col("h").as("sh"))
+    blocks
+      .join(broadcast(shared), col("h") === col("sh"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("sh").isNotNull, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_blocks"), col("n_shared"),
+        round(col("n_shared") / col("n_blocks").cast("double"), 6)
+          .as("shared_ratio"))
+      .orderBy("doc_id")
+  }
+
   def minhashLshMd5(spark: SparkSession, dir: String, n: Int = 3,
                     k: Int = 16, bands: Int = 4,
                     minJ: Double = 0.2): DataFrame = {

@@ -313,6 +313,34 @@ object Relational {
       .orderBy("grp")
   }
 
+  /** Mergeable quantile sketches (KLL) — same shard-then-merge shape
+    * as [[hllMerge]] but for percentiles: each group sketches its
+    * price distribution independently; the global median comes from
+    * merging the sketches, never from a global sort or re-scan. KLL
+    * guarantees RANK error (~1.65% at k=200), so SketchMergeSpec
+    * checks the estimated median's true rank lands in 0.5±0.05 —
+    * the principled bound — rather than comparing values. No SQL
+    * oracle (randomized sketch internals).
+    */
+  def kllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("kll_sketch_agg_double(l_extendedprice, 200)").as("sk"),
+        count(lit(1)).as("n"))
+    val merged = per.agg(
+      expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5d)")
+        .as("est_median"),
+      sum(col("n")).as("n"))
+      .select(lit("ALL").as("grp"), round(col("est_median"), 2).as("est_median"),
+        col("n"))
+    per.select(col("l_returnflag").as("grp"),
+        round(expr("kll_sketch_get_quantile_double(sk, 0.5d)"), 2)
+          .as("est_median"),
+        col("n"))
+      .unionAll(merged)
+      .orderBy("grp")
+  }
+
   /** Regex scalar functions: extract, boolean match, split-part. */
   def scalarRegex(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)

@@ -21,6 +21,21 @@ class SketchMergeSpec extends SparkSpec {
     assert(merged == global, s"merged=$merged global=$global")
   }
 
+  test("KLL merged median has true rank within 0.5±0.05") {
+    val rows = Relational.kllMerge(spark, sf)
+      .select(col("grp"), col("est_median"))
+      .as[(String, Double)].collect()
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .as[(String, Double)].collect()
+    rows.foreach { case (g, est) =>
+      val vals = if (g == "ALL") li.map(_._2) else li.filter(_._1 == g).map(_._2)
+      val rank = vals.count(_ <= est).toDouble / vals.length
+      assert(math.abs(rank - 0.5) < 0.05, s"group $g: est=$est rank=$rank")
+    }
+  }
+
   test("estimates within 5% of exact for every group") {
     val rows = Relational.hllMerge(spark, sf)
       .select(col("grp"), col("est_custs"), col("exact_custs"))
