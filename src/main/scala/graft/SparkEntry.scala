@@ -133,6 +133,7 @@ object SparkEntry {
     "dedup_minhash_md5" -> ((s, d) => Dedup.minhashLshMd5(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_blocks"  -> ((s, d) => Dedup.blockDedup(s, d)),
+    "dedup_winnow"  -> ((s, d) => Dedup.winnowPairs(s, d)),
     // ---- similarity search ----
     "sim_topk"    -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "sim_neardup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
@@ -480,6 +481,26 @@ object SparkEntry {
         |  round(count(*) FILTER (h IN (SELECT h FROM shared))
         |    / CAST(count(*) AS DOUBLE), 6) AS shared_ratio
         |FROM blocks GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_winnow" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest([{'pos': i - 1, 'h': md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])}
+        |            for i in range(1, len(t) - 1)]) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, fp FROM (
+        |    SELECT doc_id, s.pos // 8 AS blk, min(s.h) AS fp
+        |    FROM sh GROUP BY doc_id, blk)),
+        |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 30),
+        |capped AS (SELECT doc_id, fp FROM fps WHERE fp IN (SELECT fp FROM keep))
+        |SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM capped x JOIN capped y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY a, b""".stripMargin,
     "bloom_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)

@@ -218,6 +218,56 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Fixed-block winnowing fingerprints over word k-gram shingles:
+    * hash every shingle, keep only the MINIMUM hash of each
+    * non-overlapping w-shingle block. Any shared run of ≥ 2w+k−2
+    * words fully covers some block on both sides, so the two docs
+    * share that block's minimum — the classic winnowing guarantee
+    * with a 2× detection floor, selecting only ~1/w of the shingles
+    * (so the inverted index is ~w× smaller than full shingling).
+    * Pairs sharing ≥ minShared fingerprints are near-dup candidates;
+    * same df cap as dedup_ngram so one boilerplate shingle can't
+    * quadratically explode the pair join.
+    *
+    * Physical shape, chosen by measurement over two rejected forms:
+    * block minima come from a hash AGGREGATE on (doc, pos/w) —
+    * codegen'd, partial-agg map-side, no sort. A sliding-window
+    * `min().over(rowsBetween(0, w−1))` form cost ~10× more (window
+    * sort + non-codegen frame re-scan per row), and a nested array
+    * lambda `transform(…, j -> array_min(slice(hs, …)))` form was
+    * catastrophically worse: CollapseProject inlines the staged hash
+    * array back into the per-window lambda and recomputes every
+    * shingle's md5 per window (O(len·w) — minutes on a 500-doc
+    * fixture). The shingle generator also explodes DIRECTLY in the
+    * projection (docShingles-style); materializing the shingle array
+    * first and exploding it in a later select measured 4–6× slower.
+    */
+  def winnowPairs(spark: SparkSession, dir: String, k: Int = 3,
+                  w: Int = 8, minShared: Int = 3,
+                  maxDf: Int = 30): DataFrame = {
+    // cached: referenced three times (df agg + both pair-join sides)
+    val posts = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.wsTokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        posexplode(TextFns.shinglesOf(col("toks"), k)).as(Seq("pos", "shingle")))
+      .select(col("doc_id"), (col("pos") / w).cast("int").as("blk"),
+        md5(col("shingle")).as("h"))
+      .groupBy(col("doc_id"), col("blk"))
+      .agg(min(col("h")).as("fp"))
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+      .cache()
+    val keep = posts.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("fp"))
+    val capped = posts.join(keep, "fp").cache()
+    capped.as("x").join(capped.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("a", "b")
+  }
+
   def minhashLshMd5(spark: SparkSession, dir: String, n: Int = 3,
                     k: Int = 16, bands: Int = 4,
                     minJ: Double = 0.2): DataFrame = {
