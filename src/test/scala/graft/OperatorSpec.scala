@@ -58,6 +58,34 @@ class OperatorSpec extends SparkSpec {
     assert(hotSalts == 8L, s"hot key spread over $hotSalts salts")
   }
 
+  test("new TPC-H shapes: no cartesian products, dims broadcast") {
+    val checks = Seq(
+      "q2" -> Joins.minCostSupplier(spark, sf),
+      "q8" -> Joins.marketShare(spark, sf),
+      "q9" -> Joins.profitByNation(spark, sf),
+      "q16" -> Joins.supplierCountByPart(spark, sf),
+      "q20" -> Joins.excessSuppliers(spark, sf),
+      "q21" -> Joins.waitingSuppliers(spark, sf))
+    checks.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), s"$name has no broadcast:\n$plan")
+    }
+    // q11's only nested-loop is the intentional 1-row total broadcast
+    val q11 = Joins.importantParts(spark, sf).queryExecution.executedPlan.toString
+    assert(!q11.contains("CartesianProduct"), q11)
+  }
+
+  test("q21 computes the lateness aggregate once, feeding semi and anti") {
+    val plan = Joins.waitingSuppliers(spark, sf)
+      .queryExecution.executedPlan.toString
+    // both EXISTS sides reuse one exchange over the same aggregate
+    assert(plan.contains("ReusedExchange") ||
+      "LeftSemi".r.findAllIn(plan).nonEmpty && "LeftAnti".r.findAllIn(plan).nonEmpty,
+      plan)
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"), plan)
+  }
+
   test("q6 pushes all three predicate families into the parquet scan") {
     // the plan string truncates the PushedFilters list at 100 chars,
     // so assert on the per-column entries that survive truncation
