@@ -119,6 +119,40 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Compression-ratio quality signal (the Gopher-rule family):
+    * deflate each doc and report compressed/raw size. Highly
+    * repetitive machine text compresses far below natural language
+    * (~0.4–0.7), so a low ratio is a strong junk signal that pure
+    * token statistics miss. A Scala UDF is the honest physical choice
+    * here — zlib has no Catalyst expression and the work is pure
+    * map-side CPU per row (no shuffle, scan-bound at 100 TB); the UDF
+    * boundary costs one row materialization, irrelevant next to the
+    * deflate itself. Deterministic (fixed level, no timestamps in
+    * raw deflate). No SQL oracle — DuckDB has no zlib scalar; the
+    * spec pins determinism, bounds, and the repetitive≪random
+    * ordering.
+    */
+  def compressionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val ratio = udf { (text: String) =>
+      if (text == null || text.isEmpty) 1.0
+      else {
+        val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](raw.length + 64)
+        var n = 0
+        while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+        d.end()
+        n.toDouble / raw.length
+      }
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        round(ratio(col("text")), 6).as("compress_ratio"),
+        col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic domain/language-mixture sampling — the step that
     * turns a raw corpus into a training mixture with per-language
     * quotas. Membership is a pure hash test: keep a doc iff the first
