@@ -54,13 +54,38 @@ object Similarity {
       .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (s, x) => s + x * x)))
   }
 
+  /** A scored (query, candidate) pair — the unit the two-phase top-k
+    * exchanges between its map-side and final stages.
+    */
+  case class Scored(qid: Long, cid: Long, sim: Double)
+
+  /** Worst-first total order for the size-k selection heaps: the heap
+    * head is the CURRENT WORST of the kept k (lowest sim, then highest
+    * cid), so one comparison decides evictions. Total because cid is
+    * unique — per-partition selection then composes exactly into the
+    * global top-k.
+    */
+  private val worstFirst: Ordering[Scored] =
+    Ordering.by((s: Scored) => (-s.sim, s.cid))
+
   /** Exact brute-force cosine top-k: for each query vector (vec_id <
     * nQueries), the k nearest other vectors. Ranking is on the raw
     * double similarity with vec_id tie-break; the emitted score is
     * rounded for cross-engine comparison.
+    *
+    * Two-phase top-k: scoring is a broadcast nested-loop join (query
+    * set broadcast, corpus streams map-side), and each INPUT partition
+    * selects its own k best per query with a bounded heap in
+    * mapPartitions — so the only data that ever crosses a shuffle is
+    * ≤ k rows per (query, partition). The final per-query window then
+    * ranks ≤ k·P rows, not the corpus. (A bare
+    * `row_number().over(partitionBy(qid))` would funnel every scored
+    * corpus row for a query through ONE task — the per-query
+    * single-reducer bottleneck at 100 TB.)
     */
   def bruteForceTopK(spark: SparkSession, dir: String,
                      nQueries: Int = 8, k: Int = 5): DataFrame = {
+    import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val ndot = graft.functions.GraftFunctions.dot _
     // native dot product straight over the float arrays: same math as
@@ -75,10 +100,26 @@ object Similarity {
     val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         (ndot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+    // phase 1 (map-side, zero shuffle): per-partition size-k heaps,
+    // one per query — emits at most k·nQueries rows per partition
+    val kk = k
+    val partial = scored.as[Scored].mapPartitions { it =>
+      val heaps = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.PriorityQueue[Scored]]
+      it.foreach { s =>
+        val h = heaps.getOrElseUpdate(s.qid,
+          scala.collection.mutable.PriorityQueue.empty(worstFirst))
+        if (h.size < kk) h.enqueue(s)
+        else if (worstFirst.lt(s, h.head)) { h.dequeue(); h.enqueue(s) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+    // phase 2: the per-query window now ranks ≤ k rows per partition
+    // that produced candidates — bounded, never corpus-sized
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid").asc)
-    scored
+    partial.toDF()
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("cid"),
@@ -86,25 +127,54 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
-  /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥
-    * minSim. Exact but candidate-blocked by label (the corpus's
-    * cluster id) — at 100 TB the blocking key would be a coarse
-    * quantization (IVF cell); the join never goes all-pairs global.
+  /** Embedding-cosine near-duplicate pairs: pairs with cosine ≥
+    * minSim, candidate-blocked by a DERIVED coarse-quantization cell —
+    * no ground-truth column involved, so the operator runs on any
+    * corpus. Cells are IVF-style: the first nCells vectors by id act
+    * as deterministic seed centroids; every vector is assigned to its
+    * nProbe nearest seeds (multi-probe kills the boundary-pair recall
+    * loss of single-assignment), candidates share a cell, and exact
+    * cosine verifies candidates only.
+    *
+    * 100 TB shape: seeds are tiny and broadcast; per-seed scores
+    * collapse map-side via partial aggregation, so the assignment
+    * shuffle carries one row per vector (vec_id + an nProbe-cell
+    * array), never the corpus × nCells cross product; the pair join is
+    * bucketed by cell. Recall vs exact all-pairs is pinned ≥ 0.95 in
+    * DedupSimilaritySpec; the DuckDB oracle replays the whole pipeline
+    * (seed scoring, top-nProbe assignment, candidate join, verify)
+    * bit-for-bit.
     */
   def embeddingNearDup(spark: SparkSession, dir: String,
-                       minSim: Double = 0.3): DataFrame = {
+                       minSim: Double = 0.3, nCells: Int = 16,
+                       nProbe: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val ndot = graft.functions.GraftFunctions.dot _
     val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
-    val a = emb.select(col("vec_id").as("a"), col("label"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = emb.select(col("vec_id").as("b"), col("label"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("label"))
+    val seeds = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    // nProbe nearest cells per vector: negated-sim struct sort gives
+    // (sim desc, cell asc) — a total order, so the selection matches
+    // the oracle's row_number ranking exactly
+    val asg = emb.join(broadcast(seeds), lit(true))
+      .select(col("vec_id"),
+        struct(negate(ndot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+          .as("negs"), col("cell")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(slice(array_sort(collect_list(col("sc"))), 1, nProbe).as("top"))
+      .select(col("vec_id"),
+        explode(transform(col("top"), t => t.getField("cell"))).as("cell"))
+    val cand = asg.select(col("cell"), col("vec_id").as("a"))
+      .join(asg.select(col("cell"), col("vec_id").as("b")), "cell")
       .filter(col("a") < col("b"))
-      .select(col("label"), col("a"), col("b"),
+      .select(col("a"), col("b"))
+      .distinct()
+    val ea = emb.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val eb = emb.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(ea, "a").join(eb, "b")
+      .select(col("a"), col("b"),
         (ndot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
       .filter(col("sim") >= minSim)
       .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))

@@ -40,6 +40,37 @@ class PlanRewriteSpec extends SparkSpec {
     assert(strict == 3)
   }
 
+  test("sim_topk is two-phase: map-side k-selection feeds the per-query window") {
+    val df = graft.operators.Similarity.bruteForceTopK(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val winIdx = plan.indexOf("Window")
+    val mpIdx = plan.indexOf("MapPartitions")
+    // treeString is top-down: the window must sit ABOVE the map-side
+    // selection, i.e. it only ever ranks the bounded per-partition
+    // survivors — never raw corpus-sized scored rows
+    assert(winIdx >= 0, s"no Window in plan:\n$plan")
+    assert(mpIdx >= 0, s"no MapPartitions phase in plan:\n$plan")
+    assert(winIdx < mpIdx, s"Window not above MapPartitions:\n$plan")
+    // and the selection is correct: identical to the single-window form
+    import org.apache.spark.sql.expressions.Window
+    val ndot = graft.functions.GraftFunctions.dot _
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = emb.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    val ref = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (ndot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk"), col("cid"), round(col("sim"), 6).as("sim"))
+      .orderBy("qid", "rnk")
+    assert(df.collect().toSeq == ref.collect().toSeq)
+  }
+
   test("rewrite applies inside join conditions") {
     val l = Seq("alpha", "beta").toDF("x")
     val r = Seq("alphb", "gamma").toDF("y")
