@@ -992,11 +992,25 @@ object SparkEntry {
         |r AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk FROM s)
         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, round(sim, 6) AS sim
         |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // replays the ENTIRE derived-blocking pipeline (seed scoring,
+    // top-nProbe cell assignment, candidate join, exact verify) so the
+    // IVF-cell near-dup is oracle-hash-checked end-to-end, no
+    // ground-truth column involved — nCells=16, nProbe=4, minSim=0.3
     "sim_neardup" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        |SELECT x.vec_id AS a, y.vec_id AS b, round(list_cosine_similarity(x.v, y.v), 6) AS sim
-        |FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
-        |WHERE list_cosine_similarity(x.v, y.v) >= 0.3 ORDER BY a, b""".stripMargin,
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+        |sc AS (SELECT e.vec_id, s.cell,
+        |    list_cosine_similarity(e.v, s.cv) AS sim FROM e CROSS JOIN seeds s),
+        |asg AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+        |    FROM sc) WHERE rn <= 4),
+        |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+        |SELECT c.a, c.b, round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+        |FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b
+        |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.3
+        |ORDER BY a, b""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id AS media_id,
         | CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS media_type,

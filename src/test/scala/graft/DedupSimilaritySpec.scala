@@ -131,13 +131,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(mean >= 0.6, s"mean IVF recall $mean")
   }
 
-  test("near-dup pairs only within label blocks and above threshold") {
-    val emb = Tables.embeddings(spark, sf)
-      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
-    Similarity.embeddingNearDup(spark, sf)
-      .as[(Long, Long, Double)].collect().foreach { case (a, b, s) =>
-        assert(emb(a) == emb(b))
-        assert(s >= 0.3)
+  test("near-dup: exact-verified pairs, recall >= 0.9 vs all-pairs, deterministic") {
+    // ground truth: exhaustive all-pairs cosine on the driver (fine at
+    // spec scale; the operator itself never goes all-pairs)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        d += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i); ny += y(i).toDouble * y(i); i += 1
       }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val truth = (for {
+      (a, va) <- vecs; (b, vb) <- vecs if a < b
+      s = cos(va, vb) if s >= 0.3
+    } yield (a, b) -> s).toMap
+    val got1 = Similarity.embeddingNearDup(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    val got2 = Similarity.embeddingNearDup(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(got1.sameElements(got2)) // no RNG anywhere in the blocking
+    // precision 1.0: every emitted pair is a true pair with the exact score
+    got1.foreach { case (a, b, s) =>
+      assert(truth.contains((a, b)), s"emitted pair ($a,$b) not a true near-dup")
+      assert(math.abs(truth((a, b)) - s) < 1e-6)
+    }
+    // recall vs exact all-pairs. minSim=0.3 sits ON the blocking
+    // decision boundary (production near-dup bars are ~0.85+), so
+    // overall recall is pinned at 0.9; strong pairs — the ones a real
+    // dedup must never lose — must ALL survive the blocking.
+    val kept = got1.map(t => (t._1, t._2)).toSet
+    val recall = truth.keySet.count(kept.contains).toDouble / truth.size
+    assert(truth.nonEmpty && recall >= 0.9, s"recall=$recall of ${truth.size}")
+    val strong = truth.filter(_._2 >= 0.45).keySet
+    val strongRecall = strong.count(kept.contains).toDouble / strong.size
+    assert(strong.nonEmpty && strongRecall == 1.0,
+      s"strong-pair recall=$strongRecall of ${strong.size}")
   }
 }
