@@ -117,6 +117,9 @@ object SparkEntry {
     "pii_scan"          -> (TextAnalysis.piiScan(_, _)),
     "tfidf_keywords"    -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),
     "bpe_pairs"         -> ((s, d) => TextAnalysis.bpePairs(s, d)),
+    // iterative merge recurrence — no SQL oracle; BpeSpec verifies
+    // the merge table exactly against a single-node reference BPE
+    "bpe_vocab"         -> ((s, d) => TextAnalysis.bpeVocab(s, d)),
     // ---- corpus curation ----
     "sample_split"      -> (Curation.sampleSplit(_, _)),
     "contamination"     -> ((s, d) => Curation.benchmarkContamination(s, d)),
@@ -124,6 +127,7 @@ object SparkEntry {
     "quality_gate"      -> (Curation.qualityGate(_, _)),
     "mixture_sample"    -> (Curation.mixtureSample(_, _)),
     "lm_score"          -> ((s, d) => TextAnalysis.lmScore(s, d)),
+    "lm_score2"         -> ((s, d) => TextAnalysis.lmScore2(s, d)),
     "emb_quantize"      -> (Similarity.embQuantize(_, _)),
     // ---- dedup family ----
     "dedup_exact"   -> (Dedup.exact(_, _)),
@@ -138,7 +142,10 @@ object SparkEntry {
     "sim_topk"    -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "sim_neardup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     "sim_ann"     -> ((s, d) => Similarity.annTopK(s, d)),
+    "sim_ann_md5" -> ((s, d) => Similarity.annTopKMd5(s, d)),
     "sim_ivf"     -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "sim_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
+    "sim_ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
     // ---- multimodal plumbing ----
     "mm_meta"     -> (Multimodal.mediaMeta(_, _)),
     "mm_features" -> (Multimodal.featureSummary(_, _)),
@@ -528,6 +535,32 @@ object SparkEntry {
         |       round(avg(ln(cnt / CAST(total AS DOUBLE))), 6) AS lm_score
         |FROM tok JOIN vocab USING (tok), tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // bigram occurrences rebuilt as 'prev tok' strings (ws tokens
+    // cannot contain spaces, so the join/split round-trip is exact)
+    "lm_score2" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'),
+        |                     t -> t <> '') AS ts
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS tok FROM d),
+        |uni AS (SELECT tok, count(*) AS cu FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(cu) AS total FROM uni),
+        |occ0 AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(ts) - 1),
+        |                i -> ts[i] || ' ' || ts[i+1])) AS bg
+        |  FROM d WHERE len(ts) >= 2),
+        |occ AS (SELECT doc_id, string_split(bg, ' ')[1] AS prev,
+        |               string_split(bg, ' ')[2] AS tok FROM occ0),
+        |bc AS (SELECT prev, tok, count(*) AS cb FROM occ GROUP BY 1, 2)
+        |SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_big,
+        |       round(avg(ln(0.7 * (cb / CAST(up.cu AS DOUBLE))
+        |                  + 0.3 * (ut.cu / CAST(total AS DOUBLE)))), 6) AS lm2
+        |FROM occ JOIN bc USING (prev, tok)
+        |JOIN uni up ON up.tok = occ.prev
+        |JOIN uni ut ON ut.tok = occ.tok, tot
+        |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin,
     "emb_quantize" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,
@@ -992,6 +1025,54 @@ object SparkEntry {
         |r AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk FROM s)
         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, round(sim, 6) AS sim
         |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // replays the ENTIRE md5-derived hyperplane-LSH pipeline: integer
+    // coefficient derivation (first 8 md5 hex chars → bigint), exact
+    // integer plane dots over the ×1024-quantized vectors, 6-bit band
+    // keys, candidate join, exact-cosine re-rank — every stage is the
+    // same math in both engines, so the banding logic itself is
+    // hash-checked cross-engine (nBits=48, bands=12×4, k=5, 8 queries)
+    "sim_ann_md5" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS vq
+        |  FROM embeddings),
+        |coef AS (
+        |  SELECT i, j,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(
+        |            substring(md5(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) % 2000003 - 1000001 AS w
+        |  FROM generate_series(0, 47) t1(i), generate_series(0, 63) t2(j)),
+        |dots AS (
+        |  SELECT e.vec_id, c.i, sum(c.w * e.vq[c.j + 1]) AS d
+        |  FROM e, coef c GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT vec_id, i // 4 AS band,
+        |    CAST(sum(CASE WHEN d >= 0 THEN 1 << (i % 4) ELSE 0 END) AS BIGINT) AS bkey
+        |  FROM dots GROUP BY 1, 2),
+        |q AS (SELECT vec_id AS qid, band, bkey FROM bands WHERE vec_id < 8),
+        |cand AS (
+        |  SELECT DISTINCT q.qid, b.vec_id AS cid
+        |  FROM q JOIN bands b USING (band, bkey) WHERE b.vec_id <> q.qid),
+        |s AS (
+        |  SELECT c.qid, c.cid, list_cosine_similarity(eq.v, ec.v) AS sim
+        |  FROM cand c JOIN e eq ON eq.vec_id = c.qid JOIN e ec ON ec.vec_id = c.cid),
+        |r AS (SELECT qid, cid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+        |  FROM s)
+        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, round(sim, 6) AS sim
+        |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // recall contracts: the oracle pins recall_ok TRUE per query id —
+    // the row hashes green only if the ANN/IVF index actually meets
+    // its ≥0.8 per-query recall bar vs the exact top-k
+    "sim_ann_recall" ->
+      """SELECT vec_id AS qid, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+    "sim_ivf_recall" ->
+      """SELECT vec_id AS qid, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
     // replays the ENTIRE derived-blocking pipeline (seed scoring,
     // top-nProbe cell assignment, candidate join, exact verify) so the
     // IVF-cell near-dup is oracle-hash-checked end-to-end, no
@@ -1015,15 +1096,25 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         | CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS media_type,
         | CAST(strlen(text) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // the sketch estimates are engine-specific, but the exact values
+    // and the relative-error CONTRACT are not: the oracle pins the
+    // booleans TRUE, so the row only hashes green if Spark's sketches
+    // actually landed inside their bounds
+    "sketch_approx" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  quantile_cont(l_extendedprice, 0.5) AS exact_median,
+        |  TRUE AS parts_within_5pct,
+        |  TRUE AS median_within_1pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
     // no oracle (rows-only + ScalaTest verification):
     //   dedup_minhash, dedup_simhash — xxhash64 family not in DuckDB
     //     (the md5 family variant dedup_minhash_md5 IS oracle-checked
     //     end-to-end, covering the banding pipeline cross-engine);
     //   sim_ann, sim_ivf — approximate by design (recall-tested vs
-    //     the oracle-checked sim_topk);
-    //   sketch_approx — engine-specific HLL sketches (bounds-tested
-    //     vs the exact distinct counts);
-    //   mm_features — stubbed binary decode is not SQL.
+    //     the oracle-checked sim_topk; the md5 variant sim_ann_md5 IS
+    //     oracle-checked end-to-end, and sim_ann_recall/sim_ivf_recall
+    //     pin the recall contract cross-engine).
   )
 }

@@ -273,15 +273,34 @@ object Relational {
     * implementation-specific, so verified by unit test against exact
     * values rather than the DuckDB oracle.
     */
+  /** Approximate sketches WITH an oracle-checkable error contract:
+    * the HLL/KLL estimates themselves are engine-specific (DuckDB
+    * cannot recompute Spark's sketch internals), but the exact values
+    * ARE cross-computable and the relative-error bounds are booleans
+    * both engines agree on — so the oracle hash-checks
+    * `|approx − exact| / exact ≤ bound` end-to-end, turning "trust the
+    * sketch" into a verified row. The exact median is emitted
+    * unrounded: linear interpolation over the same doubles is
+    * bit-identical across engines, and rounding money-valued midpoints
+    * hits .5 boundaries (see emb_quantize note).
+    */
   def sketches(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)), 2)
-          .as("approx_median_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("approx_median"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_median"),
         count(lit(1)).as("n")
       )
+      .select(col("l_returnflag"), col("n"), col("exact_parts"),
+        col("exact_median"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          lit(0.05) * col("exact_parts")).as("parts_within_5pct"),
+        (abs(col("approx_median") - col("exact_median")) <=
+          lit(0.01) * col("exact_median")).as("median_within_1pct"))
       .orderBy("l_returnflag")
 
   /** Mergeable distinct-count sketches — the 100 TB pattern behind

@@ -339,4 +339,118 @@ object TextAnalysis {
           .as("lm_score"))
       .orderBy("doc_id")
   }
+
+  /** Iterative BPE vocabulary learning — the real merge loop
+    * ([[bpePairs]] is its single counting step): start from
+    * characters, repeatedly (1) count adjacent symbol pairs over the
+    * weighted unique-word multiset, (2) take the globally most
+    * frequent pair (count desc, then pair asc — deterministic), (3)
+    * merge it greedily left-to-right in every word. Emits the merge
+    * table a tokenizer trainer would persist.
+    *
+    * 100 TB shape: the corpus-sized shuffle happens exactly ONCE (the
+    * word-frequency aggregation — partial-agg absorbs the Zipf head);
+    * every merge round after that runs on the unique-word vocabulary,
+    * which is millions of rows regardless of corpus size. Rounds are
+    * whole DataFrame jobs orchestrated by the driver (the same shape
+    * as dedupClusters): one vocabulary-sized pair count + a 1-row
+    * collect + a map over the vocabulary per round; localCheckpoint
+    * keeps the per-round plan flat instead of stacking nMerges nested
+    * lambdas into one Catalyst tree.
+    *
+    * The merge fold is standard BPE greedy-left-to-right: "aaaa" with
+    * pair (a,a) becomes [aa, aa], not [aa, a, a] — the merged symbol
+    * becomes the fold's new tail and immediately participates in the
+    * next comparison.
+    */
+  def bpeVocab(spark: SparkSession, dir: String,
+               nMerges: Int = 30): DataFrame = {
+    import spark.implicits._
+    var words = Tables.documents(spark, dir)
+      .select(explode(TextFns.alphaTokens(lower(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(split(col("w"), "").as("syms"), col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val top = words.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(syms)-2), i -> struct(syms[i] AS a, syms[i+1] AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < 2) done = true
+      else {
+        val (a, b, c) =
+          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((r.toLong, a, b, c))
+        // greedy left-to-right merge fold; the element_at branch is
+        // only reached when acc is non-empty (ANSI-safe)
+        words = words.select(
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) => when(size(acc) === 0, concat(acc, array(x)))
+              .otherwise(
+                when(element_at(acc, -1) === lit(a) && x === lit(b),
+                  concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                  .otherwise(concat(acc, array(x))))).as("syms"),
+          col("cnt"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.toSeq
+      .toDF("merge_no", "left", "right", "pair_cnt")
+      .select(col("merge_no"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"), col("pair_cnt"))
+      .orderBy("merge_no")
+  }
+
+  /** Interpolated bigram language-model scoring — the realistic form
+    * of perplexity filtering ([[lmScore]] is the unigram proxy):
+    * every token with a predecessor is scored by
+    * `ln(λ·P(tok|prev) + (1−λ)·P(tok))` with MLE estimates
+    * `P(tok|prev) = cnt(prev,tok)/cnt(prev)` and
+    * `P(tok) = cnt(tok)/total`; the doc score is the mean.
+    * Interpolation (Jelinek–Mercer) keeps unseen-at-head bigrams
+    * finite without discounting machinery.
+    *
+    * Shape at 100 TB: bigram occurrences are built by an index-lambda
+    * zip over the staged token array (no self-join, no window over
+    * exploded rows). Three corpus-keyed shuffles total — bigram
+    * counts (key (prev,tok)), the occurrence⋈bigram-count join, and
+    * the per-doc aggregation — plus two token-keyed unigram joins;
+    * every aggregation partial-combines map-side so the Zipf head
+    * collapses before the exchange, and the 1-row corpus total is a
+    * broadcast.
+    */
+  def lmScore2(spark: SparkSession, dir: String,
+               lambda: Double = 0.7): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.wsTokens(lower(col("text"))).as("ts"))
+    val toks = docs.select(col("doc_id"), explode(col("ts")).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum(col("cu")).as("total"))
+    val occ = docs.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ts)-2), i -> struct(ts[i] AS prev, ts[i+1] AS tok))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.tok").as("tok"))
+    val bc = occ.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("cb"))
+    occ
+      .join(bc, Seq("prev", "tok"))
+      .join(uni.select(col("tok").as("prev"), col("cu").as("cu_prev")), "prev")
+      .join(uni.select(col("tok"), col("cu").as("cu_tok")), "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_big"),
+        round(avg(log(
+          lit(lambda) * (col("cb") / col("cu_prev").cast("double")) +
+            lit(1.0 - lambda) * (col("cu_tok") / col("total").cast("double")))), 6)
+          .as("lm2"))
+      .orderBy("doc_id")
+  }
 }

@@ -100,7 +100,7 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(one - 1.0) < 1e-12)
   }
 
-  test("ANN recall >= 0.6 vs brute force top-5") {
+  test("ANN recall: mean >= 0.9, every query >= 0.8, vs brute force top-5") {
     val bf = Similarity.bruteForceTopK(spark, sf)
       .as[(Long, Long, Long, Double)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
@@ -111,10 +111,12 @@ class DedupSimilaritySpec extends SparkSpec {
       ann.getOrElse(q, Set.empty).intersect(trueSet).size.toDouble / trueSet.size
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.6, s"mean ANN recall $mean")
+    assert(mean >= 0.9, s"mean ANN recall $mean")
+    // per-query bar — the same contract sim_ann_recall oracle-checks
+    assert(recalls.forall(_ >= 0.8), s"per-query ANN recalls $recalls")
   }
 
-  test("IVF recall >= 0.6 vs brute force top-5; deterministic") {
+  test("IVF recall: mean >= 0.9, every query >= 0.8; deterministic") {
     val bf = Similarity.bruteForceTopK(spark, sf)
       .as[(Long, Long, Long, Double)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
@@ -128,7 +130,25 @@ class DedupSimilaritySpec extends SparkSpec {
       byQ.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.6, s"mean IVF recall $mean")
+    assert(mean >= 0.9, s"mean IVF recall $mean")
+    assert(recalls.forall(_ >= 0.8), s"per-query IVF recalls $recalls")
+  }
+
+  test("md5-family ANN: deterministic, k rows per query, exact re-rank sims") {
+    // the full pipeline is oracle-hash-checked (sim_ann_md5); here we
+    // pin determinism and that every emitted sim matches the exact
+    // cosine from the brute-force result for the same (qid, cid)
+    val bf = Similarity.bruteForceTopK(spark, sf, k = 500)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    val a1 = Similarity.annTopKMd5(spark, sf).as[(Long, Long, Long, Double)].collect()
+    val a2 = Similarity.annTopKMd5(spark, sf).as[(Long, Long, Long, Double)].collect()
+    assert(a1.sameElements(a2))
+    assert(a1.nonEmpty && a1.groupBy(_._1).forall(_._2.length <= 5))
+    a1.foreach { case (q, _, c, s) =>
+      bf.get((q, c)).foreach(exact => assert(math.abs(exact - s) < 1e-9,
+        s"re-rank sim for ($q,$c): $s vs exact $exact"))
+    }
   }
 
   test("near-dup: exact-verified pairs, recall >= 0.9 vs all-pairs, deterministic") {
