@@ -148,7 +148,10 @@ object SparkEntry {
     "sim_ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
     // ---- multimodal plumbing ----
     "mm_meta"     -> (Multimodal.mediaMeta(_, _)),
-    "mm_features" -> (Multimodal.featureSummary(_, _)),
+    // REAL codec path: PNG/JPEG bytes encoded and decoded by
+    // javax.imageio; the oracle recomputes dims + the lossless PNG
+    // pixel sum from the generating formulas
+    "mm_features" -> (Multimodal.imageFeatures(_, _)),
     // ---- sequence packing (custom LogicalPlan+SparkPlan; no SQL
     //      oracle: greedy packing is a sequential recurrence —
     //      PackingSpec pins budget/density/determinism invariants) ----
@@ -1097,6 +1100,27 @@ object SparkEntry {
         | CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS media_type,
         | CAST(strlen(text) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
+    // the image payloads are REAL codec bytes (javax.imageio); the
+    // oracle can't run a PNG decoder, but it doesn't need to — dims
+    // are id-derived and PNG is lossless, so the decoded pixel sum
+    // must equal the generating formula, which SQL can recompute.
+    // JPEG rows (odd ids) get NULL pix_sum: lossy reconstruction has
+    // no formula to pin. A decoder that faked dims or dropped pixels
+    // would hash-mismatch here.
+    "mm_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS media_type,
+        |    CAST(8 + (doc_id * 7) % 40 AS BIGINT) AS width,
+        |    CAST(8 + (doc_id * 13) % 40 AS BIGINT) AS height
+        |  FROM documents)
+        |SELECT media_id, media_type, width, height,
+        |  CASE WHEN media_id % 2 = 0 THEN
+        |    CAST(list_sum(flatten(list_transform(generate_series(0, width - 1),
+        |      x -> list_transform(generate_series(0, height - 1),
+        |        y -> (media_id * 31 + x * 17 + y * 29) % 256)))) AS BIGINT)
+        |  ELSE NULL END AS pix_sum
+        |FROM m ORDER BY media_id""".stripMargin,
     // the sketch estimates are engine-specific, but the exact values
     // and the relative-error CONTRACT are not: the oracle pins the
     // booleans TRUE, so the row only hashes green if Spark's sketches

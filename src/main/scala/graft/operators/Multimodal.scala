@@ -8,15 +8,27 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, and run decode / feature-extract as
   * batch-shaped partition-local transforms.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic fake ([[fakeDecode]]); everything
-  * around it — binary column handling, schema, the mapPartitions
-  * batch shape (the Scala analogue of mapInPandas: one iterator per
-  * partition, amortized per-batch setup), partition sizing — is real
-  * and tested. Swapping [[fakeDecode]] for a real JNI/codec call is a
-  * one-function change.
+  * Two payload paths:
+  *  - the IMAGE path ([[imageTable]] → [[decodeImages]] →
+  *    [[resizeImages]]) is REAL end-to-end: deterministic bitmaps are
+  *    encoded through the JDK's actual PNG/JPEG codecs
+  *    (javax.imageio, headless) and decoded back by parsing the real
+  *    container bytes — PNG losslessness makes the decoded pixels
+  *    oracle-checkable against the generating formula (mm_features);
+  *  - the text-payload path ([[mediaTable]] → [[decodeFeatures]])
+  *    keeps documents.text bytes as opaque payloads with a
+  *    clearly-marked deterministic fake decoder ([[fakeDecode]]) —
+  *    it exists to exercise binary-column plumbing on payloads DuckDB
+  *    can also see (mm_meta, mm_frames byte math is oracle-checked).
+  * Both use the mapPartitions batch shape (the Scala analogue of
+  * mapInPandas: one iterator per partition, amortized per-batch
+  * setup).
   */
 object Multimodal {
+
+  // javax.imageio needs no display, but pin headless so the codec
+  // path can never try to touch a toolkit on an executor
+  System.setProperty("java.awt.headless", "true")
 
   /** A typed media record: payload + metadata, the shape a real
     * image/audio table would have.
@@ -165,6 +177,129 @@ object Multimodal {
       }
     }
   }
+
+  /** A real encoded image: payload holds actual PNG/JPEG container
+    * bytes produced by the JDK codec.
+    */
+  case class ImageRecord(media_id: Long, payload: Array[Byte],
+                         media_type: String)
+
+  /** Decoded image features; pix_sum (sum of the blue channel over
+    * all pixels) is emitted for the lossless codec only — JPEG rows
+    * carry None because lossy reconstruction has no formula to check.
+    */
+  case class ImageFeature(media_id: Long, media_type: String,
+                          width: Int, height: Int, pix_sum: Option[Long])
+
+  private def imgDims(id: Long): (Int, Int) =
+    ((8 + (id * 7) % 40).toInt, (8 + (id * 13) % 40).toInt)
+
+  private def gray(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 17 + y * 29) % 256).toInt
+
+  /** REAL image synthesis: one deterministic W×H grayscale bitmap per
+    * document id, encoded through the JDK's actual PNG (even ids) or
+    * JPEG (odd ids) writer — the payload column carries genuine
+    * container bytes, not a stand-in. Generation is a partition-local
+    * typed map (pure per row, so any partitioning of the id column
+    * yields identical payload bytes for PNG; JPEG bytes are
+    * deterministic within a JVM, which is what the tests pin).
+    */
+  def imageTable(spark: SparkSession, dir: String): Dataset[ImageRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long].map { id =>
+      val (w, h) = imgDims(id)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = gray(id, x, y)
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val fmt = if (id % 2 == 0) "png" else "jpg"
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      ImageRecord(id, bos.toByteArray,
+        if (id % 2 == 0) "image/png" else "image/jpeg")
+    }
+  }
+
+  /** REAL decode: javax.imageio parses the actual container bytes
+    * (PNG and JPEG headers, scanlines, entropy coding — not a fake).
+    * mapPartitions keeps per-batch codec setup amortized. PNG rows
+    * carry the blue-channel pixel sum; PNG is lossless, so that sum
+    * must equal the generating formula — which DuckDB recomputes in
+    * the mm_features oracle, making the decode stage itself
+    * hash-checked cross-engine.
+    */
+  def decodeImages(spark: SparkSession, dir: String): Dataset[ImageFeature] = {
+    import spark.implicits._
+    imageTable(spark, dir).mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val sum =
+          if (r.media_type == "image/png") {
+            var s = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { s += (img.getRGB(x, y) & 0xff); x += 1 }
+              y += 1
+            }
+            Some(s)
+          } else None
+        ImageFeature(r.media_id, r.media_type, w, h, sum)
+      }
+    }
+  }
+
+  /** REAL resize: Graphics2D rescale of the decoded bitmap to the
+    * target frame (the preprocessing step before a vision encoder),
+    * partition-local like [[decodeImages]].
+    */
+  def resizeImages(spark: SparkSession, dir: String,
+                   targetW: Int = 32, targetH: Int = 32): Dataset[ImageFeature] = {
+    import spark.implicits._
+    imageTable(spark, dir).mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        val out = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = out.createGraphics()
+        g2.drawImage(img, 0, 0, targetW, targetH, null)
+        g2.dispose()
+        var s = 0L
+        var y = 0
+        while (y < targetH) {
+          var x = 0
+          while (x < targetW) { s += (out.getRGB(x, y) & 0xff); x += 1 }
+          y += 1
+        }
+        ImageFeature(r.media_id, r.media_type, targetW, targetH, Some(s))
+      }
+    }
+  }
+
+  /** The mm_features projection: real decoded dimensions for every
+    * row and the decoded PNG pixel sum — both recomputable by the
+    * oracle from the generating formulas (dims are id-derived; PNG is
+    * lossless so decoded pixels ARE the formula's pixels).
+    */
+  def imageFeatures(spark: SparkSession, dir: String): DataFrame =
+    decodeImages(spark, dir).toDF()
+      .select(col("media_id"), col("media_type"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("pix_sum"))
+      .orderBy("media_id")
 
   /** Oracle-checkable projection of the media pipeline: byte lengths
     * are real (not faked), so DuckDB can verify the binary-column

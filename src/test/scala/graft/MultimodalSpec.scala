@@ -78,6 +78,45 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real codec round-trip: decoded dims match generation, PNG pixels exact") {
+    val feats = Multimodal.decodeImages(spark, sf).collect()
+    assert(feats.length == Tables.documents(spark, sf).count())
+    feats.foreach { f =>
+      // dims survive BOTH codecs (the real decoder parsed real bytes)
+      assert(f.width == (8 + (f.media_id * 7) % 40).toInt, s"id ${f.media_id}")
+      assert(f.height == (8 + (f.media_id * 13) % 40).toInt)
+      if (f.media_type == "image/png") {
+        // PNG is lossless: decoded pixel sum == generating formula
+        var want = 0L
+        for (y <- 0 until f.height; x <- 0 until f.width)
+          want += (f.media_id * 31 + x * 17 + y * 29) % 256
+        assert(f.pix_sum.contains(want), s"id ${f.media_id}")
+      } else assert(f.pix_sum.isEmpty)
+    }
+    // both codecs actually present
+    assert(feats.exists(_.media_type == "image/png"))
+    assert(feats.exists(_.media_type == "image/jpeg"))
+  }
+
+  test("image payloads are genuine containers (magic bytes)") {
+    val recs = Multimodal.imageTable(spark, sf).collect()
+    recs.foreach { r =>
+      if (r.media_type == "image/png")
+        assert(r.payload.take(8).sameElements(
+          Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)))
+      else // JPEG SOI marker
+        assert((r.payload(0) & 0xff) == 0xff && (r.payload(1) & 0xff) == 0xd8)
+    }
+  }
+
+  test("real resize: target dims, deterministic") {
+    val a = Multimodal.resizeImages(spark, sf, 32, 32).collect().sortBy(_.media_id)
+    val b = Multimodal.resizeImages(spark, sf, 32, 32).collect().sortBy(_.media_id)
+    assert(a.nonEmpty && a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+    a.foreach { f => assert(f.width == 32 && f.height == 32 && f.pix_sum.nonEmpty) }
+  }
+
   test("fake decoder matches the column pipeline (seam check)") {
     val viaPipeline = Multimodal.decodeFeatures(spark, sf)
       .filter(_.media_id == 0L).collect().head
