@@ -146,6 +146,7 @@ object SparkEntry {
     "sim_ivf"     -> ((s, d) => Similarity.ivfTopK(s, d)),
     "sim_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     "sim_ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
+    "emb_kmeans"  -> ((s, d) => Similarity.embKmeans(s, d)),
     // ---- multimodal plumbing ----
     "mm_meta"     -> (Multimodal.mediaMeta(_, _)),
     // REAL codec path: PNG/JPEG bytes encoded and decoded by
@@ -1067,6 +1068,47 @@ object SparkEntry {
         |  FROM s)
         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, round(sim, 6) AS sim
         |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // replays BOTH Lloyd iterations bit-for-bit: centroids are exact
+    // integer SUMS of x1024-quantized members (cosine is scale-
+    // invariant, so sum ≡ mean) and every dot stays < 2^53, so the
+    // scores are exact integers-in-doubles in both engines — ranking
+    // raw doubles cross-engine is safe, and iterative k-means itself
+    // becomes oracle-hash-checkable (k=8, 2 assignment passes)
+    "emb_kmeans" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS vq
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cell, vq AS cv FROM e WHERE vec_id < 8),
+        |s1 AS (
+        |  SELECT e.vec_id, e.vq, c.cell,
+        |    list_inner_product(e.vq, c.cv) /
+        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
+        |  FROM e, c0 c),
+        |a1 AS (SELECT vec_id, vq, cell, sim FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, cell ASC) AS rn FROM s1)
+        |  WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cell, list(s ORDER BY i) AS cv FROM (
+        |    SELECT cell, i, CAST(sum(vq[i]) AS BIGINT) AS s
+        |    FROM a1, generate_series(1, 64) t(i)
+        |    GROUP BY cell, i)
+        |  GROUP BY cell),
+        |s2 AS (
+        |  SELECT e.vec_id, c.cell,
+        |    list_inner_product(e.vq, c.cv) /
+        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
+        |  FROM e, c1 c),
+        |a2 AS (SELECT vec_id, cell, sim FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, cell ASC) AS rn FROM s2)
+        |  WHERE rn = 1)
+        |SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+        |       round(avg(sim), 6) AS mean_sim
+        |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin,
     // recall contracts: the oracle pins recall_ok TRUE per query id —
     // the row hashes green only if the ANN/IVF index actually meets
     // its ≥0.8 per-query recall bar vs the exact top-k

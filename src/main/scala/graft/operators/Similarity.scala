@@ -395,6 +395,68 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Quantized k-means training for the IVF coarse quantizer — the
+    * operator that produces [[ivfTopK]]'s centroids, and the proof
+    * that ITERATIVE clustering can be oracle-hash-checked. The trick
+    * is doing Lloyd iterations in arithmetic where every intermediate
+    * is exact, so two engines cannot drift:
+    *   - vectors quantize to integers at scale 1024 (exact binary);
+    *   - a centroid is the elementwise integer SUM of its members
+    *     (never the mean: float averaging is summation-order-
+    *     dependent, which breaks both run-to-run determinism and
+    *     cross-engine equality). Cosine is scale-invariant, so
+    *     scoring against the sum IS scoring against the mean;
+    *   - every dot product stays < 2⁵³ (terms ≤ 1024·n·1024 with
+    *     64-dim sums), so the double that carries it is EXACT
+    *     integer arithmetic regardless of accumulation order — the
+    *     scores are bit-identical in Spark and DuckDB, and ranking
+    *     raw doubles is safe.
+    *
+    * 100 TB shape: centroids are k rows, broadcast; each iteration is
+    * one map-side scored pass + a partial-agg argmax (no per-vector
+    * window shuffle — the top-1 collapses map-side) + a 64·k-row
+    * centroid rebuild. Iterations are driver-sequenced whole jobs,
+    * like any production Lloyd loop.
+    */
+  def embKmeans(spark: SparkSession, dir: String,
+                k: Int = 8, iters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => round(x.cast("double") * 1024).cast("long")).as("vq"))
+    // integer dot carried in a double: exact for our magnitudes
+    def qdot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, v) => s + v)
+        .cast("double")
+    var cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), col("vq").as("cv"))
+    var assigned: DataFrame = null
+    for (i <- 1 to iters) {
+      // argmax by (sim desc, cell asc) via struct-max partial agg:
+      // (sim, -cell) is unique per candidate, so the lexicographic
+      // max picks exactly the row_number()=1 row the oracle computes
+      assigned = emb.join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("vq"), col("cell"),
+          (qdot(col("vq"), col("cv")) /
+            (sqrt(qdot(col("vq"), col("vq"))) * sqrt(qdot(col("cv"), col("cv")))))
+            .as("sim"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("sim"), negate(col("cell")).as("negc"),
+          col("vq"))).as("m"))
+        .select(col("vec_id"), col("m.vq").as("vq"),
+          negate(col("m.negc")).as("cell"), col("m.sim").as("sim"))
+      if (i < iters)
+        cents = assigned
+          .select(col("cell"), posexplode(col("vq")).as(Seq("dim", "x")))
+          .groupBy(col("cell"), col("dim")).agg(sum(col("x")).as("s"))
+          .groupBy(col("cell"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("s")))).as("ds"))
+          .select(col("cell"), transform(col("ds"), e => e.getField("s")).as("cv"))
+    }
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), round(avg(col("sim")), 6).as("mean_sim"))
+      .orderBy("cell")
+  }
+
   /** ANN recall CONTRACT as a query: per query id, did the
     * approximate top-k recover ≥ minRecall of the exact top-k? The
     * numeric recall is approximate-by-design (not SQL-expressible),

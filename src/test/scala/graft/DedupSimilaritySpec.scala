@@ -151,6 +151,22 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantized k-means: total membership, improvement over seed pass, deterministic") {
+    val n = Tables.embeddings(spark, sf).count()
+    val k1 = Similarity.embKmeans(spark, sf).as[(Long, Long, Double)].collect()
+    val k2 = Similarity.embKmeans(spark, sf).as[(Long, Long, Double)].collect()
+    assert(k1.sameElements(k2)) // exact integer math — no float drift
+    assert(k1.map(_._2).sum == n, "every vector assigned exactly once")
+    // one Lloyd iteration should not make the fit worse: weighted
+    // mean similarity after refinement >= after the seed-only pass
+    val seedPass = Similarity.embKmeans(spark, sf, iters = 1)
+      .as[(Long, Long, Double)].collect()
+    def fit(rows: Array[(Long, Long, Double)]) =
+      rows.map(r => r._2 * r._3).sum / rows.map(_._2).sum
+    assert(fit(k1) >= fit(seedPass) - 1e-9,
+      s"refined=${fit(k1)} seed=${fit(seedPass)}")
+  }
+
   test("near-dup: exact-verified pairs, recall >= 0.9 vs all-pairs, deterministic") {
     // ground truth: exhaustive all-pairs cosine on the driver (fine at
     // spec scale; the operator itself never goes all-pairs)
