@@ -117,9 +117,11 @@ object SparkEntry {
     "pii_scan"          -> (TextAnalysis.piiScan(_, _)),
     "tfidf_keywords"    -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),
     "bpe_pairs"         -> ((s, d) => TextAnalysis.bpePairs(s, d)),
-    // iterative merge recurrence — no SQL oracle; BpeSpec verifies
-    // the merge table exactly against a single-node reference BPE
+    // iterative merge recurrences — no SQL oracle; BpeSpec verifies
+    // the merge table AND per-doc encode counts exactly against a
+    // single-node reference BPE
     "bpe_vocab"         -> ((s, d) => TextAnalysis.bpeVocab(s, d)),
+    "bpe_encode"        -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     // ---- corpus curation ----
     "sample_split"      -> (Curation.sampleSplit(_, _)),
     "contamination"     -> ((s, d) => Curation.benchmarkContamination(s, d)),

@@ -363,13 +363,16 @@ object TextAnalysis {
     * becomes the fold's new tail and immediately participates in the
     * next comparison.
     */
-  def bpeVocab(spark: SparkSession, dir: String,
-               nMerges: Int = 30): DataFrame = {
-    import spark.implicits._
+  /** The trainer loop shared by [[bpeVocab]] (emits the merge table)
+    * and [[bpeEncode]] (needs the final per-word symbol state).
+    * Returns (merge list, words DataFrame with columns w/syms/cnt).
+    */
+  private def bpeTrain(spark: SparkSession, dir: String, nMerges: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
     var words = Tables.documents(spark, dir)
       .select(explode(TextFns.alphaTokens(lower(col("text")))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(split(col("w"), "").as("syms"), col("cnt"))
+      .select(col("w"), split(col("w"), "").as("syms"), col("cnt"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
@@ -390,7 +393,7 @@ object TextAnalysis {
         merges += ((r.toLong, a, b, c))
         // greedy left-to-right merge fold; the element_at branch is
         // only reached when acc is non-empty (ANSI-safe)
-        words = words.select(
+        words = words.select(col("w"),
           aggregate(col("syms"), array().cast("array<string>"),
             (acc, x) => when(size(acc) === 0, concat(acc, array(x)))
               .otherwise(
@@ -402,11 +405,38 @@ object TextAnalysis {
         r += 1
       }
     }
-    merges.toSeq
+    (merges.toSeq, words)
+  }
+
+  def bpeVocab(spark: SparkSession, dir: String,
+               nMerges: Int = 30): DataFrame = {
+    import spark.implicits._
+    bpeTrain(spark, dir, nMerges)._1
       .toDF("merge_no", "left", "right", "pair_cnt")
       .select(col("merge_no"), col("left"), col("right"),
         concat(col("left"), col("right")).as("merged"), col("pair_cnt"))
       .orderBy("merge_no")
+  }
+
+  /** Encode the corpus with a trained BPE vocabulary: per document,
+    * the word count and the BPE token count — the signals sequence
+    * packing and training-cost estimation consume. The key scale
+    * move: merges are applied to the UNIQUE-WORD vocabulary only (the
+    * trainer already holds that state), and documents join their
+    * words to the encoded forms — the corpus is never re-folded, so
+    * the per-merge lambda work is vocabulary-sized and the corpus
+    * pays one token-keyed join (Zipf-headed, partial-agg absorbed).
+    */
+  def bpeEncode(spark: SparkSession, dir: String,
+                nMerges: Int = 15): DataFrame = {
+    val words = bpeTrain(spark, dir, nMerges)._2
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextFns.alphaTokens(lower(col("text")))).as("w"))
+      .join(words.select(col("w"), size(col("syms")).cast("long").as("n_tok")), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy("doc_id")
   }
 
   /** Interpolated bigram language-model scoring — the realistic form
