@@ -138,6 +138,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_minhash_md5" -> ((s, d) => Dedup.minhashLshMd5(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dedup_simhash_md5" -> ((s, d) => Dedup.simhashPairsMd5(s, d)),
     "dedup_blocks"  -> ((s, d) => Dedup.blockDedup(s, d)),
     "dedup_winnow"  -> ((s, d) => Dedup.winnowPairs(s, d)),
     // ---- similarity search ----
@@ -1031,6 +1032,44 @@ object SparkEntry {
         |r AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk FROM s)
         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, round(sim, 6) AS sim
         |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // replays the ENTIRE md5-family SimHash pipeline: 60-bit token
+    // hashes from the first 15 md5 hex chars (16 would overflow
+    // signed BIGINT mid-fold), per-bit votes over distinct tokens,
+    // signature assembly, 4×15-bit band blocking, popcount verify
+    "dedup_simhash_md5" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(substring(md5(t), 1, 15), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) AS h
+        |  FROM (SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(text, '\s+'),
+        |             x -> x <> '')) AS t
+        |    FROM documents)),
+        |votes AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM tok, generate_series(0, 59) t(i) GROUP BY 1, 2),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+        |      AS BIGINT) AS simhash
+        |  FROM votes GROUP BY 1),
+        |bands AS (
+        |  SELECT doc_id, simhash, b AS band,
+        |    (simhash >> (b * 15)) & 32767 AS bkey
+        |  FROM sigs, generate_series(0, 3) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |    x.simhash AS sa, y.simhash AS sb
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+        |SELECT a, b,
+        |  CAST(bit_count(CAST(xor(sa, sb) AS BIGINT)) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(CAST(xor(sa, sb) AS BIGINT)) <= 3
+        |ORDER BY a, b""".stripMargin,
     // replays the ENTIRE md5-derived hyperplane-LSH pipeline: integer
     // coefficient derivation (first 8 md5 hex chars → bigint), exact
     // integer plane dots over the ×1024-quantized vectors, 6-bit band

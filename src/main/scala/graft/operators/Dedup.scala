@@ -407,6 +407,51 @@ object Dedup {
           .reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
+  /** Oracle-checkable SimHash: [[simhashPairs]] with the token hash
+    * swapped from xxhash64 (Spark-private) to the first 15 md5 hex
+    * chars as a 60-bit integer — a standard digest both engines
+    * compute identically, so DuckDB replays token hashing, all 60
+    * per-bit votes, signature assembly, 4×15-bit band blocking, and
+    * the popcount verify bit-for-bit. 15 hex chars (not 16) keeps
+    * every hex-fold intermediate under 2⁶³ — a 16-char fold would
+    * overflow signed BIGINT in both engines' ANSI modes. Pigeonhole
+    * still holds: Hamming ≤ 3 over 4 bands forces ≥ 1 exact band.
+    */
+  def simhashPairsMd5(spark: SparkSession, dir: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val nBits = 60
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFns.wsTokens(col("text"))).as("t"))
+      .distinct()
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)").as("h"))
+    val votes = (0 until nBits).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$i"))
+    val sigs = tok.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until nBits).map(i =>
+          when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(bd =>
+        shiftright(col("simhash"), bd * 15).bitwiseAND(lit(0x7FFFL))): _*))
+        .as(Seq("band", "bkey")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming").cast("bigint").as("hamming"))
+      .orderBy("a", "b")
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming,
     * blocked on 4×16-bit bands (any pair within Hamming ≤ 3 must
     * agree exactly on ≥1 band — pigeonhole), then exact popcount.
