@@ -385,6 +385,86 @@ object Dedup {
       .orderBy("keep_id")
   }
 
+  /** One large-star round: every node u attaches each STRICTLY LARGER
+    * neighbor v to the minimum of its closed neighborhood
+    * m = min(Γ(u) ∪ {u}). Emitted edges satisfy a > b.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+    val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .distinct()
+  }
+
+  /** One small-star round over a>b edges: every center u attaches its
+    * smaller neighbors AND itself to m = min of those neighbors.
+    * Output keeps the a > b invariant.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("a")).agg(min(col("b")).as("m"))
+    val withM = e.join(mins, "a")
+    withM.filter(col("b") =!= col("m"))
+      .select(col("b").as("a"), col("m").as("b"))
+      .union(withM.select(col("a"), col("m").as("b")))
+      .distinct()
+  }
+
+  /** Connected components by the ALTERNATING large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond") — same output contract as [[dedupClusters]], but
+    * convergence is O(log n) rounds instead of O(cluster diameter):
+    * on a path-shaped near-dup chain of length 10⁶ (boilerplate
+    * corpora produce exactly these), label propagation needs ~10⁶
+    * rounds while star contraction needs ~20. Per round: two
+    * groupBy-min + join passes over the current edge set, which
+    * SHRINKS toward one star edge per non-root node (propagation
+    * carries the full edge list every round). Convergence is detected
+    * exactly: equal edge count plus an empty one-sided set difference
+    * (both sides are distinct sets, so size-equality + one empty diff
+    * ⇒ equal). DedupSimilaritySpec pins output equality with
+    * [[dedupClusters]]; the DuckDB oracle is the same recursive-CTE
+    * reachability replay.
+    */
+  def dedupClustersStar(spark: SparkSession, dir: String,
+                        minJ: Double = 0.5, maxRounds: Int = 25): DataFrame = {
+    val pairs = ngramJaccard(spark, dir, minJ = minJ)
+      .select(col("b").as("a"), col("a").as("b")) // normalize to a > b
+      .localCheckpoint()
+    var edges = pairs
+    var prevCount = -1L
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val cnt = next.count()
+      if (cnt == prevCount &&
+        next.exceptAll(edges).limit(1).collect().isEmpty) converged = true
+      prevCount = cnt
+      edges = next
+      round += 1
+    }
+    if (!converged)
+      System.err.println(
+        s"[graft] dedupClustersStar hit maxRounds=$maxRounds before convergence")
+    // converged edges are stars (child, root); roots self-label
+    val labels = edges.select(col("a").as("doc_id"), col("b").as("label"))
+      .union(edges.select(col("b").as("doc_id"), col("b").as("label")))
+      .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+    labels
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"),
+        array_sort(collect_list(col("doc_id"))).as("members"))
+      .select(col("label").as("keep_id"), col("cluster_size"),
+        array_join(transform(col("members"), _.cast("string")), ",")
+          .as("members"))
+      .filter(col("cluster_size") >= 2)
+      .orderBy("keep_id")
+  }
+
   /** SimHash-64 signatures as one LongType column: hash each distinct
     * token with xxhash64, vote per bit (+1 set / −1 clear), signature
     * bit i = sign of vote i. The 64 per-bit votes are 64 aggregate

@@ -151,6 +151,13 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("star-contraction CC produces the identical clustering to label propagation") {
+    val lp = Dedup.dedupClusters(spark, sf).as[(Long, Long, String)].collect().toSeq
+    val star = Dedup.dedupClustersStar(spark, sf).as[(Long, Long, String)].collect().toSeq
+    assert(lp.nonEmpty)
+    assert(star == lp)
+  }
+
   test("quantized k-means: total membership, improvement over seed pass, deterministic") {
     val n = Tables.embeddings(spark, sf).count()
     val k1 = Similarity.embKmeans(spark, sf).as[(Long, Long, Double)].collect()

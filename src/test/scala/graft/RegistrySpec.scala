@@ -22,8 +22,8 @@ class RegistrySpec extends SparkSpec {
   // excluded here so this stays an analysis-only smoke test; they get
   // full execution coverage in their own specs and in Verify
   // (kv_roundtrip's builder executes the writeKV sink job up front)
-  private val eagerBuilders = Set("dedup_clusters", "kv_roundtrip", "bloom_join",
-    "bpe_vocab", "bpe_encode")
+  private val eagerBuilders = Set("dedup_clusters", "dedup_clusters_star",
+    "kv_roundtrip", "bloom_join", "bpe_vocab", "bpe_encode")
 
   test("all queries analyze (schema resolves) at sf0.001") {
     val failures = SparkEntry.queries
