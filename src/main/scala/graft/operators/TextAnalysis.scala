@@ -369,6 +369,10 @@ object TextAnalysis {
     */
   private def bpeTrain(spark: SparkSession, dir: String, nMerges: Int)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
+    // (measured: coalescing the vocab to 8 partitions was SLOWER —
+    // 4.3s→5.6s warm at sf0.1 — the per-round merge fold is CPU-heavy
+    // per row and wants the full 32-way parallelism; scheduling
+    // overhead on the small table is not the bottleneck)
     var words = Tables.documents(spark, dir)
       .select(explode(TextFns.alphaTokens(lower(col("text")))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
