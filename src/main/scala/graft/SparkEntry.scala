@@ -128,6 +128,7 @@ object SparkEntry {
     "cross_dedup"       -> ((s, d) => Curation.crossDedup(s, d)),
     "quality_gate"      -> (Curation.qualityGate(_, _)),
     "mixture_sample"    -> (Curation.mixtureSample(_, _)),
+    "stratified_sample" -> (Curation.stratifiedSample(_, _)),
     "lm_score"          -> ((s, d) => TextAnalysis.lmScore(s, d)),
     "lm_score2"         -> ((s, d) => TextAnalysis.lmScore2(s, d)),
     "emb_quantize"      -> (Similarity.embQuantize(_, _)),
@@ -151,6 +152,7 @@ object SparkEntry {
     "sim_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     "sim_ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
     "emb_kmeans"  -> ((s, d) => Similarity.embKmeans(s, d)),
+    "sem_dedup_keep" -> ((s, d) => Similarity.semanticKeep(s, d)),
     // ---- multimodal plumbing ----
     "mm_meta"     -> (Multimodal.mediaMeta(_, _)),
     // REAL codec path: PNG/JPEG bytes encoded and decoded by
@@ -531,6 +533,16 @@ object SparkEntry {
         |  ON lang = r_lang
         |WHERE substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) < thresh
         |ORDER BY doc_id""".stripMargin,
+    "stratified_sample" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |         md5('strat:' || CAST(doc_id AS VARCHAR)) AS hh
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hh ASC, doc_id ASC) AS rnk
+        |  FROM h)
+        |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id
+        |FROM r WHERE rnk <= 50 ORDER BY lang, rnk""".stripMargin,
     "lm_score" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -1202,6 +1214,26 @@ object SparkEntry {
         |FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b
         |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.3
         |ORDER BY a, b""".stripMargin,
+    // the near-dup replay plus the keep rule: a vector survives iff
+    // no lower-id vector is within minSim — the full SemDeDup
+    // decision (cells, candidates, verify, anti-join) cross-checked
+    "sem_dedup_keep" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+        |sc AS (SELECT e.vec_id, s.cell,
+        |    list_cosine_similarity(e.v, s.cv) AS sim FROM e CROSS JOIN seeds s),
+        |asg AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+        |    FROM sc) WHERE rn <= 4),
+        |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+        |drops AS (SELECT DISTINCT c.b AS vec_id
+        |  FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b
+        |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.3)
+        |SELECT vec_id FROM e
+        |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+        |ORDER BY vec_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id AS media_id,
         | CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS media_type,

@@ -181,4 +181,56 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
   }
+
+  /** A (group, doc, hash) row crossing the two-phase quota shuffle. */
+  case class Strat(lang: String, doc_id: Long, h: String)
+
+  // max-heap on (h, doc_id): the head is the WORST (largest) of the
+  // kept n, so one comparison decides evictions — same contract as
+  // sim_topk's worstFirst
+  private val stratWorstFirst: Ordering[Strat] =
+    Ordering.by((s: Strat) => (s.h, s.doc_id))
+
+  /** Exact per-group quota sampling: for each language, EXACTLY
+    * min(n, |group|) documents, chosen as the globally smallest
+    * md5("strat:"+doc_id) hashes — deterministic "random" (retried
+    * tasks resample identically; reseed by changing the salt), and
+    * exact counts where [[mixtureSample]]'s rate threshold gives only
+    * expected counts.
+    *
+    * Two-phase, like sim_topk: each input partition keeps its n
+    * smallest hashes per group with a bounded heap (map-side, zero
+    * shuffle), so the final per-group window ranks ≤ n·P rows — a
+    * bare `row_number().over(partitionBy(lang))` would stream every
+    * group row through ONE task at 100 TB. The emitted rank is the
+    * group-global hash order, identical to what a single-pass window
+    * (and the oracle) would produce.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       n: Int = 50): DataFrame = {
+    import spark.implicits._
+    val hashed = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        md5(concat(lit("strat:"), col("doc_id").cast("string"))).as("h"))
+      .as[Strat]
+    val nn = n
+    val partial = hashed.mapPartitions { it =>
+      val heaps = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.PriorityQueue[Strat]]
+      it.foreach { s =>
+        val hp = heaps.getOrElseUpdate(s.lang,
+          scala.collection.mutable.PriorityQueue.empty(stratWorstFirst))
+        if (hp.size < nn) hp.enqueue(s)
+        else if (stratWorstFirst.lt(s, hp.head)) { hp.dequeue(); hp.enqueue(s) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h").asc, col("doc_id").asc)
+    partial.toDF()
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= n)
+      .select(col("lang"), col("rnk"), col("doc_id"))
+      .orderBy("lang", "rnk")
+  }
 }

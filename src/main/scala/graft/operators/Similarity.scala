@@ -484,6 +484,24 @@ object Similarity {
                 minRecall: Double = 0.8): DataFrame =
     recallContract(ivfTopK(spark, dir), bruteForceTopK(spark, dir), minRecall)
 
+  /** SemDeDup-style semantic keep-list: drop every vector whose
+    * embedding is near-duplicate (cosine ≥ minSim) of a LOWER-id
+    * vector — the single-pass keep rule production semantic dedup
+    * uses (drop-if-similar-to-any-earlier, not the sequential
+    * drop-if-similar-to-any-KEPT, which is an inherently serial
+    * recurrence). Candidate generation is [[embeddingNearDup]]'s
+    * derived IVF-cell blocking, so the whole keep decision — cells,
+    * candidates, exact verify, anti-join — replays in the oracle.
+    */
+  def semanticKeep(spark: SparkSession, dir: String,
+                   minSim: Double = 0.3): DataFrame = {
+    val drops = embeddingNearDup(spark, dir, minSim)
+      .select(col("b").as("vec_id")).distinct()
+    Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(drops, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   /** Symmetric int8 quantization stats per embedding — the storage
     * step that shrinks a served vector index 4×: scale = max|x|/127,
     * q = round(x/scale) (never clips by construction), error =

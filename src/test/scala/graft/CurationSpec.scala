@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.Curation
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratified sample: exactly min(n, group size) per group, deterministic") {
+    val n = 50
+    val sizes = Tables.documents(spark, sf).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val s1 = Curation.stratifiedSample(spark, sf, n)
+      .as[(String, Long, Long)].collect()
+    val s2 = Curation.stratifiedSample(spark, sf, n)
+      .as[(String, Long, Long)].collect()
+    assert(s1.sameElements(s2))
+    val perGroup = s1.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    sizes.foreach { case (lang, sz) =>
+      assert(perGroup.getOrElse(lang, 0L) == math.min(n.toLong, sz),
+        s"$lang quota")
+    }
+    // ranks are 1..quota with no gaps, per group
+    s1.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
+  test("semantic keep-list: partitions the corpus with near-dup drops; id 0 kept") {
+    val all = Tables.embeddings(spark, sf).select("vec_id").as[Long].collect().toSet
+    val kept = Similarity.semanticKeep(spark, sf).as[Long].collect().toSet
+    val dropped = all.diff(kept)
+    assert(kept.contains(0L)) // the smallest id can never duplicate a lower one
+    // every dropped vector really is near a lower-id vector
+    val pairs = Similarity.embeddingNearDup(spark, sf)
+      .select("b").as[Long].collect().toSet
+    assert(dropped == pairs)
+  }
+}
