@@ -23,6 +23,20 @@ class SourcesSpec extends SparkSpec {
       orig.as[(Long, Int, Double, String)].collect().toSet)
   }
 
+  test("jsonl sink/source round-trips documents (the corpus interchange format)") {
+    val out = Files.createTempDirectory("graft-jsonl").toFile.getAbsolutePath
+    val orig = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "source", "text")
+    orig.write.json(s"$out/docs") // JSON Lines, one object per row
+    // schema-on-read with an explicit schema: at 100 TB schema
+    // inference is a full extra pass — production readers pin it
+    val back = spark.read.schema(orig.schema).json(s"$out/docs")
+    assert(back.schema == orig.schema)
+    assert(back.count() == orig.count())
+    assert(back.as[(Long, String, String, String)].collect().toSet ==
+      orig.as[(Long, String, String, String)].collect().toSet)
+  }
+
   test("KV DataSource V2 round-trips writeKV output exactly") {
     val out = Files.createTempDirectory("graft-kv-v2").toFile.getAbsolutePath + "/wc"
     val wc = graft.operators.WordCount.alpha(spark, sf)
