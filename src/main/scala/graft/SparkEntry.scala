@@ -1271,13 +1271,19 @@ object SparkEntry {
         |  TRUE AS parts_within_5pct,
         |  TRUE AS median_within_1pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
-    // no oracle (rows-only + ScalaTest verification):
+    // no oracle (rows-only + ScalaTest verification) — 9 queries:
     //   dedup_minhash, dedup_simhash — xxhash64 family not in DuckDB
-    //     (the md5 family variant dedup_minhash_md5 IS oracle-checked
-    //     end-to-end, covering the banding pipeline cross-engine);
+    //     (their md5 twins dedup_minhash_md5/dedup_simhash_md5 ARE
+    //     oracle-checked end-to-end, covering both banding pipelines);
     //   sim_ann, sim_ivf — approximate by design (recall-tested vs
-    //     the oracle-checked sim_topk; the md5 variant sim_ann_md5 IS
-    //     oracle-checked end-to-end, and sim_ann_recall/sim_ivf_recall
-    //     pin the recall contract cross-engine).
+    //     the oracle-checked sim_topk; the md5 twin sim_ann_md5 and
+    //     the sim_ann_recall/sim_ivf_recall contracts ARE oracle-
+    //     checked);
+    //   sketch_hll_merge, sketch_kll_merge — engine-specific sketch
+    //     internals (merge losslessness + error bounds spec-pinned;
+    //     sketch_approx's error contract IS oracle-checked);
+    //   seq_pack, bpe_vocab, bpe_encode — sequential recurrences,
+    //     exact-verified against single-node references (PackingSpec,
+    //     BpeSpec).
   )
 }
