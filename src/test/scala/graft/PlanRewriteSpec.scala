@@ -71,6 +71,39 @@ class PlanRewriteSpec extends SparkSpec {
     assert(df.collect().toSeq == ref.collect().toSeq)
   }
 
+  test("stratified_sample is two-phase: per-partition heaps feed the per-group window") {
+    val df = graft.operators.Curation.stratifiedSample(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val winIdx = plan.indexOf("Window")
+    val mpIdx = plan.indexOf("MapPartitions")
+    assert(winIdx >= 0 && mpIdx >= 0, s"missing phase:\n$plan")
+    // window ABOVE the map-side selection: it ranks <= n*P survivors,
+    // never whole language groups through one task
+    assert(winIdx < mpIdx, s"Window not above MapPartitions:\n$plan")
+    // and the selection matches the naive single-window form
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("h").asc, col("doc_id").asc)
+    val ref = graft.Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"),
+        md5(concat(lit("strat:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 50)
+      .select(col("lang"), col("rnk"), col("doc_id"))
+      .orderBy("lang", "rnk")
+    assert(df.collect().toSeq == ref.collect().toSeq)
+  }
+
+  test("emb_kmeans: centroids broadcast, argmax is partial-agg, no corpus window") {
+    val df = graft.operators.Similarity.embKmeans(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // scoring joins are broadcast (centroids are the tiny side)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the per-vector argmax is an aggregate with a partial phase —
+    // NOT a row_number window over the corpus × k score matrix
+    assert(plan.contains("partial_max"), plan)
+    assert(!plan.contains("row_number"), plan)
+  }
+
   test("rewrite applies inside join conditions") {
     val l = Seq("alpha", "beta").toDF("x")
     val r = Seq("alphb", "gamma").toDF("y")
