@@ -141,6 +141,86 @@ object Streaming {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("digest")
 
+  /** A document event entering the ingest stream. */
+  case class DocEvent(ts: java.sql.Timestamp, doc_id: Long, text: String)
+
+  /** A banded document: one row per (band, bucket) the doc hashes
+    * into, carrying the shingle set for the exact verify.
+    */
+  case class BucketDoc(band: Int, bucket: Long, doc_id: Long,
+                       ts: java.sql.Timestamp, shset: Array[String])
+
+  case class NearDupHit(a: Long, b: Long, jaccard: Double)
+
+  /** Streaming MinHash near-dup — the streaming twin of the batch
+    * `dedup_minhash` operator: flag each arriving document against
+    * everything seen in its LSH buckets within the state horizon, AT
+    * INGEST, instead of re-scanning the corpus later. Exactly the
+    * batch pipeline's hash family, banding (k=16, 8 bands × 2 rows),
+    * and exact-Jaccard verify — StreamingSpec pins that the emitted
+    * pair set equals batch `minhashLsh` on the same documents.
+    *
+    * Shape: signatures/bands are per-row column math (no aggregation
+    * before the keyed state, so the only shuffle is the groupByKey on
+    * (band, bucket)); state per bucket is the list of (doc_id,
+    * shingle-set) seen within the horizon, evicted by EVENT-TIME
+    * timeout once the watermark passes the bucket's last arrival +
+    * horizon — without eviction the state store grows with the
+    * corpus, and at 100 TB/day the state store IS the bottleneck.
+    * Verify cost is per-bucket-collision only, like the batch join.
+    * A pair colliding in several bands emits once per band —
+    * duplicates are a downstream `distinct`, the same contract as the
+    * batch candidate stage.
+    */
+  def nearDupStream(docs: Dataset[DocEvent], minJ: Double = 0.2,
+                    n: Int = 3, k: Int = 16, bands: Int = 8,
+                    horizon: String = "10 minutes"): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    val rows = k / bands
+    val banded = docs.toDF()
+      .withWatermark("ts", horizon)
+      .withColumn("shset", array_distinct(
+        graft.functions.TextFns.shinglesOf(
+          graft.functions.TextFns.wsTokens(col("text")), n)))
+      .filter(size(col("shset")) > 0)
+      .withColumn("sig", transform(sequence(lit(0), lit(k - 1)),
+        i => array_min(transform(col("shset"), s => xxhash64(s, i)))))
+      .select(col("doc_id"), col("ts"), col("shset"),
+        posexplode(array((0 until bands).map(bd =>
+          xxhash64(lit(bd) +:
+            (0 until rows).map(r => col("sig").getItem(bd * rows + r)): _*)): _*))
+          .as(Seq("band", "bucket")))
+      .as[BucketDoc]
+    banded
+      .groupByKey(b => (b.band, b.bucket))
+      .flatMapGroupsWithState[List[(Long, Set[String])], NearDupHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, it, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(Nil)
+            val hits = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+            var maxTs = Long.MinValue
+            // id order within the micro-batch for determinism
+            it.toSeq.sortBy(_.doc_id).foreach { d =>
+              maxTs = math.max(maxTs, d.ts.getTime)
+              val ds = d.shset.toSet
+              seen.foreach { case (id, s) =>
+                val inter = ds.intersect(s).size
+                val j = inter.toDouble / (ds.size + s.size - inter)
+                if (j >= minJ)
+                  hits += NearDupHit(math.min(id, d.doc_id),
+                    math.max(id, d.doc_id), j)
+              }
+              seen = (d.doc_id, ds) :: seen
+            }
+            state.update(seen)
+            state.setTimeoutTimestamp(maxTs, horizon)
+            hits.iterator
+          }
+      }
+  }
+
   /** Run a streaming query over a bounded source into a memory sink
     * and return the sink table — test/demo harness for local runs.
     */

@@ -29,6 +29,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming minhash near-dup == batch minhash LSH pairs") {
+    import graft.operators.Dedup
+    val want = Dedup.minhashLsh(spark, sf, minJ = 0.2)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(want.nonEmpty)
+
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streaming.DocEvent]
+    val base = 1700000000000L
+    mem.addData(docs.toSeq.map { case (id, t) =>
+      Streaming.DocEvent(new java.sql.Timestamp(base + id), id, t)
+    })
+    val got = Streaming.runToMemory(spark,
+        Streaming.nearDupStream(mem.toDS()).toDF(), "neardup_out",
+        OutputMode.Append())
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap // band-duplicate hits collapse
+
+    assert(got.keySet == want.keySet,
+      s"missing=${want.keySet.diff(got.keySet)} extra=${got.keySet.diff(want.keySet)}")
+    got.foreach { case (pair, j) =>
+      assert(math.abs(j - want(pair)) < 1e-6, s"$pair: $j vs ${want(pair)}")
+    }
+  }
+
   test("stream-static join: streaming events enrich against a static dim") {
     implicit val sqlCtx = spark.sqlContext
     val users = Seq((0L, "gold"), (1L, "silver"), (2L, "bronze"))
