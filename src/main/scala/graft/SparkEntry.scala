@@ -152,6 +152,9 @@ object SparkEntry {
     "sim_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     "sim_ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
     "emb_kmeans"  -> ((s, d) => Similarity.embKmeans(s, d)),
+    // eager builder: writes the cell-partitioned index, then serves
+    // from it with partition pruning (the kv_roundtrip pattern)
+    "ivf_index_topk" -> ((s, d) => Similarity.ivfIndexTopK(s, d)),
     "sem_dedup_keep" -> ((s, d) => Similarity.semanticKeep(s, d)),
     // ---- multimodal plumbing ----
     "mm_meta"     -> (Multimodal.mediaMeta(_, _)),
@@ -1186,6 +1189,65 @@ object SparkEntry {
         |SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
         |       round(avg(sim), 6) AS mean_sim
         |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin,
+    // replays the WHOLE index lifecycle: the 2-pass quantized k-means
+    // (same CTEs as emb_kmeans), integer-exact centroid routing to
+    // nProbe=2 cells, membership lookup, exact-cosine serve — so the
+    // at-rest index query (build → partitioned write → pruned read →
+    // score) is hash-checked end-to-end
+    "ivf_index_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS vq
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cell, vq AS cv FROM e WHERE vec_id < 8),
+        |s1 AS (
+        |  SELECT e.vec_id, e.vq, c.cell,
+        |    list_inner_product(e.vq, c.cv) /
+        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
+        |  FROM e, c0 c),
+        |a1 AS (SELECT vec_id, vq, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, cell ASC) AS rn FROM s1)
+        |  WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cell, list(s ORDER BY i) AS cv FROM (
+        |    SELECT cell, i, CAST(sum(vq[i]) AS BIGINT) AS s
+        |    FROM a1, generate_series(1, 64) t(i)
+        |    GROUP BY cell, i)
+        |  GROUP BY cell),
+        |s2 AS (
+        |  SELECT e.vec_id, c.cell,
+        |    list_inner_product(e.vq, c.cv) /
+        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
+        |  FROM e, c1 c),
+        |a2 AS (SELECT vec_id, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, cell ASC) AS rn FROM s2)
+        |  WHERE rn = 1),
+        |qp AS (
+        |  SELECT e.vec_id AS qid, c.cell,
+        |    list_inner_product(e.vq, c.cv) /
+        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS s
+        |  FROM e, c1 c WHERE e.vec_id < 8),
+        |pr AS (SELECT qid, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY s DESC, cell ASC) AS rn FROM qp)
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT pr.qid, a.vec_id AS cid
+        |  FROM pr JOIN a2 a ON a.cell = pr.cell WHERE a.vec_id <> pr.qid),
+        |sc AS (
+        |  SELECT c.qid, c.cid, list_cosine_similarity(eq.v, ec.v) AS sim
+        |  FROM cand c JOIN e eq ON eq.vec_id = c.qid JOIN e ec ON ec.vec_id = c.cid),
+        |r AS (SELECT qid, cid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+        |  FROM sc)
+        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, round(sim, 6) AS sim
+        |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     // recall contracts: the oracle pins recall_ok TRUE per query id —
     // the row hashes green only if the ANN/IVF index actually meets
     // its ≥0.8 per-query recall bar vs the exact top-k

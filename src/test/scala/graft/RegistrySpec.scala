@@ -23,7 +23,7 @@ class RegistrySpec extends SparkSpec {
   // full execution coverage in their own specs and in Verify
   // (kv_roundtrip's builder executes the writeKV sink job up front)
   private val eagerBuilders = Set("dedup_clusters", "dedup_clusters_star",
-    "kv_roundtrip", "bloom_join", "bpe_vocab", "bpe_encode")
+    "kv_roundtrip", "bloom_join", "bpe_vocab", "bpe_encode", "ivf_index_topk")
 
   test("all queries analyze (schema resolves) at sf0.001") {
     val failures = SparkEntry.queries
