@@ -396,7 +396,11 @@ object TextAnalysis {
           (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         merges += ((r.toLong, a, b, c))
         // greedy left-to-right merge fold; the element_at branch is
-        // only reached when acc is non-empty (ANSI-safe)
+        // only reached when acc is non-empty (ANSI-safe). The pair is
+        // deliberately inlined as LITERALS: a broadcast-1-row-join
+        // variant (meant to share one codegen plan across rounds)
+        // measured SLOWER — warm 4.3s→5.5s at sf0.1 — the per-round
+        // BroadcastExchange costs more than the saved compile
         words = words.select(col("w"),
           aggregate(col("syms"), array().cast("array<string>"),
             (acc, x) => when(size(acc) === 0, concat(acc, array(x)))
