@@ -116,6 +116,7 @@ object SparkEntry {
     "text_vocab"        -> (TextAnalysis.vocabStats(_, _)),
     "pii_scan"          -> (TextAnalysis.piiScan(_, _)),
     "tfidf_keywords"    -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),
+    "bm25_topk"         -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
     "bpe_pairs"         -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     // iterative merge recurrences — no SQL oracle; BpeSpec verifies
     // the merge table AND per-doc encode counts exactly against a
@@ -962,6 +963,30 @@ object SparkEntry {
         |  FROM tf JOIN df USING (word), n)
         |SELECT doc_id, rnk, word, tf, df, tfidf
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    // ranking is on the ROUNDED score with doc_id tie-break, so the
+    // top-k cut is cross-engine-stable even where raw float sums
+    // differ in the last bits
+    "bm25_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |           t -> t <> '')) AS term
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfc GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT unnest(['data', 'model', 'system']) AS term),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc JOIN q USING (term) GROUP BY 1),
+        |s AS (
+        |  SELECT t.doc_id,
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (t.tf * 2.2) /
+        |      (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+        |  FROM tfc t JOIN q USING (term) JOIN dfc USING (term)
+        |  JOIN dl ON dl.doc_id = t.doc_id, stats)
+        |SELECT doc_id, round(sum(s), 6) AS score,
+        |       CAST(count(*) AS BIGINT) AS n_terms
+        |FROM s GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "bpe_pairs" ->
       """WITH toks AS (SELECT list_filter(
         |  string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ts

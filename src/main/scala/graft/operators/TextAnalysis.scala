@@ -340,6 +340,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BM25 keyword retrieval over the documents table — the lexical
+    * half of a retrieval stack (the embedding half is sim_topk/ANN):
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with idf(t) = ln((N−df+0.5)/(df+0.5) + 1) (the Lucene/
+    * Robertson form, always positive). Query terms are a tiny literal
+    * table (broadcast); per-doc term frequencies shuffle once on
+    * doc_id; df and the corpus stats are term-keyed aggregates of the
+    * SAME tf table, so the corpus is tokenized exactly once. Top-k by
+    * score is a TakeOrdered — per-partition heaps, no global sort.
+    */
+  def bm25TopK(spark: SparkSession, dir: String,
+               terms: Seq[String] = Seq("data", "model", "system"),
+               k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextFns.alphaTokens(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val df = tf.filter(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val q = terms.toDF("term")
+    tf.join(broadcast(q), "term")
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s")).as("score"), count(lit(1)).as("n_terms"))
+      .select(col("doc_id"), round(col("score"), 6).as("score"), col("n_terms"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Iterative BPE vocabulary learning — the real merge loop
     * ([[bpePairs]] is its single counting step): start from
     * characters, repeatedly (1) count adjacent symbol pairs over the
