@@ -117,6 +117,7 @@ object SparkEntry {
     "pii_scan"          -> (TextAnalysis.piiScan(_, _)),
     "tfidf_keywords"    -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),
     "bm25_topk"         -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
+    "doc_chunks"        -> ((s, d) => TextAnalysis.docChunks(s, d)),
     "bpe_pairs"         -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     // iterative merge recurrences — no SQL oracle; BpeSpec verifies
     // the merge table AND per-doc encode counts exactly against a
@@ -963,6 +964,22 @@ object SparkEntry {
         |  FROM tf JOIN df USING (word), n)
         |SELECT doc_id, rnk, word, tf, df, tfidf
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "doc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                t -> t <> '') AS ts
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, ts,
+        |    unnest(generate_series(0, len(ts) - 1, 48)) AS start
+        |  FROM d WHERE len(ts) >= 1)
+        |SELECT doc_id,
+        |  CAST(start // 48 AS BIGINT) AS chunk_no,
+        |  CAST(start AS BIGINT) AS start,
+        |  CAST(len(ts[start + 1 : start + 64]) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(ts[start + 1 : start + 64], ' ')) AS fp
+        |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
     // ranking is on the ROUNDED score with doc_id tie-break, so the
     // top-k cut is cross-engine-stable even where raw float sums
     // differ in the last bits

@@ -340,6 +340,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Fixed-token chunking with overlap — the step between a raw
+    * document and [[graft.plans.PackSequences sequence packing]]:
+    * split each doc's token stream into windows of `chunkTokens`
+    * starting every `stride` tokens (overlap = chunkTokens − stride,
+    * the context carry-over a training pipeline keeps across chunk
+    * boundaries). Emits one row per chunk with its token count and a
+    * content fingerprint. Pure per-row array math staged in a
+    * projection (the generator carries only scalars per exploded
+    * row); zero shuffles — at 100 TB this is a map-only pass.
+    */
+  def docChunks(spark: SparkSession, dir: String,
+                chunkTokens: Int = 64, stride: Int = 48): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.wsTokens(lower(col("text"))).as("ts"))
+      .filter(size(col("ts")) >= 1)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0), size(col("ts")) - 1, lit(stride))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("bigint").as("chunk_no"),
+        col("start").cast("bigint").as("start"),
+        slice(col("ts"), col("start") + 1, lit(chunkTokens)).as("chunk"))
+      .select(col("doc_id"), col("chunk_no"), col("start"),
+        size(col("chunk")).cast("bigint").as("n_tok"),
+        md5(array_join(col("chunk"), " ")).as("fp"))
+      .orderBy("doc_id", "chunk_no")
+
   /** BM25 keyword retrieval over the documents table — the lexical
     * half of a retrieval stack (the embedding half is sim_topk/ANN):
     * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
