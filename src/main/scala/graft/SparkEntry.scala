@@ -118,6 +118,7 @@ object SparkEntry {
     "tfidf_keywords"    -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),
     "bm25_topk"         -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
     "doc_chunks"        -> ((s, d) => TextAnalysis.docChunks(s, d)),
+    "quality_rules"     -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "bpe_pairs"         -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     // iterative merge recurrences — no SQL oracle; BpeSpec verifies
     // the merge table AND per-doc encode counts exactly against a
@@ -134,6 +135,7 @@ object SparkEntry {
     "lm_score"          -> ((s, d) => TextAnalysis.lmScore(s, d)),
     "lm_score2"         -> ((s, d) => TextAnalysis.lmScore2(s, d)),
     "emb_quantize"      -> (Similarity.embQuantize(_, _)),
+    "emb_rp"            -> ((s, d) => Similarity.randomProjection(s, d)),
     // ---- dedup family ----
     "dedup_exact"   -> (Dedup.exact(_, _)),
     "dedup_ngram"   -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -603,6 +605,25 @@ object SparkEntry {
         |    x -> round(abs(CAST(x AS DOUBLE)) / scale) = 0)) AS BIGINT) AS n_zero
         |FROM s WHERE scale > 0
         |ORDER BY vec_id""".stripMargin,
+    // sign matrix = md5 parity, recomputed independently by DuckDB;
+    // ×1024 quantization makes every projected coordinate an exact
+    // integer both engines agree on
+    "emb_rp" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |u AS (
+        |  SELECT vec_id, j, qv[j + 1] AS val
+        |  FROM q, generate_series(0, 63) t(j)),
+        |s AS (
+        |  SELECT i, j, CASE WHEN substr(md5('rp:' || i || ':' || j), 1, 1)
+        |    BETWEEN '0' AND '7' THEN 1 ELSE -1 END AS sg
+        |  FROM generate_series(0, 31) a(i), generate_series(0, 63) b(j))
+        |SELECT u.vec_id, CAST(s.i AS BIGINT) AS dim,
+        |  CAST(sum(u.val * s.sg) AS BIGINT) AS p
+        |FROM u JOIN s USING (j)
+        |GROUP BY 1, 2 ORDER BY vec_id, dim""".stripMargin,
     "q2_min_cost" ->
       """WITH offers AS (
         |  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
@@ -980,6 +1001,34 @@ object SparkEntry {
         |  CAST(len(ts[start + 1 : start + 64]) AS BIGINT) AS n_tok,
         |  md5(array_to_string(ts[start + 1 : start + 64], ' ')) AS fp
         |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+    "quality_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS n_words,
+        |    round(CAST(list_sum(list_transform(ts, x -> length(x)))
+        |      AS DOUBLE) / len(ts), 6) AS mean_word_len,
+        |    round(len(list_filter(ts, x -> regexp_matches(x, '[a-zA-Z]')))
+        |      / CAST(len(ts) AS DOUBLE), 6) AS alpha_frac,
+        |    round(((length(text) - length(replace(text, '#', ''))) +
+        |      (length(text) - length(replace(text, '...', ''))) / 3)
+        |      / CAST(len(ts) AS DOUBLE), 6) AS symbol_ratio,
+        |    CAST(len(list_filter(ts, x -> list_contains(
+        |      ['the','a','of','and','is','to','in','that'], lower(x))))
+        |      AS BIGINT) AS n_stop
+        |  FROM t)
+        |SELECT *,
+        |  n_words BETWEEN 40 AND 100000 AS ok_words,
+        |  mean_word_len BETWEEN 3.0 AND 10.0 AS ok_mwl,
+        |  alpha_frac >= 0.8 AS ok_alpha,
+        |  symbol_ratio <= 0.1 AS ok_symbol,
+        |  n_stop >= 2 AS ok_stop,
+        |  (n_words BETWEEN 40 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND alpha_frac >= 0.8 AND symbol_ratio <= 0.1 AND n_stop >= 2 AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     // ranking is on the ROUNDED score with doc_id tie-break, so the
     // top-k cut is cross-engine-stable even where raw float sums
     // differ in the last bits

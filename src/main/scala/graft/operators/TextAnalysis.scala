@@ -558,4 +558,54 @@ object TextAnalysis {
           .as("lm2"))
       .orderBy("doc_id")
   }
+
+  /** Gopher-style rule bundle (Rae et al. 2021 §A1.1, adapted to the
+    * word level — the fixture has no line structure): per document,
+    * the five cheap filter signals a pretraining curation pass
+    * applies before any model-based scoring, each as its own boolean
+    * so downstream mixes can re-weigh rules without recomputing them,
+    * plus the conjunctive `keep`.
+    *
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [3, 10]; ≥ 80% of words contain an alphabetic character;
+    * symbol-to-word ratio (# and ... ) ≤ 0.1; ≥ 2 stopwords.
+    *
+    * One scan, zero shuffle: every signal is per-row array math over
+    * the token array (higher-order functions, evaluated once per doc
+    * because the tokenization is staged in its own projection —
+    * see [[TextFns.shinglesOf]] for why that matters). At 100 TB this
+    * is the cheapest possible shape: map-only, pipelined with the
+    * parquet scan, pruned to (doc_id, text).
+    */
+  def gopherRules(spark: SparkSession, dir: String,
+                  minWords: Int = 40, maxWords: Int = 100000): DataFrame = {
+    val feats = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), TextFns.wsTokens(col("text")).as("ts"))
+      .select(
+        col("doc_id"),
+        size(col("ts")).cast("long").as("n_words"),
+        round(aggregate(transform(col("ts"), t => length(t).cast("long")),
+          lit(0L), (a, b) => a + b).cast("double") / size(col("ts")), 6)
+          .as("mean_word_len"),
+        round(size(filter(col("ts"), t => t.rlike("[a-zA-Z]"))) /
+          size(col("ts")).cast("double"), 6).as("alpha_frac"),
+        round(((length(col("text")) -
+          length(regexp_replace(col("text"), "#", ""))) +
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3) /
+          size(col("ts")).cast("double"), 6).as("symbol_ratio"),
+        size(filter(col("ts"), t => lower(t).isin(
+          "the", "a", "of", "and", "is", "to", "in", "that")))
+          .cast("long").as("n_stop"))
+    feats.select(col("*"),
+        col("n_words").between(minWords, maxWords).as("ok_words"),
+        col("mean_word_len").between(3.0, 10.0).as("ok_mwl"),
+        (col("alpha_frac") >= 0.8).as("ok_alpha"),
+        (col("symbol_ratio") <= 0.1).as("ok_symbol"),
+        (col("n_stop") >= 2).as("ok_stop"))
+      .withColumn("keep",
+        col("ok_words") && col("ok_mwl") && col("ok_alpha") &&
+          col("ok_symbol") && col("ok_stop"))
+      .orderBy("doc_id")
+  }
 }

@@ -214,4 +214,48 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(strong.nonEmpty && strongRecall == 1.0,
       s"strong-pair recall=$strongRecall of ${strong.size}")
   }
+
+  test("random projection preserves cosine structure (JL property)") {
+    // compare exact 64-dim cosines with 32-dim projected cosines over
+    // ALL pairs of the sf0.001 corpus (500 vecs → 125k pairs). Floors
+    // are measured-on-fixture minus margin: corr 0.577 → 0.45; mean
+    // |err| 0.136 → 0.2; true-pair (≥0.45) projected mean 0.452 → 0.3
+    // with every such pair staying positive (min 0.105 → 0.0) — the
+    // separation property a blocking key actually needs.
+    val proj = Similarity.randomProjection(spark, sf)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1)
+      .map { case (id, rs) => id -> rs.sortBy(_._2).map(_._3.toDouble).toArray }
+    val orig = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .sortBy(_._1)
+      .map { case (id, v) => id -> v.map(_.toDouble) }
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i) }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val pairs = for { (a, va) <- orig; (b, vb) <- orig if a < b }
+      yield (cos(va, vb), cos(proj(a), proj(b)))
+    val errs = pairs.map { case (t, p) => math.abs(t - p) }
+    assert(errs.sum / errs.length <= 0.2,
+      s"mean |cos64 - cos32| = ${errs.sum / errs.length}")
+    val (ts, ps) = pairs.unzip
+    def corr(x: Seq[Double], y: Seq[Double]): Double = {
+      val n = x.length; val mx = x.sum / n; val my = y.sum / n
+      val cov = x.zip(y).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val sx = math.sqrt(x.map(a => (a - mx) * (a - mx)).sum)
+      val sy = math.sqrt(y.map(a => (a - my) * (a - my)).sum)
+      cov / (sx * sy)
+    }
+    val r = corr(ts, ps)
+    assert(r >= 0.45, s"similarity correlation after projection = $r")
+    val truePairs = pairs.filter(_._1 >= 0.45).map(_._2)
+    assert(truePairs.nonEmpty)
+    assert(truePairs.min > 0.0,
+      s"a true near-dup pair projected to ${truePairs.min}")
+    assert(truePairs.sum / truePairs.length >= 0.3,
+      s"true-pair projected mean = ${truePairs.sum / truePairs.length}")
+  }
 }

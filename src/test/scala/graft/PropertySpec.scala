@@ -66,4 +66,23 @@ class PropertySpec extends SparkSpec {
       .as[String].collect()
     assert(df.distinct.length == 1)
   }
+
+  test("gopher rules: keep is exactly the conjunction; signals in range") {
+    val rows = graft.operators.TextAnalysis.gopherRules(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val flags = Seq("ok_words", "ok_mwl", "ok_alpha", "ok_symbol", "ok_stop")
+        .map(f => r.getAs[Boolean](f))
+      assert(r.getAs[Boolean]("keep") == flags.forall(identity))
+      assert(r.getAs[Long]("n_words") > 0)
+      val af = r.getAs[Double]("alpha_frac")
+      assert(af >= 0.0 && af <= 1.0)
+      assert(r.getAs[Double]("mean_word_len") > 0.0)
+      assert(r.getAs[Double]("symbol_ratio") >= 0.0)
+    }
+    // the fixture is clean prose: the content rules must pass broadly
+    // (word-count band is the only rule expected to reject docs here)
+    val nOkAlpha = rows.count(_.getAs[Boolean]("ok_alpha"))
+    assert(nOkAlpha.toDouble / rows.length >= 0.95)
+  }
 }
