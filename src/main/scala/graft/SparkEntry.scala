@@ -160,6 +160,7 @@ object SparkEntry {
     // from it with partition pruning (the kv_roundtrip pattern)
     "ivf_index_topk" -> ((s, d) => Similarity.ivfIndexTopK(s, d)),
     "sem_dedup_keep" -> ((s, d) => Similarity.semanticKeep(s, d)),
+    "layout_zorder"  -> ((s, d) => graft.sources.Layout.zorderOrders(s, d)),
     // ---- multimodal plumbing ----
     "mm_meta"     -> (Multimodal.mediaMeta(_, _)),
     // REAL codec path: PNG/JPEG bytes encoded and decoded by
@@ -605,6 +606,27 @@ object SparkEntry {
         |    x -> round(abs(CAST(x AS DOUBLE)) / scale) = 0)) AS BIGINT) AS n_zero
         |FROM s WHERE scale > 0
         |ORDER BY vec_id""".stripMargin,
+    // Morton interleave replayed as the same shift/mask sum over the
+    // min/max-normalized 8-bit buckets
+    "layout_zorder" ->
+      """WITH d AS (
+        |  SELECT o_orderkey, o_custkey AS x,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS yday
+        |  FROM orders),
+        |s AS (SELECT min(x) xmn, max(x) xmx, min(yday) ymn, max(yday) ymx
+        |      FROM d),
+        |b AS (
+        |  SELECT o_orderkey, x, yday,
+        |    CAST(floor(((x - xmn) * 256) / (xmx - xmn + 1.0)) AS BIGINT) AS xb,
+        |    CAST(floor(((yday - ymn) * 256) / (ymx - ymn + 1.0)) AS BIGINT) AS yb
+        |  FROM d, s)
+        |SELECT o_orderkey, CAST(x AS BIGINT) AS x, CAST(yday AS BIGINT) AS yday,
+        |  CAST(sum((((xb >> j) & 1) << (2 * j)) +
+        |           (((yb >> j) & 1) << (2 * j + 1))) AS BIGINT) AS zkey
+        |FROM b, generate_series(0, 7) t(j)
+        |GROUP BY o_orderkey, x, yday
+        |ORDER BY o_orderkey""".stripMargin,
     // sign matrix = md5 parity, recomputed independently by DuckDB;
     // ×1024 quantization makes every projected coordinate an exact
     // integer both engines agree on

@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical data layout — the two storage-side levers that matter
@@ -88,4 +88,64 @@ object Layout {
       .join(spark.table("graft_orders_bkt").hint("merge"),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderkey"), col("o_orderpriority"), col("sum_qty"))
+
+  /** Morton/Z-order key: interleave the low `bits` bits of two
+    * non-negative integer columns — bit j of x lands at position 2j,
+    * bit j of y at 2j+1. Sorting by this key clusters rows so that
+    * EVERY file/row-group covers a small rectangle in (x, y) space:
+    * min/max stats then prune multi-dimensional predicates, where a
+    * linear sort only ever prunes its leading column. The third
+    * storage lever after partitioning and bucketing — what Delta's
+    * OPTIMIZE ZORDER BY does, as a plain column expression.
+    *
+    * Pure bit math (32 shift-and-mask terms summed over disjoint bit
+    * positions), codegen-friendly, zero shuffle to compute; the sort
+    * that USES it is one range exchange at write time.
+    */
+  def zorderKey(x: Column, y: Column, bits: Int = 16): Column =
+    (0 until bits).flatMap { j =>
+      Seq(shiftleft(shiftrightunsigned(x, j).bitwiseAND(lit(1L)), 2 * j),
+        shiftleft(shiftrightunsigned(y, j).bitwiseAND(lit(1L)), 2 * j + 1))
+    }.reduce(_ + _)
+
+  /** Z-order key over orders on (customer, order-day): the classic
+    * two-dimensional access pattern (per-customer history AND
+    * per-period reporting against the same table).
+    *
+    * Dimensions are first normalized to a common 8-bit range by
+    * global min/max — interleaving RAW values is the classic z-order
+    * pitfall: here yday spans 14 significant bits vs custkey's 8, so
+    * every high interleaved bit would come from yday alone and the
+    * "z" curve would degenerate to a plain date sort at file
+    * granularity (measured: the x query pruned 0 of 16 files). This
+    * is what Delta's OPTIMIZE ZORDER BY solves with range-partitioned
+    * ranks; min/max scaling keeps it a closed-form expression both
+    * engines replay. The min/max lookup is a 1-row broadcast scalar
+    * aggregate — one extra pass at write time, amortized over every
+    * pruned read.
+    *
+    * LayoutSpec writes the table range-partitioned by zkey and shows
+    * per-file bounding boxes prune BOTH single-dimension queries,
+    * where a custkey-sorted layout reads every file for a date
+    * predicate.
+    */
+  def zorderOrders(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        col("o_custkey").as("x"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+          .as("yday"))
+    val stats = dims.agg(
+      min(col("x")).as("xmn"), max(col("x")).as("xmx"),
+      min(col("yday")).as("ymn"), max(col("yday")).as("ymx"))
+    def bucket(c: Column, mn: Column, mx: Column): Column =
+      floor(((c - mn) * lit(256)).cast("double") / (mx - mn + lit(1)))
+        .cast("long")
+    dims.crossJoin(broadcast(stats))
+      .select(col("o_orderkey"), col("x"), col("yday"),
+        zorderKey(bucket(col("x"), col("xmn"), col("xmx")),
+          bucket(col("yday"), col("ymn"), col("ymx")), bits = 8)
+          .cast("long").as("zkey"))
+      .orderBy("o_orderkey")
+  }
 }

@@ -65,4 +65,44 @@ class LayoutSpec extends SparkSpec {
     val got = df.orderBy("o_orderkey").collect()
     assert(got.sameElements(expected))
   }
+
+  test("z-order layout: per-file stats prune BOTH dimensions; linear sort only one") {
+    // write the same rows twice, 16 files each: range-partitioned by
+    // zkey vs by x (the linear layout a custkey sort produces), then
+    // measure what min/max file stats can prune for single-dimension
+    // box queries — exactly the decision the parquet reader makes
+    // from row-group stats.
+    val zo = Layout.zorderOrders(spark, sf).cache()
+    val (xLo, xHi) = (10L, 30L)
+    val Array(dLo, dHi) = zo.agg(
+      expr("percentile(yday, 0.4)"), expr("percentile(yday, 0.6)"))
+      .collect()(0).toSeq.map(v => math.round(v.toString.toDouble)).toArray
+    def filesTouched(sortCol: String, dim: String, lo: Long, hi: Long): Int = {
+      val out = s"/tmp/graft_test_zorder_$sortCol"
+      zo.repartitionByRange(16, col(sortCol)).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+      val files = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      assert(files.length >= 12, s"expected ~16 files, got ${files.length}")
+      files.count { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col(dim)), max(col(dim))).collect()(0)
+        r.getLong(0) <= hi && r.getLong(1) >= lo // bbox overlaps query
+      }
+    }
+    val nFiles = 16
+    val zx = filesTouched("zkey", "x", xLo, xHi)
+    val zy = filesTouched("zkey", "yday", dLo, dHi)
+    val lx = filesTouched("x", "x", xLo, xHi)
+    val ly = filesTouched("x", "yday", dLo, dHi)
+    // linear-by-x: excellent on x, useless on yday (every file spans
+    // the full date range)
+    assert(lx <= nFiles / 2, s"x-sorted layout should prune x query: $lx")
+    assert(ly >= nFiles - 2, s"x-sorted layout can't prune yday: $ly")
+    // z-order: prunes BOTH dimensions meaningfully
+    assert(zx <= (nFiles * 3) / 4, s"zorder should prune x query: $zx")
+    assert(zy <= (nFiles * 3) / 4, s"zorder should prune yday query: $zy")
+    assert(zy < ly, s"zorder must beat linear on the non-leading dim: $zy vs $ly")
+    zo.unpersist()
+  }
 }
