@@ -161,6 +161,8 @@ object SparkEntry {
     "ivf_index_topk" -> ((s, d) => Similarity.ivfIndexTopK(s, d)),
     "sem_dedup_keep" -> ((s, d) => Similarity.semanticKeep(s, d)),
     "layout_zorder"  -> ((s, d) => graft.sources.Layout.zorderOrders(s, d)),
+    "emb_pq"         -> ((s, d) => Similarity.productQuantize(s, d)),
+    "emb_pq_recall"  -> ((s, d) => Similarity.pqRecall(s, d)),
     // ---- multimodal plumbing ----
     "mm_meta"     -> (Multimodal.mediaMeta(_, _)),
     // REAL codec path: PNG/JPEG bytes encoded and decoded by
@@ -1302,6 +1304,107 @@ object SparkEntry {
         |SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
         |       round(avg(sim), 6) AS mean_sim
         |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin,
+    // replays the PQ trainer bit-for-bit: per-subspace 2-pass Lloyd
+    // with integer-sum centroids (the emb_kmeans trick with the
+    // subspace id as one more grouping key)
+    "emb_pq" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS vq
+        |  FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, m, vq[m * 8 + 1 : m * 8 + 8] AS sv
+        |  FROM e, generate_series(0, 7) t(m)),
+        |c0 AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 32),
+        |s1 AS (
+        |  SELECT sub.vec_id, sub.m, sub.sv, c.code,
+        |    list_inner_product(sub.sv, c.cv) /
+        |      (sqrt(list_inner_product(sub.sv, sub.sv)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
+        |  FROM sub JOIN c0 c USING (m)),
+        |a1 AS (SELECT vec_id, m, sv, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |        ORDER BY sim DESC, code ASC) AS rn FROM s1)
+        |  WHERE rn = 1),
+        |c1 AS (
+        |  SELECT m, code, list(s ORDER BY i) AS cv FROM (
+        |    SELECT m, code, i, CAST(sum(sv[i]) AS BIGINT) AS s
+        |    FROM a1, generate_series(1, 8) t(i)
+        |    GROUP BY m, code, i)
+        |  GROUP BY m, code),
+        |s2 AS (
+        |  SELECT sub.vec_id, sub.m, c.code,
+        |    list_inner_product(sub.sv, c.cv) /
+        |      (sqrt(list_inner_product(sub.sv, sub.sv)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
+        |  FROM sub JOIN c1 c USING (m)),
+        |a2 AS (SELECT vec_id, m, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |        ORDER BY sim DESC, code ASC) AS rn FROM s2)
+        |  WHERE rn = 1)
+        |SELECT vec_id, m, code FROM a2 ORDER BY vec_id, m""".stripMargin,
+    // continues emb_pq's replay through ADC serving: reconstruct each
+    // corpus vector from its codebook centroids, rank by exact-integer
+    // cosine, and compare with the exact top-k — the recall VALUES
+    // themselves hash-match, not just a pinned bound
+    "emb_pq_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS vq
+        |  FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, m, vq[m * 8 + 1 : m * 8 + 8] AS sv
+        |  FROM e, generate_series(0, 7) t(m)),
+        |c0 AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 32),
+        |s1 AS (
+        |  SELECT sub.vec_id, sub.m, sub.sv, c.code,
+        |    list_inner_product(sub.sv, c.cv) /
+        |      (sqrt(list_inner_product(sub.sv, sub.sv)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
+        |  FROM sub JOIN c0 c USING (m)),
+        |a1 AS (SELECT vec_id, m, sv, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |        ORDER BY sim DESC, code ASC) AS rn FROM s1)
+        |  WHERE rn = 1),
+        |c1 AS (
+        |  SELECT m, code, list(s ORDER BY i) AS cv FROM (
+        |    SELECT m, code, i, CAST(sum(sv[i]) AS BIGINT) AS s
+        |    FROM a1, generate_series(1, 8) t(i)
+        |    GROUP BY m, code, i)
+        |  GROUP BY m, code),
+        |s2 AS (
+        |  SELECT sub.vec_id, sub.m, c.code,
+        |    list_inner_product(sub.sv, c.cv) /
+        |      (sqrt(list_inner_product(sub.sv, sub.sv)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
+        |  FROM sub JOIN c1 c USING (m)),
+        |a2 AS (SELECT vec_id, m, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |        ORDER BY sim DESC, code ASC) AS rn FROM s2)
+        |  WHERE rn = 1),
+        |recon AS (
+        |  SELECT a2.vec_id AS cid, flatten(list(c.cv ORDER BY a2.m)) AS rv
+        |  FROM a2 JOIN c1 c ON a2.m = c.m AND a2.code = c.code
+        |  GROUP BY a2.vec_id),
+        |q AS (SELECT vec_id AS qid, vq AS qv FROM e WHERE vec_id < 8),
+        |adc AS (SELECT qid, cid FROM (
+        |    SELECT q.qid, r.cid, row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_inner_product(q.qv, r.rv) /
+        |        (sqrt(list_inner_product(q.qv, q.qv)) *
+        |         sqrt(list_inner_product(r.rv, r.rv))) DESC, r.cid ASC) AS rn
+        |    FROM q JOIN recon r ON r.cid <> q.qid)
+        |  WHERE rn <= 50),
+        |ex AS (SELECT qid, cid FROM (
+        |    SELECT q.qid, e.vec_id AS cid, row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_inner_product(q.qv, e.vq) /
+        |        (sqrt(list_inner_product(q.qv, q.qv)) *
+        |         sqrt(list_inner_product(e.vq, e.vq))) DESC, e.vec_id ASC) AS rn
+        |    FROM q JOIN e ON e.vec_id <> q.qid)
+        |  WHERE rn <= 5)
+        |SELECT ex.qid,
+        |  round(count(adc.cid) / CAST(count(*) AS DOUBLE), 6) AS recall
+        |FROM ex LEFT JOIN adc ON ex.qid = adc.qid AND ex.cid = adc.cid
+        |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin,
     // replays the WHOLE index lifecycle: the 2-pass quantized k-means
     // (same CTEs as emb_kmeans), integer-exact centroid routing to
     // nProbe=2 cells, membership lookup, exact-cosine serve — so the
