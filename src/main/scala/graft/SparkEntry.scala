@@ -1165,9 +1165,20 @@ object SparkEntry {
         |sh AS (SELECT DISTINCT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
         |   for i in range(1, len(t) - 1)]) AS shingle FROM toks WHERE len(t) >= 3),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |mh AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
-        |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
-        |bk AS (SELECT doc_id, i // 4 AS band, md5(string_agg(h, '|' ORDER BY i)) AS bucket
+        |hh AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(substring(md5(shingle), 1, 12), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) AS h1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(substring(md5(shingle), 13, 12), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) AS h2
+        |  FROM sh),
+        |mh AS (SELECT doc_id, i, min((h1 + i * h2) & 281474976710655) AS h
+        |  FROM hh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+        |bk AS (SELECT doc_id, i // 4 AS band,
+        |    md5(string_agg(CAST(h AS VARCHAR), '|' ORDER BY i)) AS bucket
         |  FROM mh GROUP BY doc_id, i // 4),
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x JOIN bk y
         |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),

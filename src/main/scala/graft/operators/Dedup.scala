@@ -272,19 +272,34 @@ object Dedup {
                     k: Int = 16, bands: Int = 4,
                     minJ: Double = 0.2): DataFrame = {
     val rows = k / bands
+    val mask = (1L << 48) - 1
     val sh = docShingles(spark, dir, n)
+    // Kirsch-Mitzenmacher double hashing: ONE md5 per shingle, split
+    // into two 48-bit halves (hex chars 1-12 / 13-24); permutation i
+    // is (h1 + i·h2) & (2^48-1). Replaces k independent
+    // md5(i ++ shingle) calls per shingle — 16× less hashing, which
+    // at 100 TB is the dominant map-side cost of MinHash — while
+    // staying closed-form enough for DuckDB to replay bit-for-bit.
+    // i·h2 ≤ 15·2^48 + 2^48 < 2^63: no overflow in the long.
+    val h12 = (s: org.apache.spark.sql.Column) => struct(
+      conv(substring(md5(s), 1, 12), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(s), 13, 12), 16, 10).cast("long").as("h2"))
     val docs = sh.groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("shset"))
       .select(col("doc_id"), col("shset"), size(col("shset")).as("sz"),
+        transform(col("shset"), s => h12(s)).as("hs"))
+      .select(col("doc_id"), col("shset"), col("sz"),
         transform(sequence(lit(0), lit(k - 1)),
-          i => array_min(transform(col("shset"),
-            s => md5(concat(i.cast("string"), lit(":"), s))))).as("sig"))
+          i => array_min(transform(col("hs"), p =>
+            (p.getField("h1") + i * p.getField("h2"))
+              .bitwiseAND(lit(mask))))).as("sig"))
       .cache()
     val banded = docs.select(
       col("doc_id"),
       posexplode(array((0 until bands).map(bd =>
         md5(concat_ws("|",
-          (0 until rows).map(r => col("sig").getItem(bd * rows + r)): _*))
+          (0 until rows).map(r => col("sig").getItem(bd * rows + r)
+            .cast("string")): _*))
       ): _*)).as(Seq("band", "bucket")))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
