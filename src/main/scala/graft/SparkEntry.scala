@@ -146,6 +146,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashPairsMd5(s, d)),
     "dedup_blocks"  -> ((s, d) => Dedup.blockDedup(s, d)),
+    "dedup_prune"   -> ((s, d) => Dedup.boilerplatePrune(s, d)),
     "dedup_winnow"  -> ((s, d) => Dedup.winnowPairs(s, d)),
     // ---- similarity search ----
     "sim_topk"    -> ((s, d) => Similarity.bruteForceTopK(s, d)),
@@ -507,6 +508,24 @@ object SparkEntry {
         |    AS n_shared,
         |  round(count(*) FILTER (h IN (SELECT h FROM shared))
         |    / CAST(count(*) AS DOUBLE), 6) AS shared_ratio
+        |FROM blocks GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_prune" ->
+      """WITH blocks AS (
+        |  SELECT doc_id, b.pos, b.block, md5(b.block) AS h
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest([{'pos': i, 'block': substring(text, CAST(i * 64 + 1 AS INT), 64)}
+        |              for i in range(CAST(ceil(length(text) / 64.0) AS BIGINT))]) AS b
+        |    FROM documents WHERE length(text) > 0)),
+        |boiler AS (
+        |  SELECT h FROM blocks GROUP BY h HAVING count(DISTINCT doc_id) > 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(count(*) FILTER (h NOT IN (SELECT h FROM boiler)) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(coalesce(sum(length(block))
+        |    FILTER (h NOT IN (SELECT h FROM boiler)), 0) AS BIGINT) AS kept_chars,
+        |  md5(string_agg(CASE WHEN h NOT IN (SELECT h FROM boiler)
+        |                      THEN block ELSE '' END, '' ORDER BY pos)) AS kept_md5
         |FROM blocks GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_winnow" ->
       """WITH toks AS (

@@ -218,6 +218,52 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Boilerplate REMOVAL with document reconstruction — the step
+    * after [[blockDedup]]'s detection: drop every fixed-size block
+    * whose digest occurs in more than maxDf distinct documents
+    * (headers/footers/navigation shared corpus-wide), stitch the
+    * surviving blocks back together in position order, and emit the
+    * cleaned document's stats plus the md5 of the reconstructed text
+    * (so the whole prune is hash-verifiable end-to-end — the oracle
+    * re-derives the cleaned text independently).
+    *
+    * 100 TB shape: the boilerplate set is digests with df > maxDf — a
+    * tiny fraction of the corpus — broadcast to the block stream. Raw
+    * text shuffles exactly once (the per-doc reconstruction groupBy,
+    * unavoidable for reassembly and bounded per key by the largest
+    * single document). The df aggregation itself carries only 16-byte
+    * digests with map-side partial aggregation.
+    */
+  def boilerplatePrune(spark: SparkSession, dir: String,
+                       blockLen: Int = 64, maxDf: Int = 2): DataFrame = {
+    val blocks = Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(
+             |  sequence(0, cast(ceil(length(text) / $blockLen.0) as int) - 1),
+             |  i -> substring(text, i * $blockLen + 1, $blockLen))
+             |""".stripMargin)).as(Seq("pos", "block")))
+      .withColumn("h", md5(col("block")))
+    val boiler = blocks.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("h").as("bh"))
+    blocks
+      .join(broadcast(boiler), col("h") === col("bh"), "left_outer")
+      // kb: the block's contribution to the cleaned text ("" if pruned)
+      .select(col("doc_id"), col("pos"),
+        when(col("bh").isNull, col("block")).otherwise(lit("")).as("kb"),
+        when(col("bh").isNull, 1L).otherwise(0L).as("keep"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("keep")).as("n_kept"),
+        sum(length(col("kb")).cast("long")).as("kept_chars"),
+        expr("md5(concat_ws('', transform(sort_array(collect_list(struct(pos, kb))), s -> s.kb)))")
+          .as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Fixed-block winnowing fingerprints over word k-gram shingles:
     * hash every shingle, keep only the MINIMUM hash of each
     * non-overlapping w-shingle block. Any shared run of ≥ 2w+k−2

@@ -55,6 +55,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall=$recall over ${exact.size} true pairs")
   }
 
+  test("boilerplate prune: reconstruction exact for untouched docs, bounded for pruned") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("full_md5"),
+        length(col("text")).cast("long").as("len"))
+    val pruned = Dedup.boilerplatePrune(spark, sf).join(docs, "doc_id")
+      .as[(Long, Long, Long, Long, String, String, Long)].collect()
+    assert(pruned.nonEmpty)
+    var touched = 0
+    pruned.foreach { case (id, nBlocks, nKept, keptChars, keptMd5, fullMd5, len) =>
+      assert(nKept <= nBlocks && keptChars <= len, s"doc $id bounds")
+      if (nKept == nBlocks) // nothing pruned → reconstruction must be byte-identical
+        assert(keptMd5 == fullMd5, s"doc $id reconstruction drifted")
+      else touched += 1
+    }
+    assert(touched > 0, "fixture should contain boilerplate blocks (df > 2)")
+  }
+
   test("dedup clusters: consistent with the pair graph") {
     val clusters = Dedup.dedupClusters(spark, sf, minJ = 0.5)
       .as[(Long, Long, String)].collect()
