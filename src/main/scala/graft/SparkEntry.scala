@@ -150,6 +150,7 @@ object SparkEntry {
     "dedup_winnow"  -> ((s, d) => Dedup.winnowPairs(s, d)),
     // ---- similarity search ----
     "sim_topk"    -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "hybrid_rrf"  -> ((s, d) => Similarity.hybridRrf(s, d)),
     "sim_neardup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     "sim_ann"     -> ((s, d) => Similarity.annTopK(s, d)),
     "sim_ann_md5" -> ((s, d) => Similarity.annTopKMd5(s, d)),
@@ -1216,6 +1217,43 @@ object SparkEntry {
         |r AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk FROM s)
         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, round(sim, 6) AS sim
         |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "hybrid_rrf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ds AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    list_cosine_similarity(q.v, c.v) AS sim
+        |  FROM e q JOIN e c
+        |    ON q.vec_id % 10 = 0 AND q.vec_id < 50 AND q.vec_id <> c.vec_id),
+        |dense AS (SELECT qid, cid, rd FROM (
+        |  SELECT qid, cid, row_number() OVER
+        |    (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rd FROM ds)
+        |  WHERE rd <= 20),
+        |tok AS (SELECT doc_id,
+        |    list_distinct(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                              x -> x <> '')) AS ts
+        |  FROM documents),
+        |ls AS (SELECT q.doc_id AS qid, c.doc_id AS cid,
+        |    len(list_intersect(q.ts, c.ts)) /
+        |      CAST(len(q.ts) + len(c.ts) - len(list_intersect(q.ts, c.ts)) AS DOUBLE)
+        |      AS sim
+        |  FROM tok q JOIN tok c
+        |    ON q.doc_id % 10 = 0 AND q.doc_id < 50 AND q.doc_id <> c.doc_id),
+        |lex AS (SELECT qid, cid, rl FROM (
+        |  SELECT qid, cid, row_number() OVER
+        |    (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rl FROM ls)
+        |  WHERE rl <= 20),
+        |fused AS (
+        |  SELECT coalesce(dense.qid, lex.qid) AS qid,
+        |    coalesce(dense.cid, lex.cid) AS cid,
+        |    coalesce(1.0 / (60 + rd), 0) + coalesce(1.0 / (60 + rl), 0) AS rrf,
+        |    CAST(coalesce(rd, 0) AS BIGINT) AS r_dense,
+        |    CAST(coalesce(rl, 0) AS BIGINT) AS r_lex
+        |  FROM dense FULL OUTER JOIN lex
+        |    ON dense.qid = lex.qid AND dense.cid = lex.cid)
+        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, round(rrf, 6) AS rrf,
+        |  r_dense, r_lex
+        |FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY qid ORDER BY rrf DESC, cid ASC) AS rnk FROM fused)
+        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
     // replays the ENTIRE md5-family SimHash pipeline: 60-bit token
     // hashes from the first 15 md5 hex chars (16 would overflow
     // signed BIGINT mid-fold), per-bit votes over distinct tokens,

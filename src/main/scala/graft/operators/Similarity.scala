@@ -138,6 +138,67 @@ object Similarity {
       .filter(col("rnk") <= kk)
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (RRF) — the fusion
+    * step a modern retrieval/RAG stack runs over one dense and one
+    * lexical ranker. Query-by-example: the query IS a document
+    * (doc_id and vec_id are 1:1 in the fixture), the DENSE list ranks
+    * by embedding cosine, the LEXICAL list by distinct-token Jaccard
+    * over the document text; each list is cut to top-n per query and
+    * fused as Σ 1/(c + rank), items missing from a list contributing
+    * 0. Ranks — not raw scores — cross the fusion boundary, which is
+    * the point of RRF: no calibration needed between cosine-shaped
+    * and Jaccard-shaped score distributions.
+    *
+    * 100 TB shape: both scorers broadcast the tiny query side and
+    * stream the corpus map-side; each list goes through the two-phase
+    * top-k (per-partition bounded heaps, then a window over ≤ n·P
+    * survivors), so there is no per-query single-task funnel. The
+    * fusion join and final window touch ≤ 2n rows per query.
+    */
+  def hybridRrf(spark: SparkSession, dir: String,
+                nQueries: Int = 5, spacing: Int = 10, n: Int = 20,
+                k: Int = 10, c: Int = 60): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val ndot = graft.functions.GraftFunctions.dot _
+    def isQ(id: org.apache.spark.sql.Column) =
+      id % spacing === 0 && id < nQueries * spacing
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+    val qv = emb.filter(isQ(col("vec_id")))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val cv = emb.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val dense = twoPhaseTopK(spark,
+      cv.join(broadcast(qv), col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          (ndot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim")),
+      n).select(col("qid"), col("cid"), col("rnk").as("rd"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_distinct(graft.functions.TextFns.alphaTokens(lower(col("text")))).as("ts"))
+    val qt = toks.filter(isQ(col("doc_id")))
+      .select(col("doc_id").as("qid"), col("ts").as("qs"))
+    val lex = twoPhaseTopK(spark,
+      toks.join(broadcast(qt), col("qid") =!= col("doc_id"))
+        .select(col("qid"), col("doc_id").as("cid"),
+          (size(array_intersect(col("qs"), col("ts"))).cast("double") /
+            size(array_union(col("qs"), col("ts")))).as("sim")),
+      n).select(col("qid"), col("cid"), col("rnk").as("rl"))
+    val fused = dense.join(lex, Seq("qid", "cid"), "full_outer")
+      .select(col("qid"), col("cid"),
+        (coalesce(lit(1.0) / (lit(c) + col("rd")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rl")), lit(0.0))).as("rrf"),
+        coalesce(col("rd"), lit(0L)).as("r_dense"),
+        coalesce(col("rl"), lit(0L)).as("r_lex"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("rrf").desc, col("cid").asc)
+    fused.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"),
+        round(col("rrf"), 6).as("rrf"), col("r_dense"), col("r_lex"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Embedding-cosine near-duplicate pairs: pairs with cosine ≥
     * minSim, candidate-blocked by a DERIVED coarse-quantization cell —
     * no ground-truth column involved, so the operator runs on any

@@ -110,6 +110,26 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hybrid RRF: fusion arithmetic exact, members come from a source list") {
+    val rows = Similarity.hybridRrf(spark, sf)
+      .as[(Long, Long, Long, Double, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val qids = rows.map(_._1).distinct
+    assert(qids.forall(q => q % 10 == 0 && q < 50))
+    rows.foreach { case (_, rnk, _, rrf, rd, rl) =>
+      assert(rnk >= 1 && rnk <= 10)
+      assert(rd > 0 || rl > 0, "fused item must appear in at least one list")
+      val expect = (if (rd > 0) 1.0 / (60 + rd) else 0.0) +
+        (if (rl > 0) 1.0 / (60 + rl) else 0.0)
+      assert(math.abs(rrf - expect) < 1e-6, s"rrf drifted: $rrf vs $expect")
+    }
+    // an item ranked #1 in BOTH lists must fuse to the top slot
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      rs.find(r => r._5 == 1 && r._6 == 1)
+        .foreach(r => assert(r._2 == 1, "double-#1 item must rank first"))
+    }
+  }
+
   test("cosine of a vector with itself is 1") {
     val one = Seq((Seq(0.6, 0.8), Seq(0.6, 0.8))).toDF("a", "b")
       .select(Similarity.cosine(col("a"), col("b")).as("c"))
