@@ -130,6 +130,7 @@ object SparkEntry {
     "contamination"     -> ((s, d) => Curation.benchmarkContamination(s, d)),
     "cross_dedup"       -> ((s, d) => Curation.crossDedup(s, d)),
     "quality_gate"      -> (Curation.qualityGate(_, _)),
+    "curate_pipeline"   -> (Curation.curatePipeline(_, _)),
     "mixture_sample"    -> (Curation.mixtureSample(_, _)),
     "stratified_sample" -> (Curation.stratifiedSample(_, _)),
     "lm_score"          -> ((s, d) => TextAnalysis.lmScore(s, d)),
@@ -1015,6 +1016,34 @@ object SparkEntry {
         | count(*) AS n_total
         |FROM documents d JOIN med m ON d.source = m.source
         |GROUP BY d.source, m.median_chars ORDER BY d.source""".stripMargin,
+    "curate_pipeline" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text, n_chars,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |      AS n_toks
+        |  FROM documents),
+        |gated AS (SELECT * FROM d WHERE n_chars >= 80 AND n_toks >= 20),
+        |kept AS (
+        |  SELECT arg_min(source, doc_id) AS source,
+        |         arg_min(n_toks, doc_id) AS n_toks
+        |  FROM gated GROUP BY md5(text)),
+        |funnel AS (
+        |  SELECT a.source, a.n_docs,
+        |    coalesce(g.n_gated, 0) AS n_gated,
+        |    coalesce(k.n_kept, 0) AS n_kept,
+        |    coalesce(k.tokens_kept, 0) AS tokens_kept
+        |  FROM (SELECT source, count(*) AS n_docs FROM d GROUP BY source) a
+        |  LEFT JOIN (SELECT source, count(*) AS n_gated FROM gated
+        |             GROUP BY source) g ON a.source = g.source
+        |  LEFT JOIN (SELECT source, count(*) AS n_kept,
+        |               sum(n_toks) AS tokens_kept FROM kept
+        |             GROUP BY source) k ON a.source = k.source)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_gated AS BIGINT) AS n_gated, CAST(n_kept AS BIGINT) AS n_kept,
+        |  CAST(tokens_kept AS BIGINT) AS tokens_kept,
+        |  round(tokens_kept / CAST((SELECT sum(tokens_kept) FROM funnel)
+        |    AS DOUBLE), 6) AS token_share
+        |FROM funnel ORDER BY source""".stripMargin,
     "tfidf_keywords" ->
       """WITH tok AS (SELECT doc_id,
         |  unnest(string_split_regex(lower(text), '[^a-z]+')) AS word FROM documents),

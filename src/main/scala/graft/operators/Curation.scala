@@ -96,6 +96,46 @@ object Curation {
       .orderBy("source")
   }
 
+  /** End-to-end curation funnel — the composite run a training-data
+    * pipeline actually executes, as ONE query: (1) GATE on cheap
+    * per-doc stats (min chars, min whitespace tokens), (2) exact-DEDUP
+    * the survivors keeping the lowest doc_id per text digest, (3)
+    * report the per-source funnel (docs in → gated → kept), the kept
+    * token budget, and each source's share of the final token mix —
+    * the numbers a mixture designer reads before training.
+    *
+    * 100 TB shape: one corpus scan computes the gate predicate and
+    * token counts map-side; the only corpus-sized shuffle is the
+    * dedup groupBy on the 16-byte digest (min_by carries the keeper's
+    * source/token count through partial aggregation — no join back to
+    * the corpus); the funnel aggregations then run on per-source
+    * partial counts, and the share denominator is a 1-row broadcast.
+    */
+  def curatePipeline(spark: SparkSession, dir: String,
+                     minChars: Int = 80, minToks: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        col("n_chars"), TextFns.nTokens(col("text")).cast("long").as("n_toks"))
+    val gated = docs.filter(col("n_chars") >= minChars && col("n_toks") >= minToks)
+    val kept = gated.groupBy(md5(col("text")).as("h"))
+      .agg(min_by(col("source"), col("doc_id")).as("source"),
+        min_by(col("n_toks"), col("doc_id")).as("n_toks"))
+    val funnel = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(gated.groupBy(col("source")).agg(count(lit(1)).as("n_gated")),
+        Seq("source"), "left")
+      .join(kept.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("n_toks")).as("tokens_kept")),
+        Seq("source"), "left")
+      .na.fill(0L, Seq("n_gated", "n_kept", "tokens_kept"))
+    val total = funnel.agg(sum(col("tokens_kept")).as("tokens_total"))
+    funnel.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_gated"), col("n_kept"),
+        col("tokens_kept"),
+        round(col("tokens_kept") / col("tokens_total").cast("double"), 6)
+          .as("token_share"))
+      .orderBy("source")
+  }
+
   def benchmarkContamination(spark: SparkSession, dir: String,
                              benchMax: Long = 20, n: Int = 3): DataFrame = {
     val sh = Dedup.docShingles(spark, dir, n)

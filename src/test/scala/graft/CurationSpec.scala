@@ -7,6 +7,24 @@ import org.apache.spark.sql.functions._
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("curation funnel: monotone per source, shares sum to 1, dedup consistent") {
+    val rows = Curation.curatePipeline(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, nGated, nKept, toksKept, share) =>
+      assert(nKept <= nGated && nGated <= nDocs, s"$src funnel not monotone")
+      assert((nKept == 0) == (toksKept == 0), s"$src token/doc mismatch")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+    assert(math.abs(rows.map(_._6).sum - 1.0) < 1e-4, "shares must sum to 1")
+    // total kept docs == distinct gated texts (the dedup stage's contract)
+    val gated = Tables.documents(spark, sf)
+      .filter(col("n_chars") >= 80 &&
+        graft.functions.TextFns.nTokens(col("text")) >= 20)
+    val distinctTexts = gated.select(md5(col("text"))).distinct().count()
+    assert(rows.map(_._4).sum == distinctTexts)
+  }
+
   test("stratified sample: exactly min(n, group size) per group, deterministic") {
     val n = 50
     val sizes = Tables.documents(spark, sf).groupBy("lang").count()
