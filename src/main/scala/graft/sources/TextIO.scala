@@ -27,6 +27,27 @@ object TextIO {
     spark.read.text(paths: _*)
       .select(input_file_name().as("file"), col("value").as("line"))
 
+  /** Robust JSONL ingestion: explicit schema (no inference pass — at
+    * 100 TB inference is a full extra read), PERMISSIVE parse, and
+    * malformed lines QUARANTINED into `_corrupt_record` instead of
+    * killing the job — on a web-scale corpus some fraction of lines
+    * is always broken, and dropping them silently (or dying on the
+    * first one) are both wrong defaults. Callers split the result on
+    * `_corrupt_record IS NULL` into clean rows and a quarantine sink.
+    *
+    * Spark caveat encoded here: a query that selects ONLY the corrupt
+    * column is disallowed (the parser would need to re-run), so the
+    * quarantine split must keep at least one data column — the spec
+    * pins this usage.
+    */
+  def readJsonlRobust(spark: SparkSession, paths: Seq[String],
+                      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(paths: _*)
+
   /** The reference EP1 pipeline over raw text files: tokenize (alpha
     * runs) → count per word. Equivalent of
     * `spark.read.textFile(files) |> MapFunc |> shuffle |> ReduceFunc`.

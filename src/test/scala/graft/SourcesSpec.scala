@@ -37,6 +37,36 @@ class SourcesSpec extends SparkSpec {
       orig.as[(Long, String, String, String)].collect().toSet)
   }
 
+  test("robust jsonl read quarantines corrupt lines without losing clean rows") {
+    val dir = Files.createTempDirectory("graft-jsonl-bad").toFile.getAbsolutePath
+    val lines = Seq(
+      """{"doc_id": 1, "text": "alpha beta"}""",
+      """{"doc_id": 2, "text": "gamma""",          // truncated json
+      """{"doc_id": 3, "text": "delta epsilon"}""",
+      """not json at all""",
+      """{"doc_id": 4, "text": "zeta"}""")
+    Files.write(java.nio.file.Paths.get(dir, "part-0.jsonl"),
+      lines.mkString("\n").getBytes)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val df = graft.sources.TextIO.readJsonlRobust(spark, Seq(dir), schema)
+    val rows = df.select("doc_id", "text", "_corrupt_record").collect()
+    assert(rows.length == 5, "PERMISSIVE keeps every input line")
+    val clean = rows.filter(_.isNullAt(2))
+    val quarantined = rows.filter(!_.isNullAt(2))
+    assert(clean.map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+    assert(quarantined.length == 2)
+    assert(quarantined.forall(r => r.isNullAt(0) && r.isNullAt(1)),
+      "corrupt rows must not half-parse")
+    // DROPMALFORMED is the lossy alternative — count must match clean
+    val dropped = spark.read.schema(schema)
+      .option("mode", "DROPMALFORMED").json(dir)
+    assert(dropped.count() == 3)
+  }
+
   test("KV DataSource V2 round-trips writeKV output exactly") {
     val out = Files.createTempDirectory("graft-kv-v2").toFile.getAbsolutePath + "/wc"
     val wc = graft.operators.WordCount.alpha(spark, sf)
