@@ -116,19 +116,29 @@ object Curation {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"),
         col("n_chars"), TextFns.nTokens(col("text")).cast("long").as("n_toks"))
-    val gated = docs.filter(col("n_chars") >= minChars && col("n_toks") >= minToks)
-    val kept = gated.groupBy(md5(col("text")).as("h"))
+    val gate = col("n_chars") >= minChars && col("n_toks") >= minToks
+    // in/gated counts share ONE scan via conditional aggregation; the
+    // kept pipeline is the only other pass (its digest shuffle is the
+    // query's one corpus-sized exchange)
+    val kept = docs.filter(gate).groupBy(md5(col("text")).as("h"))
       .agg(min_by(col("source"), col("doc_id")).as("source"),
         min_by(col("n_toks"), col("doc_id")).as("n_toks"))
-    val funnel = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-      .join(gated.groupBy(col("source")).agg(count(lit(1)).as("n_gated")),
-        Seq("source"), "left")
+    val funnel = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(gate, 1L).otherwise(0L)).as("n_gated"))
       .join(kept.groupBy(col("source"))
           .agg(count(lit(1)).as("n_kept"), sum(col("n_toks")).as("tokens_kept")),
         Seq("source"), "left")
-      .na.fill(0L, Seq("n_gated", "n_kept", "tokens_kept"))
-    val total = funnel.agg(sum(col("tokens_kept")).as("tokens_total"))
-    funnel.crossJoin(broadcast(total))
+      .na.fill(0L, Seq("n_kept", "tokens_kept"))
+    // share denominator: a global window over the FUNNEL frame (one
+    // row per source — bounded, tiny), not a crossJoin with a re-run
+    // of the kept pipeline: Catalyst does not dedupe the common
+    // subplan, so the 1-row-aggregate form costs a second corpus scan
+    // + digest shuffle (verified in the physical plan)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    funnel
+      .withColumn("tokens_total", sum(col("tokens_kept")).over(wAll))
       .select(col("source"), col("n_docs"), col("n_gated"), col("n_kept"),
         col("tokens_kept"),
         round(col("tokens_kept") / col("tokens_total").cast("double"), 6)

@@ -93,6 +93,41 @@ class PlanRewriteSpec extends SparkSpec {
     assert(df.collect().toSeq == ref.collect().toSeq)
   }
 
+  test("hybrid_rrf: both rankers two-phase, scoring joins broadcast the query side") {
+    val plan = graft.operators.Similarity.hybridRrf(spark, sf)
+      .queryExecution.executedPlan.toString
+    // each ranked list passes through a map-side bounded-heap phase
+    assert("MapPartitions".r.findAllIn(plan).size == 2,
+      s"expected 2 map-side selection phases:\n$plan")
+    // corpus streams against a broadcast query side — dense is a
+    // broadcast NLJ (inequality condition), lexical a broadcast join
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // no per-query window ever sees raw corpus-sized scored rows: the
+    // first (fusion) window sits above every MapPartitions phase
+    assert(plan.indexOf("Window") < plan.indexOf("MapPartitions"), plan)
+  }
+
+  test("dedup_prune: boilerplate set broadcast, reconstruction is one partial agg") {
+    val plan = graft.operators.Dedup.boilerplatePrune(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"boiler join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no corpus-sized join allowed:\n$plan")
+    // reconstruction: partial collect_list below the doc_id exchange
+    assert(plan.contains("partial_collect_list"), plan)
+  }
+
+  test("curate_pipeline: two corpus scans, one digest shuffle, no corpus window") {
+    val df = graft.operators.Curation.curatePipeline(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(plan).size == 2,
+      s"funnel counts must share one scan (2 total):\n$plan")
+    // the share denominator is a window over the per-source funnel
+    // frame, never a re-run of the kept pipeline
+    // one partial+final stage pair → exactly 2 SortAggregate nodes
+    assert("SortAggregate".r.findAllIn(plan).size == 2,
+      s"kept pipeline must run once:\n$plan")
+  }
+
   test("emb_kmeans: centroids broadcast, argmax is partial-agg, no corpus window") {
     val df = graft.operators.Similarity.embKmeans(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
