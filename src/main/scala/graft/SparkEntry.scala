@@ -172,6 +172,9 @@ object SparkEntry {
     // javax.imageio; the oracle recomputes dims + the lossless PNG
     // pixel sum from the generating formulas
     "mm_features" -> (Multimodal.imageFeatures(_, _)),
+    // perceptual dedup over REAL decoded PNG bytes; integer-exact
+    // average hash, so the oracle replays decode→hash→bands→verify
+    "mm_phash_dedup" -> ((s, d) => Multimodal.phashDedup(s, d)),
     // ---- sequence packing (custom LogicalPlan+SparkPlan; no SQL
     //      oracle: greedy packing is a sequential recurrence —
     //      PackingSpec pins budget/density/determinism invariants) ----
@@ -1635,6 +1638,57 @@ object SparkEntry {
         |        y -> (media_id * 31 + x * 17 + y * 29) % 256)))) AS BIGINT)
         |  ELSE NULL END AS pix_sum
         |FROM m ORDER BY media_id""".stripMargin,
+    "mm_phash_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id AS base, FALSE AS flip
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, TRUE
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |dims AS (
+        |  SELECT media_id, base, flip,
+        |    CAST(8 + (base * 7) % 40 AS BIGINT) AS w,
+        |    CAST(8 + (base * 13) % 40 AS BIGINT) AS h
+        |  FROM ids),
+        |tot AS (
+        |  SELECT media_id, w, h,
+        |    list_sum(flatten(list_transform(generate_series(0, w - 1),
+        |      x -> list_transform(generate_series(0, h - 1),
+        |        y -> CASE WHEN flip AND x = 0 AND y = 0
+        |              THEN ((base*31 + x*17 + y*29) % 256 + 128) % 256
+        |              ELSE (base*31 + x*17 + y*29) % 256 END)))) AS tsum
+        |  FROM dims),
+        |cells AS (
+        |  SELECT media_id, base, flip, w, h, i,
+        |    ((i % 8) * w + 7) // 8 AS xlo, ((i % 8 + 1) * w + 7) // 8 - 1 AS xhi,
+        |    ((i // 8) * h + 7) // 8 AS ylo, ((i // 8 + 1) * h + 7) // 8 - 1 AS yhi
+        |  FROM dims, (SELECT unnest(generate_series(0, 59)) AS i)),
+        |cstat AS (
+        |  SELECT media_id, i,
+        |    list_sum(flatten(list_transform(generate_series(xlo, xhi),
+        |      x -> list_transform(generate_series(ylo, yhi),
+        |        y -> CASE WHEN flip AND x = 0 AND y = 0
+        |              THEN ((base*31 + x*17 + y*29) % 256 + 128) % 256
+        |              ELSE (base*31 + x*17 + y*29) % 256 END)))) AS csum,
+        |    (xhi - xlo + 1) * (yhi - ylo + 1) AS cpix
+        |  FROM cells),
+        |ph AS (
+        |  SELECT c.media_id,
+        |    CAST(sum(CASE WHEN c.csum * t.w * t.h > t.tsum * c.cpix
+        |        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS phash
+        |  FROM cstat c JOIN tot t USING (media_id)
+        |  GROUP BY c.media_id),
+        |bands AS (
+        |  SELECT media_id, phash, bb, (phash >> (bb * 15)) & 32767 AS bkey
+        |  FROM ph, (SELECT unnest([0, 1, 2, 3]) AS bb)),
+        |cand AS (
+        |  SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+        |    x.phash AS ha, y.phash AS hb
+        |  FROM bands x JOIN bands y
+        |    ON x.bb = y.bb AND x.bkey = y.bkey AND x.media_id < y.media_id)
+        |SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        |ORDER BY a, b""".stripMargin,
     // the sketch estimates are engine-specific, but the exact values
     // and the relative-error CONTRACT are not: the oracle pins the
     // booleans TRUE, so the row only hashes green if Spark's sketches

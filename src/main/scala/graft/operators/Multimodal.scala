@@ -288,6 +288,107 @@ object Multimodal {
     }
   }
 
+  /** Image set for perceptual dedup: every even id's PNG (lossless —
+    * decoded pixels ARE the formula's pixels, keeping the whole
+    * pipeline oracle-replayable), plus a NEAR-DUPLICATE variant for
+    * each id divisible by 10 (media_id = id + 1,000,000) whose (0,0)
+    * pixel is flipped by +128 mod 256 — a one-pixel edit the average
+    * hash must survive, giving the dedup guaranteed true positives.
+    */
+  def phashTable(spark: SparkSession, dir: String): Dataset[ImageRecord] = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val rows = ids.filter(_ % 2 == 0).map(id => (id, id, false))
+      .union(ids.filter(_ % 10 == 0).map(id => (id + 1000000L, id, true)))
+    rows.map { case (mid, base, flip) =>
+      val (w, h) = imgDims(base)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var g = gray(base, x, y)
+          if (flip && x == 0 && y == 0) g = (g + 128) % 256
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      ImageRecord(mid, bos.toByteArray, "image/png")
+    }
+  }
+
+  /** 60-bit average hash from the DECODED image bytes: 8×8 grid of
+    * cell sums (cell of (x,y) is (y*8/h)*8 + (x*8/w)), bit i set iff
+    * cell i's mean exceeds the global pixel mean — compared by
+    * integer cross-multiplication (cellSum·w·h > totalSum·cellPix),
+    * so the hash is integer-exact and an engine with no image codec
+    * can recompute it from the generating formula. 60 bits, not 64:
+    * bit 63 would overflow signed BIGINT in the oracle's shift, the
+    * same cap the md5 SimHash family uses.
+    */
+  def imagePhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    phashTable(spark, dir).mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val cellSum = new Array[Long](64)
+        val cellPix = new Array[Long](64)
+        var tot = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = (img.getRGB(x, y) & 0xff).toLong
+            val i = (y * 8 / h) * 8 + (x * 8 / w)
+            cellSum(i) += g; cellPix(i) += 1; tot += g
+            x += 1
+          }
+          y += 1
+        }
+        var hash = 0L
+        var i = 0
+        while (i < 60) {
+          if (cellSum(i) * w * h > tot * cellPix(i)) hash |= (1L << i)
+          i += 1
+        }
+        (r.media_id, hash)
+      }
+    }.toDF("media_id", "phash")
+  }
+
+  /** Perceptual near-dup image pairs: [[imagePhash]] signatures,
+    * banded 4×15 bits (pigeonhole: Hamming ≤ 3 ⇒ ≥1 exact band
+    * match), exact popcount on candidates only — the [[Dedup]]
+    * SimHash shape applied to REAL decoded image bytes. At 100 TB
+    * the shuffle carries (media_id, 8-byte hash) rows, never pixels;
+    * candidate work is bounded by band-bucket sizes.
+    */
+  def phashDedup(spark: SparkSession, dir: String,
+                 maxHamming: Int = 3): DataFrame = {
+    val sigs = imagePhash(spark, dir)
+    val banded = sigs.select(col("media_id"), col("phash"),
+      posexplode(array((0 until 4).map(bd =>
+        shiftright(col("phash"), bd * 15).bitwiseAND(lit(0x7FFFL))): _*))
+        .as(Seq("band", "bkey")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bkey") === col("y.bkey") &&
+        col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
+        col("x.phash").as("ha"), col("y.phash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming").cast("bigint").as("hamming"))
+      .orderBy("a", "b")
+  }
+
   /** The mm_features projection: real decoded dimensions for every
     * row and the decoded PNG pixel sum — both recomputable by the
     * oracle from the generating formulas (dims are id-derived; PNG is

@@ -117,6 +117,25 @@ class MultimodalSpec extends SparkSpec {
     a.foreach { f => assert(f.width == 32 && f.height == 32 && f.pix_sum.nonEmpty) }
   }
 
+  test("perceptual dedup: every one-pixel variant pairs with its base") {
+    val pairs = Multimodal.phashDedup(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, ham) =>
+      assert(a < b && ham >= 0 && ham <= 3)
+    }
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    val variantBases = Tables.documents(spark, sf)
+      .select(col("doc_id")).as[Long].collect().filter(_ % 10 == 0)
+    assert(variantBases.nonEmpty)
+    // a one-pixel flip moves one cell's mean a hair: the average hash
+    // must keep the pair within the banding's Hamming<=3 guarantee
+    variantBases.foreach { id =>
+      assert(pairSet.contains((id, id + 1000000L)),
+        s"variant pair ($id, ${id + 1000000L}) missed")
+    }
+  }
+
   test("fake decoder matches the column pipeline (seam check)") {
     val viaPipeline = Multimodal.decodeFeatures(spark, sf)
       .filter(_.media_id == 0L).collect().head
