@@ -104,6 +104,10 @@ object SparkEntry {
     "ts_sessionize" -> (TimeSeries.sessionize(_, _)),
     "ts_asof"      -> (TimeSeries.asofPurchaseSignup(_, _)),
     "event_funnel" -> ((s, d) => TimeSeries.eventFunnel(s, d)),
+    "ts_fill"      -> (TimeSeries.gapFill(_, _)),
+    // ---- co-occurrence / graph ----
+    "assoc_pairs"    -> (Cooccur.assocPairs(_, _)),
+    "graph_pagerank" -> (Cooccur.pagerank(_, _)),
     // ---- text analysis ----
     "text_langstats"   -> (TextAnalysis.langStats(_, _)),
     "text_quality"     -> (TextAnalysis.qualityScore(_, _)),
@@ -150,6 +154,7 @@ object SparkEntry {
     "dedup_blocks"  -> ((s, d) => Dedup.blockDedup(s, d)),
     "dedup_prune"   -> ((s, d) => Dedup.boilerplatePrune(s, d)),
     "dedup_winnow"  -> ((s, d) => Dedup.winnowPairs(s, d)),
+    "dedup_spans"   -> ((s, d) => Dedup.spanDedup(s, d)),
     // ---- similarity search ----
     "sim_topk"    -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "hybrid_rrf"  -> ((s, d) => Similarity.hybridRrf(s, d)),
@@ -553,6 +558,17 @@ object SparkEntry {
         |FROM capped x JOIN capped y ON x.fp = y.fp AND x.doc_id < y.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY a, b""".stripMargin,
+    "dedup_spans" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS n FROM documents),
+        |pos AS (
+        |  SELECT doc_id, n, unnest(generate_series(1, length(n) - 39, 10)) AS p
+        |  FROM norm WHERE length(n) >= 40),
+        |spans AS (SELECT doc_id, md5(substr(n, CAST(p AS INT), 40)) AS span_md5 FROM pos)
+        |SELECT span_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_hits, CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM spans GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY span_md5""".stripMargin,
     "bloom_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
@@ -899,6 +915,80 @@ object SparkEntry {
         |SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_at,
         | strftime(last_signup, '%Y-%m-%d %H:%M:%S') AS signup_at
         |FROM u WHERE event_type = 'purchase' ORDER BY user_id, event_id""".stripMargin,
+    "ts_fill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |         round(CAST(sum(value) AS DOUBLE), 3) AS v
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds),
+        |joined AS (SELECT g.event_type, g.h, hr.v
+        |  FROM grid g LEFT JOIN hourly hr USING (event_type, h)),
+        |marked AS (
+        |  SELECT *,
+        |    last_value(v IGNORE NULLS) OVER w AS prev_v,
+        |    last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER w AS prev_h,
+        |    first_value(v IGNORE NULLS) OVER w2 AS next_v,
+        |    first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER w2 AS next_h
+        |  FROM joined
+        |  WINDOW w  AS (PARTITION BY event_type ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         w2 AS (PARTITION BY event_type ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  CAST(CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS BIGINT) AS filled,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |    ELSE prev_v + (next_v - prev_v) *
+        |      (CAST(date_diff('second', prev_h, h) AS DOUBLE) /
+        |       CAST(date_diff('second', prev_h, next_h) AS DOUBLE)) END, 3) AS v_filled
+        |FROM marked ORDER BY event_type, hour_start""".stripMargin,
+    "assoc_pairs" ->
+      """WITH items0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |freq AS (SELECT pk, count(*) AS cnt FROM items0 GROUP BY 1),
+        |capped AS (
+        |  SELECT i.ok, i.pk, f.cnt,
+        |    row_number() OVER (PARTITION BY i.ok ORDER BY i.pk) AS rn
+        |  FROM items0 i JOIN freq f USING (pk) WHERE f.cnt >= 5),
+        |items AS (SELECT ok, pk, cnt FROM capped WHERE rn <= 30),
+        |pairs AS (
+        |  SELECT a.pk AS part_a, b.pk AS part_b, a.cnt AS cnt_a, b.cnt AS cnt_b
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk)
+        |SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS pair_cnt,
+        |  CAST(min(cnt_a) AS BIGINT) AS cnt_a, CAST(min(cnt_b) AS BIGINT) AS cnt_b,
+        |  round(count(*) / CAST(min(cnt_a) AS DOUBLE), 4) AS conf_a_b
+        |FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY part_a, part_b""".stripMargin,
+    "graph_pagerank" ->
+      """WITH items0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |freq AS (SELECT pk, count(*) AS cnt FROM items0 GROUP BY 1),
+        |capped AS (
+        |  SELECT i.ok, i.pk,
+        |    row_number() OVER (PARTITION BY i.ok ORDER BY i.pk) AS rn
+        |  FROM items0 i JOIN freq f USING (pk) WHERE f.cnt >= 5),
+        |items AS (SELECT ok, pk FROM capped WHERE rn <= 30),
+        |pairs AS (
+        |  SELECT a.pk AS u, b.pk AS v
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+        |deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+        |r0 AS (SELECT u, 1.0 / (SELECT n FROM nn) AS r FROM deg),
+        |r1 AS (SELECT t.u, round(0.15 / (SELECT n FROM nn)
+        |    + 0.85 * coalesce(sum(s.r / sd.d), 0), 12) AS r
+        |  FROM deg t LEFT JOIN edges e ON e.v = t.u
+        |  LEFT JOIN deg sd ON sd.u = e.u LEFT JOIN r0 s ON s.u = e.u
+        |  GROUP BY t.u),
+        |r2 AS (SELECT t.u, round(0.15 / (SELECT n FROM nn)
+        |    + 0.85 * coalesce(sum(s.r / sd.d), 0), 12) AS r
+        |  FROM deg t LEFT JOIN edges e ON e.v = t.u
+        |  LEFT JOIN deg sd ON sd.u = e.u LEFT JOIN r1 s ON s.u = e.u
+        |  GROUP BY t.u),
+        |r3 AS (SELECT t.u, round(0.15 / (SELECT n FROM nn)
+        |    + 0.85 * coalesce(sum(s.r / sd.d), 0), 12) AS r
+        |  FROM deg t LEFT JOIN edges e ON e.v = t.u
+        |  LEFT JOIN deg sd ON sd.u = e.u LEFT JOIN r2 s ON s.u = e.u
+        |  GROUP BY t.u)
+        |SELECT u AS part, round(r * 1000, 6) AS rank_x1000
+        |FROM r3 ORDER BY part""".stripMargin,
     "event_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
         |  FROM events),

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Co-occurrence analytics over order baskets: association pairs
+  * (market-basket support/confidence) and PageRank on the resulting
+  * item graph. The reference has no joins at all (SURVEY.md §2b) —
+  * these are engine-provided surface on the north-star side, and the
+  * two classic shapes a recommendation / data-curation pipeline runs
+  * at scale.
+  *
+  * 100 TB posture:
+  *  - pair generation is the quadratic step; it is bounded BEFORE it
+  *    runs by (a) apriori pruning — items below min support cannot
+  *    appear in a frequent pair, so they are dropped first — and (b)
+  *    a deterministic per-basket item cap, so a pathological basket
+  *    contributes at most cap²/2 pairs instead of |basket|².
+  *  - there is NO self-join: baskets are collected once (groupBy on
+  *    the basket key) and pairs expand map-side from the capped
+  *    array — the plan is scan → distinct → basket-agg → explode →
+  *    pair-agg, with no corpus-sized build side anywhere.
+  *  - PageRank is the iterative driver-loop shape (same as
+  *    Dedup.dedupClusters): each round is one join + one partial-agg
+  *    shuffle over (edge, rank) with lineage cut by localCheckpoint;
+  *    the driver never sees per-node state.
+  */
+object Cooccur {
+
+  private val MinSupport = 5   // apriori: item must appear in ≥5 baskets
+  private val BasketCap  = 30  // per-basket item cap (by part key order)
+  private val MinPair    = 2   // emit pairs co-occurring in ≥2 baskets
+
+  /** Co-occurring item pairs (part_a < part_b, with both items'
+    * basket counts) — the shared pair-generation core. Shape: one
+    * distinct pass, a broadcast of the (tiny) frequent-item list,
+    * one groupBy that collects each basket as a sorted capped array,
+    * then pair expansion entirely MAP-SIDE via array transform — no
+    * self-join, no window. The capped array bounds memory (≤ cap
+    * structs per basket) and the quadratic step (≤ cap²/2 pairs) runs
+    * inside the row it came from, so the only shuffles are the three
+    * key-partitioned aggregations.
+    */
+  private def pairGen(spark: SparkSession, dir: String): DataFrame = {
+    val items0 = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val freq = items0.groupBy("pk").agg(count(lit(1)).as("cnt"))
+    items0
+      .join(broadcast(freq.where(col("cnt") >= MinSupport)), "pk")
+      .groupBy("ok")
+      .agg(slice(sort_array(collect_list(struct(col("pk"), col("cnt")))),
+        1, BasketCap).as("arr"))
+      .select(expr(
+        """explode(flatten(transform(arr, (x, i) ->
+          |  transform(slice(arr, i + 2, size(arr)), y ->
+          |    struct(x.pk AS part_a, x.cnt AS cnt_a,
+          |           y.pk AS part_b, y.cnt AS cnt_b))))) AS p""".stripMargin))
+      .select(col("p.part_a"), col("p.cnt_a"), col("p.part_b"), col("p.cnt_b"))
+      .groupBy("part_a", "part_b")
+      .agg(
+        count(lit(1)).as("pair_cnt"),
+        min("cnt_a").as("cnt_a"),
+        min("cnt_b").as("cnt_b"))
+      .where(col("pair_cnt") >= MinPair)
+  }
+
+  /** Association pairs (a < b) with co-occurrence count and
+    * confidence P(b|a): the support-pruned, basket-capped
+    * market-basket core.
+    */
+  def assocPairs(spark: SparkSession, dir: String): DataFrame =
+    pairGen(spark, dir)
+      .select(
+        col("part_a"), col("part_b"), col("pair_cnt"),
+        col("cnt_a"), col("cnt_b"),
+        round(col("pair_cnt").cast("double") / col("cnt_a"), 4).as("conf_a_b"))
+      .orderBy("part_a", "part_b")
+
+  /** PageRank (damping 0.85, exactly 3 iterations) over the
+    * undirected co-occurrence graph from [[assocPairs]]. The graph is
+    * symmetric by construction (each pair contributes both
+    * directions), so every node has out-degree ≥ 1 and there is no
+    * dangling-mass term to redistribute. Ranks are rounded to 12
+    * decimals per iteration so the DuckDB oracle (the same three
+    * iterations unrolled as CTEs) sees bit-identical inputs each
+    * round regardless of float summation order.
+    */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = pairGen(spark, dir)
+      .select(col("part_a").as("u"), col("part_b").as("v"))
+    val edges = pairs
+      .union(pairs.select(col("v"), col("u")))
+      .localCheckpoint() // reused every iteration: cut the pair-gen lineage
+    val deg = edges.groupBy("u")
+      .agg(count(lit(1)).cast("double").as("d"))
+      .localCheckpoint()
+    val n = deg.count().toDouble // one scalar to the driver, not per-node state
+
+    var rank = deg.select(col("u"), lit(1.0 / n).as("r"))
+    for (_ <- 1 to 3) {
+      val contribs = edges
+        .join(deg, "u").join(rank, "u")
+        .select(col("v"), (col("r") / col("d")).as("c"))
+        .groupBy("v").agg(sum("c").as("cs"))
+      rank = deg.select(col("u"))
+        .join(contribs.withColumnRenamed("v", "u"), Seq("u"), "left")
+        .select(
+          col("u"),
+          round(lit(0.15 / n) + lit(0.85) * coalesce(col("cs"), lit(0.0)), 12).as("r"))
+        .localCheckpoint()
+    }
+    rank
+      .select(col("u").as("part"), round(col("r") * 1000, 6).as("rank_x1000"))
+      .orderBy("part")
+  }
+}

@@ -617,4 +617,38 @@ object Dedup {
       .select(col("a"), col("b"), col("hamming"))
       .orderBy("a", "b")
   }
+
+  /** Span-level exact substring dedup (the Lee et al. 2022
+    * "Deduplicating Training Data" shape): slide a fixed window of
+    * `win` chars with stride `stride` over the normalized text, hash
+    * each window with md5, and report every span hash that occurs in
+    * ≥ 2 distinct documents. Unlike the whole-doc dedup family above,
+    * this finds REPEATED PASSAGES inside otherwise-distinct documents
+    * — the boilerplate/quote/license-block class of duplication.
+    *
+    * Scale: window hashing is map-side (explode of a per-row
+    * sequence); the shuffle carries (16-byte digest, doc_id), never
+    * text, and the stride divides shuffle volume by `stride`. The
+    * ≥2-doc HAVING filter runs inside the partial agg. md5 keeps the
+    * whole pipeline DuckDB-recomputable, so this query is
+    * oracle-hash-checked end-to-end.
+    */
+  def spanDedup(spark: SparkSession, dir: String,
+                win: Int = 40, stride: Int = 10): DataFrame = {
+    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), norm.as("n"))
+      .where(length(col("n")) >= win)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), length(col("n")) - (win - 1), lit(stride)),
+          p => md5(col("n").substr(p, lit(win))))).as("span_md5"))
+      .groupBy("span_md5")
+      .agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_hits"),
+        min("doc_id").as("first_doc"))
+      .where(col("n_docs") >= 2)
+      .orderBy("span_md5")
+  }
 }

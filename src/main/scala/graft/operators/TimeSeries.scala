@@ -130,4 +130,52 @@ object TimeSeries {
         round(col("n_users") / col("prev_n").cast("double"), 6).as("conv_rate"))
       .orderBy("stage_idx")
   }
+
+  /** Gap-fill + linear interpolation: resample events to an hourly
+    * grid per event_type (min..max hour of that series), mark missing
+    * hours, and fill them by interpolating linearly between the
+    * nearest observed neighbors (last/first with ignoreNulls over the
+    * densified grid). Grid endpoints are observed hours, so every gap
+    * has both neighbors and the interpolation is total.
+    *
+    * Scale: the heavy input pass is the fully-parallel hourly
+    * pre-aggregation; the windows then run over the AGGREGATED series
+    * (#types × #hours rows — bounded by calendar time, not data
+    * volume), so the per-type partition never sees raw events. Hourly
+    * sums are rounded to 3 decimals BEFORE interpolating so the
+    * oracle interpolates from bit-identical inputs. The interpolation
+    * weight is a ratio of whole-second long deltas cast to double —
+    * the same two casts and single division DuckDB performs.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(round(sum(col("value")), 3).as("v"))
+    val grid = hourly.groupBy("event_type")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    val wPrev = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(0, Window.unboundedFollowing)
+    val obsH = when(col("v").isNotNull, col("h"))
+    val frac =
+      (unix_timestamp(col("h")) - unix_timestamp(col("prev_h"))).cast("double") /
+      (unix_timestamp(col("next_h")) - unix_timestamp(col("prev_h"))).cast("double")
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("prev_v", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("prev_h", last(obsH, ignoreNulls = true).over(wPrev))
+      .withColumn("next_v", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("next_h", first(obsH, ignoreNulls = true).over(wNext))
+      .select(
+        col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        when(col("v").isNotNull, 0L).otherwise(1L).as("filled"),
+        round(
+          when(col("v").isNotNull, col("v"))
+            .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) * frac),
+          3).as("v_filled"))
+      .orderBy("event_type", "hour_start")
+  }
 }

@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.{Cooccur, Dedup, TimeSeries}
+import org.apache.spark.sql.functions._
+
+/** Co-occurrence family + the round-6 additions (span dedup, gap
+  * fill): semantic invariants and the plan shapes the 100 TB posture
+  * depends on. All four queries are also oracle-hash-checked by the
+  * driver; these tests pin the properties a hash can't see.
+  */
+class CooccurSpec extends SparkSpec {
+
+  test("assoc_pairs broadcasts the item-frequency side and bounds confidence") {
+    val df = Cooccur.assocPairs(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"freq side not broadcast:\n$plan")
+    // pair generation is map-side array expansion, not a self-join:
+    // exactly the one broadcast join (freq), zero shuffled joins
+    assert(plan.contains("Generate explode"), s"no map-side pair expansion:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"unexpected shuffled self-join:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (pairCnt, cntA) = (r.getLong(2), r.getLong(3))
+      val conf = r.getDouble(5)
+      assert(a < b, s"pair not ordered: $a,$b")
+      assert(pairCnt <= cntA, "co-occurrence exceeds item support")
+      assert(conf > 0 && conf <= 1.0, s"confidence out of range: $conf")
+    }
+  }
+
+  test("graph_pagerank conserves rank mass on the symmetric graph") {
+    val df = Cooccur.pagerank(spark, sf).cache()
+    val n = df.count()
+    assert(n > 0)
+    // symmetric graph → no dangling mass: total rank stays 1 up to the
+    // final per-node rank_x1000 rounding (6 decimals → ±5e-10 rank each)
+    val total = df.agg(sum(col("rank_x1000"))).head.getDouble(0) / 1000.0
+    assert(math.abs(total - 1.0) < n * 5e-10 + 1e-9, s"rank mass drifted: $total")
+    assert(df.filter(col("rank_x1000") <= 0).count() == 0, "non-positive rank")
+    df.unpersist()
+  }
+
+  test("dedup_spans matches a single-node reference on the fixture corpus") {
+    import scala.collection.mutable
+    val got = Dedup.spanDedup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // naive reference: slide the same 40/10 windows driver-side
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(regexp_replace(col("text"), "\\s+", " ")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val hits = mutable.Map.empty[String, mutable.ArrayBuffer[Long]]
+    for ((id, n) <- docs if n.length >= 40; p <- 0 to (n.length - 40) by 10)
+      hits.getOrElseUpdate(md5hex(n.substring(p, p + 40)), mutable.ArrayBuffer()) += id
+    val want = hits.collect { case (h, ids) if ids.distinct.size >= 2 =>
+      (h, ids.distinct.size.toLong, ids.size.toLong, ids.min)
+    }.toSet
+    assert(got == want, s"span sets differ: got ${got.size}, want ${want.size}")
+  }
+
+  test("dedup_spans shuffles digests, not text: explode sits below the exchange") {
+    val plan = Dedup.spanDedup(spark, sf).queryExecution.executedPlan.toString
+    val gen = plan.indexOf("Generate")
+    val exch = plan.indexOf("Exchange hashpartitioning(span_md5")
+    assert(gen >= 0, s"no Generate in plan:\n$plan")
+    assert(exch >= 0, s"no span_md5 exchange in plan:\n$plan")
+    // treeString is top-down: the exchange must appear ABOVE the
+    // explode, i.e. windows are hashed map-side and only digests move
+    assert(exch < gen, s"explode above exchange:\n$plan")
+  }
+
+  test("ts_fill densifies every series and interpolates inside observed bounds") {
+    val df = TimeSeries.gapFill(spark, sf).cache()
+    assert(df.filter(col("v_filled").isNull).count() == 0, "null after fill")
+    // grid completeness: per type, rows == hours between min and max + 1
+    val spans = df.groupBy("event_type")
+      .agg(count(lit(1)).as("rows"),
+        min("hour_start").as("h0"), max("hour_start").as("h1"))
+      .withColumn("hours",
+        (unix_timestamp(col("h1"), "yyyy-MM-dd HH:mm:ss") -
+         unix_timestamp(col("h0"), "yyyy-MM-dd HH:mm:ss")) / 3600 + 1)
+      .collect()
+    spans.foreach(r => assert(r.getAs[Long]("rows").toDouble == r.getAs[Double]("hours"),
+      s"grid gap for ${r.getString(0)}: ${r.getAs[Long]("rows")} vs ${r.getAs[Double]("hours")}"))
+    // boundary rows are observed, never interpolated
+    val edges = df.groupBy("event_type").agg(
+      min(struct(col("hour_start"), col("filled"))).as("lo"),
+      max(struct(col("hour_start"), col("filled"))).as("hi"))
+    edges.collect().foreach { r =>
+      assert(r.getStruct(1).getLong(1) == 0L, "first grid hour was filled")
+      assert(r.getStruct(2).getLong(1) == 0L, "last grid hour was filled")
+    }
+    df.unpersist()
+  }
+}
