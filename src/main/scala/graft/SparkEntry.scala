@@ -155,6 +155,8 @@ object SparkEntry {
     "dedup_prune"   -> ((s, d) => Dedup.boilerplatePrune(s, d)),
     "dedup_winnow"  -> ((s, d) => Dedup.winnowPairs(s, d)),
     "dedup_spans"   -> ((s, d) => Dedup.spanDedup(s, d)),
+    "dedup_span_regions" -> ((s, d) => Dedup.spanRegions(s, d)),
+    "profile_stats" -> (Relational.profileStats(_, _)),
     // ---- similarity search ----
     "sim_topk"    -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "hybrid_rrf"  -> ((s, d) => Similarity.hybridRrf(s, d)),
@@ -569,6 +571,54 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_hits, CAST(min(doc_id) AS BIGINT) AS first_doc
         |FROM spans GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY span_md5""".stripMargin,
+    "dedup_span_regions" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS n FROM documents),
+        |pos AS (
+        |  SELECT doc_id, n, unnest(generate_series(1, length(n) - 39, 10)) AS p
+        |  FROM norm WHERE length(n) >= 40),
+        |spans AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
+        |    md5(substr(n, CAST(p AS INT), 40)) AS h FROM pos),
+        |dups AS (SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT s.doc_id, s.p FROM spans s JOIN dups USING (h)),
+        |marked AS (
+        |  SELECT doc_id, p,
+        |    max(p + 40) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM hits),
+        |flagged AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN prev_end IS NULL OR p > prev_end THEN 1 ELSE 0 END AS new_reg
+        |  FROM marked),
+        |regs AS (
+        |  SELECT doc_id, p,
+        |    sum(new_reg) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS reg
+        |  FROM flagged),
+        |regions AS (
+        |  SELECT doc_id, reg, min(p) AS rs, max(p + 40) AS re
+        |  FROM regs GROUP BY doc_id, reg)
+        |SELECT r.doc_id, CAST(count(*) AS BIGINT) AS n_regions,
+        |  CAST(sum(re - rs) AS BIGINT) AS dup_chars,
+        |  CAST(min(length(nm.n)) AS BIGINT) AS doc_chars,
+        |  round(sum(re - rs) / CAST(min(length(nm.n)) AS DOUBLE), 6) AS dup_ratio
+        |FROM regions r JOIN norm nm USING (doc_id)
+        |GROUP BY r.doc_id ORDER BY r.doc_id""".stripMargin,
+    "profile_stats" ->
+      """SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val FROM (
+        |  SELECT 'l_quantity' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(*) - count(l_quantity) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+        |    CAST(min(l_quantity) AS VARCHAR) AS min_val,
+        |    CAST(max(l_quantity) AS VARCHAR) AS max_val FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+        |    count(DISTINCT l_returnflag), min(l_returnflag), max(l_returnflag) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+        |    count(DISTINCT l_shipdate), CAST(min(l_shipdate) AS VARCHAR),
+        |    CAST(max(l_shipdate) AS VARCHAR) FROM lineitem
+        |) ORDER BY col_name""".stripMargin,
     "bloom_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)

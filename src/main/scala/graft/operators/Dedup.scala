@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.TextFns
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for training-data pipelines, over the
@@ -650,5 +651,55 @@ object Dedup {
         min("doc_id").as("first_doc"))
       .where(col("n_docs") >= 2)
       .orderBy("span_md5")
+  }
+
+  /** The cut list [[spanDedup]] feeds: per document, merge the
+    * duplicated span windows into maximal regions (the classic
+    * gaps-and-islands merge — running max of interval ends marks
+    * region starts, a running sum numbers them) and report how many
+    * chars of the doc are cross-document duplicated. This is the
+    * actionable output of substring dedup: the char ranges a curation
+    * pass would excise.
+    *
+    * Scale: same digest-only shuffle as spanDedup for the duplicated-
+    * hash set; the islands windows partition by doc_id, so per-task
+    * state is one document's hit list (≤ len/stride rows) — never the
+    * corpus.
+    */
+  def spanRegions(spark: SparkSession, dir: String,
+                  win: Int = 40, stride: Int = 10): DataFrame = {
+    val norm = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        lower(regexp_replace(col("text"), "\\s+", " ")).as("n"))
+    val spans = norm
+      .where(length(col("n")) >= win)
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(1), length(col("n")) - (win - 1), lit(stride))).as("p"))
+      .select(col("doc_id"), col("p").cast("long").as("p"),
+        md5(col("n").substr(col("p"), lit(win))).as("h"))
+    val dups = spans.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("h"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("p")
+    val regions = spans.join(dups, "h")
+      .withColumn("prev_end",
+        max(col("p") + win).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_reg",
+        when(col("prev_end").isNull || col("p") > col("prev_end"), 1L).otherwise(0L))
+      .withColumn("reg",
+        sum(col("new_reg")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "reg")
+      .agg(min(col("p")).as("rs"), max(col("p") + win).as("re"))
+    regions
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_regions"),
+        sum(col("re") - col("rs")).as("dup_chars"))
+      .join(norm.select(col("doc_id"), length(col("n")).cast("long").as("doc_chars")),
+        "doc_id")
+      .select(col("doc_id"), col("n_regions"), col("dup_chars"), col("doc_chars"),
+        round(col("dup_chars") / col("doc_chars").cast("double"), 6).as("dup_ratio"))
+      .orderBy("doc_id")
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -749,10 +750,19 @@ object Joins {
   /** TPC-H Q21 shape (suppliers who kept orders waiting): for
     * finished orders, suppliers with a late line (shipdate >
     * orderdate + 45d — the fixture has no commit/receipt dates) where
-    * ANOTHER supplier contributed a line (EXISTS → left semi with an
-    * extra non-equi condition on the equi join) and NO other supplier
-    * was late (NOT EXISTS → left anti, same shape). Granularity is
-    * distinct (order, supplier) so a supplier counts once per order.
+    * ANOTHER supplier contributed a line and NO other supplier was
+    * late. Granularity is distinct (order, supplier) so a supplier
+    * counts once per order.
+    *
+    * The EXISTS/NOT-EXISTS pair collapses to per-order counts: a late
+    * supplier qualifies iff the order has ≥ 2 suppliers and exactly 1
+    * late one (necessarily itself). That makes the whole query ONE
+    * shuffle: the lineitem⋈orders join partitions on l_orderkey, and
+    * both the (orderkey, suppkey) aggregate and the per-order count
+    * window are clustered by a subset of that key, so neither
+    * re-exchanges. (The previous semi+anti form recomputed the joined
+    * subtree three times and shuffled each copy — 3.4s → ~1s at
+    * sf0.1.)
     */
   def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val lines = Tables.lineitem(spark, dir)
@@ -765,17 +775,12 @@ object Joins {
           .as("late"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(col("late")).as("late"))
-    val l1 = lines.filter(col("late"))
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val others = lines.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"),
-      col("late").as("late2"))
-    l1
-      .join(others,
-        col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
-        "left_semi")
-      .join(others.filter(col("late2")),
-        col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
-        "left_anti")
+    val byOrder = Window.partitionBy(col("l_orderkey"))
+    lines
+      .withColumn("n_supp", count(lit(1)).over(byOrder))
+      .withColumn("n_late",
+        sum(when(col("late"), 1L).otherwise(0L)).over(byOrder))
+      .filter(col("late") && col("n_supp") >= 2 && col("n_late") === 1)
       .join(broadcast(Tables.supplier(spark, dir)
           .join(broadcast(Tables.nation(spark, dir)),
             col("s_nationkey") === col("n_nationkey"))

@@ -485,4 +485,35 @@ object Relational {
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n"))
       .orderBy("k")
+
+  /** Column profiling (the data-quality summary every ingest pipeline
+    * runs first): per profiled column — row count, nulls, distinct
+    * count, min/max as strings. ONE aggregation pass over the table
+    * (the three count-distincts share a single expand-based
+    * aggregate), then a `stack` unpivot of the 1-row result; nothing
+    * per-column ever rescans the table.
+    */
+  def profileStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("l_quantity")).as("nn_q"),
+        countDistinct(col("l_quantity")).as("nd_q"),
+        min(col("l_quantity")).cast("string").as("mn_q"),
+        max(col("l_quantity")).cast("string").as("mx_q"),
+        count(col("l_returnflag")).as("nn_r"),
+        countDistinct(col("l_returnflag")).as("nd_r"),
+        min(col("l_returnflag")).as("mn_r"),
+        max(col("l_returnflag")).as("mx_r"),
+        count(col("l_shipdate")).as("nn_s"),
+        countDistinct(col("l_shipdate")).as("nd_s"),
+        min(col("l_shipdate")).cast("string").as("mn_s"),
+        max(col("l_shipdate")).cast("string").as("mx_s"))
+      .selectExpr(
+        """stack(3,
+          |  'l_quantity',   n, n - nn_q, nd_q, mn_q, mx_q,
+          |  'l_returnflag', n, n - nn_r, nd_r, mn_r, mx_r,
+          |  'l_shipdate',   n, n - nn_s, nd_s, mn_s, mx_s)
+          |AS (col_name, n_rows, n_nulls, n_distinct, min_val, max_val)""".stripMargin)
+      .orderBy("col_name")
 }

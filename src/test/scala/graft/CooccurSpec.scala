@@ -76,6 +76,34 @@ class CooccurSpec extends SparkSpec {
     assert(exch < gen, s"explode above exchange:\n$plan")
   }
 
+  test("dedup_span_regions is consistent with dedup_spans and bounded by doc length") {
+    val regions = Dedup.spanRegions(spark, sf).collect()
+    assert(regions.nonEmpty)
+    regions.foreach { r =>
+      val (nReg, dupChars, docChars, ratio) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nReg >= 1)
+      assert(dupChars >= 40 && dupChars <= docChars,
+        s"dup_chars $dupChars out of range for doc_chars $docChars")
+      assert(ratio > 0, s"ratio $ratio")
+    }
+    // every doc with a duplicated span appears; docs without don't
+    val spanDocs = Dedup.spanDedup(spark, sf)
+      .select(org.apache.spark.sql.functions.col("first_doc")).collect()
+      .map(_.getLong(0)).toSet
+    val regionDocs = regions.map(_.getLong(0)).toSet
+    assert(spanDocs.subsetOf(regionDocs),
+      s"first_doc of a dup span missing from regions: ${spanDocs -- regionDocs}")
+  }
+
+  test("profile_stats is a single scan: one pass feeds all per-column stats") {
+    val df = graft.operators.Relational.profileStats(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$plan")
+    assert(df.count() == 3)
+  }
+
   test("ts_fill densifies every series and interpolates inside observed bounds") {
     val df = TimeSeries.gapFill(spark, sf).cache()
     assert(df.filter(col("v_filled").isNull).count() == 0, "null after fill")

@@ -76,14 +76,18 @@ class OperatorSpec extends SparkSpec {
     assert(!q11.contains("CartesianProduct"), q11)
   }
 
-  test("q21 computes the lateness aggregate once, feeding semi and anti") {
+  test("q21 collapses the EXISTS pair into one shuffle + per-order window") {
     val plan = Joins.waitingSuppliers(spark, sf)
       .queryExecution.executedPlan.toString
-    // both EXISTS sides reuse one exchange over the same aggregate
-    assert(plan.contains("ReusedExchange") ||
-      "LeftSemi".r.findAllIn(plan).nonEmpty && "LeftAnti".r.findAllIn(plan).nonEmpty,
-      plan)
-    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"), plan)
+    // per-order supplier counts come from a window over the SAME
+    // l_orderkey clustering the join established — no semi/anti pass,
+    // no recomputed subtree
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("LeftSemi") && !plan.contains("LeftAnti"), plan)
+    val orderKeyExchanges =
+      "Exchange hashpartitioning\\(l_orderkey".r.findAllIn(plan).length
+    assert(orderKeyExchanges <= 2, // ≤ one per join side; agg + window reuse it
+      s"extra l_orderkey exchanges ($orderKeyExchanges):\n$plan")
   }
 
   test("q6 pushes all three predicate families into the parquet scan") {
