@@ -328,13 +328,17 @@ object Dedup {
     // at 100 TB is the dominant map-side cost of MinHash — while
     // staying closed-form enough for DuckDB to replay bit-for-bit.
     // i·h2 ≤ 15·2^48 + 2^48 < 2^63: no overflow in the long.
-    val h12 = (s: org.apache.spark.sql.Column) => struct(
-      conv(substring(md5(s), 1, 12), 16, 10).cast("long").as("h1"),
-      conv(substring(md5(s), 13, 12), 16, 10).cast("long").as("h2"))
+    // The digest is materialized BEFORE splitting: lambda bodies run
+    // interpreted (no codegen subexpression elimination), so writing
+    // md5(s) once per half would hash every shingle twice.
     val docs = sh.groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("shset"))
       .select(col("doc_id"), col("shset"), size(col("shset")).as("sz"),
-        transform(col("shset"), s => h12(s)).as("hs"))
+        transform(col("shset"), s => md5(s)).as("hhex"))
+      .select(col("doc_id"), col("shset"), col("sz"),
+        transform(col("hhex"), h => struct(
+          conv(substring(h, 1, 12), 16, 10).cast("long").as("h1"),
+          conv(substring(h, 13, 12), 16, 10).cast("long").as("h2"))).as("hs"))
       .select(col("doc_id"), col("shset"), col("sz"),
         transform(sequence(lit(0), lit(k - 1)),
           i => array_min(transform(col("hs"), p =>
