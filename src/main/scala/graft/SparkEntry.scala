@@ -157,6 +157,8 @@ object SparkEntry {
     "dedup_spans"   -> ((s, d) => Dedup.spanDedup(s, d)),
     "dedup_span_regions" -> ((s, d) => Dedup.spanRegions(s, d)),
     "profile_stats" -> (Relational.profileStats(_, _)),
+    "sketch_cms"    -> ((s, d) => Relational.cmsTopK(s, d)),
+    "stats_moments" -> (Relational.statsMoments(_, _)),
     // ---- similarity search ----
     "sim_topk"    -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "hybrid_rrf"  -> ((s, d) => Similarity.hybridRrf(s, d)),
@@ -604,6 +606,40 @@ object SparkEntry {
         |  round(sum(re - rs) / CAST(min(length(nm.n)) AS DOUBLE), 6) AS dup_ratio
         |FROM regions r JOIN norm nm USING (doc_id)
         |GROUP BY r.doc_id ORDER BY r.doc_id""".stripMargin,
+    "sketch_cms" ->
+      """WITH hexes AS (
+        |  SELECT l_suppkey AS k, j,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(substring(md5(
+        |          CAST(j AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR)), 1, 12), ''),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) % 256 AS bucket
+        |  FROM lineitem CROSS JOIN range(4) t(j)
+        |), sketch AS (
+        |  SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt FROM hexes GROUP BY 1, 2
+        |), topk AS (
+        |  SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM lineitem GROUP BY 1 ORDER BY exact_cnt DESC, k LIMIT 10
+        |), kb AS (
+        |  SELECT DISTINCT h.k, h.j, h.bucket FROM hexes h JOIN topk USING (k)
+        |), est AS (
+        |  SELECT kb.k, min(s.cnt) AS est_cnt FROM kb JOIN sketch s USING (j, bucket)
+        |  GROUP BY kb.k)
+        |SELECT t.k AS suppkey, t.exact_cnt, e.est_cnt,
+        |  e.est_cnt >= t.exact_cnt AS never_under,
+        |  e.est_cnt - t.exact_cnt <= 8 * (SELECT count(*) FROM lineitem) / 256 AS bound_ok
+        |FROM topk t JOIN est e USING (k)
+        |ORDER BY t.exact_cnt DESC, t.k""".stripMargin,
+    "stats_moments" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+        |  round(skewness(l_extendedprice) * (count(*) - 2)
+        |    / sqrt(count(*) * (count(*) - 1.0)), 6) AS skew_price,
+        |  round(kurtosis_pop(l_extendedprice), 6) AS kurt_price,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "profile_stats" ->
       """SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val FROM (
         |  SELECT 'l_quantity' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

@@ -486,6 +486,67 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy("k")
 
+  /** Count-min sketch as pure partial-aggregable DataFrame ops: d=4
+    * hash rows × w=256 counters, bucket = md5("j:key") mod w, so the
+    * whole sketch — build, point estimates, CMS error contract — is
+    * DuckDB-replayable and oracle-HASH-checked (unlike HLL/KLL whose
+    * internals are engine-specific). The sketch is the (j, bucket)
+    * count table: built by one groupBy (mergeable by construction —
+    * partial aggs ARE sketch merges), queried by min-over-rows.
+    * Output: top-k exact heavy hitters with their estimates and the
+    * two CMS guarantees (never underestimates; overshoot ≤ 8N/w) as
+    * booleans both engines must agree on.
+    */
+  def cmsTopK(spark: SparkSession, dir: String,
+              d: Int = 4, w: Int = 256, topK: Int = 10): DataFrame = {
+    def bucket(j: Int, c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat_ws(":",
+        lit(j).cast("string"), c.cast("string"))), 1, 12), 16, 10)
+        .cast("long") % w
+    def buckets(c: org.apache.spark.sql.Column) = explode(array(
+      (0 until d).map(j =>
+        struct(lit(j).as("j"), bucket(j, c).as("bucket"))): _*)).as("jb")
+    val li = Tables.lineitem(spark, dir).select(col("l_suppkey").as("k"))
+    val sketch = li.select(buckets(col("k")))
+      .select(col("jb.j"), col("jb.bucket"))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+    val topk = li.groupBy("k").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("k")).limit(topK)
+    val est = topk.select(col("k"), buckets(col("k")))
+      .select(col("k"), col("jb.j"), col("jb.bucket"))
+      .join(sketch, Seq("j", "bucket"))
+      .groupBy("k").agg(min(col("cnt")).as("est_cnt"))
+    topk.join(est, "k")
+      .crossJoin(broadcast(li.agg(count(lit(1)).as("n_total"))))
+      .select(
+        col("k").as("suppkey"), col("exact_cnt"), col("est_cnt"),
+        (col("est_cnt") >= col("exact_cnt")).as("never_under"),
+        (col("est_cnt") - col("exact_cnt") <=
+          lit(8) * col("n_total") / lit(w)).as("bound_ok"))
+      .orderBy(col("exact_cnt").desc, col("suppkey"))
+  }
+
+  /** Higher statistical moments + least-squares fit per group —
+    * corr/covariance, population skewness/kurtosis, regression
+    * slope/intercept — all single-pass partial-aggregable (Spark's
+    * moment aggregates keep (n, mean, m2, m3, m4) per partition and
+    * merge). Cross-engine note: Spark's skewness/kurtosis are the
+    * POPULATION forms; DuckDB's skewness is sample-corrected, so the
+    * oracle multiplies by (n−2)/√(n(n−1)), and uses kurtosis_pop.
+    */
+  def statsMoments(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"),
+        round(skewness(col("l_extendedprice")), 6).as("skew_price"),
+        round(kurtosis(col("l_extendedprice")), 6).as("kurt_price"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("icept"))
+      .orderBy("l_returnflag")
+
   /** Column profiling (the data-quality summary every ingest pipeline
     * runs first): per profiled column — row count, nulls, distinct
     * count, min/max as strings. ONE aggregation pass over the table

@@ -46,4 +46,33 @@ class SketchMergeSpec extends SparkSpec {
       assert(err < 0.05, s"group $g: est=$est exact=$exact err=$err")
     }
   }
+
+  test("CMS point estimates never underestimate — any key, not just the top-k") {
+    // rebuild the same md5-bucket sketch driver-side on the fixture
+    // and check min-over-rows >= exact for EVERY key (the query's
+    // never_under column only witnesses the top 10)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(j: Int, k: Long): Int = {
+      val hex = md.digest(s"$j:$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      (java.lang.Long.parseLong(hex, 16) % 256).toInt
+    }
+    val keys = Tables.lineitem(spark, sf).select(col("l_suppkey"))
+      .as[Long].collect()
+    val exact = keys.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val sketch = Array.ofDim[Long](4, 256)
+    for (k <- keys; j <- 0 until 4) sketch(j)(bucket(j, k)) += 1
+    exact.foreach { case (k, cnt) =>
+      val est = (0 until 4).map(j => sketch(j)(bucket(j, k))).min
+      assert(est >= cnt, s"key $k: est=$est < exact=$cnt")
+    }
+    // and the query's contract columns hold
+    val rows = Relational.cmsTopK(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getBoolean(3) && r.getBoolean(4), s"contract violated: $r")
+      val est = (0 until 4).map(j => sketch(j)(bucket(j, r.getLong(0)))).min
+      assert(est == r.getLong(2), s"query est != reference est for key ${r.getLong(0)}")
+    }
+  }
 }
