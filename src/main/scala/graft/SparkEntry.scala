@@ -105,6 +105,7 @@ object SparkEntry {
     "ts_asof"      -> (TimeSeries.asofPurchaseSignup(_, _)),
     "event_funnel" -> ((s, d) => TimeSeries.eventFunnel(s, d)),
     "ts_fill"      -> (TimeSeries.gapFill(_, _)),
+    "ts_anomaly"   -> ((s, d) => TimeSeries.anomalies(s, d)),
     // ---- co-occurrence / graph ----
     "assoc_pairs"    -> (Cooccur.assocPairs(_, _)),
     "graph_pagerank" -> (Cooccur.pagerank(_, _)),
@@ -1026,6 +1027,24 @@ object SparkEntry {
         |      (CAST(date_diff('second', prev_h, h) AS DOUBLE) /
         |       CAST(date_diff('second', prev_h, next_h) AS DOUBLE)) END, 3) AS v_filled
         |FROM marked ORDER BY event_type, hour_start""".stripMargin,
+    "ts_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |         round(CAST(sum(value) AS DOUBLE), 3) AS v
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, h, v,
+        |    round(avg(v) OVER win, 6) AS mu,
+        |    round(stddev_samp(v) OVER win, 6) AS sd,
+        |    count(*) OVER win AS nw
+        |  FROM hourly
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start, v,
+        |  round((v - mu) / sd, 4) AS zscore,
+        |  abs(round((v - mu) / sd, 4)) > 2.5 AS is_anomaly
+        |FROM w WHERE nw >= 12 AND sd > 0
+        |ORDER BY event_type, hour_start""".stripMargin,
     "assoc_pairs" ->
       """WITH items0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |freq AS (SELECT pk, count(*) AS cnt FROM items0 GROUP BY 1),

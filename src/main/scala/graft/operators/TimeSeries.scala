@@ -147,6 +147,38 @@ object TimeSeries {
     * weight is a ratio of whole-second long deltas cast to double —
     * the same two casts and single division DuckDB performs.
     */
+  /** Rolling z-score anomaly detection over the hourly series: each
+    * hour is scored against the trailing 24-hour window (mean and
+    * sample stddev over the 24 PRECEDING rows, current row excluded
+    * so a spike can't mask itself). Rows need ≥ 12 trailing hours and
+    * positive spread to be scorable. The anomaly flag compares the
+    * ROUNDED z-score against the threshold so both engines decide
+    * from bit-identical inputs (same discipline as ts_fill).
+    *
+    * Scale: identical posture to gapFill — the rolling window runs
+    * over the aggregated hourly series, never raw events.
+    */
+  def anomalies(spark: SparkSession, dir: String,
+                threshold: Double = 2.5): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(round(sum(col("value")), 3).as("v"))
+    val win = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(-24, -1)
+    val z = round((col("v") - col("mu")) / col("sd"), 4)
+    hourly
+      .withColumn("mu", round(avg(col("v")).over(win), 6))
+      .withColumn("sd", round(stddev_samp(col("v")).over(win), 6))
+      .withColumn("nw", count(lit(1)).over(win))
+      .where(col("nw") >= 12 && col("sd") > 0)
+      .select(
+        col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("v"), z.as("zscore"),
+        (abs(z) > threshold).as("is_anomaly"))
+      .orderBy("event_type", "hour_start")
+  }
+
   def gapFill(spark: SparkSession, dir: String): DataFrame = {
     val hourly = Tables.events(spark, dir)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))

@@ -104,6 +104,21 @@ class CooccurSpec extends SparkSpec {
     assert(df.count() == 3)
   }
 
+  test("ts_anomaly flags exactly the rows whose rounded |z| exceeds the threshold") {
+    val rows = TimeSeries.anomalies(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var anomalies = 0
+    rows.foreach { r =>
+      val (z, flag) = (r.getDouble(3), r.getBoolean(4))
+      assert(flag == (math.abs(z) > 2.5), s"flag/z mismatch: $r")
+      if (flag) anomalies += 1
+    }
+    // z-scores against a trailing baseline: anomalies must be the tail,
+    // not the norm
+    assert(anomalies > 0 && anomalies < rows.length / 5,
+      s"$anomalies anomalies out of ${rows.length}")
+  }
+
   test("ts_fill densifies every series and interpolates inside observed bounds") {
     val df = TimeSeries.gapFill(spark, sf).cache()
     assert(df.filter(col("v_filled").isNull).count() == 0, "null after fill")
