@@ -139,6 +139,7 @@ object SparkEntry {
     "curate_pipeline"   -> (Curation.curatePipeline(_, _)),
     "mixture_sample"    -> (Curation.mixtureSample(_, _)),
     "stratified_sample" -> (Curation.stratifiedSample(_, _)),
+    "mixture_temperature" -> ((s, d) => Curation.temperatureMix(s, d)),
     "lm_score"          -> ((s, d) => TextAnalysis.lmScore(s, d)),
     "lm_score2"         -> ((s, d) => TextAnalysis.lmScore2(s, d)),
     "emb_quantize"      -> (Similarity.embQuantize(_, _)),
@@ -681,6 +682,20 @@ object SparkEntry {
         |  FROM h)
         |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id
         |FROM r WHERE rnk <= 50 ORDER BY lang, rnk""".stripMargin,
+    "mixture_temperature" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS tot FROM c),
+        |q AS (SELECT lang, least(n_docs,
+        |    CAST(round(150 * sqrt(CAST(n_docs AS DOUBLE)) / (SELECT tot FROM t), 0)
+        |      AS BIGINT)) AS quota FROM c),
+        |h AS (SELECT lang, doc_id,
+        |    md5('temp:' || CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+        |r AS (SELECT h.lang, h.doc_id, q.quota,
+        |    row_number() OVER (PARTITION BY h.lang ORDER BY h.hh ASC, h.doc_id ASC) AS rnk
+        |  FROM h JOIN q USING (lang))
+        |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, quota
+        |FROM r WHERE rnk <= quota ORDER BY lang, rnk""".stripMargin,
     "lm_score" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -283,4 +283,61 @@ object Curation {
       .select(col("lang"), col("rnk"), col("doc_id"))
       .orderBy("lang", "rnk")
   }
+
+  /** Temperature-tempered mixture (the T5/Pile α-sampling recipe):
+    * per-language quotas ∝ n_docs^α (α=0.5 here, computed as sqrt —
+    * correctly-rounded IEEE in BOTH engines, unlike pow), normalized
+    * to a total budget and capped at the language's size, so
+    * low-resource languages are up-weighted relative to their raw
+    * share. Selection inside each language is the same deterministic
+    * hash-order contract as [[mixtureSample]]/[[stratifiedSample]]:
+    * rank by (md5("temp:"+doc_id), doc_id), keep rank ≤ quota.
+    *
+    * Scale: quotas come from a 5-row aggregate collected to the
+    * driver (one tiny map, same class as pagerank's node count) and
+    * ship in the task closure; selection is the two-phase top-k —
+    * per-partition heaps bound state to quota·P rows before the
+    * per-language final rank, so no corpus-sized window partition.
+    */
+  def temperatureMix(spark: SparkSession, dir: String,
+                     budget: Int = 150): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val quotas = counts
+      .crossJoin(broadcast(
+        counts.agg(sum(sqrt(col("n_docs").cast("double"))).as("tot"))))
+      .select(col("lang"),
+        least(col("n_docs"),
+          round(lit(budget) * sqrt(col("n_docs").cast("double")) / col("tot"), 0)
+            .cast("long")).as("quota"))
+    val qmap = quotas.as[(String, Long)].collect().toMap
+    val qmax = if (qmap.isEmpty) 0 else qmap.values.max.toInt
+    val hashed = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        md5(concat(lit("temp:"), col("doc_id").cast("string"))).as("h"))
+      .as[Strat]
+    val partial = hashed.mapPartitions { it =>
+      val heaps = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.PriorityQueue[Strat]]
+      it.foreach { s =>
+        val cap = math.min(qmap.getOrElse(s.lang, 0L), qmax.toLong).toInt
+        if (cap > 0) {
+          val hp = heaps.getOrElseUpdate(s.lang,
+            scala.collection.mutable.PriorityQueue.empty(stratWorstFirst))
+          if (hp.size < cap) hp.enqueue(s)
+          else if (stratWorstFirst.lt(s, hp.head)) { hp.dequeue(); hp.enqueue(s) }
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h").asc, col("doc_id").asc)
+    partial.toDF()
+      .join(broadcast(quotas), "lang")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= col("quota"))
+      .select(col("lang"), col("rnk"), col("doc_id"), col("quota"))
+      .orderBy("lang", "rnk")
+  }
 }

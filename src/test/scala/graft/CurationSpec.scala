@@ -45,6 +45,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("temperature mixture: quotas track n^0.5, fill the budget, upweight the tail") {
+    val budget = 150
+    val rows = Curation.temperatureMix(spark, sf, budget)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val sizes = Tables.documents(spark, sf).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val quotas = rows.groupBy(_._1).view.mapValues(_.head._4).toMap
+    val picked = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    // each language fills exactly its quota (quota ≤ size by least())
+    quotas.foreach { case (lang, q) =>
+      assert(picked(lang) == q, s"$lang picked ${picked(lang)} != quota $q")
+      assert(q <= sizes(lang), s"$lang quota above corpus size")
+    }
+    // budget is met up to per-language rounding (±1 each)
+    val total = quotas.values.sum
+    assert(math.abs(total - budget) <= quotas.size, s"total quota $total vs $budget")
+    // α=0.5 flattens the mixture: the smallest language's sampled share
+    // strictly exceeds its raw corpus share
+    val nTotal = sizes.values.sum.toDouble
+    val (minLang, minSz) = sizes.minBy(_._2)
+    assert(quotas(minLang) / total.toDouble > minSz / nTotal,
+      s"$minLang not upweighted: ${quotas(minLang)}/$total vs $minSz/$nTotal")
+  }
+
   test("semantic keep-list: partitions the corpus with near-dup drops; id 0 kept") {
     val all = Tables.embeddings(spark, sf).select("vec_id").as[Long].collect().toSet
     val kept = Similarity.semanticKeep(spark, sf).as[Long].collect().toSet
