@@ -681,12 +681,17 @@ object Dedup {
         explode(sequence(lit(1), length(col("n")) - (win - 1), lit(stride))).as("p"))
       .select(col("doc_id"), col("p").cast("long").as("p"),
         md5(col("n").substr(col("p"), lit(win))).as("h"))
-    val dups = spans.groupBy("h")
-      .agg(countDistinct("doc_id").as("nd"))
-      .where(col("nd") >= 2)
-      .select(col("h"))
+    // one pass over the windows: group hits per hash, keep hashes seen
+    // in ≥2 distinct docs via array ops (no second scan, no join back
+    // — window hashing is the dominant cost and runs exactly once)
+    val hits = spans.groupBy("h")
+      .agg(collect_list(struct(col("doc_id"), col("p"))).as("hits"))
+      .where(size(array_distinct(
+        transform(col("hits"), x => x.getField("doc_id")))) >= 2)
+      .select(explode(col("hits")).as("hit"))
+      .select(col("hit.doc_id").as("doc_id"), col("hit.p").as("p"))
     val byDoc = Window.partitionBy("doc_id").orderBy("p")
-    val regions = spans.join(dups, "h")
+    val regions = hits
       .withColumn("prev_end",
         max(col("p") + win).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("new_reg",
