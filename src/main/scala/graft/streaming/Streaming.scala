@@ -235,4 +235,20 @@ object Streaming {
     q.stop()
     spark.table(name)
   }
+
+  /** The idempotent batch write a foreachBatch sink needs for
+    * effectively-exactly-once delivery on top of Structured
+    * Streaming's at-least-once replay: each micro-batch lands in its
+    * own `batch_id=N` partition directory with mode=overwrite, so a
+    * replayed batch (failure between sink commit and checkpoint
+    * advance) OVERWRITES its own previous attempt instead of
+    * appending duplicates. Readers see the union of partitions —
+    * standard partitioned parquet, no custom commit protocol.
+    * IdempotentSinkSpec replays a batch and asserts byte-stable
+    * results; use as `.writeStream.foreachBatch(writeBatch(dir) _)`.
+    */
+  def writeBatch(outDir: String)(df: DataFrame, batchId: Long): Unit =
+    df.write
+      .mode("overwrite")
+      .parquet(s"$outDir/batch_id=$batchId")
 }

@@ -210,4 +210,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.sorted == Seq("alpha", "beta", "gamma"),
       s"got $got")
   }
+
+  test("foreachBatch sink is idempotent: replaying a batch leaves results unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idem-sink").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .foreachBatch(Streaming.writeBatch(dir) _)
+      .start()
+    mem.addData(Seq((1L, "a"), (2L, "b")))
+    q.processAllAvailable()
+    mem.addData(Seq((3L, "c")))
+    q.processAllAvailable()
+    q.stop()
+    def snapshot() = spark.read.parquet(dir)
+      .select(col("k"), col("v"), col("batch_id"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val first = snapshot()
+    assert(first.map(t => (t._1, t._2)) == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(first.map(_._3).distinct.sorted == Seq(0L, 1L))
+    // simulate the at-least-once replay of batch 1 (failure after the
+    // sink wrote but before the checkpoint advanced): the re-delivered
+    // batch must overwrite itself, not append
+    Streaming.writeBatch(dir)(
+      Seq((3L, "c")).toDF("k", "v"), 1L)
+    Streaming.writeBatch(dir)(
+      Seq((3L, "c")).toDF("k", "v"), 1L)
+    assert(snapshot() == first, "replayed batch changed the sink contents")
+  }
 }
