@@ -106,6 +106,7 @@ object SparkEntry {
     "event_funnel" -> ((s, d) => TimeSeries.eventFunnel(s, d)),
     "ts_fill"      -> (TimeSeries.gapFill(_, _)),
     "ts_anomaly"   -> ((s, d) => TimeSeries.anomalies(s, d)),
+    "retention_cohorts" -> (TimeSeries.retentionCohorts(_, _)),
     // ---- co-occurrence / graph ----
     "assoc_pairs"    -> (Cooccur.assocPairs(_, _)),
     "graph_pagerank" -> (Cooccur.pagerank(_, _)),
@@ -1042,6 +1043,23 @@ object SparkEntry {
         |      (CAST(date_diff('second', prev_h, h) AS DOUBLE) /
         |       CAST(date_diff('second', prev_h, next_h) AS DOUBLE)) END, 3) AS v_filled
         |FROM marked ORDER BY event_type, hour_start""".stripMargin,
+    "retention_cohorts" ->
+      """WITH e AS (SELECT user_id,
+        |    date_trunc('week', CAST(ts AS TIMESTAMP)) AS w FROM events),
+        |first AS (SELECT user_id, min(w) AS cohort_w FROM e GROUP BY 1),
+        |size_ AS (SELECT cohort_w, count(*) AS cohort_n FROM first GROUP BY 1),
+        |act AS (
+        |  SELECT DISTINCT f.cohort_w,
+        |    CAST(date_diff('day', f.cohort_w, e.w) // 7 AS BIGINT) AS offset_w,
+        |    e.user_id
+        |  FROM e JOIN first f USING (user_id)),
+        |ret AS (SELECT cohort_w, offset_w, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM act GROUP BY 1, 2)
+        |SELECT strftime(r.cohort_w, '%Y-%m-%d') AS cohort_week, r.offset_w,
+        |  r.n_users, CAST(s.cohort_n AS BIGINT) AS cohort_n,
+        |  round(r.n_users / CAST(s.cohort_n AS DOUBLE), 6) AS retention
+        |FROM ret r JOIN size_ s USING (cohort_w)
+        |ORDER BY cohort_week, offset_w""".stripMargin,
     "ts_anomaly" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,

@@ -147,6 +147,35 @@ object TimeSeries {
     * weight is a ratio of whole-second long deltas cast to double —
     * the same two casts and single division DuckDB performs.
     */
+  /** Weekly cohort retention (the product-analytics matrix): users
+    * cohort by the ISO week of their first event; each later active
+    * week counts them once at that offset; retention = active / cohort
+    * size. Two shuffles (per-user first week, per-cohort-offset
+    * distinct count) + a broadcast of the tiny cohort-size table —
+    * user-level state never leaves its partition. On the synthetic
+    * fixture all users land in one cohort (every user is active from
+    * week 1); the shape is what matters and the oracle replays it.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+    val first = e.groupBy("user_id").agg(min(col("w")).as("cohort_w"))
+    val sizes = first.groupBy("cohort_w").agg(count(lit(1)).as("cohort_n"))
+    e.join(first, "user_id")
+      .select(col("cohort_w"),
+        expr("CAST(datediff(w, cohort_w) div 7 AS BIGINT)").as("offset_w"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_w", "offset_w")
+      .agg(count(lit(1)).as("n_users"))
+      .join(broadcast(sizes), "cohort_w")
+      .select(
+        date_format(col("cohort_w"), "yyyy-MM-dd").as("cohort_week"),
+        col("offset_w"), col("n_users"), col("cohort_n"),
+        round(col("n_users") / col("cohort_n").cast("double"), 6).as("retention"))
+      .orderBy("cohort_week", "offset_w")
+  }
+
   /** Rolling z-score anomaly detection over the hourly series: each
     * hour is scored against the trailing 24-hour window (mean and
     * sample stddev over the 24 PRECEDING rows, current row excluded

@@ -148,4 +148,27 @@ object Layout {
           .cast("long").as("zkey"))
       .orderBy("o_orderkey")
   }
+
+  /** Small-files compaction — the maintenance pass every long-running
+    * ingest needs: rewrite a fragmented parquet directory into
+    * ceil(bytes / targetBytes) files. Sizing reads FILE sizes only
+    * (one driver listing, no data scan); the rewrite is one
+    * distributed pass. repartition (round-robin shuffle) rather than
+    * coalesce: coalesce(n) would fuse the read into n tasks and lose
+    * scan parallelism, and skewed input files would produce skewed
+    * output files. Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    def parquetFiles(d: String): Array[java.io.File] =
+      new java.io.File(d).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val before = parquetFiles(inDir)
+    val nOut = math.max(1,
+      math.ceil(before.map(_.length).sum.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir)
+      .repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    (before.length, parquetFiles(outDir).length)
+  }
 }

@@ -105,4 +105,24 @@ class LayoutSpec extends SparkSpec {
     assert(zy < ly, s"zorder must beat linear on the non-leading dim: $zy vs $ly")
     zo.unpersist()
   }
+
+  test("compaction rewrites a fragmented directory to the sized file count, same rows") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-compact").toString
+    val frag = s"$base/frag"
+    val out = s"$base/out"
+    // fragment: 64 tiny files
+    Tables.lineitem(spark, sf).repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    val want = spark.read.parquet(frag).count()
+    val bytes = new java.io.File(frag).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+    val target = math.max(1L, bytes / 4) // force ~4-5 output files
+    val (before, after) = Layout.compact(spark, frag, out, target)
+    assert(before == 64, s"fragmented count $before")
+    val expected = math.ceil(bytes.toDouble / target).toInt
+    assert(after == expected, s"after=$after expected=$expected")
+    assert(after < before / 8, s"compaction barely reduced files: $after")
+    assert(spark.read.parquet(out).count() == want, "row count changed")
+  }
 }
