@@ -23,7 +23,9 @@ class RegistrySpec extends SparkSpec {
   // full execution coverage in their own specs and in Verify
   // (kv_roundtrip's builder executes the writeKV sink job up front)
   private val eagerBuilders = Set("dedup_clusters", "dedup_clusters_star",
-    "kv_roundtrip", "bloom_join", "bpe_vocab", "bpe_encode", "ivf_index_topk")
+    "kv_roundtrip", "bloom_join", "bpe_vocab", "bpe_encode", "ivf_index_topk",
+    "graph_pagerank", // localCheckpoint iterations run at plan build
+    "mixture_temperature") // collects the 5-row quota map up front
 
   test("all queries analyze (schema resolves) at sf0.001") {
     val failures = SparkEntry.queries
