@@ -675,21 +675,25 @@ object Dedup {
     val norm = Tables.documents(spark, dir)
       .select(col("doc_id"),
         lower(regexp_replace(col("text"), "\\s+", " ")).as("n"))
+    // hash every window exactly ONCE: the span stream is materialized
+    // (localCheckpoint) and both consumers — the duplicated-hash set
+    // and the join back — read the stored rows. Deliberately NOT a
+    // per-hash collect_list: a boilerplate span shared corpus-wide
+    // would concentrate its whole hit list in one task's array,
+    // whereas the join streams those rows through a shuffle.
     val spans = norm
       .where(length(col("n")) >= win)
       .select(col("doc_id"), col("n"),
         explode(sequence(lit(1), length(col("n")) - (win - 1), lit(stride))).as("p"))
       .select(col("doc_id"), col("p").cast("long").as("p"),
         md5(col("n").substr(col("p"), lit(win))).as("h"))
-    // one pass over the windows: group hits per hash, keep hashes seen
-    // in ≥2 distinct docs via array ops (no second scan, no join back
-    // — window hashing is the dominant cost and runs exactly once)
-    val hits = spans.groupBy("h")
-      .agg(collect_list(struct(col("doc_id"), col("p"))).as("hits"))
-      .where(size(array_distinct(
-        transform(col("hits"), x => x.getField("doc_id")))) >= 2)
-      .select(explode(col("hits")).as("hit"))
-      .select(col("hit.doc_id").as("doc_id"), col("hit.p").as("p"))
+      .localCheckpoint()
+    val dups = spans.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("h"))
+    val hits = spans.join(dups, "h")
+      .select(col("doc_id"), col("p"))
     val byDoc = Window.partitionBy("doc_id").orderBy("p")
     val regions = hits
       .withColumn("prev_end",
