@@ -107,6 +107,7 @@ object SparkEntry {
     "ts_fill"      -> (TimeSeries.gapFill(_, _)),
     "ts_anomaly"   -> ((s, d) => TimeSeries.anomalies(s, d)),
     "retention_cohorts" -> (TimeSeries.retentionCohorts(_, _)),
+    "ts_session_window" -> (TimeSeries.sessionWindows(_, _)),
     // ---- co-occurrence / graph ----
     "assoc_pairs"    -> (Cooccur.assocPairs(_, _)),
     "graph_pagerank" -> (Cooccur.pagerank(_, _)),
@@ -1043,6 +1044,18 @@ object SparkEntry {
         |      (CAST(date_diff('second', prev_h, h) AS DOUBLE) /
         |       CAST(date_diff('second', prev_h, next_h) AS DOUBLE)) END, 3) AS v_filled
         |FROM marked ORDER BY event_type, hour_start""".stripMargin,
+    "ts_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e),
+        |g AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM f),
+        |h AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS sess_end
+        |FROM h GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start""".stripMargin,
     "retention_cohorts" ->
       """WITH e AS (SELECT user_id,
         |    date_trunc('week', CAST(ts AS TIMESTAMP)) AS w FROM events),

@@ -147,6 +147,23 @@ object TimeSeries {
     * weight is a ratio of whole-second long deltas cast to double —
     * the same two casts and single division DuckDB performs.
     */
+  /** Sessionization via Spark's native session_window operator (the
+    * dedicated SessionWindow exec, not the lag/cumsum window form in
+    * [[sessionize]]): sessions merge while each event lands inside
+    * the previous window's [start, last+gap) extent, and the emitted
+    * window end is last event + gap. Both forms are oracle-checked
+    * against the same DuckDB recurrence, pinning them equal.
+    */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"), col("n_events"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"))
+      .orderBy("user_id", "sess_start")
+
   /** Weekly cohort retention (the product-analytics matrix): users
     * cohort by the ISO week of their first event; each later active
     * week counts them once at that offset; retention = active / cohort
