@@ -118,6 +118,7 @@ object SparkEntry {
     "text_langid"      -> (TextAnalysis.langId(_, _)),
     "text_fingerprint" -> (TextAnalysis.fingerprints(_, _)),
     "text_rollhash"    -> (TextAnalysis.rollingHash(_, _)),
+    "text_entropy"     -> (TextAnalysis.charEntropy(_, _)),
     "text_langid_ngram" -> (TextAnalysis.langIdNgram(_, _)),
     "fuzzy_name_match"  -> ((s, d) => TextAnalysis.fuzzyNameMatch(s, d)),
     "text_repetition"   -> (TextAnalysis.repetitionScore(_, _)),
@@ -1408,6 +1409,16 @@ object SparkEntry {
         |   list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |   (a, b) -> (a * 31 + b) % 1000000007) AS rollhash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), '')) AS c FROM documents),
+        |cc AS (
+        |  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM chars WHERE c <> '' GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
+        |  round(log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt), 4) AS entropy_bits
+        |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

@@ -250,6 +250,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Character-entropy quality signal (low entropy = repetitive /
+    * degenerate text, high = encoding noise — both standard corpus
+    * filters). Computed as log2(L) − Σ c·log2(c) / L over per-char
+    * counts, the single-aggregation algebraic form, so neither engine
+    * needs a second pass for probabilities. Per-(doc, char) counts
+    * partial-agg map-side to ≤ alphabet-size rows per doc before the
+    * shuffle.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "")).as("c"))
+      .where(col("c") =!= "")
+      .groupBy(col("doc_id"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        round(
+          log2(sum(col("cnt"))) -
+            sum(col("cnt") * log2(col("cnt"))) / sum(col("cnt")),
+          4).as("entropy_bits"))
+      .orderBy("doc_id")
+
   /** Document fingerprint: md5 over normalized text (lowercase,
     * collapsed whitespace) + duplicate-cluster size per fingerprint.
     */
