@@ -108,6 +108,7 @@ object SparkEntry {
     "ts_anomaly"   -> ((s, d) => TimeSeries.anomalies(s, d)),
     "retention_cohorts" -> (TimeSeries.retentionCohorts(_, _)),
     "ts_session_window" -> (TimeSeries.sessionWindows(_, _)),
+    "ts_asof_nearest" -> ((s, d) => TimeSeries.asofNearest(s, d)),
     // ---- co-occurrence / graph ----
     "assoc_pairs"    -> (Cooccur.assocPairs(_, _)),
     "graph_pagerank" -> (Cooccur.pagerank(_, _)),
@@ -1045,6 +1046,33 @@ object SparkEntry {
         |      (CAST(date_diff('second', prev_h, h) AS DOUBLE) /
         |       CAST(date_diff('second', prev_h, next_h) AS DOUBLE)) END, 3) AS v_filled
         |FROM marked ORDER BY event_type, hour_start""".stripMargin,
+    "ts_asof_nearest" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |m AS (SELECT *, CASE WHEN event_type = 'click' THEN ts END AS click_ts FROM e),
+        |w AS (
+        |  SELECT *,
+        |    last_value(click_ts IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click,
+        |    first_value(click_ts IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click
+        |  FROM m),
+        |p AS (
+        |  SELECT user_id, event_id, ts,
+        |    epoch_us(ts) - epoch_us(prev_click) AS dp,
+        |    epoch_us(next_click) - epoch_us(ts) AS dn,
+        |    prev_click, next_click
+        |  FROM w WHERE event_type = 'purchase')
+        |SELECT user_id, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_at,
+        |  strftime(CASE WHEN dp IS NOT NULL AND (dn IS NULL OR dp <= dn)
+        |    THEN prev_click ELSE next_click END, '%Y-%m-%d %H:%M:%S') AS nearest_click,
+        |  CAST(least(coalesce(dp, dn), coalesce(dn, dp)) // 1000000 AS BIGINT) AS gap_s
+        |FROM p
+        |WHERE least(coalesce(dp, dn), coalesce(dn, dp)) IS NOT NULL
+        |  AND least(coalesce(dp, dn), coalesce(dn, dp)) <= 900000000
+        |ORDER BY user_id, event_id""".stripMargin,
     "ts_session_window" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |f AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e),

@@ -147,6 +147,42 @@ object TimeSeries {
     * weight is a ratio of whole-second long deltas cast to double —
     * the same two casts and single division DuckDB performs.
     */
+  /** As-of NEAREST join with tolerance (pandas merge_asof
+    * direction="nearest"): each purchase pairs with the closest click
+    * by the same user within ±15 minutes, looking BOTH directions —
+    * unlike [[asofPurchaseSignup]], which is backward-only. Same
+    * single-shuffle posture: one sort per user partition feeds both
+    * direction windows; ties (equidistant prev/next) resolve to the
+    * earlier click in both engines.
+    */
+  def asofNearest(spark: SparkSession, dir: String,
+                  toleranceSec: Long = 900): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val clickTs = when(col("event_type") === "click", col("ts"))
+    val dp = unix_micros(col("ts")) - unix_micros(col("prev_click"))
+    val dn = unix_micros(col("next_click")) - unix_micros(col("ts"))
+    val gapUs = least(coalesce(dp, dn), coalesce(dn, dp))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("prev_click", last(clickTs, ignoreNulls = true)
+        .over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("next_click", first(clickTs, ignoreNulls = true)
+        .over(byUser.rowsBetween(1, Window.unboundedFollowing)))
+      .where(col("event_type") === "purchase")
+      .where(gapUs.isNotNull && gapUs <= toleranceSec * 1000000L)
+      .select(
+        col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_at"),
+        date_format(
+          when(dp.isNotNull && (dn.isNull || dp <= dn), col("prev_click"))
+            .otherwise(col("next_click")),
+          "yyyy-MM-dd HH:mm:ss").as("nearest_click"),
+        // exact for gaps < 2^53 µs; floor(x/1e6) == x div 1e6 for x ≥ 0
+        floor(gapUs / 1000000L).cast("long").as("gap_s"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Sessionization via Spark's native session_window operator (the
     * dedicated SessionWindow exec, not the lag/cumsum window form in
     * [[sessionize]]): sessions merge while each event lands inside
