@@ -76,6 +76,19 @@ class OperatorSpec extends SparkSpec {
     assert(!q11.contains("CartesianProduct"), q11)
   }
 
+  test("win_rank's rank<=3 filter becomes a partial+final WindowGroupLimit") {
+    // per-group top-k must bound rows MAP-SIDE (partial limit below the
+    // exchange) before the real window ranks the survivors — the same
+    // two-phase discipline sim_topk hand-builds, here via Catalyst's
+    // InferWindowGroupLimit, guarded so a refactor can't lose it
+    val plan = Windows.rankPerCustomer(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("WindowGroupLimit .*Partial".r.findFirstIn(plan).isDefined,
+      s"no partial (map-side) group limit:\n$plan")
+    assert("WindowGroupLimit .*Final".r.findFirstIn(plan).isDefined,
+      s"no final group limit:\n$plan")
+  }
+
   test("q21 collapses the EXISTS pair into one shuffle + per-order window") {
     val plan = Joins.waitingSuppliers(spark, sf)
       .queryExecution.executedPlan.toString
