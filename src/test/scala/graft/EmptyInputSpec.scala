@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators._
+
+/** Operators must degrade to empty results — never throw — on empty
+  * tables: at scale, empty partitions, empty date slices, and freshly
+  * created corpora are routine inputs. Builds a schema-identical empty
+  * fixture dir and runs one representative per operator family.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-empty-sf").toString
+    Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+      .foreach { t =>
+        spark.read.parquet(s"$sf/$t.parquet")
+          .limit(0)
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
+    dir
+  }
+
+  test("one representative per family returns 0 rows on an empty corpus") {
+    val representatives: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      "wordcount_alpha" -> (WordCount.alpha(_, _)),
+      "q1_pricing"      -> ((s, d) => Relational.pricingSummary(s, d)),
+      "join_q3_shipping" -> ((s, d) => Joins.shippingPriority(s, d)),
+      "win_rank"        -> (Windows.rankPerCustomer(_, _)),
+      "ts_sessionize"   -> (TimeSeries.sessionize(_, _)),
+      "ts_fill"         -> (TimeSeries.gapFill(_, _)),
+      "ts_anomaly"      -> ((s, d) => TimeSeries.anomalies(s, d)),
+      "dedup_exact"     -> (Dedup.exact(_, _)),
+      "dedup_spans"     -> ((s, d) => Dedup.spanDedup(s, d)),
+      "dedup_span_regions" -> ((s, d) => Dedup.spanRegions(s, d)),
+      "assoc_pairs"     -> (Cooccur.assocPairs(_, _)),
+      "graph_pagerank"  -> (Cooccur.pagerank(_, _)),
+      "sketch_cms"      -> ((s, d) => Relational.cmsTopK(s, d)),
+      "stats_moments"   -> (Relational.statsMoments(_, _)),
+      "text_entropy"    -> (TextAnalysis.charEntropy(_, _)),
+      "mixture_temperature" -> ((s, d) => Curation.temperatureMix(s, d)),
+      "retention_cohorts" -> (TimeSeries.retentionCohorts(_, _)))
+    val failures = representatives.flatMap { case (name, fn) =>
+      try {
+        val n = fn(spark, emptyDir).count()
+        if (n != 0) Some(s"$name: $n rows from empty input") else None
+      } catch {
+        case e: Throwable =>
+          Some(s"$name threw ${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").take(100))
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
