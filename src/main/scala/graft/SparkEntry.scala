@@ -164,6 +164,7 @@ object SparkEntry {
     "dedup_span_regions" -> ((s, d) => Dedup.spanRegions(s, d)),
     "profile_stats" -> (Relational.profileStats(_, _)),
     "sketch_cms"    -> ((s, d) => Relational.cmsTopK(s, d)),
+    "histogram_equidepth" -> (Relational.histogramEquidepth(_, _)),
     "stats_moments" -> (Relational.statsMoments(_, _)),
     // ---- similarity search ----
     "sim_topk"    -> ((s, d) => Similarity.bruteForceTopK(s, d)),
@@ -612,6 +613,14 @@ object SparkEntry {
         |  round(sum(re - rs) / CAST(min(length(nm.n)) AS DOUBLE), 6) AS dup_ratio
         |FROM regions r JOIN norm nm USING (doc_id)
         |GROUP BY r.doc_id ORDER BY r.doc_id""".stripMargin,
+    "histogram_equidepth" ->
+      """WITH e AS (SELECT quantile_cont(l_extendedprice,
+        |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs FROM lineitem),
+        |t AS (SELECT l_extendedprice AS p,
+        |    1 + len(list_filter((SELECT qs FROM e), q -> q < p)) AS b FROM lineitem)
+        |SELECT CAST(b AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |  round(min(p), 2) AS lo, round(max(p), 2) AS hi
+        |FROM t GROUP BY b ORDER BY bucket""".stripMargin,
     "sketch_cms" ->
       """WITH hexes AS (
         |  SELECT l_suppkey AS k, j,

@@ -486,6 +486,28 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy("k")
 
+  /** Equi-depth (equal-frequency) histogram in the SCALABLE form: the
+    * decile boundaries come from one exact-percentile aggregation,
+    * broadcast as a 1-row array, and every row assigns its bucket
+    * map-side by counting boundaries below it — NO global ntile
+    * window (which would rank the whole table in one task). Rows
+    * exactly on a boundary fall to the lower bucket in both engines
+    * (strict `<` comparison).
+    */
+  def histogramEquidepth(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("p"))
+    val edges = li.agg(expr(
+      "percentile(p, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("qs"))
+    li.crossJoin(broadcast(edges))
+      .select(col("p"),
+        (lit(1) + size(filter(col("qs"), q => q < col("p")))).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("p")), 2).as("lo"),
+        round(max(col("p")), 2).as("hi"))
+      .orderBy("bucket")
+  }
+
   /** Count-min sketch as pure partial-aggregable DataFrame ops: d=4
     * hash rows × w=256 counters, bucket = md5("j:key") mod w, so the
     * whole sketch — build, point estimates, CMS error contract — is

@@ -30,6 +30,7 @@ class PlanLintSpec extends SparkSpec {
     "q11_important", "q22_idle_balance", "lm_score", "lm_score2",
     "tfidf_keywords", "layout_zorder", "sketch_cms", "sketch_hll_merge",
     "bm25_topk", "join_range_tiers", "fuzzy_name_match",
+    "histogram_equidepth", // 1-row percentile-edges broadcast
     "sim_topk", "sim_ivf", "sim_ann_recall", "sim_ivf_recall",
     "sim_neardup", "sem_dedup_keep", "hybrid_rrf", "emb_kmeans",
     "emb_pq_recall")
