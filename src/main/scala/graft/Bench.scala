@@ -24,24 +24,43 @@ object Bench {
         .select(sum(col("k")).over(Window.orderBy("k")).as("s"))
         .count()
     } catch { case _: Throwable => () } // warmup must never kill the run
-    // (name, seconds, error) — a failed query is reported as an error
-    // entry and fails the whole run (nonzero exit), never as a silent
-    // "-1s" timing that could read as fast
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Each query is timed TWICE and the per-query time is the MIN of the
+    // two passes. A single-shot timing is fragile to host contention: a
+    // noisy co-tenant once tripled the recorded total with no code change
+    // (BENCH_r06: driver 437s vs clean re-run 149.8s on the same commit).
+    // min-of-2 is robust in both directions — contention can only inflate
+    // a pass, never deflate it, so the min is the closest observable to
+    // the code's true cost. Both raw passes are emitted ("pass1"/"pass2")
+    // so a contended run is visible in the record instead of silently
+    // poisoning it. A failed query is reported as an error entry and
+    // fails the whole run (nonzero exit), never as a silent fast timing.
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
         }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      ((System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // (name, minSec, pass1Sec, pass2Sec, error)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (t1, e1) = timeOnce(fn)
+      // don't re-run a failing query; its time is meaningless anyway
+      val (t2, e2) = if (e1.isDefined) (t1, e1) else timeOnce(fn)
+      (name, math.min(t1, t2), t1, t2, e1.orElse(e2))
+    }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":" + jsonStr(e) }
+    val p1 = results.map { case (k, _, t1, _, _) => "\"" + k + "\":" + t1 }
+      .mkString("{", ",", "}")
+    val p2 = results.map { case (k, _, _, t2, _) => "\"" + k + "\":" + t2 }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, _, Some(e)) => "\"" + k + "\":" + jsonStr(e) }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2","queries":$qs,"pass1":$p1,"pass2":$p2$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

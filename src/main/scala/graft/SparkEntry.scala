@@ -571,7 +571,7 @@ object SparkEntry {
         |ORDER BY a, b""".stripMargin,
     "dedup_spans" ->
       """WITH norm AS (
-        |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS n FROM documents),
+        |  SELECT doc_id, lower(regexp_replace(text, '[ \t\n\f\r\x0B]+', ' ', 'g')) AS n FROM documents),
         |pos AS (
         |  SELECT doc_id, n, unnest(generate_series(1, length(n) - 39, 10)) AS p
         |  FROM norm WHERE length(n) >= 40),
@@ -582,7 +582,7 @@ object SparkEntry {
         |ORDER BY span_md5""".stripMargin,
     "dedup_span_regions" ->
       """WITH norm AS (
-        |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS n FROM documents),
+        |  SELECT doc_id, lower(regexp_replace(text, '[ \t\n\f\r\x0B]+', ' ', 'g')) AS n FROM documents),
         |pos AS (
         |  SELECT doc_id, n, unnest(generate_series(1, length(n) - 39, 10)) AS p
         |  FROM norm WHERE length(n) >= 40),
@@ -1885,39 +1885,91 @@ object SparkEntry {
     // top-nProbe cell assignment, candidate join, exact verify) so the
     // IVF-cell near-dup is oracle-hash-checked end-to-end, no
     // ground-truth column involved — nCells=16, nProbe=4, minSim=0.3
+    // replays the TRAINED blocking: 2-round integer-exact Lloyd (the
+    // emb_kmeans CTE chain at k=16), then top-4 multi-probe
+    // assignment against the trained centroids, candidate join, and
+    // exact double-cosine verify
     "sim_neardup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |seeds AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
-        |sc AS (SELECT e.vec_id, s.cell,
-        |    list_cosine_similarity(e.v, s.cv) AS sim FROM e CROSS JOIN seeds s),
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS vq
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cell, vq AS cv FROM e WHERE vec_id < 16),
+        |s1 AS (
+        |  SELECT e.vec_id, e.vq, c.cell,
+        |    list_inner_product(e.vq, c.cv) /
+        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
+        |  FROM e, c0 c),
+        |a1 AS (SELECT vec_id, vq, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, cell ASC) AS rn FROM s1)
+        |  WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cell, list(s ORDER BY i) AS cv FROM (
+        |    SELECT cell, i, CAST(sum(vq[i]) AS BIGINT) AS s
+        |    FROM a1, generate_series(1, 64) t(i)
+        |    GROUP BY cell, i)
+        |  GROUP BY cell),
+        |s2 AS (
+        |  SELECT e.vec_id, c.cell,
+        |    list_inner_product(e.vq, c.cv) /
+        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
+        |  FROM e, c1 c),
         |asg AS (SELECT vec_id, cell FROM (
         |    SELECT vec_id, cell,
         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
-        |    FROM sc) WHERE rn <= 4),
+        |    FROM s2) WHERE rn <= 4),
         |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-        |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+        |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+        |ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT c.a, c.b, round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
-        |FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b
+        |FROM cand c JOIN ed ea ON ea.vec_id = c.a JOIN ed eb ON eb.vec_id = c.b
         |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.3
         |ORDER BY a, b""".stripMargin,
     // the near-dup replay plus the keep rule: a vector survives iff
     // no lower-id vector is within minSim — the full SemDeDup
     // decision (cells, candidates, verify, anti-join) cross-checked
     "sem_dedup_keep" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |seeds AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
-        |sc AS (SELECT e.vec_id, s.cell,
-        |    list_cosine_similarity(e.v, s.cv) AS sim FROM e CROSS JOIN seeds s),
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS vq
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cell, vq AS cv FROM e WHERE vec_id < 16),
+        |s1 AS (
+        |  SELECT e.vec_id, e.vq, c.cell,
+        |    list_inner_product(e.vq, c.cv) /
+        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
+        |  FROM e, c0 c),
+        |a1 AS (SELECT vec_id, vq, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, cell ASC) AS rn FROM s1)
+        |  WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cell, list(s ORDER BY i) AS cv FROM (
+        |    SELECT cell, i, CAST(sum(vq[i]) AS BIGINT) AS s
+        |    FROM a1, generate_series(1, 64) t(i)
+        |    GROUP BY cell, i)
+        |  GROUP BY cell),
+        |s2 AS (
+        |  SELECT e.vec_id, c.cell,
+        |    list_inner_product(e.vq, c.cv) /
+        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
+        |  FROM e, c1 c),
         |asg AS (SELECT vec_id, cell FROM (
         |    SELECT vec_id, cell,
         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
-        |    FROM sc) WHERE rn <= 4),
+        |    FROM s2) WHERE rn <= 4),
         |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
         |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+        |ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |drops AS (SELECT DISTINCT c.b AS vec_id
-        |  FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b
+        |  FROM cand c JOIN ed ea ON ea.vec_id = c.a JOIN ed eb ON eb.vec_id = c.b
         |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.3)
-        |SELECT vec_id FROM e
+        |SELECT vec_id FROM ed
         |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
         |ORDER BY vec_id""".stripMargin,
     "mm_meta" ->

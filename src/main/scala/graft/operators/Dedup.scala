@@ -640,7 +640,11 @@ object Dedup {
     */
   def spanDedup(spark: SparkSession, dir: String,
                 win: Int = 40, stride: Int = 10): DataFrame = {
-    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    // explicit whitespace class, NOT \s: Java \s includes U+000B but
+    // RE2 (DuckDB) \s does not — the explicit class is identical under
+    // both engines, so oracle hash parity can't silently break on a
+    // vertical-tab-bearing document
+    val norm = lower(regexp_replace(col("text"), "[ \\t\\n\\f\\r\\x0B]+", " "))
     Tables.documents(spark, dir)
       .select(col("doc_id"), norm.as("n"))
       .where(length(col("n")) >= win)
@@ -672,9 +676,10 @@ object Dedup {
     */
   def spanRegions(spark: SparkSession, dir: String,
                   win: Int = 40, stride: Int = 10): DataFrame = {
+    // same explicit whitespace class as spanDedup (Java-vs-RE2 \s parity)
     val norm = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        lower(regexp_replace(col("text"), "\\s+", " ")).as("n"))
+        lower(regexp_replace(col("text"), "[ \\t\\n\\f\\r\\x0B]+", " ")).as("n"))
     // hash every window exactly ONCE: the span stream is materialized
     // (localCheckpoint) and both consumers — the duplicated-hash set
     // and the join back — read the stored rows. Deliberately NOT a
@@ -687,7 +692,9 @@ object Dedup {
         explode(sequence(lit(1), length(col("n")) - (win - 1), lit(stride))).as("p"))
       .select(col("doc_id"), col("p").cast("long").as("p"),
         md5(col("n").substr(col("p"), lit(win))).as("h"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // lazy: plan construction stays
+      // action-free (the analysis-only smoke tests don't run a job);
+      // the RDD is persisted at first compute, both consumers reuse it
     val dups = spans.groupBy("h")
       .agg(countDistinct("doc_id").as("nd"))
       .where(col("nd") >= 2)

@@ -486,13 +486,19 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy("k")
 
-  /** Equi-depth (equal-frequency) histogram in the SCALABLE form: the
-    * decile boundaries come from one exact-percentile aggregation,
-    * broadcast as a 1-row array, and every row assigns its bucket
-    * map-side by counting boundaries below it — NO global ntile
-    * window (which would rank the whole table in one task). Rows
-    * exactly on a boundary fall to the lower bucket in both engines
-    * (strict `<` comparison).
+  /** Equi-depth (equal-frequency) histogram: the decile boundaries
+    * come from one percentile aggregation, broadcast as a 1-row array,
+    * and every row assigns its bucket map-side by counting boundaries
+    * below it — NO global ntile window (which would rank the whole
+    * table in one task). Rows exactly on a boundary fall to the lower
+    * bucket in both engines (strict `<` comparison).
+    *
+    * Scale note: the bucket-assignment side IS the scalable shape, but
+    * the exact percentile() aggregate buffers every distinct value of
+    * the column in one final-agg task. It is kept exact here only for
+    * DuckDB oracle parity; the at-scale variant swaps in
+    * approx_percentile (KLL-style bounded sketch, mergeable at the
+    * exchange) with no other change to the plan.
     */
   def histogramEquidepth(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("p"))

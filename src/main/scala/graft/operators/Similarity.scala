@@ -202,28 +202,31 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: pairs with cosine ≥
     * minSim, candidate-blocked by a DERIVED coarse-quantization cell —
     * no ground-truth column involved, so the operator runs on any
-    * corpus. Cells are IVF-style: the first nCells vectors by id act
-    * as deterministic seed centroids; every vector is assigned to its
-    * nProbe nearest seeds (multi-probe kills the boundary-pair recall
-    * loss of single-assignment), candidates share a cell, and exact
-    * cosine verifies candidates only.
+    * corpus. Cells are the TRAINED [[embKmeans]] codebook (nCells
+    * centroids, two Lloyd rounds, integer-exact ×1024 quantization) —
+    * production-grade cells rather than arbitrary first-n seed
+    * vectors; every vector is assigned to its nProbe nearest
+    * centroids (multi-probe kills the boundary-pair recall loss of
+    * single-assignment), candidates share a cell, and exact cosine
+    * verifies candidates only.
     *
-    * 100 TB shape: seeds are tiny and broadcast; per-seed scores
-    * collapse map-side via partial aggregation, so the assignment
-    * shuffle carries one row per vector (vec_id + an nProbe-cell
-    * array), never the corpus × nCells cross product; the pair join is
-    * bucketed by cell — candidate work is Σ|cell|², never corpus².
+    * 100 TB shape: centroids are tiny and broadcast; per-centroid
+    * scores collapse map-side via partial aggregation, so the
+    * assignment shuffle carries one row per vector (vec_id + an
+    * nProbe-cell array), never the corpus × nCells cross product; the
+    * pair join is bucketed by cell — candidate work is Σ|cell|²,
+    * never corpus².
     *
     * Recall contract (pinned in DedupSimilaritySpec, measured on the
     * fixture): ≥ 0.9 overall at minSim=0.3 and 1.0 on strong pairs
     * (cosine ≥ 0.45). The 0.3 threshold is deliberately far below a
     * production near-dup bar (~0.85+): LSH/IVF recall decays exactly
     * at the decision boundary, so weak boundary pairs are where the
-    * multi-probe assignment earns its 2× candidate cost (nProbe 2→4
-    * lifted fixture recall 0.49→0.92). At a realistic threshold the
-    * same blocking is effectively lossless. The DuckDB oracle replays
-    * the whole pipeline (seed scoring, top-nProbe assignment,
-    * candidate join, verify) bit-for-bit.
+    * multi-probe assignment earns its candidate cost. At a realistic
+    * threshold the same blocking is effectively lossless. The DuckDB
+    * oracle replays the whole pipeline (Lloyd training, top-nProbe
+    * assignment, candidate join, verify) bit-for-bit — the integer
+    * centroid sums are what make the training cross-engine exact.
     */
   def embeddingNearDup(spark: SparkSession, dir: String,
                        minSim: Double = 0.3, nCells: Int = 16,
@@ -233,14 +236,19 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
-    val seeds = emb.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    // trained coarse quantizer: the kmeans codebook (exact integer
+    // sums), scored against the same ×1024-quantized vectors
+    val cents = lloyd(spark, dir, nCells, 2)._2
+    val embq = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => round(x.cast("double") * 1024).cast("long")).as("vq"))
     // nProbe nearest cells per vector: negated-sim struct sort gives
     // (sim desc, cell asc) — a total order, so the selection matches
     // the oracle's row_number ranking exactly
-    val asg = emb.join(broadcast(seeds), lit(true))
+    val asg = embq.join(broadcast(cents), lit(true))
       .select(col("vec_id"),
-        struct(negate(ndot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        struct(negate(qdot(col("vq"), col("cv")) /
+          (sqrt(qdot(col("vq"), col("vq"))) * sqrt(qdot(col("cv"), col("cv")))))
           .as("negs"), col("cell")).as("sc"))
       .groupBy(col("vec_id"))
       .agg(slice(array_sort(collect_list(col("sc"))), 1, nProbe).as("top"))
@@ -594,7 +602,7 @@ object Similarity {
     val probePairs = probes.as[(Long, Long)].collect()
     val probedCells = probePairs.map(_._2).distinct.sorted
     val lists = spark.read.parquet(s"$idx/lists")
-      .filter(col("cell").isin(probedCells: _*))
+      .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
     val routing = probePairs.toSeq.toDF("qid", "cell")
     val wk = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)

@@ -160,12 +160,21 @@ object Layout {
     */
   def compact(spark: SparkSession, inDir: String, outDir: String,
               targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    def parquetFiles(d: String): Array[java.io.File] =
-      new java.io.File(d).listFiles()
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    // Hadoop FileSystem API, not java.io.File: works against any
+    // supported filesystem (HDFS/S3A/local), and a missing or empty
+    // directory yields an empty listing rather than an NPE.
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    def parquetFiles(d: String): Array[FileStatus] = {
+      val p = new Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Array.empty
+      else fs.listStatus(p)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
     val before = parquetFiles(inDir)
+    require(before.nonEmpty, s"compact: no parquet files under $inDir")
     val nOut = math.max(1,
-      math.ceil(before.map(_.length).sum.toDouble / targetBytes).toInt)
+      math.ceil(before.map(_.getLen).sum.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir)
       .repartition(nOut)
       .write.mode(SaveMode.Overwrite).parquet(outDir)
