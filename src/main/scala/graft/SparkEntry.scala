@@ -196,6 +196,9 @@ object SparkEntry {
     //      oracle: greedy packing is a sequential recurrence —
     //      PackingSpec pins budget/density/determinism invariants) ----
     "seq_pack"    -> ((s, d) => Packing.seqPack(s, d)),
+    // prefix-sum twin: concatenate-then-split binning is a pure
+    // cumsum, so it IS SQL-expressible and oracle-hash-checked
+    "seq_pack_sql" -> ((s, d) => Packing.seqPackSql(s, d)),
     "mm_frames"   -> ((s, d) => {
       import org.apache.spark.sql.functions._
       Multimodal.sampleFrames(s, d).toDF()
@@ -2059,7 +2062,26 @@ object SparkEntry {
         |  quantile_cont(l_extendedprice, 0.5) AS exact_median,
         |  TRUE AS parts_within_5pct,
         |  TRUE AS median_within_1pct
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // prefix-sum packing: exclusive cumsum over doc_id within each
+    // source, integer-divided by the 512-token budget — replays the
+    // Spark window bit-for-bit (no float division anywhere)
+    "seq_pack_sql" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS cum0
+        |  FROM toks)
+        |SELECT source, CAST(cum0 // 512 AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM c GROUP BY source, bin
+        |ORDER BY source, bin""".stripMargin
     // no oracle (rows-only + ScalaTest verification) — 9 queries:
     //   dedup_minhash, dedup_simhash — xxhash64 family not in DuckDB
     //     (their md5 twins dedup_minhash_md5/dedup_simhash_md5 ARE
@@ -2073,6 +2095,7 @@ object SparkEntry {
     //     sketch_approx's error contract IS oracle-checked);
     //   seq_pack, bpe_vocab, bpe_encode — sequential recurrences,
     //     exact-verified against single-node references (PackingSpec,
-    //     BpeSpec).
+    //     BpeSpec); seq_pack's prefix-sum twin seq_pack_sql IS
+    //     oracle-hash-checked.
   )
 }

@@ -32,7 +32,8 @@ object Packing {
     * windows and report per-bin stats. No SQL oracle — greedy packing
     * is a sequential recurrence DuckDB can't express declaratively;
     * PackingSpec pins the invariants (budget respected, partition
-    * exactly once, dense ids, determinism, plan shape) instead.
+    * exactly once, dense ids, determinism, plan shape) instead, and
+    * [[seqPackSql]] is the oracle-hash-checked prefix-sum twin.
     */
   def seqPack(spark: SparkSession, dir: String, budget: Long = 512): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -43,5 +44,37 @@ object Packing {
         sum(col("n_tok").cast("long")).as("total_tokens"),
         min(col("doc_id")).as("first_doc"))
       .orderBy("bin_id")
+  }
+
+  /** Prefix-sum packing, the DuckDB-checkable twin of [[seqPack]]:
+    * bin = exclusive-cumsum(n_tok) div budget over doc_id order
+    * within each source — concatenate-then-split semantics. Unlike
+    * the greedy exec a bin may overflow by one document's tail
+    * (bounded by max(n_tok) − 1 tokens), but the assignment is a pure
+    * prefix sum, so DuckDB replays it bit-for-bit and the whole row
+    * set oracle-hash-checks. Integer `div` keeps the bin id exact in
+    * both engines — no float division anywhere.
+    *
+    * 100 TB shape: the only state is a cumsum window PARTITIONED BY
+    * source, so per-task state is one source's token counts, never
+    * the corpus; the aggregation is an ordinary partial-agg groupBy.
+    * PackingSpec cross-checks density against the greedy exec:
+    * nBins(sql) ≤ nBins(greedy) + #sources (the prefix-sum split is
+    * the densest document-boundary packing modulo source boundaries).
+    */
+  def seqPackSql(spark: SparkSession, dir: String, budget: Long = 512): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        TextFns.nTokens(col("text")).cast("long").as("n_tok"))
+      .withColumn("cum0", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin", expr(s"cum0 div $budget"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("source", "bin")
   }
 }

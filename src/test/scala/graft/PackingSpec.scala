@@ -72,4 +72,30 @@ class PackingSpec extends SparkSpec {
       r.getAs[Long]("n_docs") == 1L || r.getAs[Long]("total_tokens") <= budget
     })
   }
+
+  test("prefix-sum twin seq_pack_sql: same corpus totals, density within bounds") {
+    val greedy = Packing.seqPack(spark, sf).collect()
+    val sql = Packing.seqPackSql(spark, sf).collect()
+    assert(sql.nonEmpty)
+    // identical token mass: both pack every document exactly once
+    val totG = greedy.map(_.getAs[Long]("total_tokens")).sum
+    val totS = sql.map(_.getAs[Long]("total_tokens")).sum
+    assert(totG == totS, s"token mass differs: greedy=$totG sql=$totS")
+    val docsG = greedy.map(_.getAs[Long]("n_docs")).sum
+    val docsS = sql.map(_.getAs[Long]("n_docs")).sum
+    assert(docsG == docsS, s"doc count differs: greedy=$docsG sql=$docsS")
+    // density: the prefix-sum split is the densest document-boundary
+    // packing per source, so modulo source boundaries it never needs
+    // more bins than budget-respecting greedy
+    val nSources = sql.map(_.getAs[String]("source")).distinct.length
+    assert(sql.length <= greedy.length + nSources,
+      s"sql bins=${sql.length} greedy bins=${greedy.length} sources=$nSources")
+    // straddle bound: a bin covers a budget-sized token interval, so
+    // its total can overflow only by one document's tail
+    val maxTok = graft.Tables.documents(spark, sf)
+      .select(max(graft.functions.TextFns.nTokens(col("text")).cast("long")))
+      .as[Long].head()
+    assert(sql.forall(_.getAs[Long]("total_tokens") <= budget + maxTok - 1),
+      "a prefix-sum bin overflowed beyond one document's tail")
+  }
 }
