@@ -55,4 +55,57 @@ class PlanLintSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"unexpected nested-loop joins in: $offenders (add to allowlist ONLY for 1-row/tiny broadcasts)")
   }
+
+  // GOLDEN SHUFFLE BUDGETS — the exact (shuffle, broadcast) exchange
+  // counts of the most expensive / flagship queries, measured from the
+  // AQE initial plan at the spec SF. Every shuffle is a full
+  // materialize-and-repartition of its input at 100 TB, so an
+  // ACCIDENTAL extra exchange (a lost partitioning, a join that
+  // stopped broadcasting, an optimizer regression after a refactor)
+  // must fail CI — not surface as a silent 2× on the next bench.
+  // A legitimate plan change updates the budget IN THE SAME COMMIT
+  // with a note on why the new count is right.
+  private val shuffleBudgets: Map[String, (Int, Int)] = Map(
+    // (shuffles, broadcasts)
+    "assoc_pairs"        -> (6, 1), // distinct + capped pair expansion
+    "sim_neardup"        -> (12, 6), // 2-round Lloyd + assign + verify
+    "sem_dedup_keep"     -> (14, 6), // near-dup + keep anti-join
+    "dedup_spans"        -> (3, 0),
+    "dedup_span_regions" -> (4, 2),
+    "dedup_minhash_md5"  -> (6, 3),
+    "dedup_simhash_md5"  -> (5, 1),
+    "dedup_ngram"        -> (16, 7), // shingle/Jaccard pipeline
+    "dedup_exact"        -> (2, 0),
+    "sim_topk"           -> (2, 1), // two-phase heap top-k
+    "sim_ann_md5"        -> (3, 3),
+    "bm25_topk"          -> (9, 4),
+    "tfidf_keywords"     -> (7, 2),
+    "curate_pipeline"    -> (4, 1), // two corpus scans, full funnel
+    "contamination"      -> (5, 1),
+    "cross_dedup"        -> (1, 1),
+    "q1_pricing"         -> (2, 0), // partial agg + final + sort
+    "q9_profit"          -> (2, 4), // all dims broadcast
+    "q21_waiting"        -> (4, 3), // one-shuffle collapse (r6)
+    "sql_q1"             -> (2, 0),
+    "text_repetition"    -> (3, 0),
+    "mm_phash_dedup"     -> (2, 1),
+    "event_funnel"       -> (8, 3),
+    "ts_sessionize"      -> (2, 0),
+    "seq_pack_sql"       -> (2, 0), // cumsum window + final agg
+    "wordcount_alpha"    -> (2, 0))
+
+  test("golden shuffle budgets: no flagship query grows an extra exchange") {
+    val shufRe = "(?<!Broadcast)Exchange (hash|range|SinglePartition)".r
+    val bcastRe = "BroadcastExchange".r
+    val diffs = shuffleBudgets.toSeq.sortBy(_._1).flatMap { case (name, (ws, wb)) =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val gs = shufRe.findAllIn(plan).length
+      val gb = bcastRe.findAllIn(plan).length
+      if ((gs, gb) != (ws, wb))
+        Some(s"$name: want shuffle=$ws broadcast=$wb, got shuffle=$gs broadcast=$gb")
+      else None
+    }
+    assert(diffs.isEmpty, "shuffle budget violations:\n" + diffs.mkString("\n"))
+  }
 }
