@@ -165,6 +165,7 @@ object SparkEntry {
     "profile_stats" -> (Relational.profileStats(_, _)),
     "sketch_cms"    -> ((s, d) => Relational.cmsTopK(s, d)),
     "histogram_equidepth" -> (Relational.histogramEquidepth(_, _)),
+    "histogram_equidepth_approx" -> (Relational.histogramEquidepthApprox(_, _)),
     "stats_moments" -> (Relational.statsMoments(_, _)),
     // ---- similarity search ----
     "sim_topk"    -> ((s, d) => Similarity.bruteForceTopK(s, d)),
@@ -624,6 +625,13 @@ object SparkEntry {
         |SELECT CAST(b AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
         |  round(min(p), 2) AS lo, round(max(p), 2) AS hi
         |FROM t GROUP BY b ORDER BY bucket""".stripMargin,
+    // contract oracle (sketch edges are engine-specific): ten buckets,
+    // each within ±5% of the fair share — the oracle emits the rows
+    // the approximate histogram must reproduce
+    "histogram_equidepth_approx" ->
+      """SELECT CAST(b AS BIGINT) AS bucket, TRUE AS within_5pct
+        |FROM generate_series(1, 10) t(b)
+        |ORDER BY bucket""".stripMargin,
     "sketch_cms" ->
       """WITH hexes AS (
         |  SELECT l_suppkey AS k, j,

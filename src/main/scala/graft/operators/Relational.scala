@@ -514,6 +514,36 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** The AT-SCALE equi-depth histogram [[histogramEquidepth]]'s doc
+    * promises: decile edges from `approx_percentile` (bounded-memory
+    * mergeable sketch — the final agg holds a sketch, not every
+    * distinct value), bucket assignment unchanged. Sketch internals
+    * are engine-specific, so the oracle checks the CONTRACT rather
+    * than the edges: all ten buckets exist and each holds its fair
+    * share of rows within the sketch's accuracy bound (±2% of N at
+    * accuracy 10000 ⇒ ±4% per bucket; asserted at ±5% for margin).
+    * Both engines must emit the identical (bucket, TRUE) rows, so the
+    * row only hashes green if the approximate edges actually deliver
+    * equi-depth buckets.
+    */
+  def histogramEquidepthApprox(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("p"))
+    val edges = li.agg(expr(
+      "approx_percentile(p, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)")
+      .as("qs"))
+    val n = li.agg(count(lit(1)).as("total"))
+    li.crossJoin(broadcast(edges))
+      .select(col("p"),
+        (lit(1) + size(filter(col("qs"), q => q < col("p")))).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("bn"))
+      .crossJoin(broadcast(n))
+      .select(col("bucket"),
+        (abs(col("bn") - col("total") / 10.0) <= col("total") * 0.05)
+          .as("within_5pct"))
+      .orderBy("bucket")
+  }
+
   /** Count-min sketch as pure partial-aggregable DataFrame ops: d=4
     * hash rows × w=256 counters, bucket = md5("j:key") mod w, so the
     * whole sketch — build, point estimates, CMS error contract — is
