@@ -1905,7 +1905,8 @@ object SparkEntry {
         |  SELECT vec_id, list_transform(embedding,
         |      x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS vq
         |  FROM embeddings),
-        |c0 AS (SELECT vec_id AS cell, vq AS cv FROM e WHERE vec_id < 16),
+        |c0 AS (SELECT vec_id AS cell, vq AS cv FROM e
+        |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e)),
         |s1 AS (
         |  SELECT e.vec_id, e.vq, c.cell,
         |    list_inner_product(e.vq, c.cv) /
@@ -1947,7 +1948,8 @@ object SparkEntry {
         |  SELECT vec_id, list_transform(embedding,
         |      x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS vq
         |  FROM embeddings),
-        |c0 AS (SELECT vec_id AS cell, vq AS cv FROM e WHERE vec_id < 16),
+        |c0 AS (SELECT vec_id AS cell, vq AS cv FROM e
+        |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e)),
         |s1 AS (
         |  SELECT e.vec_id, e.vq, c.cell,
         |    list_inner_product(e.vq, c.cv) /

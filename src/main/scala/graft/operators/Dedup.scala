@@ -388,13 +388,18 @@ object Dedup {
     * rounds; near-dup cluster diameters are tiny).
     */
   def dedupClusters(spark: SparkSession, dir: String,
-                    minJ: Double = 0.5, maxRounds: Int = 20): DataFrame = {
+                    minJ: Double = 0.5, maxRounds: Int = 20,
+                    maxDf: Int = 8): DataFrame = {
     // materialize the pair graph ONCE — localCheckpoint caches AND
     // truncates lineage, so the union below and every propagation
     // round read the stored pairs instead of re-running the whole
     // inverted-index pipeline (previously each union branch recomputed
     // ngramJaccard from scratch)
-    val pairs = ngramJaccard(spark, dir, minJ = minJ)
+    // (maxDf passes through to the shingle df cap: it must be sized
+    // relative to the corpus's expected duplication ceiling — the 10×
+    // replication smoke degenerates to zero pairs at the default 8,
+    // see PLANS.md scale sweep)
+    val pairs = ngramJaccard(spark, dir, minJ = minJ, maxDf = maxDf)
       .select(col("a"), col("b"))
       .localCheckpoint()
     val edges = pairs
@@ -496,8 +501,9 @@ object Dedup {
     * reachability replay.
     */
   def dedupClustersStar(spark: SparkSession, dir: String,
-                        minJ: Double = 0.5, maxRounds: Int = 25): DataFrame = {
-    val pairs = ngramJaccard(spark, dir, minJ = minJ)
+                        minJ: Double = 0.5, maxRounds: Int = 25,
+                        maxDf: Int = 8): DataFrame = {
+    val pairs = ngramJaccard(spark, dir, minJ = minJ, maxDf = maxDf)
       .select(col("b").as("a"), col("a").as("b")) // normalize to a > b
       .localCheckpoint()
     var edges = pairs

@@ -215,7 +215,13 @@ object Similarity {
     * assignment shuffle carries one row per vector (vec_id + an
     * nProbe-cell array), never the corpus × nCells cross product; the
     * pair join is bucketed by cell — candidate work is Σ|cell|²,
-    * never corpus².
+    * never corpus². The cell count defaults to ADAPTIVE ceil(sqrt(n))
+    * (nCells=0), which keeps per-cell lists ~sqrt(n) and candidate
+    * work linear in n: the 10× scale sweep measured fixed 16 cells
+    * degenerating 64× at 10× data (PLANS.md), and adaptive cells
+    * restore the linear slope. At extreme scale the Lloyd training
+    * (n×k scoring) runs on a corpus sample; the assignment pass stays
+    * full-corpus either way.
     *
     * Recall contract (pinned in DedupSimilaritySpec, measured on the
     * fixture): ≥ 0.9 overall at minSim=0.3 and 1.0 on strong pairs
@@ -229,7 +235,7 @@ object Similarity {
     * centroid sums are what make the training cross-engine exact.
     */
   def embeddingNearDup(spark: SparkSession, dir: String,
-                       minSim: Double = 0.3, nCells: Int = 16,
+                       minSim: Double = 0.3, nCells: Int = 0,
                        nProbe: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val ndot = graft.functions.GraftFunctions.dot _
@@ -237,8 +243,10 @@ object Similarity {
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
     // trained coarse quantizer: the kmeans codebook (exact integer
-    // sums), scored against the same ×1024-quantized vectors
-    val cents = lloyd(spark, dir, nCells, 2)._2
+    // sums), scored against the same ×1024-quantized vectors;
+    // nCells=0 → adaptive ceil(sqrt(n)) cells (see lloyd)
+    val cents = lloyd(spark, dir, nCells, 2,
+      adaptiveSqrtCells = nCells == 0)._2
     val embq = Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"),
         x => round(x.cast("double") * 1024).cast("long")).as("vq"))
@@ -511,12 +519,24 @@ object Similarity {
     * scored against (cell, cv — exact integer sums).
     */
   private def lloyd(spark: SparkSession, dir: String,
-                    k: Int, iters: Int): (DataFrame, DataFrame) = {
+                    k: Int, iters: Int,
+                    adaptiveSqrtCells: Boolean = false): (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"),
         x => round(x.cast("double") * 1024).cast("long")).as("vq"))
-    var cents = emb.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cell"), col("vq").as("cv"))
+    // adaptive seeding: k = ceil(sqrt(n)) keeps per-cell lists ~sqrt(n),
+    // so downstream Σ|cell|² candidate work stays LINEAR in n — the 10×
+    // scale sweep measured fixed-k cells degenerating quadratically
+    // (PLANS.md). The count is a 1-row broadcast, not a driver action,
+    // so plan construction stays lazy; the oracle recomputes the same
+    // ceil(sqrt(count(*))) in SQL.
+    var cents =
+      if (adaptiveSqrtCells) {
+        val kdf = emb.agg(ceil(sqrt(count(lit(1)))).cast("long").as("k"))
+        emb.crossJoin(broadcast(kdf)).filter(col("vec_id") < col("k"))
+          .select(col("vec_id").as("cell"), col("vq").as("cv"))
+      } else emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cell"), col("vq").as("cv"))
     var assigned: DataFrame = null
     for (i <- 1 to iters) {
       // argmax by (sim desc, cell asc) via struct-max partial agg:
