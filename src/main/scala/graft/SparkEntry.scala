@@ -152,6 +152,7 @@ object SparkEntry {
     "dedup_exact"   -> (Dedup.exact(_, _)),
     "dedup_ngram"   -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "dedup_keep_longest" -> ((s, d) => Dedup.dedupKeepLongest(s, d)),
     "dedup_clusters_star" -> ((s, d) => Dedup.dedupClustersStar(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_minhash_md5" -> ((s, d) => Dedup.minhashLshMd5(s, d)),
@@ -1505,6 +1506,41 @@ object SparkEntry {
         |SELECT label AS keep_id, count(*) AS cluster_size,
         | array_to_string(list_sort(list(doc_id)), ',') AS members
         |FROM labels GROUP BY label HAVING count(*) >= 2 ORDER BY keep_id""".stripMargin,
+    // same reachability replay + the keep-LONGEST policy: keeper =
+    // argmax (n_chars desc, doc_id asc) per cluster — integer keys,
+    // so the whole keep decision hash-checks
+    "dedup_keep_longest" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |   for i in range(1, len(t) - 1)]) AS shingle FROM toks WHERE len(t) >= 3),
+        |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 8),
+        |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT a, b FROM inter JOIN sizes sa ON sa.doc_id = a
+        |  JOIN sizes sb ON sb.doc_id = b
+        |  WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |labels AS (SELECT src AS doc_id, min(dst) AS label FROM reach GROUP BY src),
+        |ranked AS (
+        |  SELECT l.label, l.doc_id, d.n_chars,
+        |    row_number() OVER (PARTITION BY l.label
+        |      ORDER BY d.n_chars DESC, l.doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY l.label) AS cluster_size,
+        |    sum(d.n_chars) OVER (PARTITION BY l.label) AS total_chars
+        |  FROM labels l JOIN documents d USING (doc_id))
+        |SELECT label AS cluster_id, doc_id AS keeper_id,
+        |  CAST(n_chars AS BIGINT) AS keeper_chars,
+        |  CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(total_chars AS BIGINT) AS total_chars,
+        |  CAST(cluster_size - 1 AS BIGINT) AS dropped_docs
+        |FROM ranked WHERE rn = 1 AND cluster_size >= 2
+        |ORDER BY cluster_id""".stripMargin,
     // same reachability replay — the star algorithm must produce
     // the identical clustering, just in O(log n) rounds
     "dedup_clusters_star" ->

@@ -389,7 +389,25 @@ object Dedup {
     */
   def dedupClusters(spark: SparkSession, dir: String,
                     minJ: Double = 0.5, maxRounds: Int = 20,
-                    maxDf: Int = 8): DataFrame = {
+                    maxDf: Int = 8): DataFrame =
+    clusterLabelsLP(spark, dir, minJ, maxRounds, maxDf)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"),
+        array_sort(collect_list(col("doc_id"))).as("members"))
+      .select(col("label").as("keep_id"), col("cluster_size"),
+        array_join(transform(col("members"), _.cast("string")), ",")
+          .as("members"))
+      .filter(col("cluster_size") >= 2) // singletons aren't duplicates
+      .orderBy("keep_id")
+
+  /** The per-document label assignment behind [[dedupClusters]]:
+    * (doc_id, label) for every edge-connected document, label = min
+    * reachable doc id. Exposed privately so keep-policy variants
+    * ([[dedupKeepLongest]]) reuse the converged propagation.
+    */
+  private def clusterLabelsLP(spark: SparkSession, dir: String,
+                              minJ: Double, maxRounds: Int,
+                              maxDf: Int): DataFrame = {
     // materialize the pair graph ONCE — localCheckpoint caches AND
     // truncates lineage, so the union below and every propagation
     // round read the stored pairs instead of re-running the whole
@@ -446,14 +464,40 @@ object Dedup {
       System.err.println(
         s"[graft] dedupClusters hit maxRounds=$maxRounds before convergence")
     labels
+  }
+
+  /** Keep-LONGEST dedup policy (the CCNet/RefinedWeb-style keep rule):
+    * within each duplicate cluster, the keeper is the member with the
+    * most characters — min doc id breaks exact-length ties — rather
+    * than [[dedupClusters]]'s min-id keeper. Comparison keys are the
+    * stored integer n_chars, so the argmax is cross-engine exact and
+    * the whole policy (clusters + keeper choice) oracle-hash-checks.
+    *
+    * Scale: reuses the converged label propagation; the keeper argmax
+    * is one struct-max partial agg per cluster — state is one row per
+    * cluster, never the member lists.
+    */
+  def dedupKeepLongest(spark: SparkSession, dir: String,
+                       minJ: Double = 0.5, maxRounds: Int = 20,
+                       maxDf: Int = 8): DataFrame = {
+    val labels = clusterLabelsLP(spark, dir, minJ, maxRounds, maxDf)
+    val chars = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+    labels.join(chars, "doc_id")
       .groupBy(col("label"))
-      .agg(count(lit(1)).as("cluster_size"),
-        array_sort(collect_list(col("doc_id"))).as("members"))
-      .select(col("label").as("keep_id"), col("cluster_size"),
-        array_join(transform(col("members"), _.cast("string")), ",")
-          .as("members"))
-      .filter(col("cluster_size") >= 2) // singletons aren't duplicates
-      .orderBy("keep_id")
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        sum(col("n_chars")).as("total_chars"),
+        // argmax by (n_chars desc, doc_id asc): negated id makes the
+        // struct max pick the LOWEST id among equal-length members
+        max(struct(col("n_chars"), negate(col("doc_id")).as("negid"))).as("m"))
+      .filter(col("cluster_size") >= 2)
+      .select(col("label").as("cluster_id"),
+        negate(col("m.negid")).as("keeper_id"),
+        col("m.n_chars").as("keeper_chars"),
+        col("cluster_size"), col("total_chars"),
+        (col("cluster_size") - 1).as("dropped_docs"))
+      .orderBy("cluster_id")
   }
 
   /** One large-star round: every node u attaches each STRICTLY LARGER

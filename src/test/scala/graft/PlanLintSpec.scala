@@ -10,8 +10,8 @@ class PlanLintSpec extends SparkSpec {
   // queries whose construction runs driver-side jobs (iterative loops,
   // sink writes) — their plan shape is guarded by their own specs
   private val eagerBuilders = Set("dedup_clusters", "dedup_clusters_star",
-    "kv_roundtrip", "bloom_join", "bpe_vocab", "bpe_encode", "ivf_index_topk",
-    "graph_pagerank", "mixture_temperature")
+    "dedup_keep_longest", "kv_roundtrip", "bloom_join", "bpe_vocab",
+    "bpe_encode", "ivf_index_topk", "graph_pagerank", "mixture_temperature")
 
   // The EXACT set of queries that legitimately plan a
   // BroadcastNestedLoopJoin (enumerated by scanning the registry, kept

@@ -23,6 +23,7 @@ class RegistrySpec extends SparkSpec {
   // full execution coverage in their own specs and in Verify
   // (kv_roundtrip's builder executes the writeKV sink job up front)
   private val eagerBuilders = Set("dedup_clusters", "dedup_clusters_star",
+    "dedup_keep_longest", // same label-propagation loop as dedup_clusters
     "kv_roundtrip", "bloom_join", "bpe_vocab", "bpe_encode", "ivf_index_topk",
     "graph_pagerank", // localCheckpoint iterations run at plan build
     "mixture_temperature") // collects the 5-row quota map up front
