@@ -43,9 +43,12 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleUp <inSfDir> <outDir> <n>")
-    val in = args(0); val out = args(1); val n = args(2).toInt
     val spark = Sessions.local("graft-scaleup")
+    run(spark, args(0), args(1), args(2).toInt)
+    spark.stop()
+  }
 
+  def run(spark: SparkSession, in: String, out: String, n: Int): Unit = {
     def write(df: DataFrame, name: String): Unit =
       df.write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
 
@@ -77,6 +80,5 @@ object ScaleUp {
     write(replicate(Tables.embeddings(spark, in), n, Map("vec_id" -> vk)), "embeddings")
 
     println(s"SCALEUP wrote ${n}x of $in to $out")
-    spark.stop()
   }
 }

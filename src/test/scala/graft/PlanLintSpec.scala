@@ -95,7 +95,52 @@ class PlanLintSpec extends SparkSpec {
     "event_funnel"       -> (8, 3),
     "ts_sessionize"      -> (2, 0),
     "seq_pack_sql"       -> (2, 0), // cumsum window + final agg
-    "wordcount_alpha"    -> (2, 0))
+    "wordcount_alpha"    -> (2, 0),
+    // r7 extension: remaining TPC-H shapes + flagship families — the
+    // whole oracle-green surface a refactor is most likely to touch
+    "q2_min_cost"        -> (5, 8),
+    "join_q3_shipping"   -> (1, 2),
+    "q4_priority"        -> (2, 1),
+    "q5_local_supplier"  -> (2, 5),
+    "q6_forecast"        -> (1, 0), // scan + scalar agg, zero shuffle joins
+    "q7_nation_volume"   -> (2, 5),
+    "q8_market_share"    -> (2, 6),
+    "q10_returned_items" -> (1, 3),
+    "q11_important"      -> (4, 7),
+    "q12_late_mix"       -> (2, 1),
+    "q13_custdist"       -> (3, 1),
+    "q14_promo_share"    -> (1, 1),
+    "q15_top_supplier"   -> (4, 2),
+    "q16_supplier_cnt"   -> (4, 2),
+    "q17_small_qty"      -> (2, 2),
+    "q18_large_orders"   -> (2, 2),
+    "q19_brand_quantity" -> (1, 1),
+    "q20_excess"         -> (7, 4),
+    "q22_idle_balance"   -> (3, 2),
+    "emb_kmeans"         -> (6, 2),
+    "emb_pq"             -> (5, 2),
+    "emb_rp"             -> (1, 0), // map-only projection + sort
+    "dedup_winnow"       -> (12, 3),
+    "dedup_blocks"       -> (4, 1),
+    "dedup_prune"        -> (4, 1),
+    "text_vocab"         -> (3, 0),
+    "text_langid_ngram"  -> (1, 0), // pure column math
+    "win_quartiles"      -> (2, 0),
+    "ts_asof"            -> (2, 0),
+    "ts_fill"            -> (3, 1),
+    "retention_cohorts"  -> (6, 2),
+    "mixture_sample"     -> (1, 1),
+    "stratified_sample"  -> (2, 0),
+    "quality_gate"       -> (3, 1),
+    "hybrid_rrf"         -> (6, 2),
+    "lm_score2"          -> (7, 4),
+    "layout_zorder"      -> (2, 1),
+    "sketch_cms"         -> (6, 3),
+    "salted_wordcount"   -> (3, 0), // two-stage salted agg
+    "join_skew_salted"   -> (6, 2),
+    "seq_pack"           -> (3, 0), // ONE range exchange under the pack node
+    "histogram_equidepth" -> (3, 1),
+    "histogram_equidepth_approx" -> (4, 2))
 
   test("golden shuffle budgets: no flagship query grows an extra exchange") {
     val shufRe = "(?<!Broadcast)Exchange (hash|range|SinglePartition)".r
