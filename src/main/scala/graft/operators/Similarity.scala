@@ -262,6 +262,11 @@ object Similarity {
       .agg(slice(array_sort(collect_list(col("sc"))), 1, nProbe).as("top"))
       .select(col("vec_id"),
         explode(transform(col("top"), t => t.getField("cell"))).as("cell"))
+      // train + assign ONCE: the candidate self-join below references
+      // asg twice, and without materialization each side would re-run
+      // the whole Lloyd training and assignment (measured ~40% of the
+      // query). Lazy checkpoint keeps plan construction action-free.
+      .localCheckpoint(eager = false)
     val cand = asg.select(col("cell"), col("vec_id").as("a"))
       .join(asg.select(col("cell"), col("vec_id").as("b")), "cell")
       .filter(col("a") < col("b"))

@@ -69,10 +69,12 @@ class PlanLintSpec extends SparkSpec {
   private val shuffleBudgets: Map[String, (Int, Int)] = Map(
     // (shuffles, broadcasts)
     "assoc_pairs"        -> (6, 1), // distinct + capped pair expansion
-    // r7: +2 shuffle/+2 broadcast = the 1-row ceil(sqrt(n)) seed-count
-    // aggregate (adaptive cells), referenced by both Lloyd rounds
-    "sim_neardup"        -> (14, 8), // 2-round Lloyd + assign + verify
-    "sem_dedup_keep"     -> (16, 8), // near-dup + keep anti-join
+    // r7: the Lloyd-train + assignment subplan is materialized once
+    // behind a lazy localCheckpoint (the candidate self-join would
+    // otherwise compute it twice), so its exchanges live in the RDD
+    // lineage — the visible plan is candidates + verify only
+    "sim_neardup"        -> (4, 2), // cand self-join + verify joins
+    "sem_dedup_keep"     -> (6, 2), // near-dup + keep anti-join
     "dedup_spans"        -> (3, 0),
     "dedup_span_regions" -> (4, 2),
     "dedup_minhash_md5"  -> (6, 3),
