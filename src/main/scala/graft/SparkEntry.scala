@@ -144,7 +144,11 @@ object SparkEntry {
     "mixture_sample"    -> (Curation.mixtureSample(_, _)),
     "stratified_sample" -> (Curation.stratifiedSample(_, _)),
     "mixture_temperature" -> ((s, d) => Curation.temperatureMix(s, d)),
+    "weighted_sample" -> ((s, d) => Curation.weightedSample(s, d)),
     "lm_score"          -> ((s, d) => TextAnalysis.lmScore(s, d)),
+    "colloc_pmi"        -> ((s, d) => TextAnalysis.collocPmi(s, d)),
+    "heavy_hitters"     -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
+    "mask_spans"        -> (TextAnalysis.maskSpans(_, _)),
     "lm_score2"         -> ((s, d) => TextAnalysis.lmScore2(s, d)),
     "emb_quantize"      -> (Similarity.embQuantize(_, _)),
     "emb_rp"            -> ((s, d) => Similarity.randomProjection(s, d)),
@@ -721,6 +725,90 @@ object SparkEntry {
         |  FROM h JOIN q USING (lang))
         |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, quota
         |FROM r WHERE rnk <= quota ORDER BY lang, rnk""".stripMargin,
+    "weighted_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS w,
+        |         md5('ws:' || CAST(doc_id AS VARCHAR)) AS hex
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, source, w,
+        |    list_sum([CAST(strpos('0123456789abcdef', substr(hex, i, 1)) - 1
+        |                   AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (13 - i)))
+        |              for i in range(1, 14)]) AS hv
+        |  FROM h),
+        |k AS (
+        |  SELECT doc_id, source,
+        |         ln((CAST(hv AS DOUBLE) + 0.5) / 4503599627370496.0) / w AS skey
+        |  FROM v),
+        |r AS (SELECT doc_id, source, skey,
+        |    row_number() OVER (ORDER BY skey DESC, doc_id) AS rnk FROM k)
+        |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, source, skey
+        |FROM r WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
+    "colloc_pmi" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT unnest([{'a': t[i], 'b': t[i+1]} for i in range(1, len(t))]) AS s
+        |  FROM toks WHERE len(t) >= 2),
+        |bc AS (SELECT s.a AS w1, s.b AS w2, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM bg GROUP BY 1, 2),
+        |uc AS (SELECT tok, count(*) AS c1
+        |  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+        |n AS (SELECT sum(cnt) AS total FROM bc)
+        |SELECT w1, w2, cnt,
+        |  round(ln(cnt * (SELECT total FROM n) /
+        |           (ua.c1 * CAST(ub.c1 AS DOUBLE))), 6) AS pmi
+        |FROM bc JOIN uc ua ON bc.w1 = ua.tok JOIN uc ub ON bc.w2 = ub.tok
+        |WHERE cnt >= 5 ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+    "heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT unnest([{'a': t[i], 'b': t[i+1]} for i in range(1, len(t))]) AS s
+        |  FROM toks WHERE len(t) >= 2),
+        |c AS (SELECT s.a AS w1, s.b AS w2, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM bg GROUP BY 1, 2),
+        |t AS (SELECT sum(cnt) AS total FROM c)
+        |SELECT w1, w2, cnt FROM c
+        |WHERE cnt > (SELECT total FROM t) * 0.0012
+        |ORDER BY cnt DESC, w1, w2""".stripMargin,
+    "mask_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest([{'pos': i - 1, 'tok': t[i]} for i in range(1, len(t) + 1)]) AS s
+        |  FROM toks),
+        |f AS (
+        |  SELECT doc_id, s.pos AS pos, s.tok AS tok,
+        |    substr(md5('mask:' || CAST(doc_id AS VARCHAR) || ':' ||
+        |               CAST(s.pos AS VARCHAR)), 1, 1) IN ('0', '1') AS flag
+        |  FROM tok),
+        |r AS (
+        |  SELECT *, flag AND NOT coalesce(
+        |      lag(flag) OVER (PARTITION BY doc_id ORDER BY pos), false) AS run_start
+        |  FROM f),
+        |s AS (
+        |  SELECT *, sum(CASE WHEN run_start THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS sid
+        |  FROM r)
+        |SELECT doc_id,
+        |  CAST(count(*) FILTER (flag) AS BIGINT) AS n_masked,
+        |  coalesce(string_agg(
+        |    CASE WHEN NOT flag THEN tok
+        |         WHEN run_start THEN '<extra_id_' || sid || '>' END,
+        |    ' ' ORDER BY pos) FILTER (NOT flag OR run_start), '') AS input_text,
+        |  coalesce(string_agg(
+        |    CASE WHEN run_start THEN '<extra_id_' || sid || '> ' || tok
+        |         ELSE tok END,
+        |    ' ' ORDER BY pos) FILTER (flag), '') AS target_text
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "lm_score" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -27,4 +27,54 @@ object Aggregators {
       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  /** Misra–Gries heavy-hitter summary as a MERGEABLE typed
+    * Aggregator (the Agarwal et al. "Mergeable Summaries" variant):
+    * the buffer holds at most `k` (item → counter) entries; inserting
+    * into a full buffer, or merging two buffers past `k` entries,
+    * subtracts the (k+1)-th largest counter from every entry and
+    * drops the non-positive ones. The classic guarantee survives
+    * merging in any order/partitioning: every item with true
+    * frequency > n/k is present in the final buffer (counters
+    * underestimate by at most n/k). That makes it a sketch-shaped
+    * partial aggregate: each input partition reduces to ≤ k entries
+    * map-side and Spark merges the tiny buffers at the exchange —
+    * the full distinct-key set never shuffles, which is the whole
+    * point at a 100 TB corpus whose key cardinality exceeds memory.
+    *
+    * finish() emits the CANDIDATE items only; callers re-scan to
+    * exact-count just those candidates (see TextAnalysis
+    * .heavyHitters) so the served output is exact, not approximate.
+    */
+  final class MisraGries(k: Int)
+      extends Aggregator[String, Map[String, Long], Seq[String]] {
+    override def zero: Map[String, Long] = Map.empty
+
+    private def shrink(m: Map[String, Long]): Map[String, Long] =
+      if (m.size <= k) m
+      else {
+        // (k+1)-th largest counter; subtract it everywhere
+        val kth = m.valuesIterator.toArray.sorted(Ordering[Long].reverse)(k)
+        m.iterator.collect { case (w, c) if c > kth => (w, c - kth) }.toMap
+      }
+
+    override def reduce(b: Map[String, Long], x: String): Map[String, Long] =
+      shrink(b.updated(x, b.getOrElse(x, 0L) + 1L))
+
+    override def merge(a: Map[String, Long],
+                       b: Map[String, Long]): Map[String, Long] = {
+      val (small, big) = if (a.size < b.size) (a, b) else (b, a)
+      shrink(small.foldLeft(big) { case (m, (w, c)) =>
+        m.updated(w, m.getOrElse(w, 0L) + c)
+      })
+    }
+
+    override def finish(b: Map[String, Long]): Seq[String] =
+      b.keysIterator.toSeq.sorted
+
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
 }

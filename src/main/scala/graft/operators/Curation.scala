@@ -340,4 +340,43 @@ object Curation {
       .select(col("lang"), col("rnk"), col("doc_id"), col("quota"))
       .orderBy("lang", "rnk")
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES): each document draws a deterministic uniform u from
+    * `md5("ws:" doc_id)` and is ranked by `ln(u)/w` descending
+    * (order-equivalent to the classic `u^(1/w)` key, without the
+    * cross-engine `pow` hazard); the top `budget` keys are the
+    * sample. Longer documents (w = n_chars) are proportionally more
+    * likely, and inclusion is a pure function of doc_id — retried
+    * tasks, re-partitioned corpora, and the DuckDB oracle all draw
+    * the identical sample.
+    *
+    * The uniform comes from the first 13 md5 hex chars parsed as an
+    * integer v ∈ [0, 2^52): u = (v + 0.5) / 2^52. 52 bits keeps v
+    * exactly representable in a double and the divisor a power of
+    * two, so u (and hence ln(u)) is bit-identical in both engines;
+    * +0.5 keeps u strictly inside (0, 1).
+    *
+    * Scale: the key is one map-side expression; `orderBy(...).limit`
+    * compiles to TakeOrderedAndProject — every partition keeps a
+    * `budget`-sized heap and the driver merges P·budget rows, the
+    * same no-global-sort shape as sim_topk. No shuffle of the corpus.
+    */
+  def weightedSample(spark: SparkSession, dir: String,
+                     budget: Int = 100): DataFrame = {
+    val v = conv(substring(
+      md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 13),
+      16, 10).cast("long")
+    val u = (v.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (log(u) / col("n_chars").cast("double")).as("skey"))
+    val top = keyed.orderBy(col("skey").desc, col("doc_id")).limit(budget)
+    // rank window runs over exactly `budget` rows post-limit
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("skey").desc, col("doc_id"))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("source"), col("skey"))
+      .orderBy("rnk")
+  }
 }

@@ -633,4 +633,131 @@ object TextAnalysis {
           col("ok_symbol") && col("ok_stop"))
       .orderBy("doc_id")
   }
+
+  /** Adjacent-token bigram stream, shared by [[collocPmi]] and
+    * [[heavyHitters]]: one row per (w1, w2) occurrence. Bigram
+    * formation is per-row array math (transform-with-index over the
+    * token array, then explode) — no self-join, no shuffle.
+    */
+  private def bigrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(TextFns.wsTokens(lower(col("text"))).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(transform(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        (x, i) => struct(x.as("w1"),
+          element_at(col("ts"), i + 2).as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** PMI-scored collocations: for each adjacent bigram (a,b) seen at
+    * least `minCount` times, pmi = ln(c_ab·N / (c_a·c_b)) where N is
+    * the total bigram count — the classic measure of how much more
+    * often a,b co-occur than independence predicts. Top-`k` by PMI.
+    *
+    * Scale: bigram and unigram counts are two partial→final
+    * aggregates over one tokenization; the unigram table joins back
+    * by token key (vocabulary-sized — AQE broadcasts it when small,
+    * shuffles when not); N is a 1-row broadcast. Top-k compiles to
+    * TakeOrdered (per-partition heaps, no global sort).
+    */
+  def collocPmi(spark: SparkSession, dir: String,
+                minCount: Int = 5, k: Int = 20): DataFrame = {
+    val bg = bigrams(spark, dir)
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+    val uc = Tables.documents(spark, dir)
+      .select(explode(TextFns.wsTokens(lower(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val total = bc.agg(sum(col("cnt")).as("total"))
+    bc.filter(col("cnt") >= minCount)
+      .join(uc.select(col("tok").as("w1"), col("c1").as("c1a")), "w1")
+      .join(uc.select(col("tok").as("w2"), col("c1").as("c1b")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("cnt"),
+        round(log(col("cnt") * col("total") /
+          (col("c1a") * col("c1b")).cast("double")), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** Exact heavy hitters served through a Misra–Gries candidate pass
+    * ([[graft.functions.Aggregators.MisraGries]]): pass 1 reduces the
+    * bigram stream to ≤ `sketchK` candidates with bounded map-side
+    * state (the full distinct-key set never shuffles — the sketch IS
+    * the partial aggregate); pass 2 re-scans counting ONLY the
+    * broadcast candidate set, so the exact-count shuffle carries at
+    * most `sketchK` keys instead of the whole vocabulary. Output:
+    * bigrams with true frequency > `phi`·N, exact counts.
+    *
+    * Correctness: MG guarantees every item with frequency > N/k
+    * survives the sketch; with `phi` ≥ 1/`sketchK` the candidate set
+    * provably covers all qualifying bigrams, so the served result is
+    * EXACT — the DuckDB oracle recomputes it with a plain
+    * GROUP BY/HAVING. (PropertySpec pins the superset guarantee
+    * under adversarial skew and arbitrary partition splits.)
+    */
+  def heavyHitters(spark: SparkSession, dir: String,
+                   sketchK: Int = 1024, phi: Double = 0.0012): DataFrame = {
+    import spark.implicits._
+    val bg = bigrams(spark, dir)
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bg"))
+    val mg = udaf(new graft.functions.Aggregators.MisraGries(sketchK))
+    val cands = bg.agg(mg(col("bg")).as("cands"))
+      .select(explode(col("cands")).as("bg"))
+    val total = bg.agg(count(lit(1)).as("total"))
+    bg.join(broadcast(cands), "bg")
+      .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") > col("total") * phi)
+      .select(
+        substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"),
+        col("cnt"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+  }
+
+  /** T5-style span corruption — the map from a clean document to a
+    * (corrupted input, span targets) training pair: each token is
+    * masked iff the first hex digit of `md5("mask:" doc_id ":" pos)`
+    * is '0' or '1' (a deterministic 12.5% rate — reproducible across
+    * runs, engines, and partitionings, like every sampling decision
+    * in this pipeline); maximal masked runs collapse to sentinels
+    * `<extra_id_k>` in the input, and the targets string carries each
+    * sentinel followed by the tokens it hides.
+    *
+    * Scale: tokenize → posexplode → two windows PARTITIONED BY doc_id
+    * (per-document state only — bounded by document length, never
+    * corpus-sized) → one groupBy doc_id that reassembles both strings
+    * from a position-sorted collect_list. One shuffle of the token
+    * stream on doc_id; everything else is map-side.
+    */
+  def maskSpans(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(TextFns.wsTokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      .withColumn("flag",
+        substring(md5(concat(lit("mask:"), col("doc_id").cast("string"),
+          lit(":"), col("pos").cast("string"))), 1, 1).isin("0", "1"))
+    val runs = toks
+      .withColumn("run_start",
+        col("flag") && !coalesce(lag(col("flag"), 1).over(w), lit(false)))
+      .withColumn("sid",
+        sum(col("run_start").cast("long")).over(w) - 1)
+    runs.groupBy(col("doc_id"))
+      .agg(
+        sum(col("flag").cast("long")).as("n_masked"),
+        concat_ws(" ", transform(array_sort(collect_list(
+          when(!col("flag"), struct(col("pos"), col("tok").as("piece")))
+            .when(col("run_start"), struct(col("pos"),
+              concat(lit("<extra_id_"), col("sid"), lit(">")).as("piece"))))),
+          s => s.getField("piece")).cast("array<string>")).as("input_text"),
+        concat_ws(" ", transform(array_sort(collect_list(
+          when(col("run_start"), struct(col("pos"),
+            concat(lit("<extra_id_"), col("sid"), lit("> "), col("tok"))
+              .as("piece")))
+            .when(col("flag"), struct(col("pos"), col("tok").as("piece"))))),
+          s => s.getField("piece")).cast("array<string>")).as("target_text"))
+      .orderBy("doc_id")
+  }
 }

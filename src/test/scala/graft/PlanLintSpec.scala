@@ -32,6 +32,8 @@ class PlanLintSpec extends SparkSpec {
     "bm25_topk", "join_range_tiers", "fuzzy_name_match",
     "histogram_equidepth", // 1-row percentile-edges broadcast
     "histogram_equidepth_approx", // 1-row sketch-edges + 1-row total broadcasts
+    "colloc_pmi",    // 1-row bigram-total broadcast
+    "heavy_hitters", // 1-row corpus-total broadcast
     "sim_topk", "sim_ivf", "sim_ann_recall", "sim_ivf_recall",
     "sim_neardup", "sem_dedup_keep", "hybrid_rrf", "emb_kmeans",
     "emb_pq_recall")

@@ -85,4 +85,91 @@ class PropertySpec extends SparkSpec {
     val nOkAlpha = rows.count(_.getAs[Boolean]("ok_alpha"))
     assert(nOkAlpha.toDouble / rows.length >= 0.95)
   }
+
+  test("Misra-Gries: superset of true heavy hitters under skew, any split") {
+    // adversarial zipf-ish stream: item i appears ~N/i times, well
+    // beyond the sketch width, so eviction is genuinely exercised
+    val k = 16
+    val stream: Seq[String] =
+      (1 to 200).flatMap(i => Seq.fill(2000 / i)(s"w$i"))
+    val n = stream.length
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val mustKeep = truth.collect { case (w, c) if c > n.toLong / k => w }.toSet
+    assert(mustKeep.nonEmpty && truth.size > k) // non-degenerate fixture
+    val mg = new graft.functions.Aggregators.MisraGries(k)
+    // arbitrary partition splits + both merge orders
+    Seq(1, 3, 7, 32).foreach { parts =>
+      val chunks = stream.grouped((n + parts - 1) / parts).toSeq
+      val buffers = chunks.map(_.foldLeft(mg.zero)(mg.reduce))
+      val fwd = buffers.reduce(mg.merge)
+      val rev = buffers.reverse.reduce(mg.merge)
+      Seq(fwd, rev).foreach { buf =>
+        assert(buf.size <= k)
+        val cands = mg.finish(buf).toSet
+        assert(mustKeep.subsetOf(cands),
+          s"parts=$parts missing=${mustKeep -- cands}")
+        // counter underestimate bound: est <= true, true - est <= n/k
+        buf.foreach { case (w, est) =>
+          assert(est <= truth(w) && truth(w) - est <= n.toLong / k)
+        }
+      }
+    }
+    // distributed path: candidates cover every bigram above phi*N
+    val hh = graft.operators.TextAnalysis.heavyHitters(spark, sf).collect()
+    assert(hh.nonEmpty)
+    assert(hh.map(_.getAs[Long]("cnt")).toSeq == // exact counts, sorted
+      hh.map(_.getAs[Long]("cnt")).sortBy(-_).toSeq)
+  }
+
+  test("mask_spans: reconstruction, rate, and sentinel discipline") {
+    val rows = graft.operators.TextAnalysis.maskSpans(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(rows.length == docs.size)
+    val sentinel = "<extra_id_(\\d+)>".r
+    var masked = 0L; var total = 0L
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val input = r.getAs[String]("input_text")
+      val target = r.getAs[String]("target_text")
+      val orig = docs(id).split("\\s+").filter(_.nonEmpty).toSeq
+      masked += r.getAs[Long]("n_masked"); total += orig.length
+      // sentinels appear in order 0,1,2,... and match between sides
+      val inIds = sentinel.findAllMatchIn(input).map(_.group(1).toInt).toSeq
+      val tgIds = sentinel.findAllMatchIn(target).map(_.group(1).toInt).toSeq
+      assert(inIds == inIds.indices.toSeq)
+      assert(tgIds == inIds)
+      // splicing each target span back over its sentinel restores the doc
+      val spans = target.split("<extra_id_\\d+> ").filter(_.nonEmpty)
+        .map(_.trim.split(" ").toSeq)
+      val rebuilt = input.split(" ").filter(_.nonEmpty).toSeq.flatMap { t =>
+        sentinel.findFirstMatchIn(t) match {
+          case Some(m) => spans(m.group(1).toInt)
+          case None    => Seq(t)
+        }
+      }
+      assert(rebuilt == orig, s"doc $id reconstruction failed")
+    }
+    // deterministic 12.5% expected mask rate, generous band
+    val rate = masked.toDouble / total
+    assert(rate > 0.08 && rate < 0.17, s"rate=$rate")
+  }
+
+  test("weighted sample: deterministic, ranked, weight-monotone inclusion") {
+    val a = graft.operators.Curation.weightedSample(spark, sf).collect()
+    val b = graft.operators.Curation.weightedSample(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    assert(a.map(_.getAs[Long]("rnk")).toSeq == (1L to a.length).toSeq)
+    val keys = a.map(_.getAs[Double]("skey")).toSeq
+    assert(keys == keys.sortBy(-_)) // descending A-ES keys
+    // longer docs must be over-represented: mean n_chars of the sample
+    // exceeds the corpus mean (w = n_chars drives inclusion)
+    val sampled = a.map(_.getAs[Long]("doc_id")).toSet
+    val chars = Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+    val corpusMean = chars.map(_._2).sum.toDouble / chars.length
+    val sampleMean = chars.filter(c => sampled(c._1)).map(_._2).sum.toDouble /
+      sampled.size
+    assert(sampleMean > corpusMean, s"sample=$sampleMean corpus=$corpusMean")
+  }
 }
