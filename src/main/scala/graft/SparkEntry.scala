@@ -139,6 +139,8 @@ object SparkEntry {
     "sample_split"      -> (Curation.sampleSplit(_, _)),
     "contamination"     -> ((s, d) => Curation.benchmarkContamination(s, d)),
     "cross_dedup"       -> ((s, d) => Curation.crossDedup(s, d)),
+    "contamination_bloom" -> ((s, d) => Curation.contaminationBloom(s, d)),
+    "split_leak_free"   -> (Curation.leakFreeSplit(_, _)),
     "quality_gate"      -> (Curation.qualityGate(_, _)),
     "curate_pipeline"   -> (Curation.curatePipeline(_, _)),
     "mixture_sample"    -> (Curation.mixtureSample(_, _)),
@@ -1401,6 +1403,31 @@ object SparkEntry {
         |SELECT doc_id, n_shingles, n_overlap,
         | round(n_overlap / CAST(n_shingles AS DOUBLE), 6) AS overlap_ratio
         |FROM sizes JOIN ov USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // identical result to "contamination" by design: the Bloom
+    // prefilter is FP-tolerant (exact verify join), so the same SQL
+    // is the oracle for both physical shapes
+    "contamination_bloom" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |   for i in range(1, len(t) - 1)]) AS shingle FROM toks WHERE len(t) >= 3),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+        |corpus AS (SELECT * FROM sh WHERE doc_id >= 20),
+        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+        |ov AS (SELECT doc_id, count(*) AS n_overlap FROM corpus JOIN bench USING (shingle) GROUP BY doc_id)
+        |SELECT doc_id, n_shingles, n_overlap,
+        | round(n_overlap / CAST(n_shingles AS DOUBLE), 6) AS overlap_ratio
+        |FROM sizes JOIN ov USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "split_leak_free" ->
+      """WITH g AS (SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+        | FROM documents)
+        |SELECT doc_id, rep,
+        |  CASE WHEN substr(md5('split:' || CAST(rep AS VARCHAR)), 1, 1) <= 'b'
+        |         THEN 'train'
+        |       WHEN substr(md5('split:' || CAST(rep AS VARCHAR)), 1, 1) <= 'd'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM g ORDER BY doc_id""".stripMargin,
     "cross_dedup" ->
       """WITH fp AS (SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

@@ -169,6 +169,72 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered decontamination — [[benchmarkContamination]]
+    * for the regime where the evaluation suite's shingle set is too
+    * large to broadcast as an exact hash table: build a Bloom filter
+    * over the eval shingles (bits, ~10 bits/key at 1% FP — two orders
+    * smaller than the broadcast relation), probe it map-side on every
+    * corpus shingle with the codegen'd
+    * [[graft.functions.BloomMightContain]] expression, and
+    * shuffle-join ONLY the might-match survivors against the exact
+    * eval set. False positives die in the join, so the output is
+    * bit-identical to the exact operator (same oracle SQL) while the
+    * shuffle carries ~FP+true-hit rows instead of the corpus.
+    * Per-doc totals come from a separate partial-agged count of
+    * (doc_id) pairs — digests only, never text.
+    */
+  def contaminationBloom(spark: SparkSession, dir: String,
+                         benchMax: Long = 20, n: Int = 3): DataFrame = {
+    val sh = Dedup.docShingles(spark, dir, n)
+    val evalSh = sh.filter(col("doc_id") < benchMax)
+      .select(col("shingle")).distinct()
+    // the probe expression keys on BIGINT: hash the shingle the same
+    // way on the build and probe sides (a 64-bit collision only adds
+    // a false positive, which the exact verify join removes anyway)
+    val bloom = evalSh.select(xxhash64(col("shingle")).as("k"))
+      .stat.bloomFilter("k", math.max(evalSh.count(), 1L), 0.01)
+    val corpus = sh.filter(col("doc_id") >= benchMax)
+    val totals = corpus.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    corpus
+      .filter(graft.functions.BloomMightContain.probe(
+        xxhash64(col("shingle")), bloom))
+      .join(evalSh, "shingle") // exact verify: removes Bloom FPs
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .join(totals, "doc_id")
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        round(col("n_overlap") / col("n_shingles").cast("double"), 6)
+          .as("overlap_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Leakage-free train/val/test split: the split decision is made
+    * once per EXACT-DUPLICATE cluster (all docs sharing md5(text)
+    * follow their cluster representative = min doc_id), so verbatim
+    * copies of one document can never land on both sides of a
+    * train/eval boundary — the failure mode a per-doc hash split
+    * ([[sampleSplit]]) cannot rule out. Same 12/2/2 hex-digit
+    * assignment, keyed on the representative.
+    *
+    * Shape: one shuffle on the 128-bit text digest (a window min
+    * over the digest partition — duplicate clusters are small, so
+    * partitions are bounded); the split itself is map-side hex math.
+    */
+  def leakFreeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text")))
+    val hexDigit = substring(
+      md5(concat(lit("split:"), col("rep").cast("string"))), 1, 1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), min(col("doc_id")).over(w).as("rep"))
+      .select(col("doc_id"), col("rep"),
+        when(hexDigit <= "b", "train")
+          .when(hexDigit <= "d", "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Compression-ratio quality signal (the Gopher-rule family):
     * deflate each doc and report compressed/raw size. Highly
     * repetitive machine text compresses far below natural language

@@ -80,4 +80,30 @@ class CurationSpec extends SparkSpec {
       .select("b").as[Long].collect().toSet
     assert(dropped == pairs)
   }
+
+  test("bloom-prefiltered decontamination equals the exact operator") {
+    val exact = Curation.benchmarkContamination(spark, sf).collect()
+      .map(_.toString).toSeq
+    val bloom = Curation.contaminationBloom(spark, sf).collect()
+      .map(_.toString).toSeq
+    assert(bloom == exact) // FPs must die in the verify join
+    assert(exact.nonEmpty)
+  }
+
+  test("leak-free split: no exact-duplicate cluster straddles splits") {
+    val rows = Curation.leakFreeSplit(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    // every doc in a cluster carries its representative's split
+    val repSplit = rows.map(r =>
+      r.getAs[Long]("rep") -> r.getAs[String]("split")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[String]("split") == repSplit(r.getAs[Long]("rep")))
+      assert(r.getAs[Long]("rep") <= r.getAs[Long]("doc_id"))
+    }
+    // the split follows the SAME hash contract as sample_split, keyed
+    // on the representative: a singleton cluster's split matches what
+    // sampleSplit's hex-digit rule assigns its doc_id
+    val splits = rows.map(_.getAs[String]("split")).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+  }
 }

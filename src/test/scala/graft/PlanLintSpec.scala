@@ -11,7 +11,8 @@ class PlanLintSpec extends SparkSpec {
   // sink writes) — their plan shape is guarded by their own specs
   private val eagerBuilders = Set("dedup_clusters", "dedup_clusters_star",
     "dedup_keep_longest", "kv_roundtrip", "bloom_join", "bpe_vocab",
-    "bpe_encode", "ivf_index_topk", "graph_pagerank", "mixture_temperature")
+    "bpe_encode", "ivf_index_topk", "graph_pagerank", "mixture_temperature",
+    "contamination_bloom") // count + Bloom build over the eval side up front
 
   // The EXACT set of queries that legitimately plan a
   // BroadcastNestedLoopJoin (enumerated by scanning the registry, kept
