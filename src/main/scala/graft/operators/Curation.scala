@@ -190,15 +190,21 @@ object Curation {
       .select(col("shingle")).distinct()
     // the probe expression keys on BIGINT: hash the shingle the same
     // way on the build and probe sides (a 64-bit collision only adds
-    // a false positive, which the exact verify join removes anyway)
-    val bloom = evalSh.select(xxhash64(col("shingle")).as("k"))
-      .stat.bloomFilter("k", math.max(evalSh.count(), 1L), 0.01)
+    // a false positive, which the exact verify join removes anyway).
+    // An EMPTY eval side yields a null-buffer BloomFilter that NPEs
+    // at probe time — nothing can match, so probe degenerates to false.
+    val nEval = evalSh.count()
+    val probeCol =
+      if (nEval == 0L) lit(false)
+      else graft.functions.BloomMightContain.probe(
+        xxhash64(col("shingle")),
+        evalSh.select(xxhash64(col("shingle")).as("k"))
+          .stat.bloomFilter("k", nEval, 0.01))
     val corpus = sh.filter(col("doc_id") >= benchMax)
     val totals = corpus.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"))
     corpus
-      .filter(graft.functions.BloomMightContain.probe(
-        xxhash64(col("shingle")), bloom))
+      .filter(probeCol)
       .join(evalSh, "shingle") // exact verify: removes Bloom FPs
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlap"))

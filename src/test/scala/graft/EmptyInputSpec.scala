@@ -40,7 +40,14 @@ class EmptyInputSpec extends SparkSpec {
       "stats_moments"   -> (Relational.statsMoments(_, _)),
       "text_entropy"    -> (TextAnalysis.charEntropy(_, _)),
       "mixture_temperature" -> ((s, d) => Curation.temperatureMix(s, d)),
-      "retention_cohorts" -> (TimeSeries.retentionCohorts(_, _)))
+      "retention_cohorts" -> (TimeSeries.retentionCohorts(_, _)),
+      // r7 additions
+      "weighted_sample" -> ((s, d) => Curation.weightedSample(s, d)),
+      "heavy_hitters"   -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
+      "colloc_pmi"      -> ((s, d) => TextAnalysis.collocPmi(s, d)),
+      "mask_spans"      -> (TextAnalysis.maskSpans(_, _)),
+      "contamination_bloom" -> ((s, d) => Curation.contaminationBloom(s, d)),
+      "split_leak_free" -> (Curation.leakFreeSplit(_, _)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()

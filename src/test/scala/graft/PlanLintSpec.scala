@@ -89,7 +89,7 @@ class PlanLintSpec extends SparkSpec {
     "bm25_topk"          -> (9, 4),
     "tfidf_keywords"     -> (7, 2),
     "curate_pipeline"    -> (4, 1), // two corpus scans, full funnel
-    "contamination"      -> (5, 1),
+    "contamination"      -> (4, 1), // re-pinned reuse-off (r7)
     "cross_dedup"        -> (1, 1),
     "q1_pricing"         -> (2, 0), // partial agg + final + sort
     "q9_profit"          -> (2, 4), // all dims broadcast
@@ -145,20 +145,57 @@ class PlanLintSpec extends SparkSpec {
     "join_skew_salted"   -> (6, 2),
     "seq_pack"           -> (3, 0), // ONE range exchange under the pack node
     "histogram_equidepth" -> (3, 1),
-    "histogram_equidepth_approx" -> (4, 2))
+    "histogram_equidepth_approx" -> (4, 2),
+    // r7 additions (contamination_bloom is excluded: eager Bloom build)
+    "weighted_sample"    -> (0, 0), // TakeOrdered: zero exchanges
+    "colloc_pmi"         -> (5, 3), // bigram+unigram aggs, vocab joins, 1-row total
+    "heavy_hitters"      -> (4, 2), // MG candidate agg + exact re-count
+    "mask_spans"         -> (2, 0), // doc_id window shuffle + reassembly agg
+    "split_leak_free"    -> (2, 0)) // md5(text) window + final sort
 
   test("golden shuffle budgets: no flagship query grows an extra exchange") {
-    val shufRe = "(?<!Broadcast)Exchange (hash|range|SinglePartition)".r
-    val bcastRe = "BroadcastExchange".r
-    val diffs = shuffleBudgets.toSeq.sortBy(_._1).flatMap { case (name, (ws, wb)) =>
-      val plan = SparkEntry.queries(name)(spark, sf)
-        .queryExecution.executedPlan.toString
-      val gs = shufRe.findAllIn(plan).length
-      val gb = bcastRe.findAllIn(plan).length
-      if ((gs, gb) != (ws, wb))
-        Some(s"$name: want shuffle=$ws broadcast=$wb, got shuffle=$gs broadcast=$gb")
-      else None
+    // Two sources make raw exchange counts history-dependent, so this
+    // test neutralizes both to get numbers that are stable regardless
+    // of which tests (or parallel suites) planned queries first:
+    //  1. exchange/subquery REUSE: the printed count of the SAME query
+    //     shifts with earlier canonicalizations — disabled here, so
+    //     the full logical exchange set is counted.
+    //  2. CacheManager splicing: operators that .cache() a subtree
+    //     (e.g. dedup_ngram's shingle posting list) REGISTER it in the
+    //     shared CacheManager at plan-construction time; any later
+    //     plan containing a canonically-equal subtree gets the cached
+    //     fragment spliced in, changing its exchange count. Cleared
+    //     up front, and a mismatch re-measures once after a re-clear
+    //     (a parallel suite can re-register a cache mid-iteration).
+    // Pin source: graft.tools.PlanCount (same recipe, fresh session).
+    val prevEx = spark.conf.get("spark.sql.exchangeReuseEnabled", "true")
+    val prevSq = spark.conf.get("spark.sql.execution.reuseSubquery", "true")
+    spark.conf.set("spark.sql.exchangeReuseEnabled", "false")
+    spark.conf.set("spark.sql.execution.reuseSubquery", "false")
+    spark.sharedState.cacheManager.clearCache()
+    try {
+      val shufRe = "(?<!Broadcast)Exchange (hash|range|SinglePartition)".r
+      val bcastRe = "BroadcastExchange".r
+      def measure(name: String): (Int, Int) = {
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        (shufRe.findAllIn(plan).length, bcastRe.findAllIn(plan).length)
+      }
+      val diffs = shuffleBudgets.toSeq.sortBy(_._1).flatMap { case (name, want) =>
+        var got = measure(name)
+        if (got != want) {
+          spark.sharedState.cacheManager.clearCache()
+          got = measure(name)
+        }
+        if (got != want)
+          Some(s"$name: want shuffle=${want._1} broadcast=${want._2}, " +
+            s"got shuffle=${got._1} broadcast=${got._2}")
+        else None
+      }
+      assert(diffs.isEmpty, "shuffle budget violations:\n" + diffs.mkString("\n"))
+    } finally {
+      spark.conf.set("spark.sql.exchangeReuseEnabled", prevEx)
+      spark.conf.set("spark.sql.execution.reuseSubquery", prevSq)
     }
-    assert(diffs.isEmpty, "shuffle budget violations:\n" + diffs.mkString("\n"))
   }
 }
