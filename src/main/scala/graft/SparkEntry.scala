@@ -170,6 +170,8 @@ object SparkEntry {
     "dedup_spans"   -> ((s, d) => Dedup.spanDedup(s, d)),
     "dedup_span_regions" -> ((s, d) => Dedup.spanRegions(s, d)),
     "profile_stats" -> (Relational.profileStats(_, _)),
+    "skew_profile"  -> (Relational.skewProfile(_, _)),
+    "merge_upsert"  -> (Relational.mergeUpsert(_, _)),
     "sketch_cms"    -> ((s, d) => Relational.cmsTopK(s, d)),
     "histogram_equidepth" -> (Relational.histogramEquidepth(_, _)),
     "histogram_equidepth_approx" -> (Relational.histogramEquidepthApprox(_, _)),
@@ -688,6 +690,31 @@ object SparkEntry {
         |    count(DISTINCT l_shipdate), CAST(min(l_shipdate) AS VARCHAR),
         |    CAST(max(l_shipdate) AS VARCHAR) FROM lineitem
         |) ORDER BY col_name""".stripMargin,
+    "skew_profile" ->
+      """WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  min(cnt) AS min_cnt, max(cnt) AS max_cnt
+        |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey AS k, 'U' AS op, o_totalprice + 100.0 AS new_price
+        |  FROM base WHERE o_orderkey % 10 = 0 AND o_orderkey % 23 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', NULL FROM base WHERE o_orderkey % 23 = 0
+        |  UNION ALL
+        |  SELECT -o_orderkey, 'I', 50.0 FROM base WHERE o_orderkey % 17 = 0)
+        |SELECT coalesce(o_orderkey, k) AS okey,
+        |  coalesce(new_price, o_totalprice) AS price,
+        |  CASE WHEN op = 'U' THEN 'updated'
+        |       WHEN op = 'I' THEN 'inserted'
+        |       ELSE 'base' END AS src
+        |FROM base FULL OUTER JOIN changes ON o_orderkey = k
+        |WHERE coalesce(op, '') <> 'D'
+        |ORDER BY okey""".stripMargin,
     "bloom_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)

@@ -635,4 +635,68 @@ object Relational {
           |  'l_shipdate',   n, n - nn_s, nd_s, mn_s, mx_s)
           |AS (col_name, n_rows, n_nulls, n_distinct, min_val, max_val)""".stripMargin)
       .orderBy("col_name")
+
+  /** Key-skew diagnostic: the per-key row-count distribution of a
+    * join/aggregation key, histogrammed in power-of-two buckets —
+    * the number an operator needs BEFORE deciding to salt
+    * (join_skew_salted), raise shuffle partitions, or let AQE's skew
+    * join handle it. bucket = ⌊log2(rows_per_key)⌋, computed as
+    * `length(bin(cnt)) - 1` — a pure integer path, so both engines
+    * bucket identically (a float log2 could round either way of a
+    * power-of-two boundary).
+    *
+    * Scale: two partial→final aggregates (key counts, then the
+    * #distinct-buckets-sized histogram). The first shuffles one row
+    * per distinct key — the same cardinality any groupBy on that key
+    * would — and the second is bounded by 64 buckets.
+    */
+  def skewProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      .groupBy((length(bin(col("cnt"))) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_rows"),
+        min(col("cnt")).as("min_cnt"),
+        max(col("cnt")).as("max_cnt"))
+      .orderBy("bucket")
+
+  /** Lakehouse-style MERGE (CDC upsert): apply a deterministic change
+    * set — updates (keys ≡ 0 mod 10, repriced +100), deletes (keys ≡
+    * 0 mod 23), inserts (new negative keys derived from keys ≡ 0 mod
+    * 17) — to the orders table in ONE full-outer join pass: deletes
+    * drop, updates coalesce the new price over the old, inserts
+    * survive with no base match. Emits every merged row tagged with
+    * its provenance.
+    *
+    * Scale: the join shuffles base and changes on the merge key — the
+    * canonical copy-on-write shape (at 100 TB the same plan runs
+    * partition-wise: only partitions with changed keys rewrite, which
+    * is what hidden-partitioning table formats automate). Inserts use
+    * negated keys rather than a max()+offset so the change set needs
+    * no driver action and no 1-row broadcast.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val upd = base
+      .filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") % 23 =!= 0)
+      .select(col("o_orderkey").as("k"), lit("U").as("op"),
+        (col("o_totalprice") + 100.0).as("new_price"))
+    val del = base.filter(col("o_orderkey") % 23 === 0)
+      .select(col("o_orderkey").as("k"), lit("D").as("op"),
+        lit(null).cast("double").as("new_price"))
+    val ins = base.filter(col("o_orderkey") % 17 === 0)
+      .select((-col("o_orderkey")).as("k"), lit("I").as("op"),
+        lit(50.0).as("new_price"))
+    val changes = upd.unionByName(del).unionByName(ins)
+    base.join(changes, col("o_orderkey") === col("k"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(
+        coalesce(col("o_orderkey"), col("k")).as("okey"),
+        coalesce(col("new_price"), col("o_totalprice")).as("price"),
+        when(col("op") === "U", "updated")
+          .when(col("op") === "I", "inserted")
+          .otherwise("base").as("src"))
+      .orderBy("okey")
+  }
 }

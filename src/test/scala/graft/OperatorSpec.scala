@@ -205,4 +205,38 @@ class OperatorSpec extends SparkSpec {
       .select("user_id").distinct().count()
     assert(rows.head._3 == viewUsers)
   }
+
+  test("merge upsert: row accounting and provenance counts") {
+    val orders = Tables.orders(spark, sf).select("o_orderkey").as[Long].collect()
+    val nDel = orders.count(_ % 23 == 0)
+    val nUpd = orders.count(k => k % 10 == 0 && k % 23 != 0)
+    val nIns = orders.count(_ % 17 == 0)
+    val out = graft.operators.Relational.mergeUpsert(spark, sf).collect()
+    assert(out.length == orders.length - nDel + nIns)
+    val bySrc = out.groupBy(_.getAs[String]("src")).view.mapValues(_.length).toMap
+    assert(bySrc.getOrElse("updated", 0) == nUpd)
+    assert(bySrc.getOrElse("inserted", 0) == nIns)
+    // no deleted key survives as a base/updated row (key 0 may
+    // legitimately reappear: 0 % 17 == 0 re-inserts it as -0 = 0);
+    // every inserted key is non-positive (negated source key)
+    val liveBase = out.filter(_.getAs[String]("src") != "inserted")
+      .map(_.getAs[Long]("okey")).toSet
+    assert(orders.filter(_ % 23 == 0).forall(k => !liveBase.contains(k)))
+    assert(out.filter(_.getAs[String]("src") == "inserted")
+      .forall(_.getAs[Long]("okey") <= 0))
+  }
+
+  test("skew profile: histogram accounts for every key and row") {
+    val rows = graft.operators.Relational.skewProfile(spark, sf).collect()
+    val nKeys = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    val nRows = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_keys")).sum == nKeys)
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == nRows)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val lo = 1L << b; val hi = (1L << (b + 1)) - 1
+      assert(r.getAs[Long]("min_cnt") >= lo && r.getAs[Long]("max_cnt") <= hi,
+        s"bucket $b bounds violated")
+    }
+  }
 }

@@ -151,7 +151,9 @@ class PlanLintSpec extends SparkSpec {
     "colloc_pmi"         -> (5, 3), // bigram+unigram aggs, vocab joins, 1-row total
     "heavy_hitters"      -> (4, 2), // MG candidate agg + exact re-count
     "mask_spans"         -> (2, 0), // doc_id window shuffle + reassembly agg
-    "split_leak_free"    -> (2, 0)) // md5(text) window + final sort
+    "split_leak_free"    -> (2, 0), // md5(text) window + final sort
+    "skew_profile"       -> (3, 0), // key counts + 64-bucket histogram + sort
+    "merge_upsert"       -> (3, 0)) // base/changes co-partition + final sort
 
   test("golden shuffle budgets: no flagship query grows an extra exchange") {
     // Two sources make raw exchange counts history-dependent, so this
