@@ -221,6 +221,47 @@ object Streaming {
       }
   }
 
+  /** A token arriving on the ingest stream. */
+  case class TokEvent(ts: java.sql.Timestamp, tok: String)
+
+  /** One shard's current Misra–Gries buffer. */
+  case class ShardCandidates(shard: Int, cands: Map[String, Long])
+
+  /** Streaming heavy hitters — the ingest twin of the batch
+    * `heavy_hitters` operator: maintain a Misra–Gries candidate
+    * buffer PER HASH SHARD of the token space with
+    * `mapGroupsWithState`, so total state is bounded at
+    * nShards × sketchK entries no matter how many distinct tokens
+    * the stream carries. Because a token always routes to the same
+    * shard, its full frequency lands in one buffer, and the MG
+    * guarantee applies shard-locally: any token with frequency
+    * > n_shard/sketchK ≥ (its global threshold share) survives —
+    * the union of shard candidates covers every global heavy hitter.
+    * Buffer CONTENTS below the guarantee line may differ with
+    * arrival order (MG is order-sensitive there); StreamingSpec pins
+    * the order-independent contracts instead: the superset guarantee
+    * under skew, and exact counts whenever sketchK ≥ the shard's
+    * distinct tokens (MG without eviction is plain counting).
+    *
+    * Emits each shard's buffer every micro-batch (Update mode); the
+    * serving side re-counts candidates exactly, like the batch twin.
+    */
+  def heavyHitterStream(toks: Dataset[TokEvent], sketchK: Int = 64,
+                        nShards: Int = 8): Dataset[ShardCandidates] = {
+    import toks.sparkSession.implicits._
+    val mg = new graft.functions.Aggregators.MisraGries(sketchK)
+    toks
+      .groupByKey(t => math.floorMod(t.tok.hashCode, nShards))
+      .mapGroupsWithState[Map[String, Long], ShardCandidates](
+        GroupStateTimeout.NoTimeout) {
+        case (shard, it, state: GroupState[Map[String, Long]]) =>
+          var buf = state.getOption.getOrElse(Map.empty[String, Long])
+          it.foreach(t => buf = mg.reduce(buf, t.tok))
+          state.update(buf)
+          ShardCandidates(shard, buf)
+      }
+  }
+
   /** Run a streaming query over a bounded source into a memory sink
     * and return the sink table — test/demo harness for local runs.
     */

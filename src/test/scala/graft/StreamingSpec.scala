@@ -239,4 +239,60 @@ class StreamingSpec extends SparkSpec {
       Seq((3L, "c")).toDF("k", "v"), 1L)
     assert(snapshot() == first, "replayed batch changed the sink contents")
   }
+
+  test("streaming MG heavy hitters: superset under skew; exact when k covers") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def lastBuffers(events: Seq[Streaming.TokEvent], k: Int,
+                    shards: Int, name: String): Map[Int, Map[String, Long]] = {
+      val mem = MemoryStream[Streaming.TokEvent]
+      // three micro-batches to force state carry-over between batches
+      events.grouped(math.max(1, events.length / 3 + 1))
+        .foreach(b => mem.addData(b))
+      val out = Streaming.runToMemory(spark,
+          Streaming.heavyHitterStream(mem.toDS(), k, shards).toDF(),
+          name, OutputMode.Update())
+        .as[Streaming.ShardCandidates].collect()
+      // Update mode appends one row per shard per batch: keep the last
+      out.zipWithIndex.groupBy(_._1.shard).view
+        .mapValues(_.maxBy(_._2)._1.cands).toMap
+    }
+    // 1. zipf-skewed stream, small k: eviction exercised, and every
+    //    token above the shard-local MG line survives in its shard
+    val stream = (1 to 120).flatMap(i => Seq.fill(1200 / i)(s"w$i"))
+    val events = stream.zipWithIndex.map { case (t, i) =>
+      Streaming.TokEvent(new java.sql.Timestamp(base + i), t)
+    }
+    val k = 8; val shards = 4
+    val bufs = lastBuffers(events, k, shards, "hh_skew_out")
+    val byShard = stream.groupBy(t => math.floorMod(t.hashCode, shards))
+    byShard.foreach { case (shard, toks) =>
+      val truth = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val must = truth.collect {
+        case (w, c) if c > toks.length.toLong / k => w
+      }.toSet
+      assert(must.nonEmpty, s"degenerate shard $shard fixture")
+      val cands = bufs.getOrElse(shard, Map.empty).keySet
+      assert(must.subsetOf(cands), s"shard $shard missing ${must -- cands}")
+      assert(bufs(shard).size <= k)
+    }
+    // 2. documents bigrams with k >= distinct-per-shard: no eviction,
+    //    so streamed MG counts ARE the exact bigram counts — ties the
+    //    stream to the oracle-checked batch heavy_hitters tokenization
+    val bigrams = Tables.documents(spark, sf)
+      .select(graft.functions.TextFns.wsTokens(lower(col("text"))).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(slice(ts, 1, size(ts) - 1), (x, i) -> concat(x, ' ', ts[i + 1]))"))
+        .as("bg"))
+      .as[String].collect()
+    val bgEvents = bigrams.zipWithIndex.map { case (t, i) =>
+      Streaming.TokEvent(new java.sql.Timestamp(base + i), t)
+    }
+    val bufs2 = lastBuffers(bgEvents, 4096, shards, "hh_exact_out")
+    val exact = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(exact.size < 4096) // precondition for the no-eviction claim
+    val merged = bufs2.values.flatten.toMap
+    assert(merged == exact, "no-eviction MG must equal exact counts")
+  }
 }
