@@ -106,6 +106,7 @@ object SparkEntry {
     "event_funnel" -> ((s, d) => TimeSeries.eventFunnel(s, d)),
     "ts_fill"      -> (TimeSeries.gapFill(_, _)),
     "ts_anomaly"   -> ((s, d) => TimeSeries.anomalies(s, d)),
+    "ts_m4"        -> (TimeSeries.m4Downsample(_, _)),
     "retention_cohorts" -> (TimeSeries.retentionCohorts(_, _)),
     "ts_session_window" -> (TimeSeries.sessionWindows(_, _)),
     "ts_asof_nearest" -> ((s, d) => TimeSeries.asofNearest(s, d)),
@@ -1135,6 +1136,17 @@ object SparkEntry {
         | count(*) AS n, round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "ts_m4" ->
+      """WITH e AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS t, event_id FROM events),
+        |k AS (SELECT *, strftime(t, '%Y-%m-%d %H:%M:%S.%f') || '|' ||
+        |         lpad(CAST(event_id AS VARCHAR), 12, '0') AS okey FROM e)
+        |SELECT event_type,
+        |  strftime(date_trunc('hour', t), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  count(*) AS n,
+        |  round(min(value), 3) AS min_v, round(max(value), 3) AS max_v,
+        |  round(arg_min(value, okey), 3) AS first_v,
+        |  round(arg_max(value, okey), 3) AS last_v
+        |FROM k GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
     "ts_hourly" ->
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
         | event_type, count(*) AS n, round(CAST(sum(value) AS DOUBLE), 2) AS sum_value

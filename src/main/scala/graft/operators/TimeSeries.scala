@@ -292,4 +292,35 @@ object TimeSeries {
           3).as("v_filled"))
       .orderBy("event_type", "hour_start")
   }
+
+  /** M4 downsampling — the standard visually-lossless time-series
+    * reduction (Jugel et al., VLDB 2014): per (series, time bucket)
+    * keep exactly four values — first, last, min, max — which is
+    * sufficient to render the series' pixel-exact line at the
+    * bucket's resolution. first/last use min_by/max_by on a
+    * lexicographic `strftime(µs)|zero-padded event_id` key, so the
+    * within-bucket order (and every tie) is decided identically by
+    * both engines.
+    *
+    * Scale: ONE partial→final aggregate over the event stream — all
+    * four statistics are algebraic, so executors combine map-side and
+    * the shuffle carries #series × #buckets rows. This is the shape
+    * that makes "plot 3 years of a 100 TB metric store" feasible.
+    */
+  def m4Downsample(spark: SparkSession, dir: String): DataFrame = {
+    val okey = concat(
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+      lit("|"), lpad(col("event_id").cast("string"), 12, "0"))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("value")), 3).as("min_v"),
+        round(max(col("value")), 3).as("max_v"),
+        round(min_by(col("value"), okey), 3).as("first_v"),
+        round(max_by(col("value"), okey), 3).as("last_v"))
+      .orderBy("event_type", "bucket")
+  }
 }

@@ -153,7 +153,8 @@ class PlanLintSpec extends SparkSpec {
     "mask_spans"         -> (2, 0), // doc_id window shuffle + reassembly agg
     "split_leak_free"    -> (2, 0), // md5(text) window + final sort
     "skew_profile"       -> (3, 0), // key counts + 64-bucket histogram + sort
-    "merge_upsert"       -> (3, 0)) // base/changes co-partition + final sort
+    "merge_upsert"       -> (3, 0), // base/changes co-partition + final sort
+    "ts_m4"              -> (2, 0)) // one algebraic agg + final sort
 
   test("golden shuffle budgets: no flagship query grows an extra exchange") {
     // Two sources make raw exchange counts history-dependent, so this
