@@ -113,6 +113,7 @@ object SparkEntry {
     // ---- co-occurrence / graph ----
     "assoc_pairs"    -> (Cooccur.assocPairs(_, _)),
     "graph_pagerank" -> (Cooccur.pagerank(_, _)),
+    "graph_triangles" -> (Cooccur.triangles(_, _)),
     // ---- text analysis ----
     "text_langstats"   -> (TextAnalysis.langStats(_, _)),
     "text_quality"     -> (TextAnalysis.qualityScore(_, _)),
@@ -1270,6 +1271,30 @@ object SparkEntry {
         |  abs(round((v - mu) / sd, 4)) > 2.5 AS is_anomaly
         |FROM w WHERE nw >= 12 AND sd > 0
         |ORDER BY event_type, hour_start""".stripMargin,
+    "graph_triangles" ->
+      """WITH items0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |freq AS (SELECT pk, count(*) AS cnt FROM items0 GROUP BY 1),
+        |capped AS (
+        |  SELECT i.ok, i.pk,
+        |    row_number() OVER (PARTITION BY i.ok ORDER BY i.pk) AS rn
+        |  FROM items0 i JOIN freq f USING (pk) WHERE f.cnt >= 5),
+        |items AS (SELECT ok, pk FROM capped WHERE rn <= 30),
+        |pairs0 AS (
+        |  SELECT a.pk AS pa, b.pk AS pb
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+        |e AS (SELECT pa, pb FROM pairs0 GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT u, count(*) AS d FROM (
+        |  SELECT pa AS u FROM e UNION ALL SELECT pb FROM e) GROUP BY 1),
+        |tri AS (SELECT count(*) AS t FROM e e1
+        |  JOIN e e2 ON e2.pa = e1.pb
+        |  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+        |w AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg)
+        |SELECT w.n_nodes, tot.n_edges, w.n_wedges,
+        |  CAST(tri.t AS BIGINT) AS n_triangles,
+        |  round(3.0 * tri.t / w.n_wedges, 6) AS clustering
+        |FROM tri, tot, w""".stripMargin,
     "assoc_pairs" ->
       """WITH items0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |freq AS (SELECT pk, count(*) AS cnt FROM items0 GROUP BY 1),

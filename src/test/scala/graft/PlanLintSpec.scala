@@ -35,6 +35,7 @@ class PlanLintSpec extends SparkSpec {
     "histogram_equidepth_approx", // 1-row sketch-edges + 1-row total broadcasts
     "colloc_pmi",    // 1-row bigram-total broadcast
     "heavy_hitters", // 1-row corpus-total broadcast
+    "graph_triangles", // two 1-row census-total broadcasts
     "sim_topk", "sim_ivf", "sim_ann_recall", "sim_ivf_recall",
     "sim_neardup", "sem_dedup_keep", "hybrid_rrf", "emb_kmeans",
     "emb_pq_recall")
@@ -154,7 +155,8 @@ class PlanLintSpec extends SparkSpec {
     "split_leak_free"    -> (2, 0), // md5(text) window + final sort
     "skew_profile"       -> (3, 0), // key counts + 64-bucket histogram + sort
     "merge_upsert"       -> (3, 0), // base/changes co-partition + final sort
-    "ts_m4"              -> (2, 0)) // one algebraic agg + final sort
+    "ts_m4"              -> (2, 0), // one algebraic agg + final sort
+    "graph_triangles"    -> (9, 7)) // pair-gen + degree joins + wedge closure
 
   test("golden shuffle budgets: no flagship query grows an extra exchange") {
     // Two sources make raw exchange counts history-dependent, so this
