@@ -769,7 +769,8 @@ object SparkEntry {
         |  FROM h),
         |k AS (
         |  SELECT doc_id, source,
-        |         ln((CAST(hv AS DOUBLE) + 0.5) / 4503599627370496.0) / w AS skey
+        |         round(ln((CAST(hv AS DOUBLE) + 0.5) / 4503599627370496.0) / w,
+        |               12) AS skey
         |  FROM v),
         |r AS (SELECT doc_id, source, skey,
         |    row_number() OVER (ORDER BY skey DESC, doc_id) AS rnk FROM k)
@@ -1290,7 +1291,7 @@ object SparkEntry {
         |  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
         |w AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
-        |  CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg)
+        |  CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg)
         |SELECT w.n_nodes, tot.n_edges, w.n_wedges,
         |  CAST(tri.t AS BIGINT) AS n_triangles,
         |  round(3.0 * tri.t / w.n_wedges, 6) AS clustering

@@ -166,9 +166,11 @@ object Cooccur {
         greatest(col("src"), col("dst")).as("w2")),
       Seq("w1", "w2"), "left_semi")
     val totals = pairs.agg(count(lit(1)).as("n_edges"))
+    // integer div keeps the wedge sum exact past 2^53 (Spark's `/` on
+    // longs is double division; d·(d−1) is even so `div 2` is lossless)
     val wedgeTotal = deg.agg(
       count(lit(1)).as("n_nodes"),
-      sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
+      sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
     closed.agg(count(lit(1)).as("n_triangles"))
       .crossJoin(broadcast(totals))
       .crossJoin(broadcast(wedgeTotal))

@@ -440,9 +440,13 @@ object Curation {
       md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 13),
       16, 10).cast("long")
     val u = (v.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    // round the key to 12 decimals: ln() is only 1-ulp-specified on
+    // the JVM while DuckDB's libm may round differently — the rounded
+    // key (with doc_id tie-break) makes the RANKING identical across
+    // engines even when the last ulp of ln(u) is not
     val keyed = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
-        (log(u) / col("n_chars").cast("double")).as("skey"))
+        round(log(u) / col("n_chars").cast("double"), 12).as("skey"))
     val top = keyed.orderBy(col("skey").desc, col("doc_id")).limit(budget)
     // rank window runs over exactly `budget` rows post-limit
     val w = org.apache.spark.sql.expressions.Window

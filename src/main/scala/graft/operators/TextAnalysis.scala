@@ -654,27 +654,40 @@ object TextAnalysis {
     * the total bigram count — the classic measure of how much more
     * often a,b co-occur than independence predicts. Top-`k` by PMI.
     *
-    * Scale: bigram and unigram counts are two partial→final
-    * aggregates over one tokenization; the unigram table joins back
-    * by token key (vocabulary-sized — AQE broadcasts it when small,
-    * shuffles when not); N is a 1-row broadcast. Top-k compiles to
-    * TakeOrdered (per-partition heaps, no global sort).
+    * Scale: the corpus is tokenized ONCE — each token explodes as
+    * (tok, next-or-null), so unigram counts (every w1) and bigram
+    * counts (w2 non-null) are two aggregates over the same exploded
+    * stream, materialized once behind a lazy checkpoint. All PMI
+    * arithmetic is in doubles (each factor is exact below 2^53; a
+    * long·long product would overflow at corpus-scale counts). The
+    * unigram table joins back by token key (vocabulary-sized — AQE
+    * broadcasts it when small); N is a 1-row broadcast. Top-k
+    * compiles to TakeOrdered (per-partition heaps, no global sort).
     */
   def collocPmi(spark: SparkSession, dir: String,
                 minCount: Int = 5, k: Int = 20): DataFrame = {
-    val bg = bigrams(spark, dir)
-    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
-    val uc = Tables.documents(spark, dir)
-      .select(explode(TextFns.wsTokens(lower(col("text")))).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    // (tok, next) pairs: try_element_at past the end is null, so the
+    // last token of each doc emits (tok, null) — a unigram-only row
+    val toks = Tables.documents(spark, dir)
+      .select(TextFns.wsTokens(lower(col("text"))).as("ts"))
+      .filter(size(col("ts")) >= 1)
+      .select(explode(transform(col("ts"),
+        (x, i) => struct(x.as("w1"),
+          try_element_at(col("ts"), i + 2).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .localCheckpoint(eager = false) // tokenize once, aggregate twice
+    val bc = toks.filter(col("w2").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+    val uc = toks.groupBy(col("w1").as("tok")).agg(count(lit(1)).as("c1"))
     val total = bc.agg(sum(col("cnt")).as("total"))
     bc.filter(col("cnt") >= minCount)
       .join(uc.select(col("tok").as("w1"), col("c1").as("c1a")), "w1")
       .join(uc.select(col("tok").as("w2"), col("c1").as("c1b")), "w2")
       .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"), col("cnt"),
-        round(log(col("cnt") * col("total") /
-          (col("c1a") * col("c1b")).cast("double")), 6).as("pmi"))
+        round(log(col("cnt").cast("double") * col("total").cast("double") /
+          (col("c1a").cast("double") * col("c1b").cast("double"))), 6)
+          .as("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(k)
   }
@@ -697,6 +710,11 @@ object TextAnalysis {
     */
   def heavyHitters(spark: SparkSession, dir: String,
                    sketchK: Int = 1024, phi: Double = 0.0012): DataFrame = {
+    // the exactness contract depends on the MG guarantee covering the
+    // served threshold: items between phi·N and N/sketchK could be
+    // evicted, so a smaller phi would silently under-report
+    require(phi >= 1.0 / sketchK,
+      s"phi=$phi below the MG guarantee line 1/k=${1.0 / sketchK}")
     import spark.implicits._
     val bg = bigrams(spark, dir)
       .select(concat_ws(" ", col("w1"), col("w2")).as("bg"))

@@ -246,13 +246,19 @@ class StreamingSpec extends SparkSpec {
     def lastBuffers(events: Seq[Streaming.TokEvent], k: Int,
                     shards: Int, name: String): Map[Int, Map[String, Long]] = {
       val mem = MemoryStream[Streaming.TokEvent]
-      // three micro-batches to force state carry-over between batches
-      events.grouped(math.max(1, events.length / 3 + 1))
-        .foreach(b => mem.addData(b))
-      val out = Streaming.runToMemory(spark,
-          Streaming.heavyHitterStream(mem.toDS(), k, shards).toDF(),
-          name, OutputMode.Update())
-        .as[Streaming.ShardCandidates].collect()
+      val q = Streaming.heavyHitterStream(mem.toDS(), k, shards).toDF()
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name).start()
+      // REAL micro-batches: add a chunk, drain it, then the next — so
+      // GroupState must survive and resume across batch boundaries
+      // (addData-everything-then-start would collapse into one batch
+      // and never exercise the state carry-over path)
+      events.grouped(math.max(1, events.length / 3 + 1)).foreach { b =>
+        mem.addData(b)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val out = spark.table(name).as[Streaming.ShardCandidates].collect()
       // Update mode appends one row per shard per batch: keep the last
       out.zipWithIndex.groupBy(_._1.shard).view
         .mapValues(_.maxBy(_._2)._1.cands).toMap
