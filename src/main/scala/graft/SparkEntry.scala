@@ -1824,7 +1824,7 @@ object SparkEntry {
     // replays the ENTIRE md5-family SimHash pipeline: 60-bit token
     // hashes from the first 15 md5 hex chars (16 would overflow
     // signed BIGINT mid-fold), per-bit votes over distinct tokens,
-    // signature assembly, 4×15-bit band blocking, popcount verify
+    // signature assembly, C(6,3) combinatorial block keys, popcount verify
     "dedup_simhash_md5" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id,
@@ -1845,10 +1845,17 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
         |      AS BIGINT) AS simhash
         |  FROM votes GROUP BY 1),
+        |combos AS (
+        |  SELECT row_number() OVER (ORDER BY b1, b2, b3) AS band, b1, b2, b3
+        |  FROM generate_series(0, 5) t1(b1), generate_series(0, 5) t2(b2),
+        |       generate_series(0, 5) t3(b3)
+        |  WHERE b1 < b2 AND b2 < b3),
         |bands AS (
-        |  SELECT doc_id, simhash, b AS band,
-        |    (simhash >> (b * 15)) & 32767 AS bkey
-        |  FROM sigs, generate_series(0, 3) t(b)),
+        |  SELECT doc_id, simhash, c.band,
+        |    ((simhash >> (c.b1 * 10)) & 1023) * 1048576 +
+        |    ((simhash >> (c.b2 * 10)) & 1023) * 1024 +
+        |    ((simhash >> (c.b3 * 10)) & 1023) AS bkey
+        |  FROM sigs, combos c),
         |cand AS (
         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
         |    x.simhash AS sa, y.simhash AS sb
@@ -1859,12 +1866,14 @@ object SparkEntry {
         |FROM cand
         |WHERE bit_count(CAST(xor(sa, sb) AS BIGINT)) <= 3
         |ORDER BY a, b""".stripMargin,
-    // replays the ENTIRE md5-derived hyperplane-LSH pipeline: integer
+    // replays the ENTIRE asymmetric-hashing ANN pipeline: integer
     // coefficient derivation (first 8 md5 hex chars → bigint), exact
-    // integer plane dots over the ×1024-quantized vectors, 6-bit band
-    // keys, candidate join, exact-cosine re-rank — every stage is the
-    // same math in both engines, so the banding logic itself is
-    // hash-checked cross-engine (nBits=48, bands=12×4, k=5, 8 queries)
+    // integer plane projections over the ×1024-quantized vectors
+    // (corpus keeps sign bits, queries full projections), asymmetric
+    // score Σ ±qproj, top-24 shortlist, exact-cosine re-rank — every
+    // intermediate is exact BIGINT math, so the signature/shortlist
+    // logic itself is hash-checked cross-engine (nBits=1024,
+    // shortlist=24, k=5, 8 queries)
     "sim_ann_md5" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -1878,21 +1887,25 @@ object SparkEntry {
         |            substring(md5(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8), ''),
         |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
         |      (a, b) -> a * 16 + b) % 2000003 - 1000001 AS w
-        |  FROM generate_series(0, 47) t1(i), generate_series(0, 63) t2(j)),
+        |  FROM generate_series(0, 1023) t1(i), generate_series(0, 63) t2(j)),
         |dots AS (
         |  SELECT e.vec_id, c.i, sum(c.w * e.vq[c.j + 1]) AS d
         |  FROM e, coef c GROUP BY 1, 2),
-        |bands AS (
-        |  SELECT vec_id, i // 4 AS band,
-        |    CAST(sum(CASE WHEN d >= 0 THEN 1 << (i % 4) ELSE 0 END) AS BIGINT) AS bkey
-        |  FROM dots GROUP BY 1, 2),
-        |q AS (SELECT vec_id AS qid, band, bkey FROM bands WHERE vec_id < 8),
-        |cand AS (
-        |  SELECT DISTINCT q.qid, b.vec_id AS cid
-        |  FROM q JOIN bands b USING (band, bkey) WHERE b.vec_id <> q.qid),
+        |qproj AS (SELECT vec_id AS qid, i, d FROM dots WHERE vec_id < 8),
+        |signs AS (SELECT vec_id, i, d >= 0 AS sg FROM dots),
+        |ascore AS (
+        |  SELECT q.qid, s.vec_id AS cid,
+        |    sum(CASE WHEN s.sg THEN q.d ELSE -q.d END) AS sc
+        |  FROM qproj q JOIN signs s ON s.i = q.i AND s.vec_id <> q.qid
+        |  GROUP BY 1, 2),
+        |short AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT qid, cid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY sc DESC, cid ASC) AS rn
+        |    FROM ascore) WHERE rn <= 24),
         |s AS (
-        |  SELECT c.qid, c.cid, list_cosine_similarity(eq.v, ec.v) AS sim
-        |  FROM cand c JOIN e eq ON eq.vec_id = c.qid JOIN e ec ON ec.vec_id = c.cid),
+        |  SELECT sh.qid, sh.cid, list_cosine_similarity(eq.v, ec.v) AS sim
+        |  FROM short sh JOIN e eq ON eq.vec_id = sh.qid JOIN e ec ON ec.vec_id = sh.cid),
         |r AS (SELECT qid, cid, sim,
         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
         |  FROM s)

@@ -104,6 +104,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    // asymmetric-hashing ANN primitives (signature build + score)
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_lsh_proj"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PlaneProjections].getName, "graft_lsh_proj"),
+      (exprs: Seq[Expression]) => PlaneLsh.buildProj(exprs)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_lsh_asym"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[LshAsymScore].getName, "graft_lsh_asym"),
+      (exprs: Seq[Expression]) => PlaneLsh.buildAsym(exprs)))
     // fuzzy-match predicate optimization (length guard + banded DP)
     e.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
     // whole-operator extension: sequence packing (logical node +
@@ -119,11 +130,32 @@ object GraftFunctions {
   /** Idempotent per-session registration (FunctionRegistry is
     * session-scoped). Call before using [[dot]] on a new session.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_proj", PlaneLsh.buildProj, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_asym", PlaneLsh.buildAsym, "built-in")
+  }
 
   /** Column API for the native dot product (requires [[register]]). */
   def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+
+  /** Column API for [[PlaneProjections]]: nBits md5-derived hyperplane
+    * projections of a numeric array — mode "signs" packs sign bits
+    * into ceil(nBits/64) longs (the corpus-side ANN signature), mode
+    * "proj" keeps raw projections (the query side).
+    */
+  def lshProj(a: Column, nBits: Int, dim: Int, family: String, mode: String): Column = {
+    import org.apache.spark.sql.functions.{call_function, lit}
+    call_function("graft_lsh_proj", a, lit(nBits), lit(dim), lit(family), lit(mode))
+  }
+
+  /** Column API for [[LshAsymScore]]: asymmetric-distance score of a
+    * packed sign signature against full-precision query projections.
+    */
+  def lshAsym(signWords: Column, proj: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_lsh_asym", signWords, proj)
 }

@@ -53,6 +53,35 @@ object PlaneLsh {
       }
       out
     })
+
+  private def litInt(e: Expression, what: String): Int = e.eval(null) match {
+    case i: Int  => i
+    case l: Long => l.toInt
+    case other =>
+      throw new IllegalArgumentException(s"graft_lsh_proj: $what must be an " +
+        s"integer literal, got $other")
+  }
+
+  private def litStr(e: Expression, what: String): String = e.eval(null) match {
+    case null => throw new IllegalArgumentException(
+      s"graft_lsh_proj: $what must be a string literal, got NULL")
+    case other => other.toString
+  }
+
+  /** FunctionRegistry builder: graft_lsh_proj(arr, nBits, dim, family, mode). */
+  def buildProj(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 5,
+      s"graft_lsh_proj(arr, nBits, dim, family, mode) takes 5 args, got ${exprs.length}")
+    PlaneProjections(exprs.head, litInt(exprs(1), "nBits"), litInt(exprs(2), "dim"),
+      litStr(exprs(3), "family"), litStr(exprs(4), "mode"))
+  }
+
+  /** FunctionRegistry builder: graft_lsh_asym(signWords, projections). */
+  def buildAsym(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"graft_lsh_asym(signWords, projections) takes 2 args, got ${exprs.length}")
+    LshAsymScore(exprs.head, exprs(1))
+  }
 }
 
 /** Native Catalyst expression: project a numeric array onto `nBits`
@@ -78,6 +107,13 @@ case class PlaneProjections(child: Expression, nBits: Int, dim: Int,
                             family: String, mode: String)
     extends UnaryExpression {
 
+  require(nBits > 0 && dim > 0,
+    s"graft_lsh_proj: nBits/dim must be positive, got nBits=$nBits dim=$dim")
+  require(family == "int" || family == "float",
+    s"graft_lsh_proj: family must be 'int' or 'float', got '$family'")
+  require(mode == "proj" || mode == "signs",
+    s"graft_lsh_proj: mode must be 'proj' or 'signs', got '$mode'")
+
   private def nWords: Int = (nBits + 63) / 64
 
   override def dataType: DataType =
@@ -101,16 +137,25 @@ case class PlaneProjections(child: Expression, nBits: Int, dim: Int,
   @transient private lazy val mat: Array[Double] =
     PlaneLsh.planes(nBits, dim, family)
 
+  /** Malformed input (wrong vector width) fails loudly rather than
+    * silently truncating/zero-padding into a plausible-but-wrong
+    * signature — a wrong-dim vector in an ANN index is data
+    * corruption, not a case to paper over.
+    */
+  private def badLen(n: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"graft_lsh_proj: input array has $n elements, expected dim=$dim")
+
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
-    val m = math.min(dim, a.numElements())
+    if (a.numElements() != dim) badLen(a.numElements())
     val t = elemType
     if (mode == "signs") {
       val words = new Array[Long](nWords)
       var p = 0
       while (p < nBits) {
         var s = 0.0; var j = 0; val base = p * dim
-        while (j < m) {
+        while (j < dim) {
           if (!a.isNullAt(j)) s += mat(base + j) * (t match {
             case FloatType => a.getFloat(j).toDouble
             case LongType  => a.getLong(j).toDouble
@@ -127,7 +172,7 @@ case class PlaneProjections(child: Expression, nBits: Int, dim: Int,
       var p = 0
       while (p < nBits) {
         var s = 0.0; var j = 0; val base = p * dim
-        while (j < m) {
+        while (j < dim) {
           if (!a.isNullAt(j)) s += mat(base + j) * (t match {
             case FloatType => a.getFloat(j).toDouble
             case LongType  => a.getLong(j).toDouble
@@ -145,37 +190,52 @@ case class PlaneProjections(child: Expression, nBits: Int, dim: Int,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val matRef = ctx.addReferenceObj("planes", mat, "double[]")
+      // every local is freshName'd: these loops fuse into whole-stage
+      // codegen methods whose enclosing scope may already declare a
+      // plain `p`/`s`/`j` — a collision would fail compilation and
+      // silently fall back to interpreted eval
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
       val getter = elemType match {
-        case FloatType => s"(double) $a.getFloat(j)"
-        case LongType  => s"(double) $a.getLong(j)"
-        case _         => s"$a.getDouble(j)"
+        case FloatType => s"(double) $a.getFloat($j)"
+        case LongType  => s"(double) $a.getLong($j)"
+        case _         => s"$a.getDouble($j)"
       }
-      val m = ctx.freshName("m")
+      val lenCheck =
+        s"""
+           |if ($a.numElements() != $dim) {
+           |  throw new IllegalArgumentException(
+           |    "graft_lsh_proj: input array has " + $a.numElements() +
+           |    " elements, expected dim=$dim");
+           |}
+         """.stripMargin
       if (mode == "signs") {
         val words = ctx.freshName("words")
         s"""
-           |int $m = java.lang.Math.min($dim, $a.numElements());
+           |$lenCheck
            |long[] $words = new long[$nWords];
-           |for (int p = 0; p < $nBits; p++) {
-           |  double s = 0.0; int base = p * $dim;
-           |  for (int j = 0; j < $m; j++) {
-           |    if (!$a.isNullAt(j)) s += $matRef[base + j] * ($getter);
+           |for (int $p = 0; $p < $nBits; $p++) {
+           |  double $s = 0.0; int $base = $p * $dim;
+           |  for (int $j = 0; $j < $dim; $j++) {
+           |    if (!$a.isNullAt($j)) $s += $matRef[$base + $j] * ($getter);
            |  }
-           |  if (s >= 0.0) $words[p >> 6] |= 1L << (p & 63);
+           |  if ($s >= 0.0) $words[$p >> 6] |= 1L << ($p & 63);
            |}
            |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($words);
          """.stripMargin
       } else {
         val out = ctx.freshName("out")
         s"""
-           |int $m = java.lang.Math.min($dim, $a.numElements());
+           |$lenCheck
            |double[] $out = new double[$nBits];
-           |for (int p = 0; p < $nBits; p++) {
-           |  double s = 0.0; int base = p * $dim;
-           |  for (int j = 0; j < $m; j++) {
-           |    if (!$a.isNullAt(j)) s += $matRef[base + j] * ($getter);
+           |for (int $p = 0; $p < $nBits; $p++) {
+           |  double $s = 0.0; int $base = $p * $dim;
+           |  for (int $j = 0; $j < $dim; $j++) {
+           |    if (!$a.isNullAt($j)) $s += $matRef[$base + $j] * ($getter);
            |  }
-           |  $out[p] = s;
+           |  $out[$p] = $s;
            |}
            |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          """.stripMargin
@@ -195,11 +255,13 @@ case class PlaneProjections(child: Expression, nBits: Int, dim: Int,
   *
   * Keeping the query side unquantized is the standard asymmetric-
   * hashing refinement: at equal signature width it recovers roughly
-  * √2× the effective bits of symmetric Hamming ranking, which is
-  * what lets a 128-byte corpus signature shortlist 4% of the corpus
-  * at ≥0.8 recall on ~0.3-cosine neighbors (measured on the fixture;
-  * strict band-equality LSH needs ~10⁵ planes for the same operating
-  * point at this similarity level — see PLANS.md).
+  * √2× the effective bits of symmetric Hamming ranking. Measured on
+  * the sf0.01 fixture (PLANS.md "asymmetric-hashing ANN" row): a
+  * 1024-bit (128-byte) corpus signature with a 24-of-500 shortlist
+  * (candidate ratio 0.048) gives recall@5 = 1.00 for the int family
+  * and ≥0.8 per query for the float family — vs the retired
+  * band-equality LSH whose 12×3-bit banding collided ~80% of the
+  * corpus per query.
   *
   * With "int"-family projections over ×1024-quantized vectors every
   * |qproj| ≤ 64·1300·10⁶ and the 1024-term sum stays < 2⁵³, so the
@@ -212,16 +274,23 @@ case class LshAsymScore(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** Element nulls are rejected at type-check time (rather than
+    * guarded per element at runtime): both inputs come from
+    * [[PlaneProjections]], whose output types carry
+    * containsNull=false, so a nullable-element array here means a
+    * wiring mistake — silently skipping nulls would misalign the
+    * plane index between sign words and projections.
+    */
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(DoubleType, _)) =>
+      case (ArrayType(LongType, false), ArrayType(DoubleType, false)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case _ =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"graft_lsh_asym needs (array<bigint> sign words, array<double> " +
-            s"projections), got ${left.dataType.simpleString} and " +
-            s"${right.dataType.simpleString}")
+            s"projections), both with non-nullable elements, got " +
+            s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
     }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -243,12 +312,14 @@ case class LshAsymScore(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (w, q) => {
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val p = ctx.freshName("p")
+      val v = ctx.freshName("v")
       s"""
          |int $n = java.lang.Math.min($w.numElements() * 64, $q.numElements());
          |double $s = 0.0;
-         |for (int p = 0; p < $n; p++) {
-         |  double v = $q.getDouble(p);
-         |  $s += ((($w.getLong(p >> 6) >>> (p & 63)) & 1L) == 1L) ? v : -v;
+         |for (int $p = 0; $p < $n; $p++) {
+         |  double $v = $q.getDouble($p);
+         |  $s += ((($w.getLong($p >> 6) >>> ($p & 63)) & 1L) == 1L) ? $v : -$v;
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   *    bucket join on (band, bucket-hash) → verify candidates with
   *    exact Jaccard. Join keys are 64-bit ints; no all-pairs anywhere.
   *  - simhash: 64-bit signature by per-bit voting over token hashes;
-  *    candidate pairs via 4×16-bit band blocking (Hamming ≤ 3 on a
-  *    64-bit key guarantees one exact 16-bit band match), then exact
+  *    candidate pairs via Manku-style combinatorial block keys
+  *    (6 blocks, every 3-block triple a band — Hamming ≤ 3 touches
+  *    ≤ 3 blocks, so ≥1 triple matches exactly), then exact
   *    popcount filter.
   */
 object Dedup {
@@ -607,11 +608,24 @@ object Dedup {
     * swapped from xxhash64 (Spark-private) to the first 15 md5 hex
     * chars as a 60-bit integer — a standard digest both engines
     * compute identically, so DuckDB replays token hashing, all 60
-    * per-bit votes, signature assembly, 4×15-bit band blocking, and
+    * per-bit votes, signature assembly, combinatorial block keys, and
     * the popcount verify bit-for-bit. 15 hex chars (not 16) keeps
     * every hex-fold intermediate under 2⁶³ — a 16-char fold would
-    * overflow signed BIGINT in both engines' ANSI modes. Pigeonhole
-    * still holds: Hamming ≤ 3 over 4 bands forces ≥ 1 exact band.
+    * overflow signed BIGINT in both engines' ANSI modes.
+    *
+    * Blocking is Manku et al. (WWW'07) combinatorial: the 60-bit
+    * signature splits into 6 blocks of 10 bits, and each of the
+    * C(6,3) = 20 block-triples is a 30-bit band key. Pigeonhole:
+    * ≤ 3 differing bits touch ≤ 3 blocks, so ≥ 3 of 6 blocks agree
+    * and some triple matches exactly — blocking stays COMPLETE (the
+    * output is every Hamming ≤ 3 pair, same as all-pairs). The prior
+    * 4×15-bit single-block bands were also complete but kept 18% of
+    * the sf0.01 pair space as candidates (simhash bits correlate
+    * heavily across same-vocabulary docs, so 15-bit agreement is
+    * common); requiring 30 agreeing bits cuts that ~50×
+    * (CandidateRatioSpec pins the bound) — the difference between
+    * Σ|bucket|² blowing up quadratically at 100 TB and staying
+    * near-linear.
     */
   def simhashPairsMd5(spark: SparkSession, dir: String,
                       maxHamming: Int = 3): DataFrame = {
@@ -630,10 +644,13 @@ object Dedup {
         (0 until nBits).map(i =>
           when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
           .reduce(_.bitwiseOR(_)).as("simhash"))
+    // C(6,3) = 20 block-triples, lexicographic; key packs the three
+    // 10-bit block values into 30 bits
+    def block(b: Int) = shiftright(col("simhash"), b * 10).bitwiseAND(lit(1023L))
     val banded = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(bd =>
-        shiftright(col("simhash"), bd * 15).bitwiseAND(lit(0x7FFFL))): _*))
-        .as(Seq("band", "bkey")))
+      posexplode(array((0 until 6).combinations(3).toSeq.map { c =>
+        block(c(0)) * lit(1L << 20) + block(c(1)) * lit(1L << 10) + block(c(2))
+      }: _*)).as(Seq("band", "bkey")))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bkey") === col("y.bkey") &&
@@ -649,16 +666,23 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming,
-    * blocked on 4×16-bit bands (any pair within Hamming ≤ 3 must
-    * agree exactly on ≥1 band — pigeonhole), then exact popcount.
+    * blocked combinatorially like [[simhashPairsMd5]]: the 64-bit
+    * signature splits into 6 blocks (4×11 + 2×10 bits) and each of
+    * the C(6,3) = 20 block-triples is a band key — ≤ 3 differing bits
+    * touch ≤ 3 blocks, so ≥ 1 triple matches exactly (complete), and
+    * a false candidate must agree on ≥ 31 bits rather than 16.
     */
   def simhashPairs(spark: SparkSession, dir: String,
                    maxHamming: Int = 3): DataFrame = {
     val sigs = simhashSigs(spark, dir).cache()
+    // (shift, width) of the 6 blocks covering bits 0..63
+    val blocks = Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
+    def block(b: Int) = shiftright(col("simhash"), blocks(b)._1)
+      .bitwiseAND(lit((1L << blocks(b)._2) - 1))
     val banded = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(bd =>
-        shiftright(col("simhash"), bd * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("band", "bkey")))
+      posexplode(array((0 until 6).combinations(3).toSeq.map { c =>
+        block(c(0)) * lit(1L << 22) + block(c(1)) * lit(1L << 11) + block(c(2))
+      }: _*)).as(Seq("band", "bkey")))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bkey") === col("y.bkey") &&

@@ -282,34 +282,79 @@ object Similarity {
       .orderBy("a", "b")
   }
 
-  /** Random-hyperplane LSH signatures: nBits deterministic
-    * hyperplanes with md5-derived coefficients in [-1, 1) — fully
-    * deterministic, no RNG state. Signature bit i = (v·plane_i) >= 0.
-    * Each plane is a constant array literal, so the dot product is one
-    * compact zip_with/aggregate expression per bit (codegen-friendly,
-    * unlike a 64-term unrolled sum).
+  /** Shared asymmetric-hashing ANN pipeline behind [[annTopK]] (float
+    * family) and [[annTopKMd5]] (int family, oracle-replayable):
     *
-    * Coefficients hash each (plane, dim) pair independently through
-    * md5 — an earlier LCG-style family (`i*A + j*B mod M`) made every
-    * plane a constant offset of every other (linear in both indices),
-    * and the correlated planes cost ~15 recall points on the fixture
-    * at identical band counts. Hash-family quality IS recall.
+    *   corpus → 1024-bit packed sign signatures
+    *     ([[graft.functions.PlaneProjections]] mode="signs", 128
+    *     bytes/vector — the scan that serves queries reads
+    *     signatures, never the raw embeddings)
+    *   → per-query asymmetric score
+    *     ([[graft.functions.LshAsymScore]]: corpus contributes sign
+    *     bits only, the query its full-precision projections — ~√2×
+    *     the effective bits of symmetric Hamming at equal width)
+    *   → top-`shortlist` per query via the two-phase bounded-heap
+    *     top-k (map-side heaps; the only shuffled rows are ≤
+    *     shortlist·nQueries per partition)
+    *   → exact cosine re-rank of the ≤ shortlist·nQueries survivors.
+    *
+    * This replaces the retired band-equality LSH whose 12×3-bit
+    * banding collided ~80% of the corpus per query (candidate
+    * generation was brute force in disguise, plus a distinct()
+    * shuffle over it). Here the candidate set is exactly
+    * nQueries×shortlist rows BY CONSTRUCTION — 24/500 = 4.8% of the
+    * fixture corpus, and a vanishing fraction at scale since the
+    * shortlist size is absolute, not proportional (CandidateRatioSpec
+    * pins the bound; PLANS.md records the measured recall).
+    *
+    * 100 TB shape: the signature build is one map-side pass (the
+    * signature table is 16–32× smaller than the embeddings and would
+    * be materialized at ingest); scoring broadcasts the tiny query
+    * projections and streams signatures map-side with zero shuffle;
+    * no distinct(), no per-query funnel, no corpus-sized window.
     */
-  def lshSignatures(emb: DataFrame, nBits: Int, dim: Int): DataFrame = {
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    def plane(i: Int) = array((0 until dim).map { j =>
-      lit((java.lang.Long.parseLong(md5hex(s"$i:$j").substring(0, 8), 16)
-        % 2000003L).toDouble / 1000001.5 - 1.0)
-    }: _*)
-    def planeDot(i: Int) =
-      aggregate(zip_with(col("v"), plane(i), (x, y) => x * y),
-        lit(0.0), (s, x) => s + x)
-    emb.select(col("vec_id"), col("v"), col("nrm"),
-      (0 until nBits).map(i =>
-        when(planeDot(i) >= 0.0, lit(1L << i)).otherwise(0L))
-        .reduce(_.bitwiseOR(_)).as("sig"))
+  private def asymAnn(spark: SparkSession, dir: String, nQueries: Int,
+                      k: Int, nBits: Int, shortlist: Int,
+                      family: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val ndot = graft.functions.GraftFunctions.dot _
+    val lshProj = graft.functions.GraftFunctions.lshProj _
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+    // int family: ×1024-quantized vectors make every projection and
+    // asymmetric score EXACT integer arithmetic in a double (< 2⁵³) —
+    // cross-engine bit-identical, which is what lets the DuckDB
+    // oracle replay shortlist selection exactly. float family skips
+    // the quantization (the convenience path; recall-contracted
+    // in-engine instead).
+    val pv =
+      if (family == "int")
+        transform(col("v"), x => round(x.cast("double") * 1024).cast("long"))
+      else col("v")
+    val sigs = emb.select(col("vec_id"),
+      lshProj(pv, nBits, 64, family, "signs").as("sig"))
+    val qp = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"),
+        lshProj(pv, nBits, 64, family, "proj").as("qp"))
+    val scored = sigs.join(broadcast(qp), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        graft.functions.GraftFunctions.lshAsym(col("sig"), col("qp")).as("sim"))
+    val short = twoPhaseTopK(spark, scored, shortlist)
+      .select(col("qid"), col("cid"))
+    // exact cosine re-rank of the bounded shortlist (raw floats — the
+    // emitted similarities are unquantized in both families)
+    val embN = emb.withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+    val eq = embN.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val ec = embN.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    short.join(broadcast(eq), "qid").join(ec, "cid")
+      .select(col("qid"), col("cid"),
+        (ndot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), round(col("sim"), 6).as("sim"))
+      .orderBy("qid", "rnk")
   }
 
   /** IVF-style ANN: a coarse quantizer (deterministic seeds + one
@@ -383,110 +428,41 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
-  /** ANN top-k via LSH banding: candidates share any 3-bit band of
-    * the signature (12 bands × 3 bits ⇒ miss probability per ~66°
-    * neighbor ≈ 0.77¹² ≈ 0.045, so expected recall ≈ 0.95 on the
-    * fixture's ~0.4-cosine 5-NN — while still pruning the corpus);
-    * exact cosine re-ranks candidates. Approximate by design —
-    * recall-tested against bruteForceTopK in DedupSimilaritySpec, and
-    * the ≥0.8 per-query contract is oracle-checked via
-    * sim_ann_recall.
+  /** ANN top-k via asymmetric hashing (float family): see [[asymAnn]]
+    * for the pipeline and scale story. Approximate by design —
+    * recall-tested against bruteForceTopK in DedupSimilaritySpec
+    * (mean ≥ 0.9, per-query ≥ 0.8 on the fixture), and the ≥0.8
+    * per-query contract is oracle-checked via sim_ann_recall.
     */
   def annTopK(spark: SparkSession, dir: String,
-              nQueries: Int = 8, k: Int = 5, nBits: Int = 36,
-              bandBits: Int = 3): DataFrame = {
-    val emb = embDouble(spark, dir)
-    val sigs = lshSignatures(emb, nBits, 64)
-    val mask = (1L << bandBits) - 1L
-    val bands = sigs.select(col("vec_id"), col("v"), col("nrm"),
-      posexplode(array((0 until nBits / bandBits).map(bd =>
-        shiftright(col("sig"), bd * bandBits).bitwiseAND(lit(mask))): _*))
-        .as(Seq("band", "bkey")))
-    val q = bands.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
-        col("band"), col("bkey"))
-    val cand = bands.join(q, Seq("band", "bkey"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("qv"), col("qn"),
-        col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-      .distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("cid").asc)
-    cand
-      .select(col("qid"), col("cid"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("cid"), round(col("sim"), 6).as("sim"))
-      .orderBy("qid", "rnk")
-  }
+              nQueries: Int = 8, k: Int = 5, nBits: Int = 1024,
+              shortlist: Int = 24): DataFrame =
+    asymAnn(spark, dir, nQueries, k, nBits, shortlist, "float")
 
-  /** Oracle-checkable hyperplane-LSH ANN: the [[annTopK]] pipeline
-    * re-derived so DuckDB replays EVERY stage bit-for-bit — proving
-    * the banding/candidate logic cross-engine the same way
-    * dedup_minhash_md5 proves MinHash banding:
+  /** Oracle-checkable asymmetric-hashing ANN: the [[annTopK]]
+    * pipeline in the "int" coefficient family so DuckDB replays
+    * EVERY stage bit-for-bit — proving the signature/shortlist logic
+    * cross-engine the same way dedup_minhash_md5 proves MinHash
+    * banding:
     *   - hyperplane coefficients come from md5("i:j") (first 8 hex
     *     chars → integer → mod-centered), not a private PRNG — both
     *     engines derive identical planes from the standard digest;
     *   - vectors are quantized to integers at scale 1024 (a power of
     *     two: float→double→×1024 is EXACT binary arithmetic, and the
     *     only rounding is round-half-away-from-zero, which both
-    *     engines share), so every plane dot is exact BIGINT math —
-    *     the sign decision at the hash boundary cannot drift by a
-    *     last-bit float difference;
-    *   - bands/candidates/re-rank are the same shapes as [[annTopK]].
-    * Quantization at 1/1024 resolution perturbs the LSH planes only
+    *     engines share), so every plane projection and every
+    *     asymmetric score is exact BIGINT math — neither the sign
+    *     decision at the hash boundary nor the shortlist cut can
+    *     drift by a last-bit float difference;
+    *   - shortlist/re-rank are the same shapes as [[annTopK]].
+    * Quantization at 1/1024 resolution perturbs the signatures only
     * (candidate generation); the re-rank is exact cosine on the full
     * floats, so emitted similarities are unquantized.
     */
   def annTopKMd5(spark: SparkSession, dir: String,
-                 nQueries: Int = 8, k: Int = 5, nBits: Int = 48,
-                 bandBits: Int = 4, dim: Int = 64): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val ndot = graft.functions.GraftFunctions.dot _
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    // same centering as the oracle: first 8 md5 hex chars as an
-    // integer, mod 2000003, shifted to ±1000001
-    def coef(i: Int, j: Int): Long =
-      java.lang.Long.parseLong(md5hex(s"$i:$j").substring(0, 8), 16) %
-        2000003L - 1000001L
-    val nBands = nBits / bandBits
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
-      .withColumn("vq", transform(col("v"),
-        x => round(x.cast("double") * 1024).cast("long")))
-    def planeDot(i: Int) =
-      aggregate(zip_with(col("vq"),
-        array((0 until dim).map(j => lit(coef(i, j))): _*),
-        (x, y) => x * y), lit(0L), (s, v) => s + v)
-    def bandKey(b: Int) = (0 until bandBits).map { p =>
-      when(planeDot(b * bandBits + p) >= 0L, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val bands = emb.select(col("vec_id"), col("v"), col("nrm"),
-      posexplode(array((0 until nBands).map(bandKey): _*))
-        .as(Seq("band", "bkey")))
-    val q = bands.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("band"), col("bkey"))
-    val cand = bands.join(broadcast(q), Seq("band", "bkey"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("cid"))
-      .distinct()
-    val eq = emb.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    val ec = emb.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
-    cand.join(broadcast(eq), "qid").join(ec, "cid")
-      .select(col("qid"), col("cid"),
-        (ndot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("cid"), round(col("sim"), 6).as("sim"))
-      .orderBy("qid", "rnk")
-  }
+                 nQueries: Int = 8, k: Int = 5, nBits: Int = 1024,
+                 shortlist: Int = 24): DataFrame =
+    asymAnn(spark, dir, nQueries, k, nBits, shortlist, "int")
 
   /** Quantized k-means training for the IVF coarse quantizer — the
     * operator that produces [[ivfTopK]]'s centroids, and the proof

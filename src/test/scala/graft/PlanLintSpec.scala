@@ -25,8 +25,9 @@ class PlanLintSpec extends SparkSpec {
   //    pre-pruned by the LevenshteinPrefilter length guard)
   //  - broadcast query/centroid sides in the similarity family (few
   //    rows against the corpus by design): sim_topk, sim_ivf,
-  //    sim_*_recall, sim_neardup, sem_dedup_keep, hybrid_rrf,
-  //    emb_kmeans, emb_pq_recall
+  //    sim_ann(_md5) (broadcast query projections scored against the
+  //    corpus signature stream), sim_*_recall, sim_neardup,
+  //    sem_dedup_keep, hybrid_rrf, emb_kmeans, emb_pq_recall
   private val nljAllowed = Set(
     "q11_important", "q22_idle_balance", "lm_score", "lm_score2",
     "tfidf_keywords", "layout_zorder", "sketch_cms", "sketch_hll_merge",
@@ -36,9 +37,9 @@ class PlanLintSpec extends SparkSpec {
     "colloc_pmi",    // 1-row bigram-total broadcast
     "heavy_hitters", // 1-row corpus-total broadcast
     "graph_triangles", // two 1-row census-total broadcasts
-    "sim_topk", "sim_ivf", "sim_ann_recall", "sim_ivf_recall",
-    "sim_neardup", "sem_dedup_keep", "hybrid_rrf", "emb_kmeans",
-    "emb_pq_recall")
+    "sim_topk", "sim_ivf", "sim_ann", "sim_ann_md5", "sim_ann_recall",
+    "sim_ivf_recall", "sim_neardup", "sem_dedup_keep", "hybrid_rrf",
+    "emb_kmeans", "emb_pq_recall")
 
   test("no CartesianProduct in any registered query plan") {
     val offenders = SparkEntry.queries
@@ -86,7 +87,10 @@ class PlanLintSpec extends SparkSpec {
     "dedup_ngram"        -> (16, 7), // shingle/Jaccard pipeline
     "dedup_exact"        -> (2, 0),
     "sim_topk"           -> (2, 1), // two-phase heap top-k
-    "sim_ann_md5"        -> (3, 3),
+    // r9: asymmetric-hashing rebuild — the banding distinct() shuffle
+    // is gone; the two survivors are the shortlist heap window and the
+    // re-rank window
+    "sim_ann_md5"        -> (2, 3),
     "bm25_topk"          -> (9, 4),
     "tfidf_keywords"     -> (7, 2),
     "curate_pipeline"    -> (4, 1), // two corpus scans, full funnel
