@@ -2125,9 +2125,11 @@ object SparkEntry {
     // top-nProbe cell assignment, candidate join, exact verify) so the
     // IVF-cell near-dup is oracle-hash-checked end-to-end, no
     // ground-truth column involved — nCells=16, nProbe=4, minSim=0.3
-    // replays the TRAINED blocking: 2-round integer-exact Lloyd (the
-    // emb_kmeans CTE chain at k=16), then top-4 multi-probe
-    // assignment against the trained centroids, candidate join, and
+    // replays the TRAINED blocking: 2-round integer-exact Lloyd with
+    // the deterministic training sample (vec_id ≡ 0 mod
+    // greatest(1, floor(n/1024)) — identity below the cap, a 4×
+    // reduction at sf0.1), then top-4 multi-probe assignment of the
+    // FULL corpus against the trained centroids, candidate join, and
     // exact double-cosine verify
     "sim_neardup" ->
       """WITH e AS (
@@ -2136,12 +2138,15 @@ object SparkEntry {
         |  FROM embeddings),
         |c0 AS (SELECT vec_id AS cell, vq AS cv FROM e
         |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e)),
+        |st AS (SELECT greatest(1, CAST(floor(count(*) / 1024.0) AS BIGINT)) AS step
+        |  FROM e),
+        |tr AS (SELECT e.vec_id, e.vq FROM e, st WHERE e.vec_id % st.step = 0),
         |s1 AS (
-        |  SELECT e.vec_id, e.vq, c.cell,
-        |    list_inner_product(e.vq, c.cv) /
-        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |  SELECT tr.vec_id, tr.vq, c.cell,
+        |    list_inner_product(tr.vq, c.cv) /
+        |      (sqrt(list_inner_product(tr.vq, tr.vq)) *
         |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
-        |  FROM e, c0 c),
+        |  FROM tr, c0 c),
         |a1 AS (SELECT vec_id, vq, cell FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id
         |        ORDER BY sim DESC, cell ASC) AS rn FROM s1)
@@ -2179,12 +2184,15 @@ object SparkEntry {
         |  FROM embeddings),
         |c0 AS (SELECT vec_id AS cell, vq AS cv FROM e
         |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e)),
+        |st AS (SELECT greatest(1, CAST(floor(count(*) / 1024.0) AS BIGINT)) AS step
+        |  FROM e),
+        |tr AS (SELECT e.vec_id, e.vq FROM e, st WHERE e.vec_id % st.step = 0),
         |s1 AS (
-        |  SELECT e.vec_id, e.vq, c.cell,
-        |    list_inner_product(e.vq, c.cv) /
-        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |  SELECT tr.vec_id, tr.vq, c.cell,
+        |    list_inner_product(tr.vq, c.cv) /
+        |      (sqrt(list_inner_product(tr.vq, tr.vq)) *
         |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
-        |  FROM e, c0 c),
+        |  FROM tr, c0 c),
         |a1 AS (SELECT vec_id, vq, cell FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id
         |        ORDER BY sim DESC, cell ASC) AS rn FROM s1)

@@ -219,9 +219,11 @@ object Similarity {
     * (nCells=0), which keeps per-cell lists ~sqrt(n) and candidate
     * work linear in n: the 10× scale sweep measured fixed 16 cells
     * degenerating 64× at 10× data (PLANS.md), and adaptive cells
-    * restore the linear slope. At extreme scale the Lloyd training
-    * (n×k scoring) runs on a corpus sample; the assignment pass stays
-    * full-corpus either way.
+    * restore the linear slope. Lloyd TRAINING runs on a deterministic
+    * ≤ ~2048-vector sample (vec_id ≡ 0 mod step — see [[lloyd]]),
+    * so training cost is linear in n too, not n^1.5; the assignment
+    * pass stays full-corpus. The oracle replays the same sampling
+    * predicate.
     *
     * Recall contract (pinned in DedupSimilaritySpec, measured on the
     * fixture): ≥ 0.9 overall at minSim=0.3 and 1.0 on strong pairs
@@ -246,7 +248,7 @@ object Similarity {
     // sums), scored against the same ×1024-quantized vectors;
     // nCells=0 → adaptive ceil(sqrt(n)) cells (see lloyd)
     val cents = lloyd(spark, dir, nCells, 2,
-      adaptiveSqrtCells = nCells == 0)._2
+      adaptiveSqrtCells = nCells == 0, sampleCap = 1024)._2
     val embq = Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"),
         x => round(x.cast("double") * 1024).cast("long")).as("vq"))
@@ -494,23 +496,51 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, v) => s + v)
       .cast("double")
 
-  /** The Lloyd loop shared by [[embKmeans]] (per-cell stats) and
-    * [[ivfIndexTopK]] (at-rest inverted lists): returns the final
-    * assignment (vec_id, vq, cell, sim) and the centroids it was
-    * scored against (cell, cv — exact integer sums).
+  /** The Lloyd loop shared by [[embKmeans]] (per-cell stats),
+    * [[ivfIndexTopK]] (at-rest inverted lists) and
+    * [[embeddingNearDup]] (coarse-quantizer cells): returns the final
+    * full-corpus assignment (vec_id, vq, cell, sim) and the centroids
+    * it was scored against (cell, cv — exact integer sums).
+    *
+    * sampleCap > 0 caps the TRAINING set: centroid-update passes
+    * score only vectors with vec_id ≡ 0 (mod step), step =
+    * max(1, ⌊n/sampleCap⌋) — a deterministic arithmetic predicate
+    * both engines replay exactly (no RNG, no sampling operator), so
+    * the trained centroids stay oracle-hash-checkable. The FINAL
+    * assignment pass is always full-corpus. This is what bounds
+    * training at 100 TB: full-corpus Lloyd with adaptive ⌈√n⌉ cells
+    * scores n×√n = n^1.5 pairs per round, while the sampled trainer
+    * scores ≤ 2·sampleCap×√n — linear in n for a fixed cap.
+    * Training a coarse quantizer on a bounded corpus sample while
+    * assigning the full corpus is the standard IVF recipe (it is
+    * faiss's train-on-sample default). Below the cap (sf0.001 and
+    * sf0.01: n ≤ 500 < 1024) step = 1 and training is bit-identical
+    * to the unsampled path.
     */
   private def lloyd(spark: SparkSession, dir: String,
                     k: Int, iters: Int,
-                    adaptiveSqrtCells: Boolean = false): (DataFrame, DataFrame) = {
+                    adaptiveSqrtCells: Boolean = false,
+                    sampleCap: Int = 0): (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"),
         x => round(x.cast("double") * 1024).cast("long")).as("vq"))
+    // deterministic training sample: vec_id ≡ 0 (mod step). The step
+    // is a 1-row broadcast (not a driver action), so plan
+    // construction stays lazy; the oracle recomputes the same
+    // greatest(1, floor(count(*)/cap)) in SQL.
+    val train =
+      if (sampleCap > 0) {
+        val sdf = emb.agg(greatest(lit(1L),
+          floor(count(lit(1)) / lit(sampleCap.toDouble)).cast("long")).as("step"))
+        emb.crossJoin(broadcast(sdf))
+          .filter(pmod(col("vec_id"), col("step")) === 0)
+          .select(col("vec_id"), col("vq"))
+      } else emb
     // adaptive seeding: k = ceil(sqrt(n)) keeps per-cell lists ~sqrt(n),
     // so downstream Σ|cell|² candidate work stays LINEAR in n — the 10×
     // scale sweep measured fixed-k cells degenerating quadratically
-    // (PLANS.md). The count is a 1-row broadcast, not a driver action,
-    // so plan construction stays lazy; the oracle recomputes the same
-    // ceil(sqrt(count(*))) in SQL.
+    // (PLANS.md). n is the FULL corpus count even when training is
+    // sampled: the cell count serves the full-corpus assignment.
     var cents =
       if (adaptiveSqrtCells) {
         val kdf = emb.agg(ceil(sqrt(count(lit(1)))).cast("long").as("k"))
@@ -518,12 +548,11 @@ object Similarity {
           .select(col("vec_id").as("cell"), col("vq").as("cv"))
       } else emb.filter(col("vec_id") < k)
         .select(col("vec_id").as("cell"), col("vq").as("cv"))
-    var assigned: DataFrame = null
-    for (i <- 1 to iters) {
-      // argmax by (sim desc, cell asc) via struct-max partial agg:
-      // (sim, -cell) is unique per candidate, so the lexicographic
-      // max picks exactly the row_number()=1 row the oracle computes
-      assigned = emb.join(broadcast(cents), lit(true))
+    // argmax by (sim desc, cell asc) via struct-max partial agg:
+    // (sim, -cell) is unique per candidate, so the lexicographic
+    // max picks exactly the row_number()=1 row the oracle computes
+    def assign(vs: DataFrame, cs: DataFrame): DataFrame =
+      vs.join(broadcast(cs), lit(true))
         .select(col("vec_id"), col("vq"), col("cell"),
           (qdot(col("vq"), col("cv")) /
             (sqrt(qdot(col("vq"), col("vq"))) * sqrt(qdot(col("cv"), col("cv")))))
@@ -533,15 +562,14 @@ object Similarity {
           col("vq"))).as("m"))
         .select(col("vec_id"), col("m.vq").as("vq"),
           negate(col("m.negc")).as("cell"), col("m.sim").as("sim"))
-      if (i < iters)
-        cents = assigned
-          .select(col("cell"), posexplode(col("vq")).as(Seq("dim", "x")))
-          .groupBy(col("cell"), col("dim")).agg(sum(col("x")).as("s"))
-          .groupBy(col("cell"))
-          .agg(array_sort(collect_list(struct(col("dim"), col("s")))).as("ds"))
-          .select(col("cell"), transform(col("ds"), e => e.getField("s")).as("cv"))
-    }
-    (assigned, cents)
+    for (_ <- 1 until iters)
+      cents = assign(train, cents)
+        .select(col("cell"), posexplode(col("vq")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim")).agg(sum(col("x")).as("s"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("s")))).as("ds"))
+        .select(col("cell"), transform(col("ds"), e => e.getField("s")).as("cv"))
+    (assign(emb, cents), cents)
   }
 
   def embKmeans(spark: SparkSession, dir: String,
