@@ -46,7 +46,16 @@ object Bench {
         catch { case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
         }
-      ((System.nanoTime() - t0) / 1e9, err)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop this query's localCheckpoint blocks before the next one
+      // runs: 19 operators checkpoint, and 164 queries × 2 passes of
+      // accumulated blocks otherwise squeeze the 8g heap's storage
+      // pool all suite long — late-alphabet queries then pay eviction
+      // + GC instead of their own cost (BENCH_r09: sem_dedup_keep
+      // 273 s driver vs ~5 s clean-warm on the same commit). Unpersist
+      // AFTER the timing stop so cleanup never charges the query.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      (dt, err)
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val passOne = ordered.map { case (name, fn) => (name, timeOnce(fn)) }

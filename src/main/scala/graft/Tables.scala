@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver-generated corpus at
   * /root/testdata/sf*. One file per table (TESTDATA.md). All reads go
@@ -19,19 +19,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is parquet timestamp[ns], which Spark 4 refuses to read
-    * as a timestamp. With spark.sql.legacy.parquet.nanosAsLong=true
-    * (set by [[Sessions.configure]]) it arrives as LongType nanos; we
-    * floor-divide to micros with integer `div` (a double division
-    * would lose precision at 2^63-scale nanos) and rebuild the
-    * TimestampType column. DuckDB oracles CAST ts to TIMESTAMP (us),
-    * which truncates identically.
+  /** events.ts arrives in one of three physical forms depending on
+    * the corpus generation vintage, all meaning the same UTC instant:
+    *   - parquet timestamp[ns]: Spark 4 refuses the scan unless
+    *     spark.sql.legacy.parquet.nanosAsLong=true (set by
+    *     [[Sessions.configure]]) turns it into LongType nanos; we
+    *     floor-divide to micros with integer `div` (a double division
+    *     would lose precision at 2^63-scale nanos) and rebuild the
+    *     TimestampType column;
+    *   - parquet timestamp[us] isAdjustedToUTC=false: Spark reads
+    *     TIMESTAMP_NTZ, which unix_micros/window functions reject;
+    *     the session TZ is pinned UTC, so a cast to TimestampType is
+    *     an exact micros-preserving relabel;
+    *   - TimestampType already: pass through.
+    * DuckDB oracles CAST ts to TIMESTAMP (us) and see the identical
+    * micros in every case.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }
