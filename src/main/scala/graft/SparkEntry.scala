@@ -2310,6 +2310,31 @@ object SparkEntry {
         |  TRUE AS parts_within_5pct,
         |  TRUE AS median_within_1pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // same contract pattern for the MERGEABLE sketches: the output
+    // carries exact counts plus booleans the oracle pins TRUE —
+    // est_within_5pct (HLL lgK=12 ≈ 1.6% σ, 5% = 3σ),
+    // merge_within_5pct (estimate(union of per-group sketches) agrees
+    // with estimate(one direct global sketch) within the same bound —
+    // exact in sparse mode, ≤0.65% measured once dense), and the KLL
+    // median's true rank within 0.5±0.05 (k=200 ≈ 1.65% rank error)
+    "sketch_hll_merge" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs
+        |  FROM orders GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'ALL', CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders)
+        |SELECT grp, exact_custs, TRUE AS est_within_5pct,
+        |  TRUE AS merge_within_5pct
+        |FROM g ORDER BY grp""".stripMargin,
+    "sketch_kll_merge" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS grp, CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'ALL', CAST(count(*) AS BIGINT) FROM lineitem)
+        |SELECT grp, n, TRUE AS median_rank_within_5pct
+        |FROM g ORDER BY grp""".stripMargin,
     // prefix-sum packing: exclusive cumsum over doc_id within each
     // source, integer-divided by the 512-token budget — replays the
     // Spark window bit-for-bit (no float division anywhere)
@@ -2329,7 +2354,7 @@ object SparkEntry {
         |  CAST(min(doc_id) AS BIGINT) AS first_doc
         |FROM c GROUP BY source, bin
         |ORDER BY source, bin""".stripMargin
-    // no oracle (rows-only + ScalaTest verification) — 9 queries:
+    // no oracle (rows-only + ScalaTest verification) — 7 queries:
     //   dedup_minhash, dedup_simhash — xxhash64 family not in DuckDB
     //     (their md5 twins dedup_minhash_md5/dedup_simhash_md5 ARE
     //     oracle-checked end-to-end, covering both banding pipelines);
@@ -2337,9 +2362,6 @@ object SparkEntry {
     //     the oracle-checked sim_topk; the md5 twin sim_ann_md5 and
     //     the sim_ann_recall/sim_ivf_recall contracts ARE oracle-
     //     checked);
-    //   sketch_hll_merge, sketch_kll_merge — engine-specific sketch
-    //     internals (merge losslessness + error bounds spec-pinned;
-    //     sketch_approx's error contract IS oracle-checked);
     //   seq_pack, bpe_vocab, bpe_encode — sequential recurrences,
     //     exact-verified against single-node references (PackingSpec,
     //     BpeSpec); seq_pack's prefix-sum twin seq_pack_sql IS

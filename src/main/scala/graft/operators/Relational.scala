@@ -307,27 +307,45 @@ object Relational {
     * every "distinct users per X, and overall" dashboard: each group
     * (at scale: each shard/partition/day) builds an HLL sketch
     * INDEPENDENTLY, and the global count is the union of the
-    * sketches, never a re-scan. HLL union is lossless at equal lgK,
-    * so estimate(union(per-group sketches)) == estimate(one global
-    * sketch) exactly — SketchMergeSpec pins that plus an error bound
-    * vs the exact count. No SQL oracle: DuckDB's HLL internals
-    * differ; the exact distinct counts in the output ARE cross-
-    * checkable and the estimates are invariant-tested.
+    * sketches, never a re-scan. HLL union at equal lgK preserves the
+    * register state up to mode transitions — in sparse (coupon) mode
+    * union and direct sketch agree EXACTLY; once dense, estimator
+    * differences appear but stay inside the error bound (measured on
+    * the fixtures: 0% at sf0.001, 0.27% at sf0.01, 0.65% at sf0.1
+    * vs a ~1.6% σ at lgK=12). The ALL row's `merge_within_5pct`
+    * column witnesses that agreement against an independently-built
+    * direct global sketch, and every row's `est_within_5pct` bounds
+    * the estimate against the exact distinct count (5% ≈ 3σ). The estimates themselves are
+    * engine-specific (DuckDB's HLL differs), so the output carries
+    * the exact counts plus the CONTRACT booleans — which the oracle
+    * pins TRUE, making the whole row hash-checkable (the
+    * sketch_approx pattern).
     */
   def hllMerge(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
       .agg(expr("hll_sketch_agg(o_custkey, 12)").as("sk"),
         countDistinct(col("o_custkey")).as("exact_custs"))
+    // independent witness: one DIRECT global sketch (not a union) +
+    // the exact global distinct count
+    val global = Tables.orders(spark, dir).agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(o_custkey, 12))")
+        .cast("bigint").as("est_direct"),
+      countDistinct(col("o_custkey")).as("exact_custs"))
     val merged = per.agg(
       expr("hll_sketch_estimate(hll_union_agg(sk, true))")
-        .cast("bigint").as("est_custs"))
-      .crossJoin(broadcast(Tables.orders(spark, dir)
-        .agg(countDistinct(col("o_custkey")).as("exact_custs"))))
-      .select(lit("ALL").as("grp"), col("est_custs"), col("exact_custs"))
-    per.select(col("o_orderpriority").as("grp"),
-        expr("hll_sketch_estimate(sk)").cast("bigint").as("est_custs"),
-        col("exact_custs"))
+        .cast("bigint").as("est_merged"))
+      .crossJoin(broadcast(global))
+      .select(lit("ALL").as("grp"), col("exact_custs"),
+        (abs(col("est_merged") - col("exact_custs")) <=
+          lit(0.05) * col("exact_custs")).as("est_within_5pct"),
+        (abs(col("est_merged") - col("est_direct")) <=
+          lit(0.05) * col("exact_custs")).as("merge_within_5pct"))
+    per.select(col("o_orderpriority").as("grp"), col("exact_custs"),
+        (abs(expr("hll_sketch_estimate(sk)").cast("bigint") - col("exact_custs")) <=
+          lit(0.05) * col("exact_custs")).as("est_within_5pct"),
+        // vacuously true on per-group rows: only the ALL row merges
+        lit(true).as("merge_within_5pct"))
       .unionAll(merged)
       .orderBy("grp")
   }
@@ -336,28 +354,44 @@ object Relational {
     * as [[hllMerge]] but for percentiles: each group sketches its
     * price distribution independently; the global median comes from
     * merging the sketches, never from a global sort or re-scan. KLL
-    * guarantees RANK error (~1.65% at k=200), so SketchMergeSpec
-    * checks the estimated median's true rank lands in 0.5±0.05 —
-    * the principled bound — rather than comparing values. No SQL
-    * oracle (randomized sketch internals).
+    * guarantees RANK error (~1.65% at k=200), so the principled
+    * contract is that each estimated median's TRUE rank lands in
+    * 0.5±0.05 (a 3× margin) — `median_rank_within_5pct` measures
+    * that rank with one re-scan that scores every row against its
+    * group's estimate and the merged global estimate (both tiny
+    * broadcasts), then the oracle pins the boolean TRUE alongside
+    * the exact group counts, making the row hash-checkable. The
+    * estimates themselves stay out of the output: KLL compaction is
+    * randomized, so the value is not cross-engine (or even cross-
+    * run) stable, but the rank contract is.
     */
   def kllMerge(spark: SparkSession, dir: String): DataFrame = {
-    val per = Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(expr("kll_sketch_agg_double(l_extendedprice, 200)").as("sk"),
-        count(lit(1)).as("n"))
-    val merged = per.agg(
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val per = li.groupBy(col("l_returnflag"))
+      .agg(expr("kll_sketch_agg_double(l_extendedprice, 200)").as("sk"))
+    val perEst = per.select(col("l_returnflag").as("grp"),
+      expr("kll_sketch_get_quantile_double(sk, 0.5d)").as("est"))
+    val allEst = per.agg(
       expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5d)")
-        .as("est_median"),
-      sum(col("n")).as("n"))
-      .select(lit("ALL").as("grp"), round(col("est_median"), 2).as("est_median"),
-        col("n"))
-    per.select(col("l_returnflag").as("grp"),
-        round(expr("kll_sketch_get_quantile_double(sk, 0.5d)"), 2)
-          .as("est_median"),
-        col("n"))
-      .unionAll(merged)
-      .orderBy("grp")
+        .as("est_all"))
+    val scored = li.select(col("l_returnflag").as("grp"), col("l_extendedprice"))
+      .join(broadcast(perEst), "grp")
+      .crossJoin(broadcast(allEst))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") <= col("est"), 1L).otherwise(0L))
+          .as("le_grp"),
+        sum(when(col("l_extendedprice") <= col("est_all"), 1L).otherwise(0L))
+          .as("le_all"))
+    val perRows = scored.select(col("grp"), col("n"),
+      (abs(col("le_grp") / col("n") - lit(0.5)) <= lit(0.05))
+        .as("median_rank_within_5pct"))
+    val allRow = scored.agg(sum(col("n")).as("n"), sum(col("le_all")).as("le"))
+      .select(lit("ALL").as("grp"), col("n"),
+        (abs(col("le") / col("n") - lit(0.5)) <= lit(0.05))
+          .as("median_rank_within_5pct"))
+    perRows.unionAll(allRow).orderBy("grp")
   }
 
   /** Regex scalar functions: extract, boolean match, split-part. */

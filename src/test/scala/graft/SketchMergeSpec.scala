@@ -10,40 +10,69 @@ import org.apache.spark.sql.functions._
 class SketchMergeSpec extends SparkSpec {
   import spark.implicits._
 
-  test("union of per-group sketches == one global sketch, exactly") {
-    val merged = Relational.hllMerge(spark, sf)
-      .filter(col("grp") === "ALL")
-      .select(col("est_custs")).as[Long].head()
+  test("union of per-group sketches tracks one global sketch") {
+    // independent of hllMerge's own merge_within_5pct column: rebuild
+    // both sides with raw expressions and compare. Equality is EXACT
+    // in sparse (coupon) mode — which the sf0.001 fixture is in — and
+    // within the error bound once dense (measured 0.27% at sf0.01,
+    // 0.65% at sf0.1); assert the bound that holds at every SF so the
+    // spec stays green if the fixture SF ever changes.
+    val merged = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("hll_sketch_agg(o_custkey, 12)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+        .cast("bigint").as("e"))
+      .as[Long].head()
     val global = Tables.orders(spark, sf)
       .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey, 12))")
         .cast("bigint").as("e"))
       .as[Long].head()
-    assert(merged == global, s"merged=$merged global=$global")
+    assert(math.abs(merged - global) <= 0.05 * global,
+      s"merged=$merged global=$global")
+  }
+
+  test("hllMerge contract booleans hold and exact counts are exact") {
+    val rows = Relational.hllMerge(spark, sf)
+      .select(col("grp"), col("exact_custs"), col("est_within_5pct"),
+        col("merge_within_5pct"))
+      .as[(String, Long, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty && rows.exists(_._1 == "ALL"))
+    rows.foreach { case (g, exact, within, agrees) =>
+      assert(within, s"group $g: estimate outside 5% of exact=$exact")
+      assert(agrees, s"group $g: merge_within_5pct false")
+    }
+    val exactAll = Tables.orders(spark, sf)
+      .agg(countDistinct(col("o_custkey")).cast("long").as("c")).as[Long].head()
+    assert(rows.find(_._1 == "ALL").get._2 == exactAll)
   }
 
   test("KLL merged median has true rank within 0.5±0.05") {
-    val rows = Relational.kllMerge(spark, sf)
-      .select(col("grp"), col("est_median"))
-      .as[(String, Double)].collect()
-    assert(rows.nonEmpty)
+    // independent re-derivation: build per-group + merged estimates
+    // with raw expressions, then measure true ranks driver-side
+    val per = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("kll_sketch_agg_double(l_extendedprice, 200)").as("sk"))
+    val ests = per.select(col("l_returnflag").as("grp"),
+        expr("kll_sketch_get_quantile_double(sk, 0.5d)").as("est"))
+      .as[(String, Double)].collect() :+
+      ("ALL" -> per.agg(
+        expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5d)")
+          .as("e")).as[Double].head())
     val li = Tables.lineitem(spark, sf)
       .select(col("l_returnflag"), col("l_extendedprice"))
       .as[(String, Double)].collect()
-    rows.foreach { case (g, est) =>
+    ests.foreach { case (g, est) =>
       val vals = if (g == "ALL") li.map(_._2) else li.filter(_._1 == g).map(_._2)
       val rank = vals.count(_ <= est).toDouble / vals.length
       assert(math.abs(rank - 0.5) < 0.05, s"group $g: est=$est rank=$rank")
     }
-  }
-
-  test("estimates within 5% of exact for every group") {
-    val rows = Relational.hllMerge(spark, sf)
-      .select(col("grp"), col("est_custs"), col("exact_custs"))
-      .as[(String, Long, Long)].collect()
-    assert(rows.nonEmpty)
-    rows.foreach { case (g, est, exact) =>
-      val err = math.abs(est - exact).toDouble / math.max(exact, 1L)
-      assert(err < 0.05, s"group $g: est=$est exact=$exact err=$err")
+    // and the query's own contract rows agree
+    val rows = Relational.kllMerge(spark, sf)
+      .select(col("grp"), col("n"), col("median_rank_within_5pct"))
+      .as[(String, Long, Boolean)].collect()
+    assert(rows.exists(_._1 == "ALL"))
+    rows.foreach { case (g, n, ok) =>
+      assert(ok, s"group $g (n=$n): median rank outside 0.5±0.05")
     }
   }
 
