@@ -149,6 +149,7 @@ object SparkEntry {
     "stratified_sample" -> (Curation.stratifiedSample(_, _)),
     "mixture_temperature" -> ((s, d) => Curation.temperatureMix(s, d)),
     "weighted_sample" -> ((s, d) => Curation.weightedSample(s, d)),
+    "train_shuffle"   -> ((s, d) => Curation.trainShuffle(s, d)),
     "lm_score"          -> ((s, d) => TextAnalysis.lmScore(s, d)),
     "colloc_pmi"        -> ((s, d) => TextAnalysis.collocPmi(s, d)),
     "heavy_hitters"     -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
@@ -211,6 +212,9 @@ object SparkEntry {
     // prefix-sum twin: concatenate-then-split binning is a pure
     // cumsum, so it IS SQL-expressible and oracle-hash-checked
     "seq_pack_sql" -> ((s, d) => Packing.seqPackSql(s, d)),
+    // padding-efficiency batching: global quartile buckets + md5
+    // shards, batches within (shard, bucket) — fully SQL-replayable
+    "batch_pack"   -> ((s, d) => Packing.batchPack(s, d)),
     "mm_frames"   -> ((s, d) => {
       import org.apache.spark.sql.functions._
       Multimodal.sampleFrames(s, d).toDF()
@@ -776,6 +780,25 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY skey DESC, doc_id) AS rnk FROM k)
         |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, source, skey
         |FROM r WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
+    // seeded md5 shuffle key → top-32-bit shard → rank within shard:
+    // the whole permutation replays from the seed string alone
+    "train_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    md5('shuffle:ep1:' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, k,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(substring(k, 1, 8), ''),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) % 16 AS shard
+        |  FROM h)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1
+        |    AS BIGINT) AS pos,
+        |  doc_id, source
+        |FROM s ORDER BY shard, pos""".stripMargin,
     "colloc_pmi" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -2353,7 +2376,40 @@ object SparkEntry {
         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
         |  CAST(min(doc_id) AS BIGINT) AS first_doc
         |FROM c GROUP BY source, bin
-        |ORDER BY source, bin""".stripMargin
+        |ORDER BY source, bin""".stripMargin,
+    // length-bucketed batching: exact interpolated quartiles (the
+    // sketch_approx quantile_cont == percentile precedent), md5-fold
+    // shard, batches of 32 within (shard, bucket), per-batch padding
+    // accounting
+    "batch_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |      AS BIGINT) AS n_tok,
+        |    md5('batch:' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents),
+        |q AS (SELECT quantile_cont(n_tok, [0.25, 0.5, 0.75]) AS qs FROM toks),
+        |b AS (
+        |  SELECT doc_id, n_tok, k,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(substring(k, 1, 8), ''),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) % 8 AS shard,
+        |    CASE WHEN n_tok <= qs[1] THEN 0
+        |         WHEN n_tok <= qs[2] THEN 1
+        |         WHEN n_tok <= qs[3] THEN 2 ELSE 3 END AS bucket
+        |  FROM toks CROSS JOIN q),
+        |r AS (
+        |  SELECT shard, bucket, n_tok,
+        |    (row_number() OVER (PARTITION BY shard, bucket ORDER BY k, doc_id)
+        |      - 1) // 32 AS batch
+        |  FROM b)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(batch AS BIGINT) AS batch,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  max(n_tok) AS max_tok, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+        |  CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS padding_waste
+        |FROM r GROUP BY 1, 2, 3 ORDER BY shard, bucket, batch""".stripMargin
     // no oracle (rows-only + ScalaTest verification) — 7 queries:
     //   dedup_minhash, dedup_simhash — xxhash64 family not in DuckDB
     //     (their md5 twins dedup_minhash_md5/dedup_simhash_md5 ARE

@@ -455,4 +455,39 @@ object Curation {
       .select(col("rnk"), col("doc_id"), col("source"), col("skey"))
       .orderBy("rnk")
   }
+
+  /** Deterministic global training shuffle — the reproducible "shuffle
+    * then shard" every epoch-ordered training run needs: each document
+    * gets an md5 shuffle key (seeded, so epoch 2 is a different but
+    * equally reproducible permutation), the key's top 32 bits pick one
+    * of nShards training shards map-side, and the document's position
+    * WITHIN its shard is its rank by shuffle key. No RNG state, no
+    * driver-side permutation: any engine (or a re-run after failure)
+    * reproduces the exact order from the seed alone.
+    *
+    * 100 TB shape: this is the alternative to a corpus-wide
+    * `ORDER BY rand()` (a global range-partitioned sort whose random
+    * keys defeat every pruning structure): shard assignment is pure
+    * column math, and the rank window is bounded by shard — nShards
+    * scales with the corpus (a real run sizes shards to the training
+    * file target, e.g. ~1 GB), so no task ever sees more than one
+    * shard's rows. The hash key makes the permutation
+    * pseudorandom-uniform per seed, which is what training-order
+    * decorrelation actually requires.
+    */
+  def trainShuffle(spark: SparkSession, dir: String,
+                   nShards: Int = 16, seed: String = "ep1"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("k", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit(s"shuffle:$seed:"), col("doc_id").cast("string")))
+          .as("k"))
+      .withColumn("shard",
+        pmod(conv(substring(col("k"), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"), col("source"))
+      .orderBy("shard", "pos")
+  }
 }

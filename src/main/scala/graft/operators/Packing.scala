@@ -77,4 +77,56 @@ object Packing {
         min(col("doc_id")).as("first_doc"))
       .orderBy("source", "bin")
   }
+
+  /** Length-bucketed batch packing — the padding-efficiency step of a
+    * training dataloader: documents batched by similar token length
+    * pad to the batch max, so mixing a 10-token doc into a 500-token
+    * batch wastes 490 slots. Buckets are GLOBAL length quartiles
+    * (exact interpolated percentiles — a 1-row broadcast both engines
+    * compute identically on integer token counts); batches form
+    * WITHIN (shard, bucket), where the shard is the md5-keyed
+    * training shard (same family as [[Curation.sampleSplit]]), in
+    * deterministic shuffle-key order. Output is per-batch padding
+    * accounting: `padding_waste` = n_docs·max_tok − Σtok is the
+    * number of pad tokens the batch burns.
+    *
+    * 100 TB shape: the quartile agg is one partial-agg pass to a
+    * 1-row broadcast; shard/bucket/batch assignment is pure map-side
+    * column math plus a window bounded by (shard, bucket) — nShards
+    * scales with the corpus (fixture: 8), so no corpus-sized
+    * partition funnel exists; the final rollup is a partial agg on
+    * (shard, bucket, batch).
+    */
+  def batchPack(spark: SparkSession, dir: String,
+                nShards: Int = 8, batchSize: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard", "bucket").orderBy("k", "doc_id")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextFns.nTokens(col("text")).cast("long").as("n_tok"),
+        md5(concat(lit("batch:"), col("doc_id").cast("string"))).as("k"))
+    // exact global quartiles of the integer token counts: linear
+    // interpolation over integers is the same arithmetic in both
+    // engines (the sketch_approx precedent)
+    val qs = toks.agg(
+      expr("percentile(n_tok, array(0.25d, 0.5d, 0.75d))").as("q"))
+    toks.crossJoin(broadcast(qs))
+      .select(col("doc_id"), col("n_tok"), col("k"),
+        pmod(conv(substring(col("k"), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)).as("shard"),
+        (when(col("n_tok") <= col("q").getItem(0), 0L)
+          .when(col("n_tok") <= col("q").getItem(1), 1L)
+          .when(col("n_tok") <= col("q").getItem(2), 2L)
+          .otherwise(3L)).as("bucket"))
+      .withColumn("batch",
+        expr(s"(row_number() over (partition by shard, bucket order by k, doc_id) - 1) div $batchSize"))
+      .groupBy(col("shard"), col("bucket"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tok")).as("max_tok"),
+        sum(col("n_tok")).as("sum_tok"))
+      .select(col("shard"), col("bucket"), col("batch"), col("n_docs"),
+        col("max_tok"), col("sum_tok"),
+        (col("n_docs") * col("max_tok") - col("sum_tok")).as("padding_waste"))
+      .orderBy("shard", "bucket", "batch")
+  }
 }

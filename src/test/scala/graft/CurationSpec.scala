@@ -106,4 +106,73 @@ class CurationSpec extends SparkSpec {
     val splits = rows.map(_.getAs[String]("split")).toSet
     assert(splits.subsetOf(Set("train", "val", "test")))
   }
+
+  test("train_shuffle: exact permutation, dense per-shard positions, seeded") {
+    val nDocs = Tables.documents(spark, sf).count()
+    val rows = Curation.trainShuffle(spark, sf)
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .as[(Long, Long, Long)].collect()
+    // every document exactly once
+    assert(rows.length == nDocs)
+    assert(rows.map(_._3).distinct.length == nDocs)
+    // positions are dense 0..n-1 within every shard
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(0L until rs.length),
+        s"shard $shard positions not dense")
+    }
+    // shards are reasonably balanced (md5 uniformity): no shard more
+    // than 2x the mean at fixture sizes
+    val sizes = rows.groupBy(_._1).values.map(_.length)
+    assert(sizes.max <= 2.0 * nDocs / sizes.size)
+    // deterministic: same seed reproduces the permutation exactly
+    val again = Curation.trainShuffle(spark, sf)
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .as[(Long, Long, Long)].collect()
+    assert(rows.sortBy(r => (r._1, r._2)).sameElements(again.sortBy(r => (r._1, r._2))))
+    // a different seed is a DIFFERENT permutation of the same docs
+    val ep2 = Curation.trainShuffle(spark, sf, seed = "ep2")
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .as[(Long, Long, Long)].collect()
+    assert(ep2.map(_._3).sorted.sameElements(rows.map(_._3).sorted))
+    assert(!ep2.sortBy(r => (r._1, r._2)).map(_._3)
+      .sameElements(rows.sortBy(r => (r._1, r._2)).map(_._3)))
+  }
+
+  test("batch_pack: batch size respected, padding accounting exact, full coverage") {
+    val nDocs = Tables.documents(spark, sf).count()
+    val rows = graft.operators.Packing.batchPack(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._4).sum == nDocs) // every doc in exactly one batch
+    rows.foreach { case (shard, bucket, batch, n, maxTok, sumTok, waste) =>
+      assert(n >= 1 && n <= 32, s"batch ($shard,$bucket,$batch) size $n")
+      assert(waste == n * maxTok - sumTok, "padding accounting broken")
+      assert(waste >= 0 && sumTok <= n * maxTok)
+    }
+    // within a (shard, bucket), only the LAST batch may be partial
+    rows.groupBy(r => (r._1, r._2)).foreach { case (k, rs) =>
+      val partial = rs.filter(_._4 < 32).map(_._3)
+      assert(partial.length <= 1 && partial.forall(_ == rs.map(_._3).max),
+        s"group $k has a non-terminal partial batch")
+    }
+    // bucketing earns its keep: total padding waste is below batching
+    // in bare shuffle-key order within shards (no length buckets) —
+    // the unbucketed reference rebuilt inline with the same keys
+    val waste = rows.map(_._7).sum
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("k", "doc_id")
+    val unbucketed = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.TextFns.nTokens(col("text")).cast("long").as("n_tok"),
+        md5(concat(lit("batch:"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("shard",
+        pmod(conv(substring(col("k"), 1, 8), 16, 10).cast("long"), lit(8L)))
+      .withColumn("batch", expr(
+        "(row_number() over (partition by shard order by k, doc_id) - 1) div 32"))
+      .groupBy(col("shard"), col("batch"))
+      .agg((count(lit(1)) * max(col("n_tok")) - sum(col("n_tok"))).as("waste"))
+      .agg(sum(col("waste"))).as[Long].head()
+    assert(waste < unbucketed,
+      s"bucketed waste $waste !< unbucketed $unbucketed")
+  }
 }

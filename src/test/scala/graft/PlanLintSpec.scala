@@ -34,6 +34,8 @@ class PlanLintSpec extends SparkSpec {
     "bm25_topk", "join_range_tiers", "fuzzy_name_match",
     "histogram_equidepth", // 1-row percentile-edges broadcast
     "histogram_equidepth_approx", // 1-row sketch-edges + 1-row total broadcasts
+    "batch_pack",       // 1-row global-quartiles broadcast
+    "sketch_kll_merge", // 1-row merged-median-estimate broadcast
     "colloc_pmi",    // 1-row bigram-total broadcast
     "heavy_hitters", // 1-row corpus-total broadcast
     "graph_triangles", // two 1-row census-total broadcasts
