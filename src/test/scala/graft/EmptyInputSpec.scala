@@ -47,7 +47,10 @@ class EmptyInputSpec extends SparkSpec {
       "colloc_pmi"      -> ((s, d) => TextAnalysis.collocPmi(s, d)),
       "mask_spans"      -> (TextAnalysis.maskSpans(_, _)),
       "contamination_bloom" -> ((s, d) => Curation.contaminationBloom(s, d)),
-      "split_leak_free" -> (Curation.leakFreeSplit(_, _)))
+      "split_leak_free" -> (Curation.leakFreeSplit(_, _)),
+      // r10 additions
+      "train_shuffle" -> ((s, d) => Curation.trainShuffle(s, d)),
+      "batch_pack"    -> ((s, d) => Packing.batchPack(s, d)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()
