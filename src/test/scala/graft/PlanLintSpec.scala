@@ -162,7 +162,10 @@ class PlanLintSpec extends SparkSpec {
     "skew_profile"       -> (3, 0), // key counts + 64-bucket histogram + sort
     "merge_upsert"       -> (3, 0), // base/changes co-partition + final sort
     "ts_m4"              -> (2, 0), // one algebraic agg + final sort
-    "graph_triangles"    -> (9, 7)) // pair-gen + degree joins + wedge closure
+    "graph_triangles"    -> (9, 7), // pair-gen + degree joins + wedge closure
+    // r10 additions
+    "train_shuffle"      -> (2, 0), // shard window shuffle + final sort
+    "batch_pack"         -> (3, 1)) // quartile agg + (shard,bucket) window + rollup; 1-row quartile broadcast
 
   test("golden shuffle budgets: no flagship query grows an extra exchange") {
     // Two sources make raw exchange counts history-dependent, so this
