@@ -202,6 +202,9 @@ object SparkEntry {
     // javax.imageio; the oracle recomputes dims + the lossless PNG
     // pixel sum from the generating formulas
     "mm_features" -> (Multimodal.imageFeatures(_, _)),
+    // REAL WAV path: PCM → RIFF container encode → decode → features;
+    // PCM-in-WAV is lossless so the oracle replays the formula
+    "mm_audio"    -> (Multimodal.audioFeatures(_, _)),
     // perceptual dedup over REAL decoded PNG bytes; integer-exact
     // average hash, so the oracle replays decode→hash→bands→verify
     "mm_phash_dedup" -> ((s, d) => Multimodal.phashDedup(s, d)),
@@ -2271,6 +2274,25 @@ object SparkEntry {
         |        y -> (media_id * 31 + x * 17 + y * 29) % 256)))) AS BIGINT)
         |  ELSE NULL END AS pix_sum
         |FROM m ORDER BY media_id""".stripMargin,
+    // replays the PCM generator formula; matching the Spark side —
+    // which reads samples back out of real WAV containers — proves
+    // the encode→container→decode round trip is lossless
+    "mm_audio" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 400 + (doc_id % 5) * 100 AS n
+        |  FROM documents),
+        |s AS (SELECT media_id, n, unnest(range(n)) AS j FROM m),
+        |v AS (
+        |  SELECT media_id, n,
+        |    (media_id * 7919 + j * 104729 + 12345) % 65536 - 32768 AS v
+        |  FROM s)
+        |SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST((n + 99) // 100 AS BIGINT) AS n_frames,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak,
+        |  CAST(sum(CASE WHEN abs(v) < 1000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_silent
+        |FROM v GROUP BY media_id, n ORDER BY media_id""".stripMargin,
     "mm_phash_dedup" ->
       """WITH ids AS (
         |  SELECT doc_id AS media_id, doc_id AS base, FALSE AS flip

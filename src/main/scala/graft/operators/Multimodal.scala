@@ -425,4 +425,102 @@ object Multimodal {
         max(col("height")).as("max_h")
       )
       .orderBy("bucket")
+
+  // ---- REAL audio path (WAV container via javax.sound.sampled) ----
+
+  case class AudioRecord(media_id: Long, payload: Array[Byte],
+                         n_bytes: Long)
+
+  case class AudioFeatureRow(media_id: Long, n_samples: Long,
+                             n_frames: Long, sum_sq: Long, peak: Long,
+                             n_silent: Long)
+
+  /** Deterministic 16-bit PCM sample j of clip id — pure integer
+    * arithmetic both engines replay exactly (no trig, no floats).
+    * Values cover the full signed-16-bit range.
+    */
+  private def pcmSample(id: Long, j: Long): Int =
+    ((id * 7919L + j * 104729L + 12345L) % 65536L).toInt - 32768
+
+  /** Samples per clip: 400..800, varying by id so frame counts and
+    * byte budgets differ per row (skew-shaped like real audio).
+    */
+  private def clipLen(id: Long): Int = (400 + (id % 5) * 100).toInt
+
+  /** REAL audio synthesis: one deterministic mono 16-bit/8 kHz PCM
+    * clip per document id, wrapped through the JDK's actual WAV
+    * writer (javax.sound.sampled — genuine RIFF container bytes with
+    * a canonical 44-byte header, not a stand-in). The audio analogue
+    * of [[imageTable]]: generation is partition-local and pure per
+    * row.
+    */
+  def audioTable(spark: SparkSession, dir: String): Dataset[AudioRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long].map { id =>
+      val n = clipLen(id)
+      val data = new Array[Byte](n * 2) // 16-bit little-endian mono
+      var j = 0
+      while (j < n) {
+        val s = pcmSample(id, j)
+        data(2 * j) = (s & 0xff).toByte
+        data(2 * j + 1) = ((s >> 8) & 0xff).toByte
+        j += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+        /*signed=*/ true, /*bigEndian=*/ false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      val bytes = bos.toByteArray
+      AudioRecord(id, bytes, bytes.length.toLong)
+    }
+  }
+
+  /** REAL decode: javax.sound.sampled parses the actual WAV container
+    * (RIFF chunks, fmt block, PCM frame layout) back to samples, then
+    * per-clip features are computed from the DECODED stream: energy
+    * (Σs², exact integer — ≤ 800·32768² < 2⁵³), peak |s|, silence
+    * count (|s| < 1000), and 100-sample frame count. PCM-in-WAV is
+    * lossless, so every feature must equal the generating formula —
+    * which the mm_audio oracle recomputes in SQL, hash-checking the
+    * encode→container→decode round trip cross-engine (the audio
+    * analogue of the PNG pixel-sum check).
+    */
+  def decodeAudio(spark: SparkSession, dir: String): Dataset[AudioFeatureRow] = {
+    import spark.implicits._
+    audioTable(spark, dir).mapPartitions { it =>
+      it.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian, s"unexpected decoded format $fmt")
+        val raw = ais.readAllBytes()
+        val n = raw.length / 2
+        var sumSq = 0L; var peak = 0L; var silent = 0L
+        var j = 0
+        while (j < n) {
+          val s = ((raw(2 * j) & 0xff) | (raw(2 * j + 1) << 8)).toShort.toLong
+          sumSq += s * s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          if (a < 1000L) silent += 1
+          j += 1
+        }
+        AudioFeatureRow(r.media_id, n.toLong, (n + 99L) / 100L,
+          sumSq, peak, silent)
+      }
+    }
+  }
+
+  /** The mm_audio projection: per-clip features from the REAL decoded
+    * WAV stream, all integer-exact and formula-replayable.
+    */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame =
+    decodeAudio(spark, dir).toDF()
+      .select(col("media_id"), col("n_samples"), col("n_frames"),
+        col("sum_sq"), col("peak"), col("n_silent"))
+      .orderBy("media_id")
 }

@@ -146,4 +146,33 @@ class MultimodalSpec extends SparkSpec {
     assert(viaPipeline.width == w && viaPipeline.height == h &&
       viaPipeline.checksum == sum)
   }
+
+  test("audio payloads are genuine RIFF/WAVE containers") {
+    val rec = Multimodal.audioTable(spark, sf).head()
+    val p = rec.payload
+    assert(new String(p.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(p.slice(8, 12), "US-ASCII") == "WAVE")
+    // canonical header + 2 bytes per 16-bit mono sample
+    val n = 400 + (rec.media_id % 5) * 100
+    assert(p.length == 44 + 2 * n, s"container ${p.length} bytes for $n samples")
+  }
+
+  test("real WAV round-trip: decoded features equal the PCM formula") {
+    val rows = Multimodal.decodeAudio(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.take(20).foreach { r =>
+      val n = (400 + (r.media_id % 5) * 100).toInt
+      var sumSq = 0L; var peak = 0L; var silent = 0L
+      (0 until n).foreach { j =>
+        val s = ((r.media_id * 7919L + j * 104729L + 12345L) % 65536L) - 32768L
+        sumSq += s * s
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        if (a < 1000L) silent += 1
+      }
+      assert(r.n_samples == n && r.sum_sq == sumSq && r.peak == peak &&
+        r.n_silent == silent && r.n_frames == (n + 99) / 100,
+        s"clip ${r.media_id}: decoded features diverge from formula")
+    }
+  }
 }
