@@ -150,6 +150,7 @@ object SparkEntry {
     "mixture_temperature" -> ((s, d) => Curation.temperatureMix(s, d)),
     "weighted_sample" -> ((s, d) => Curation.weightedSample(s, d)),
     "train_shuffle"   -> ((s, d) => Curation.trainShuffle(s, d)),
+    "train_manifest"  -> ((s, d) => Curation.trainManifest(s, d)),
     "lm_score"          -> ((s, d) => TextAnalysis.lmScore(s, d)),
     "colloc_pmi"        -> ((s, d) => TextAnalysis.collocPmi(s, d)),
     "heavy_hitters"     -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
@@ -783,6 +784,36 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY skey DESC, doc_id) AS rnk FROM k)
         |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, source, skey
         |FROM r WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
+    // the capstone funnel: gate → exact-dedup keep-lowest → train
+    // split → shard → per-shard manifest, each stage the established
+    // oracle-replayable rule
+    "train_manifest" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents),
+        |gated AS (SELECT * FROM toks WHERE n_tok >= 20),
+        |kept AS (
+        |  SELECT min(doc_id) AS doc_id, arg_min(n_tok, doc_id) AS n_tok
+        |  FROM gated GROUP BY md5(text)),
+        |tr AS (
+        |  SELECT doc_id, n_tok FROM kept
+        |  WHERE substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'),
+        |sh AS (
+        |  SELECT doc_id, n_tok,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(substring(
+        |        md5('shuffle:ep1:' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) % 16 AS shard
+        |  FROM tr)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM sh GROUP BY 1 ORDER BY shard""".stripMargin,
     // seeded md5 shuffle key → top-32-bit shard → rank within shard:
     // the whole permutation replays from the seed string alone
     "train_shuffle" ->

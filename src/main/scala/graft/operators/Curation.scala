@@ -475,6 +475,53 @@ object Curation {
     * pseudorandom-uniform per seed, which is what training-order
     * decorrelation actually requires.
     */
+  /** The capstone chain a training dataloader actually consumes — one
+    * query running the whole curation funnel and emitting the
+    * per-shard training-file manifest:
+    *   1. quality gate (≥ 20 whitespace tokens — the cheap length
+    *      floor every pipeline applies first);
+    *   2. exact dedup, keep the lowest doc_id per md5(text) — the
+    *      groupBy carries (digest, 16-byte struct) only, never text;
+    *   3. train-split via [[sampleSplit]]'s hex-digit rule (75%);
+    *   4. shard via [[trainShuffle]]'s seeded md5 rule;
+    *   5. per-shard manifest: doc count, token total, id range —
+    *      the numbers a dataloader needs to size files and plan
+    *      epochs.
+    * Every stage is the established oracle-checked building block, so
+    * the composed pipeline is hash-checked end-to-end too.
+    *
+    * 100 TB shape: one text scan; the dedup shuffle carries digests +
+    * two longs; split/shard are map-side column math; the manifest is
+    * a partial agg on nShards keys.
+    */
+  def trainManifest(spark: SparkSession, dir: String,
+                    nShards: Int = 16): DataFrame = {
+    val gated = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        TextFns.nTokens(col("text")).cast("long").as("n_tok"))
+      .filter(col("n_tok") >= 20)
+    // keep-lowest-doc_id per digest via struct-min partial agg (the
+    // lexicographic min on (doc_id, n_tok) IS the min-doc_id row)
+    val kept = gated
+      .select(md5(col("text")).as("digest"),
+        struct(col("doc_id"), col("n_tok")).as("r"))
+      .groupBy(col("digest")).agg(min(col("r")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.n_tok").as("n_tok"))
+    val train = kept.filter(substring(
+      md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 1) <= "b")
+    train
+      .withColumn("shard",
+        pmod(conv(substring(
+          md5(concat(lit("shuffle:ep1:"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long"), lit(nShards.toLong)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard")
+  }
+
   def trainShuffle(spark: SparkSession, dir: String,
                    nShards: Int = 16, seed: String = "ep1"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

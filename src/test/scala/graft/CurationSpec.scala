@@ -175,4 +175,35 @@ class CurationSpec extends SparkSpec {
     assert(waste < unbucketed,
       s"bucketed waste $waste !< unbucketed $unbucketed")
   }
+
+  test("train_manifest composes gate/dedup/split/shard faithfully") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    // independent driver-side replay of the four stages
+    val gated = docs.map { case (id, t) =>
+      (id, t, t.split("\\s+").count(_.nonEmpty).toLong)
+    }.filter(_._3 >= 20)
+    val kept = gated.groupBy(r => md5hex(r._2)).values.map(_.minBy(_._1)).toSeq
+    val train = kept.filter(r => md5hex(s"split:${r._1}").head <= 'b')
+    val sharded = train.map { r =>
+      val shard = java.lang.Long.parseLong(
+        md5hex(s"shuffle:ep1:${r._1}").take(8), 16) % 16
+      (shard, r._1, r._3)
+    }
+    val expect = sharded.groupBy(_._1).map { case (s, rs) =>
+      s -> (rs.length.toLong, rs.map(_._3).sum, rs.map(_._2).min, rs.map(_._2).max)
+    }
+    val rows = Curation.trainManifest(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == expect.size)
+    rows.foreach { case (s, n, tok, lo, hi) =>
+      assert(expect(s) == ((n, tok, lo, hi)), s"shard $s manifest diverges")
+    }
+    // and the funnel actually gates/dedups something on the fixture
+    assert(gated.length < docs.length || kept.size < gated.length ||
+      train.size < kept.size)
+  }
 }

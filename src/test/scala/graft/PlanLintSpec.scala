@@ -165,6 +165,7 @@ class PlanLintSpec extends SparkSpec {
     "graph_triangles"    -> (9, 7), // pair-gen + degree joins + wedge closure
     // r10 additions
     "train_shuffle"      -> (2, 0), // shard window shuffle + final sort
+    "train_manifest"     -> (3, 0), // digest dedup agg + shard rollup + sort
     "batch_pack"         -> (3, 1)) // quartile agg + (shard,bucket) window + rollup; 1-row quartile broadcast
 
   test("golden shuffle budgets: no flagship query grows an extra exchange") {

@@ -42,4 +42,23 @@ class RegistrySpec extends SparkSpec {
   test("entry() returns rows (driver smoke parity)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("every Spark output column name appears in its oracle SQL (alias drift)") {
+    // the driver's compare sorts columns BY NAME before hashing, so a
+    // renamed alias on one side hash-mismatches even when values are
+    // identical — catch the drift at test time, not driver time
+    val failures = SparkEntry.oracleSql.keySet.toSeq.sorted
+      .filterNot(eagerBuilders)
+      .flatMap { name =>
+        val sql = SparkEntry.oracleSql(name).toLowerCase
+        val missing = SparkEntry.queries(name)(spark, sf).schema.fieldNames
+          .filterNot { c =>
+            s"""(?i)(?<![a-z0-9_])${java.util.regex.Pattern.quote(c)}(?![a-z0-9_])""".r
+              .findFirstIn(sql).isDefined
+          }
+        if (missing.isEmpty) None else Some(s"$name: $missing")
+      }
+    assert(failures.isEmpty,
+      s"spark columns absent from oracle SQL:\n${failures.mkString("\n")}")
+  }
 }
