@@ -47,13 +47,20 @@ object Bench {
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      // drop this query's localCheckpoint blocks before the next one
-      // runs: 19 operators checkpoint, and 164 queries × 2 passes of
-      // accumulated blocks otherwise squeeze the 8g heap's storage
-      // pool all suite long — late-alphabet queries then pay eviction
-      // + GC instead of their own cost (BENCH_r09: sem_dedup_keep
-      // 273 s driver vs ~5 s clean-warm on the same commit). Unpersist
-      // AFTER the timing stop so cleanup never charges the query.
+      // drop this query's cached/checkpointed blocks before the next
+      // one runs: 19 operators localCheckpoint and several .cache(),
+      // and two full registry passes of accumulated blocks otherwise
+      // squeeze the 8g heap's storage pool all suite long —
+      // late-alphabet queries then pay eviction + GC instead of their
+      // own cost (BENCH_r09: sem_dedup_keep 273 s driver vs ~5 s
+      // clean-warm on the same commit). clearCache() both unpersists
+      // AND deregisters SQL-cached fragments (a bare RDD unpersist
+      // would leave dangling CacheManager entries that later
+      // identical plans substitute as dead, never-re-stored caches);
+      // the RDD sweep then catches localCheckpoint blocks, which the
+      // CacheManager doesn't track. Cleanup runs AFTER the timing
+      // stop so it never charges the query.
+      spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       (dt, err)
     }

@@ -23,9 +23,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // release this query's localCheckpoint blocks — over the full
-      // registry they otherwise accumulate in the storage pool (see
-      // the same cleanup in Bench.timeOnce)
+      // release this query's cached fragments and localCheckpoint
+      // blocks — over the full registry they otherwise accumulate in
+      // the storage pool (see the same cleanup in Bench.timeOnce)
+      spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

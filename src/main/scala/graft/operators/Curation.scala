@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFns
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for a training-data pipeline: the
@@ -456,6 +456,69 @@ object Curation {
       .orderBy("rnk")
   }
 
+  /** Seeded md5 shuffle key for doc_id — the single source of the
+    * "shuffle then shard" hash rule shared by [[trainShuffle]] and
+    * [[trainManifest]] (and mirrored by each oracle): epoch seed in
+    * the prefix, 32 lowercase hex chars out.
+    */
+  private[operators] def shuffleKey(seed: String): Column =
+    md5(concat(lit(s"shuffle:$seed:"), col("doc_id").cast("string")))
+
+  /** Top 32 bits of an md5 hex key, mod nShards — the map-side shard
+    * assignment shared by the training-shuffle family and
+    * [[Packing.batchPack]]. Pure column math both engines replay
+    * (the oracle folds the same 8 hex chars).
+    */
+  private[operators] def shardOf(key: Column, nShards: Int): Column =
+    pmod(conv(substring(key, 1, 8), 16, 10).cast("long"),
+      lit(nShards.toLong))
+
+  /** The capstone chain a training dataloader actually consumes — one
+    * query running the whole curation funnel and emitting the
+    * per-shard training-file manifest:
+    *   1. quality gate (≥ 20 whitespace tokens — the cheap length
+    *      floor every pipeline applies first);
+    *   2. exact dedup, keep the lowest doc_id per md5(text) — the
+    *      groupBy carries (digest, 16-byte struct) only, never text;
+    *   3. train-split via [[sampleSplit]]'s hex-digit rule (75%);
+    *   4. shard via [[trainShuffle]]'s seeded md5 rule
+    *      ([[shuffleKey]]/[[shardOf]] — the shared expressions, so
+    *      the two operators cannot drift);
+    *   5. per-shard manifest: doc count, token total, id range —
+    *      the numbers a dataloader needs to size files and plan
+    *      epochs.
+    * Every stage is the established oracle-checked building block, so
+    * the composed pipeline is hash-checked end-to-end too.
+    *
+    * 100 TB shape: one text scan; the dedup shuffle carries digests +
+    * two longs; split/shard are map-side column math; the manifest is
+    * a partial agg on nShards keys.
+    */
+  def trainManifest(spark: SparkSession, dir: String,
+                    nShards: Int = 16, seed: String = "ep1"): DataFrame = {
+    val gated = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        TextFns.nTokens(col("text")).cast("long").as("n_tok"))
+      .filter(col("n_tok") >= 20)
+    // keep-lowest-doc_id per digest via struct-min partial agg (the
+    // lexicographic min on (doc_id, n_tok) IS the min-doc_id row)
+    val kept = gated
+      .select(md5(col("text")).as("digest"),
+        struct(col("doc_id"), col("n_tok")).as("r"))
+      .groupBy(col("digest")).agg(min(col("r")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.n_tok").as("n_tok"))
+    val train = kept.filter(substring(
+      md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 1) <= "b")
+    train
+      .withColumn("shard", shardOf(shuffleKey(seed), nShards))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard")
+  }
+
   /** Deterministic global training shuffle — the reproducible "shuffle
     * then shard" every epoch-ordered training run needs: each document
     * gets an md5 shuffle key (seeded, so epoch 2 is a different but
@@ -475,64 +538,13 @@ object Curation {
     * pseudorandom-uniform per seed, which is what training-order
     * decorrelation actually requires.
     */
-  /** The capstone chain a training dataloader actually consumes — one
-    * query running the whole curation funnel and emitting the
-    * per-shard training-file manifest:
-    *   1. quality gate (≥ 20 whitespace tokens — the cheap length
-    *      floor every pipeline applies first);
-    *   2. exact dedup, keep the lowest doc_id per md5(text) — the
-    *      groupBy carries (digest, 16-byte struct) only, never text;
-    *   3. train-split via [[sampleSplit]]'s hex-digit rule (75%);
-    *   4. shard via [[trainShuffle]]'s seeded md5 rule;
-    *   5. per-shard manifest: doc count, token total, id range —
-    *      the numbers a dataloader needs to size files and plan
-    *      epochs.
-    * Every stage is the established oracle-checked building block, so
-    * the composed pipeline is hash-checked end-to-end too.
-    *
-    * 100 TB shape: one text scan; the dedup shuffle carries digests +
-    * two longs; split/shard are map-side column math; the manifest is
-    * a partial agg on nShards keys.
-    */
-  def trainManifest(spark: SparkSession, dir: String,
-                    nShards: Int = 16): DataFrame = {
-    val gated = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"),
-        TextFns.nTokens(col("text")).cast("long").as("n_tok"))
-      .filter(col("n_tok") >= 20)
-    // keep-lowest-doc_id per digest via struct-min partial agg (the
-    // lexicographic min on (doc_id, n_tok) IS the min-doc_id row)
-    val kept = gated
-      .select(md5(col("text")).as("digest"),
-        struct(col("doc_id"), col("n_tok")).as("r"))
-      .groupBy(col("digest")).agg(min(col("r")).as("r"))
-      .select(col("r.doc_id").as("doc_id"), col("r.n_tok").as("n_tok"))
-    val train = kept.filter(substring(
-      md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 1) <= "b")
-    train
-      .withColumn("shard",
-        pmod(conv(substring(
-          md5(concat(lit("shuffle:ep1:"), col("doc_id").cast("string"))),
-          1, 8), 16, 10).cast("long"), lit(nShards.toLong)))
-      .groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tok")).as("total_tokens"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"))
-      .orderBy("shard")
-  }
-
   def trainShuffle(spark: SparkSession, dir: String,
                    nShards: Int = 16, seed: String = "ep1"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("k", "doc_id")
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        md5(concat(lit(s"shuffle:$seed:"), col("doc_id").cast("string")))
-          .as("k"))
-      .withColumn("shard",
-        pmod(conv(substring(col("k"), 1, 8), 16, 10).cast("long"),
-          lit(nShards.toLong)))
+      .select(col("doc_id"), col("source"), shuffleKey(seed).as("k"))
+      .withColumn("shard", shardOf(col("k"), nShards))
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
       .select(col("shard"), col("pos"), col("doc_id"), col("source"))
       .orderBy("shard", "pos")

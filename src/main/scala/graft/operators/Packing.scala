@@ -112,8 +112,7 @@ object Packing {
       expr("percentile(n_tok, array(0.25d, 0.5d, 0.75d))").as("q"))
     toks.crossJoin(broadcast(qs))
       .select(col("doc_id"), col("n_tok"), col("k"),
-        pmod(conv(substring(col("k"), 1, 8), 16, 10).cast("long"),
-          lit(nShards.toLong)).as("shard"),
+        Curation.shardOf(col("k"), nShards).as("shard"),
         (when(col("n_tok") <= col("q").getItem(0), 0L)
           .when(col("n_tok") <= col("q").getItem(1), 1L)
           .when(col("n_tok") <= col("q").getItem(2), 2L)
