@@ -45,8 +45,8 @@ object SparkEntry {
     "histogram_prices" -> (Relational.histogramPrices(_, _)),
     "map_funcs"      -> (Relational.mapFuncs(_, _)),
     "sketch_approx"  -> (Relational.sketches(_, _)),
-    // no SQL oracle: DuckDB's HLL internals differ — SketchMergeSpec
-    // pins union-losslessness + an error bound vs the exact counts
+    // oracle-checked since r10: exact counts + contract booleans
+    // (est_within_5pct / merge_within_5pct / median rank) pinned TRUE
     "sketch_hll_merge" -> (Relational.hllMerge(_, _)),
     "sketch_kll_merge" -> (Relational.kllMerge(_, _)),
     "scalar_regex"   -> (Relational.scalarRegex(_, _)),
@@ -151,6 +151,7 @@ object SparkEntry {
     "weighted_sample" -> ((s, d) => Curation.weightedSample(s, d)),
     "train_shuffle"   -> ((s, d) => Curation.trainShuffle(s, d)),
     "train_manifest"  -> ((s, d) => Curation.trainManifest(s, d)),
+    "corpus_diff"     -> ((s, d) => Curation.corpusDiff(s, d)),
     "lm_score"          -> ((s, d) => TextAnalysis.lmScore(s, d)),
     "colloc_pmi"        -> ((s, d) => TextAnalysis.collocPmi(s, d)),
     "heavy_hitters"     -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
@@ -784,6 +785,25 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY skey DESC, doc_id) AS rnk FROM k)
         |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, source, skey
         |FROM r WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
+    // snapshot diff: full-outer on doc_id, digest compare for
+    // changed-vs-unchanged, per-(source, status) rollup
+    "corpus_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, source,
+        |    md5(CASE WHEN doc_id % 20 = 0 THEN 'v1:' || text ELSE text END) AS d1
+        |  FROM documents WHERE doc_id % 30 <> 0),
+        |v2 AS (
+        |  SELECT doc_id, source, md5(text) AS d2
+        |  FROM documents WHERE doc_id % 30 <> 7),
+        |j AS (
+        |  SELECT coalesce(v1.source, v2.source) AS source,
+        |    CASE WHEN d1 IS NULL THEN 'added'
+        |         WHEN d2 IS NULL THEN 'removed'
+        |         WHEN d1 <> d2 THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+        |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM j GROUP BY 1, 2 ORDER BY source, status""".stripMargin,
     // the capstone funnel: gate → exact-dedup keep-lowest → train
     // split → shard → per-shard manifest, each stage the established
     // oracle-replayable rule

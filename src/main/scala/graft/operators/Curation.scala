@@ -456,6 +456,42 @@ object Curation {
       .orderBy("rnk")
   }
 
+  /** Corpus snapshot diff — the audit every dataset release runs:
+    * which documents were ADDED, REMOVED, CHANGED, or UNCHANGED
+    * between two corpus versions, rolled up per source. Versions are
+    * derived deterministically from the fixture (v1 drops doc_id ≡ 0
+    * mod 30 relative to v2 and sees pre-edit text for doc_id ≡ 0 mod
+    * 20; v2 drops doc_id ≡ 7 mod 30) — the OPERATOR is the point:
+    * identity is doc_id, content identity is md5(text), and the diff
+    * is one full-outer join carrying (doc_id, source, 32-char digest)
+    * only — text never shuffles. At 100 TB both sides shuffle
+    * digest-sized rows co-partitioned on doc_id, and the rollup is a
+    * partial agg on (source, status).
+    */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    // v1: pre-edit content for every 20th doc, missing the docs v2
+    // added (≡0 mod 30); v2: current content, missing the docs it
+    // removed (≡7 mod 30)
+    val v1 = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(30)) =!= 0)
+      .select(col("doc_id"), col("source").as("src1"),
+        md5(when(pmod(col("doc_id"), lit(20)) === 0,
+          concat(lit("v1:"), col("text"))).otherwise(col("text"))).as("d1"))
+    val v2 = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(30)) =!= 7)
+      .select(col("doc_id"), col("source").as("src2"),
+        md5(col("text")).as("d2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src1"), col("src2")).as("source"),
+        when(col("d1").isNull, "added")
+          .when(col("d2").isNull, "removed")
+          .when(col("d1") =!= col("d2"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "status")
+  }
+
   /** Seeded md5 shuffle key for doc_id — the single source of the
     * "shuffle then shard" hash rule shared by [[trainShuffle]] and
     * [[trainManifest]] (and mirrored by each oracle): epoch seed in

@@ -178,6 +178,22 @@ class CurationSpec extends SparkSpec {
       s"bucketed waste $waste > unbucketed $unbucketed")
   }
 
+  test("corpus_diff statuses reconcile with the version-derivation rules") {
+    val rows = Curation.corpusDiff(spark, sf).as[(String, String, Long)].collect()
+    assert(rows.map(_._2).toSet == Set("added", "removed", "changed", "unchanged"))
+    val byStatus = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val ids = Tables.documents(spark, sf)
+      .select(col("doc_id")).as[Long].collect()
+    val inV1 = (id: Long) => id % 30 != 0
+    val inV2 = (id: Long) => id % 30 != 7
+    assert(byStatus("added") == ids.count(id => inV2(id) && !inV1(id)))
+    assert(byStatus("removed") == ids.count(id => inV1(id) && !inV2(id)))
+    assert(byStatus("changed") ==
+      ids.count(id => inV1(id) && inV2(id) && id % 20 == 0))
+    assert(byStatus("unchanged") ==
+      ids.count(id => inV1(id) && inV2(id) && id % 20 != 0))
+  }
+
   test("train_manifest composes gate/dedup/split/shard faithfully") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def md5hex(s: String): String =
