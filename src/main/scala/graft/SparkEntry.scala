@@ -152,6 +152,7 @@ object SparkEntry {
     "train_shuffle"   -> ((s, d) => Curation.trainShuffle(s, d)),
     "train_manifest"  -> ((s, d) => Curation.trainManifest(s, d)),
     "corpus_diff"     -> ((s, d) => Curation.corpusDiff(s, d)),
+    "source_datacard" -> ((s, d) => Curation.sourceDatacard(s, d)),
     "lm_score"          -> ((s, d) => TextAnalysis.lmScore(s, d)),
     "colloc_pmi"        -> ((s, d) => TextAnalysis.collocPmi(s, d)),
     "heavy_hitters"     -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
@@ -785,6 +786,34 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY skey DESC, doc_id) AS rnk FROM k)
         |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, source, skey
         |FROM r WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
+    // data card: volume + language spread + exact-dup load + short
+    // share per source; dominant lang tie-broken lexicographically
+    // via the same struct-max trick both engines order identically
+    "source_datacard" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang, n_chars,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |      AS BIGINT) AS n_tok,
+        |    md5(text) AS digest
+        |  FROM documents),
+        |base AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(count(*) - count(DISTINCT digest) AS BIGINT) AS dup_docs,
+        |    CAST(sum(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_short
+        |  FROM d GROUP BY 1),
+        |l AS (
+        |  SELECT source, lang, count(*) AS n FROM d GROUP BY 1, 2),
+        |langs AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+        |    max({'n': n, 'lang': lang}).lang AS top_lang
+        |  FROM l GROUP BY 1)
+        |SELECT base.source, n_docs, total_tokens, total_chars, dup_docs,
+        |  n_langs, top_lang, n_short
+        |FROM base JOIN langs ON base.source = langs.source
+        |ORDER BY base.source""".stripMargin,
     // snapshot diff: full-outer on doc_id, digest compare for
     // changed-vs-unchanged, per-(source, status) rollup
     "corpus_diff" ->

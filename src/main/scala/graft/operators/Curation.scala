@@ -492,6 +492,43 @@ object Curation {
       .orderBy("source", "status")
   }
 
+  /** Per-source data card — the "datasheets for datasets" summary a
+    * corpus release publishes: volume (docs/tokens/chars), language
+    * spread (distinct langs + dominant lang by doc count,
+    * tie-broken lexicographically so the pick is deterministic),
+    * exact-duplicate load (docs minus distinct text digests), and the
+    * short-doc share. One text scan feeds two small aggregates: a
+    * (source, lang) rollup for the language stats and a source-level
+    * agg whose only corpus-sized shuffle carries 16-byte digests for
+    * the distinct count; both collapse map-side before joining on the
+    * handful of source keys.
+    */
+  def sourceDatacard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        TextFns.nTokens(col("text")).cast("long").as("n_tok"),
+        md5(col("text")).as("digest"))
+    val base = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("digest")).as("n_uniq_texts"),
+        sum(when(col("n_tok") < 20, 1L).otherwise(0L)).as("n_short"))
+    val langs = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"),
+        max(struct(col("n"), col("lang"))).as("m"))
+      .select(col("source"), col("n_langs"),
+        col("m.lang").as("top_lang"))
+    base.join(langs, "source")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("total_chars"),
+        (col("n_docs") - col("n_uniq_texts")).as("dup_docs"),
+        col("n_langs"), col("top_lang"), col("n_short"))
+      .orderBy("source")
+  }
+
   /** Seeded md5 shuffle key for doc_id — the single source of the
     * "shuffle then shard" hash rule shared by [[trainShuffle]] and
     * [[trainManifest]] (and mirrored by each oracle): epoch seed in

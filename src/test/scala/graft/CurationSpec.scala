@@ -194,6 +194,26 @@ class CurationSpec extends SparkSpec {
       ids.count(id => inV1(id) && inV2(id) && id % 20 != 0))
   }
 
+  test("source_datacard reconciles against a driver-side recompute") {
+    val rows = Curation.sourceDatacard(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, String, Long)].collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("lang"), col("text"))
+      .as[(String, String, String)].collect()
+    assert(rows.map(_._1).toSet == docs.map(_._1).toSet)
+    rows.foreach { case (src, nDocs, _, _, dup, nLangs, topLang, _) =>
+      val ds = docs.filter(_._1 == src)
+      assert(nDocs == ds.length)
+      assert(dup == ds.length - ds.map(_._3).distinct.length)
+      assert(nLangs == ds.map(_._2).distinct.length)
+      // dominant lang, ties broken toward the lexicographically LATER
+      // lang (struct-max compares (count, lang))
+      val best = ds.groupBy(_._2).view.mapValues(_.length).toSeq
+        .maxBy { case (l, n) => (n, l) }._1
+      assert(topLang == best, s"$src: $topLang != $best")
+    }
+  }
+
   test("train_manifest composes gate/dedup/split/shard faithfully") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def md5hex(s: String): String =

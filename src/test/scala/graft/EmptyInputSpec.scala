@@ -50,7 +50,9 @@ class EmptyInputSpec extends SparkSpec {
       "split_leak_free" -> (Curation.leakFreeSplit(_, _)),
       // r10 additions
       "train_shuffle" -> ((s, d) => Curation.trainShuffle(s, d)),
-      "batch_pack"    -> ((s, d) => Packing.batchPack(s, d)))
+      "batch_pack"    -> ((s, d) => Packing.batchPack(s, d)),
+      "corpus_diff"   -> ((s, d) => Curation.corpusDiff(s, d)),
+      "source_datacard" -> ((s, d) => Curation.sourceDatacard(s, d)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()

@@ -167,6 +167,7 @@ class PlanLintSpec extends SparkSpec {
     "train_shuffle"      -> (2, 0), // shard window shuffle + final sort
     "train_manifest"     -> (3, 0), // digest dedup agg + shard rollup + sort
     "corpus_diff"        -> (4, 0), // two co-partitioned sides + rollup + sort
+    "source_datacard"    -> (5, 1), // digest-distinct expand + lang rollup; source-key join broadcast
     "batch_pack"         -> (3, 1)) // quartile agg + (shard,bucket) window + rollup; 1-row quartile broadcast
 
   test("golden shuffle budgets: no flagship query grows an extra exchange") {
