@@ -52,7 +52,9 @@ class EmptyInputSpec extends SparkSpec {
       "train_shuffle" -> ((s, d) => Curation.trainShuffle(s, d)),
       "batch_pack"    -> ((s, d) => Packing.batchPack(s, d)),
       "corpus_diff"   -> ((s, d) => Curation.corpusDiff(s, d)),
-      "source_datacard" -> ((s, d) => Curation.sourceDatacard(s, d)))
+      "source_datacard" -> ((s, d) => Curation.sourceDatacard(s, d)),
+      "train_manifest" -> ((s, d) => Curation.trainManifest(s, d)),
+      "mm_audio"      -> ((s, d) => Multimodal.audioFeatures(s, d)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()
