@@ -214,6 +214,30 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("source_datacard dup_docs counts real duplicates (synthetic corpus)") {
+    // the shipped fixtures have zero intra-source exact duplicates, so
+    // the oracle gate can't falsify dup_docs — exercise it on a tiny
+    // corpus with KNOWN duplicate structure instead
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-datacard-dup").toString
+    Seq(
+      (1L, "alpha beta gamma", "en", "web", 16L),
+      (2L, "alpha beta gamma", "en", "web", 16L),  // dup of 1
+      (3L, "alpha beta gamma", "en", "web", 16L),  // dup of 1
+      (4L, "unique text here", "de", "web", 16L),
+      (5L, "other doc", "en", "books", 9L),
+      (6L, "other doc", "en", "books", 9L)         // dup of 5
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Curation.sourceDatacard(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, String, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rows("web")._5 == 2, s"web dup_docs ${rows("web")._5} != 2")
+    assert(rows("books")._5 == 1)
+    assert(rows("web")._6 == 2 && rows("web")._7 == "en") // 2 langs, en dominant
+    assert(rows("books")._6 == 1)
+  }
+
   test("train_manifest composes gate/dedup/split/shard faithfully") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def md5hex(s: String): String =
