@@ -2231,17 +2231,24 @@ object SparkEntry {
     // top-nProbe cell assignment, candidate join, exact verify) so the
     // IVF-cell near-dup is oracle-hash-checked end-to-end, no
     // ground-truth column involved — nCells=16, nProbe=4, minSim=0.3
-    // replays the TRAINED blocking: 2-round integer-exact Lloyd with
-    // the deterministic training sample (vec_id ≡ 0 mod
-    // greatest(1, floor(n/1024)) — identity below the cap, a 4×
-    // reduction at sf0.1), then top-4 multi-probe assignment of the
-    // FULL corpus against the trained centroids, candidate join, and
-    // exact double-cosine verify
+    // replays the TRAINED blocking over the r11 exact-collapse: group
+    // bit-identical vectors (rep = min vec_id), then 2-round
+    // integer-exact Lloyd over the DISTINCT vectors with the
+    // deterministic training sample (rep ≡ 0 mod
+    // greatest(1, floor(n_u/1024)) — identity below the cap), top-4
+    // multi-probe assignment of the reps, candidate join, exact
+    // double-cosine verify, symmetrized per-group min neighbor, and
+    // the member-level FOREST edge (one edge per dropped vector: own
+    // rep for exact twins unless a smaller verified neighbor rep
+    // shadows the whole group — two-scalar comparison per member, so
+    // the replay cannot drift)
     "sim_neardup" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding,
+      """WITH g AS (
+        |  SELECT embedding, min(vec_id) AS rep FROM embeddings GROUP BY embedding),
+        |e AS (
+        |  SELECT rep AS vec_id, list_transform(embedding,
         |      x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS vq
-        |  FROM embeddings),
+        |  FROM g),
         |c0 AS (SELECT vec_id AS cell, vq AS cv FROM e
         |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e)),
         |st AS (SELECT greatest(1, CAST(floor(count(*) / 1024.0) AS BIGINT)) AS step
@@ -2275,19 +2282,44 @@ object SparkEntry {
         |    FROM s2) WHERE rn <= 4),
         |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
         |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id),
-        |ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        |SELECT c.a, c.b, round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
-        |FROM cand c JOIN ed ea ON ea.vec_id = c.a JOIN ed eb ON eb.vec_id = c.b
-        |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.3
-        |ORDER BY a, b""".stripMargin,
+        |edr AS (SELECT rep AS vec_id, CAST(embedding AS DOUBLE[]) AS v FROM g),
+        |pairs AS (
+        |  SELECT c.a, c.b, list_cosine_similarity(ea.v, eb.v) AS s
+        |  FROM cand c JOIN edr ea ON ea.vec_id = c.a JOIN edr eb ON eb.vec_id = c.b
+        |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.3),
+        |nb AS (SELECT gid, r AS nr, s AS nsim FROM (
+        |  SELECT gid, r, s, row_number() OVER (PARTITION BY gid ORDER BY r) AS rn
+        |  FROM (SELECT b AS gid, a AS r, s FROM pairs
+        |        UNION ALL SELECT a AS gid, b AS r, s FROM pairs))
+        |  WHERE rn = 1),
+        |mem AS (SELECT m.vec_id, gg.rep, CAST(m.embedding AS DOUBLE[]) AS v
+        |  FROM embeddings m JOIN g gg ON m.embedding = gg.embedding),
+        |edge AS (
+        |  SELECT m.vec_id AS b, m.rep, m.v, nb.nr, nb.nsim,
+        |    CASE WHEN m.vec_id = m.rep
+        |      THEN CASE WHEN nb.nr < m.rep THEN nb.nr END
+        |      ELSE CASE WHEN nb.nr < m.vec_id AND nb.nr < m.rep THEN nb.nr
+        |           ELSE m.rep END
+        |    END AS a
+        |  FROM mem m LEFT JOIN nb ON nb.gid = m.rep)
+        |SELECT a, b,
+        |  round(CASE WHEN a = rep AND b <> rep
+        |    THEN list_cosine_similarity(v, v) ELSE nsim END, 6) AS sim
+        |FROM edge WHERE a IS NOT NULL
+        |ORDER BY b""".stripMargin,
     // the near-dup replay plus the keep rule: a vector survives iff
     // no lower-id vector is within minSim — the full SemDeDup
-    // decision (cells, candidates, verify, anti-join) cross-checked
+    // decision (exact collapse, cells, candidates, verify,
+    // min-neighbor filter) cross-checked. Non-rep members are always
+    // shadowed by their own rep, so the keep-list is exactly the reps
+    // with no smaller verified neighbor.
     "sem_dedup_keep" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding,
+      """WITH g AS (
+        |  SELECT embedding, min(vec_id) AS rep FROM embeddings GROUP BY embedding),
+        |e AS (
+        |  SELECT rep AS vec_id, list_transform(embedding,
         |      x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS vq
-        |  FROM embeddings),
+        |  FROM g),
         |c0 AS (SELECT vec_id AS cell, vq AS cv FROM e
         |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e)),
         |st AS (SELECT greatest(1, CAST(floor(count(*) / 1024.0) AS BIGINT)) AS step
@@ -2321,12 +2353,17 @@ object SparkEntry {
         |    FROM s2) WHERE rn <= 4),
         |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
         |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id),
-        |ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |drops AS (SELECT DISTINCT c.b AS vec_id
-        |  FROM cand c JOIN ed ea ON ea.vec_id = c.a JOIN ed eb ON eb.vec_id = c.b
-        |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.3)
-        |SELECT vec_id FROM ed
-        |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+        |edr AS (SELECT rep AS vec_id, CAST(embedding AS DOUBLE[]) AS v FROM g),
+        |pairs AS (
+        |  SELECT c.a, c.b
+        |  FROM cand c JOIN edr ea ON ea.vec_id = c.a JOIN edr eb ON eb.vec_id = c.b
+        |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.3),
+        |nb AS (SELECT gid, min(r) AS nr FROM (
+        |  SELECT b AS gid, a AS r FROM pairs
+        |  UNION ALL SELECT a AS gid, b AS r FROM pairs)
+        |  GROUP BY gid)
+        |SELECT g.rep AS vec_id FROM g LEFT JOIN nb ON nb.gid = g.rep
+        |WHERE nb.nr IS NULL OR nb.nr > g.rep
         |ORDER BY vec_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id AS media_id,

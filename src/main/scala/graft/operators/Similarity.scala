@@ -199,89 +199,184 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
-  /** Embedding-cosine near-duplicate pairs: pairs with cosine ≥
-    * minSim, candidate-blocked by a DERIVED coarse-quantization cell —
-    * no ground-truth column involved, so the operator runs on any
-    * corpus. Cells are the TRAINED [[embKmeans]] codebook (nCells
-    * centroids, two Lloyd rounds, integer-exact ×1024 quantization) —
-    * production-grade cells rather than arbitrary first-n seed
-    * vectors; every vector is assigned to its nProbe nearest
-    * centroids (multi-probe kills the boundary-pair recall loss of
-    * single-assignment), candidates share a cell, and exact cosine
-    * verifies candidates only.
+  /** Exact-duplicate collapse over the embedding column: one group
+    * per DISTINCT vector (bit-identical float arrays), keyed by the
+    * group's minimum vec_id (`rep`). Returns (groups, members):
+    * groups = (rep, embedding), members = (vec_id, rep, v).
     *
-    * 100 TB shape: centroids are tiny and broadcast; per-centroid
-    * scores collapse map-side via partial aggregation, so the
-    * assignment shuffle carries one row per vector (vec_id + an
-    * nProbe-cell array), never the corpus × nCells cross product; the
-    * pair join is bucketed by cell — candidate work is Σ|cell|²,
-    * never corpus². The cell count defaults to ADAPTIVE ceil(sqrt(n))
-    * (nCells=0), which keeps per-cell lists ~sqrt(n) and candidate
-    * work linear in n: the 10× scale sweep measured fixed 16 cells
-    * degenerating 64× at 10× data (PLANS.md), and adaptive cells
-    * restore the linear slope. Lloyd TRAINING runs on a deterministic
-    * ≤ ~2048-vector sample (vec_id ≡ 0 mod step — see [[lloyd]]),
-    * so training cost is linear in n too, not n^1.5; the assignment
-    * pass stays full-corpus. The oracle replays the same sampling
-    * predicate.
-    *
-    * Recall contract (pinned in DedupSimilaritySpec, measured on the
-    * fixture): ≥ 0.9 overall at minSim=0.3 and 1.0 on strong pairs
-    * (cosine ≥ 0.45). The 0.3 threshold is deliberately far below a
-    * production near-dup bar (~0.85+): LSH/IVF recall decays exactly
-    * at the decision boundary, so weak boundary pairs are where the
-    * multi-probe assignment earns its candidate cost. At a realistic
-    * threshold the same blocking is effectively lossless. The DuckDB
-    * oracle replays the whole pipeline (Lloyd training, top-nProbe
-    * assignment, candidate join, verify) bit-for-bit — the integer
-    * centroid sums are what make the training cross-engine exact.
+    * This is the staging every production dedup pipeline runs before
+    * anything expensive: bit-identical vectors share every similarity
+    * decision, so the Σ|cell|² blocking/verify work downstream runs
+    * once per distinct vector, not once per copy. On a corpus with
+    * duplication factor d the verify work drops d² — the difference
+    * between n_u² and n² shaped cells when the corpus is mostly
+    * boilerplate copies (the common case at 100 TB). Cost on a
+    * dup-free corpus: one vector-keyed groupBy + one join, both
+    * linear. Array equality is exact bit equality on the stored
+    * floats, which both engines evaluate identically.
     */
-  def embeddingNearDup(spark: SparkSession, dir: String,
-                       minSim: Double = 0.3, nCells: Int = 0,
-                       nProbe: Int = 4): DataFrame = {
+  private def exactGroups(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val groups = Tables.embeddings(spark, dir)
+      .groupBy(col("embedding")).agg(min(col("vec_id")).as("rep"))
+    val members = Tables.embeddings(spark, dir)
+      .join(groups, "embedding")
+      .select(col("vec_id"), col("rep"), col("embedding").as("v"))
+    (groups, members)
+  }
+
+  /** Multi-probe cell assignments over the DISTINCT vectors (group
+    * reps) CARRYING the float vector and its norm — the shared
+    * candidate-blocking input for [[embeddingNearDup]] and
+    * [[semanticKeep]]. Cells are the TRAINED [[embKmeans]] codebook
+    * (2 Lloyd rounds, integer-exact ×1024 quantization, nCells=0 →
+    * adaptive ⌈√n_u⌉ over the n_u DISTINCT vectors — see [[lloyd]]);
+    * every rep lands in its nProbe nearest cells (multi-probe kills
+    * the boundary-pair recall loss of single-assignment).
+    *
+    * Carrying the vectors is the point: it lets the per-cell
+    * self-join score candidate pairs INSIDE the join output, so the
+    * Σ|cell|²-shaped pair stream is born and dies map-side. The r10
+    * form shuffled candidate pairs through a distinct() plus two
+    * vector-lookup joins — three pair-sized exchanges; here the only
+    * pair-shaped work is the in-join dot product, and the only
+    * shuffled rows are the n_u·nProbe assignment rows themselves.
+    */
+  private def cellAssignments(spark: SparkSession, groups: DataFrame,
+                              nCells: Int, nProbe: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val ndot = graft.functions.GraftFunctions.dot _
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
-    // trained coarse quantizer: the kmeans codebook (exact integer
-    // sums), scored against the same ×1024-quantized vectors;
-    // nCells=0 → adaptive ceil(sqrt(n)) cells (see lloyd)
-    val cents = lloyd(spark, dir, nCells, 2,
-      adaptiveSqrtCells = nCells == 0, sampleCap = 1024)._2
-    val embq = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), transform(col("embedding"),
+    val embq = groups
+      .select(col("rep").as("vec_id"), transform(col("embedding"),
         x => round(x.cast("double") * 1024).cast("long")).as("vq"))
+    val cents = lloydOn(embq, nCells, 2,
+      adaptiveSqrtCells = nCells == 0, sampleCap = 1024)._2
+    val emb = groups
+      .select(col("rep").as("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
     // nProbe nearest cells per vector: negated-sim struct sort gives
     // (sim desc, cell asc) — a total order, so the selection matches
     // the oracle's row_number ranking exactly
-    val asg = embq.join(broadcast(cents), lit(true))
+    embq.join(broadcast(cents), lit(true))
       .select(col("vec_id"),
         struct(negate(qdot(col("vq"), col("cv")) /
           (sqrt(qdot(col("vq"), col("vq"))) * sqrt(qdot(col("cv"), col("cv")))))
           .as("negs"), col("cell")).as("sc"))
       .groupBy(col("vec_id"))
       .agg(slice(array_sort(collect_list(col("sc"))), 1, nProbe).as("top"))
+      .join(emb, "vec_id")
       .select(col("vec_id"),
-        explode(transform(col("top"), t => t.getField("cell"))).as("cell"))
-      // train + assign ONCE: the candidate self-join below references
-      // asg twice, and without materialization each side would re-run
-      // the whole Lloyd training and assignment (measured ~40% of the
-      // query). Lazy checkpoint keeps plan construction action-free.
+        explode(transform(col("top"), t => t.getField("cell"))).as("cell"),
+        col("v"), col("nrm"))
+      // train + assign ONCE: the cell self-join reads this twice, and
+      // without materialization each side would re-run the whole Lloyd
+      // training and assignment (measured ~40% of the query). Lazy
+      // checkpoint keeps plan construction action-free.
       .localCheckpoint(eager = false)
-    val cand = asg.select(col("cell"), col("vec_id").as("a"))
-      .join(asg.select(col("cell"), col("vec_id").as("b")), "cell")
+  }
+
+  /** Cell-verified near-neighbor stream over group reps: within each
+    * cell, every (a < b) candidate rep pair with exact float cosine ≥
+    * minSim, scored inside the self-join. Deliberately NOT
+    * deduplicated across cells: a pair sharing several probed cells
+    * appears once per shared cell with a bit-identical sim (same
+    * exact arithmetic on the same vectors), and both consumers
+    * aggregate per group — for which duplicates are harmless — so the
+    * pair stream never needs to cross a shuffle.
+    */
+  private def cellVerified(spark: SparkSession, groups: DataFrame,
+                           minSim: Double, nCells: Int, nProbe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val ndot = graft.functions.GraftFunctions.dot _
+    val asg = cellAssignments(spark, groups, nCells, nProbe)
+    asg.select(col("cell"), col("vec_id").as("a"),
+        col("v").as("va"), col("nrm").as("na"))
+      .join(asg.select(col("cell"), col("vec_id").as("b"),
+        col("v").as("vb"), col("nrm").as("nb")), "cell")
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"))
-      .distinct()
-    val ea = emb.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
-    val eb = emb.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
-    cand.join(ea, "a").join(eb, "b")
       .select(col("a"), col("b"),
         (ndot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
       .filter(col("sim") >= minSim)
-      .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
-      .orderBy("a", "b")
+  }
+
+  /** Per-group minimum verified neighbor: for each group rep g, the
+    * smallest OTHER rep r with cosine(r, g) ≥ minSim found by the
+    * blocking, with that pair's exact sim. Symmetrized from the
+    * (a < b) pair stream — a neighbor smaller than g's own rep can
+    * shadow a whole group — and aggregated map-side per g, so the
+    * only shuffled rows are ≤ one per (group, partition).
+    */
+  private def groupNeighborMin(pairs: DataFrame): DataFrame =
+    // explode, don't union: a union's two branches would each re-run
+    // the Σ|cell|² verify join under them — explode symmetrizes in
+    // the SAME map-side pass over a single join execution
+    pairs.select(explode(array(
+        struct(col("b").as("g"), col("a").as("r"), col("sim")),
+        struct(col("a").as("g"), col("b").as("r"), col("sim")))).as("x"))
+      .select(col("x.g").as("g"), col("x.r").as("r"), col("x.sim").as("sim"))
+      .groupBy(col("g"))
+      .agg(min(struct(col("r"), col("sim"))).as("m"))
+      .select(col("g").as("rep"), col("m.r").as("nr"), col("m.sim").as("nsim"))
+
+  /** Embedding-cosine near-duplicate FOREST: for every vector b that
+    * has at least one lower-id near-duplicate (cosine ≥ minSim within
+    * the derived blocking), the edge to its SMALLEST such neighbor —
+    * a parent-pointer forest over the near-dup graph, ≤ one row per
+    * vector. No ground-truth column involved, so the operator runs on
+    * any corpus.
+    *
+    * Until r10 this emitted the full verified pair list, which is
+    * Σ|dup-cluster|² shaped on the OUTPUT side: one 1M-copy
+    * boilerplate cluster at 100 TB emits ~10¹² pairs no matter how
+    * efficient the plan is (measured 80× output growth at 10× data).
+    * Two structural changes cap it:
+    *   - [[exactGroups]] collapses bit-identical vectors first, so
+    *     blocking+verify run on the n_u distinct vectors only (the
+    *     r10 10× sweep was verify-bound precisely because replicas
+    *     concentrate in the same cells — that work was d²-redundant);
+    *   - the output is the forest, ≤ one edge per dropped vector.
+    * The per-member edge needs NO pair-shaped join: for a non-rep
+    * member b of group g, every earlier candidate is either g's rep
+    * (exact twin, sim computed on b's own vector) or a verified
+    * neighbor rep of g; the minimum eligible one is decided by
+    * comparing b against the single per-group minimum neighbor
+    * ([[groupNeighborMin]]) — two scalars per member.
+    *
+    * Blocking recall contract (pinned in DedupSimilaritySpec on the
+    * drop-set): ≥ 0.9 overall at minSim=0.3 and 1.0 on strong
+    * neighbors (cosine ≥ 0.45). The 0.3 threshold is deliberately far
+    * below a production near-dup bar (~0.85+): blocking recall decays
+    * exactly at the decision boundary. The DuckDB oracle replays the
+    * whole pipeline (exact collapse, sampled Lloyd training,
+    * top-nProbe assignment, per-cell verify, per-group min neighbor,
+    * member edge rule) bit-for-bit — integer centroid sums make the
+    * training cross-engine exact, and the min edge is unique per b so
+    * the replay cannot drift.
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String,
+                       minSim: Double = 0.3, nCells: Int = 0,
+                       nProbe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val ndot = graft.functions.GraftFunctions.dot _
+    val (groups, members) = exactGroups(spark, dir)
+    val nb = groupNeighborMin(cellVerified(spark, groups, minSim, nCells, nProbe))
+    members.join(nb, Seq("rep"), "left")
+      .withColumn("a",
+        when(col("vec_id") === col("rep"),
+          when(col("nr") < col("rep"), col("nr")))
+        .otherwise(
+          when(col("nr") < col("vec_id") && col("nr") < col("rep"), col("nr"))
+            .otherwise(col("rep"))))
+      .filter(col("a").isNotNull)
+      .withColumn("s",
+        when(col("a") === col("rep") && col("vec_id") =!= col("rep"),
+          // exact-twin edge: cosine of the member's own vector with
+          // itself (bit-identical to the rep's), same arithmetic the
+          // verify path uses — both engines round it identically
+          ndot(col("v"), col("v")) /
+            (sqrt(ndot(col("v"), col("v"))) * sqrt(ndot(col("v"), col("v")))))
+        .otherwise(col("nsim")))
+      .select(col("a"), col("vec_id").as("b"), round(col("s"), 6).as("sim"))
+      .orderBy("b")
   }
 
   /** Shared asymmetric-hashing ANN pipeline behind [[annTopK]] (float
@@ -520,10 +615,19 @@ object Similarity {
   private def lloyd(spark: SparkSession, dir: String,
                     k: Int, iters: Int,
                     adaptiveSqrtCells: Boolean = false,
-                    sampleCap: Int = 0): (DataFrame, DataFrame) = {
-    val emb = Tables.embeddings(spark, dir)
+                    sampleCap: Int = 0): (DataFrame, DataFrame) =
+    lloydOn(Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"),
-        x => round(x.cast("double") * 1024).cast("long")).as("vq"))
+        x => round(x.cast("double") * 1024).cast("long")).as("vq")),
+      k, iters, adaptiveSqrtCells, sampleCap)
+
+  /** [[lloyd]] over an arbitrary quantized (vec_id, vq) input — lets
+    * the near-dup family train/assign on the exact-collapsed DISTINCT
+    * vectors while the table-level callers keep their shape.
+    */
+  private def lloydOn(emb: DataFrame, k: Int, iters: Int,
+                      adaptiveSqrtCells: Boolean,
+                      sampleCap: Int): (DataFrame, DataFrame) = {
     // deterministic training sample: vec_id ≡ 0 (mod step). The step
     // is a 1-row broadcast (not a driver action), so plan
     // construction stays lazy; the oracle recomputes the same
@@ -694,16 +798,29 @@ object Similarity {
     * vector — the single-pass keep rule production semantic dedup
     * uses (drop-if-similar-to-any-earlier, not the sequential
     * drop-if-similar-to-any-KEPT, which is an inherently serial
-    * recurrence). Candidate generation is [[embeddingNearDup]]'s
-    * derived IVF-cell blocking, so the whole keep decision — cells,
-    * candidates, exact verify, anti-join — replays in the oracle.
+    * recurrence). Candidate generation is [[cellVerified]]'s derived
+    * IVF-cell blocking over the [[exactGroups]] reps; the drop
+    * decision needs only EXISTS-of-a-smaller-neighbor per group, so
+    * the whole query is group-level: no pair list is ever
+    * materialized or shuffled (r10 shuffled the full verified pair
+    * set through distinct + two joins), and on a duplication-heavy
+    * corpus the verify work runs once per distinct vector. The whole
+    * keep decision — exact collapse, cells, candidates, exact verify,
+    * min-neighbor filter — replays in the oracle, whose result is
+    * unchanged by the pair-level plumbing (EXISTS semantics are
+    * duplicate-blind).
     */
   def semanticKeep(spark: SparkSession, dir: String,
                    minSim: Double = 0.3): DataFrame = {
-    val drops = embeddingNearDup(spark, dir, minSim)
-      .select(col("b").as("vec_id")).distinct()
-    Tables.embeddings(spark, dir).select(col("vec_id"))
-      .join(drops, Seq("vec_id"), "left_anti")
+    val (groups, _) = exactGroups(spark, dir)
+    val nb = groupNeighborMin(cellVerified(spark, groups, minSim,
+      nCells = 0, nProbe = 4))
+    // every non-rep member is shadowed by its own rep (an exact twin
+    // with a smaller id), so the keep-list is exactly the reps with no
+    // smaller verified neighbor — group-level rows, never member-level
+    groups.select(col("rep")).join(nb, Seq("rep"), "left")
+      .filter(col("nr").isNull || col("nr") > col("rep"))
+      .select(col("rep").as("vec_id"))
       .orderBy("vec_id")
   }
 

@@ -26,8 +26,10 @@ class PlanLintSpec extends SparkSpec {
   //  - broadcast query/centroid sides in the similarity family (few
   //    rows against the corpus by design): sim_topk, sim_ivf,
   //    sim_ann(_md5) (broadcast query projections scored against the
-  //    corpus signature stream), sim_*_recall, sim_neardup,
-  //    sem_dedup_keep, hybrid_rrf, emb_kmeans, emb_pq_recall
+  //    corpus signature stream), sim_*_recall, hybrid_rrf, emb_kmeans,
+  //    emb_pq_recall. (r11: sim_neardup / sem_dedup_keep dropped —
+  //    their centroid broadcasts now live behind the assignment
+  //    localCheckpoint, so the visible plan has no NLJ at all.)
   private val nljAllowed = Set(
     "q11_important", "q22_idle_balance", "lm_score", "lm_score2",
     "tfidf_keywords", "layout_zorder", "sketch_cms", "sketch_hll_merge",
@@ -40,7 +42,7 @@ class PlanLintSpec extends SparkSpec {
     "heavy_hitters", // 1-row corpus-total broadcast
     "graph_triangles", // two 1-row census-total broadcasts
     "sim_topk", "sim_ivf", "sim_ann", "sim_ann_md5", "sim_ann_recall",
-    "sim_ivf_recall", "sim_neardup", "sem_dedup_keep", "hybrid_rrf",
+    "sim_ivf_recall", "hybrid_rrf",
     "emb_kmeans", "emb_pq_recall")
 
   test("no CartesianProduct in any registered query plan") {
@@ -77,11 +79,17 @@ class PlanLintSpec extends SparkSpec {
     // (shuffles, broadcasts)
     "assoc_pairs"        -> (6, 1), // distinct + capped pair expansion
     // r7: the Lloyd-train + assignment subplan is materialized once
-    // behind a lazy localCheckpoint (the candidate self-join would
+    // behind a lazy localCheckpoint (the cell self-join would
     // otherwise compute it twice), so its exchanges live in the RDD
-    // lineage — the visible plan is candidates + verify only
-    "sim_neardup"        -> (4, 2), // cand self-join + verify joins
-    "sem_dedup_keep"     -> (6, 2), // near-dup + keep anti-join
+    // lineage — the visible plan starts at the vector-carrying
+    // assignment rows. r11: exact-collapse groups bit-identical
+    // vectors first (vector-keyed groupBy + member join), and pairs
+    // are scored INSIDE the rep-level cell self-join then min-
+    // aggregated per group map-side — the pair distinct() and both
+    // vector-lookup joins are gone (three pair-sized exchanges
+    // removed; nothing pair-shaped shuffles anymore)
+    "sim_neardup"        -> (6, 1), // collapse agg + member join + cell self-join ×2 + nb agg + sort
+    "sem_dedup_keep"     -> (6, 0), // collapse agg ×2 (groups feeds two trees) + self-join + nb agg + keep join + sort
     "dedup_spans"        -> (3, 0),
     "dedup_span_regions" -> (4, 2),
     "dedup_minhash_md5"  -> (6, 3),
