@@ -59,9 +59,11 @@ object Bench {
       // identical plans substitute as dead, never-re-stored caches);
       // the RDD sweep then catches localCheckpoint blocks, which the
       // CacheManager doesn't track. Cleanup runs AFTER the timing
-      // stop so it never charges the query.
+      // stop, and BLOCKING (r11): non-blocking removal let block
+      // deletion + GC overlap the NEXT query's timed window — the
+      // wait belongs between timers, not inside the next one.
       spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       (dt, err)
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -118,7 +118,10 @@ object Packing {
           .when(col("n_tok") <= col("q").getItem(2), 2L)
           .otherwise(3L)).as("bucket"))
       .withColumn("batch",
-        expr(s"(row_number() over (partition by shard, bucket order by k, doc_id) - 1) div $batchSize"))
+        // integer division via truncating cast (row numbers are
+        // positive); built from the single Window spec above so the
+        // partitioning/ordering exists in exactly one place
+        ((row_number().over(w) - 1) / batchSize).cast("long"))
       .groupBy(col("shard"), col("bucket"), col("batch"))
       .agg(count(lit(1)).as("n_docs"),
         max(col("n_tok")).as("max_tok"),

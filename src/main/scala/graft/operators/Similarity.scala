@@ -274,6 +274,17 @@ object Similarity {
       .localCheckpoint(eager = false)
   }
 
+  /** The (rep vec_id → cell) assignment of the shipping blocking
+    * pipeline, exposed for CandidateRatioSpec's cell-share lint: a
+    * degenerate codebook (one dense cell) silently reverts the
+    * near-dup family to ~all-pairs, so the max cell share is
+    * CI-pinned through this exact path.
+    */
+  private[graft] def blockingCells(spark: SparkSession, dir: String,
+                                   nCells: Int = 0, nProbe: Int = 4): DataFrame =
+    cellAssignments(spark, exactGroups(spark, dir)._1, nCells, nProbe)
+      .select(col("vec_id"), col("cell"))
+
   /** Cell-verified near-neighbor stream over group reps: within each
     * cell, every (a < b) candidate rep pair with exact float cosine ≥
     * minSim, scored inside the self-join. Deliberately NOT

@@ -41,6 +41,31 @@ class CandidateRatioSpec extends SparkSpec {
     assert(ratio < 0.02, s"minhash candidate ratio $ratio (= $cand/$pairSpace) >= 0.02")
   }
 
+  test("trained near-dup blocking: no degenerate cell, and the lint is falsifiable") {
+    import org.apache.spark.sql.functions.{count => fcount, max => fmax, lit, sum}
+    // the shipping config: adaptive ceil(sqrt(n_u)) cells, nProbe=4.
+    // A healthy codebook spreads multi-probe assignments so that no
+    // single cell holds a degenerate share of the corpus — a collapsed
+    // codebook (all centroids equal / one attractor cell) would put
+    // ~100% of vectors in one cell and the verify join would silently
+    // be all-pairs. Measured max share at sf0.01: 0.0495 of the n_u·4
+    // assignment rows; 0.35 leaves drift margin while still failing
+    // hard on collapse.
+    def maxShare(cells: org.apache.spark.sql.DataFrame): Double = {
+      val byCell = cells.groupBy("cell").agg(fcount(lit(1)).as("c"))
+      val Array(mx, tot) = byCell.agg(fmax("c"), sum("c")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      mx.toDouble / tot
+    }
+    val share = maxShare(Similarity.blockingCells(spark, sf01))
+    assert(share < 0.35, s"max cell share $share >= 0.35: codebook degenerating")
+    // falsifiability: the SAME measurement must trip on a seeded
+    // degenerate codebook (nCells=1 → every vector in one cell)
+    val degenerate = maxShare(Similarity.blockingCells(spark, sf01, nCells = 1))
+    assert(degenerate >= 0.35,
+      s"lint not falsifiable: degenerate codebook measured share $degenerate")
+  }
+
   test("dedup_simhash_md5 blocking: candidates <= 4x true pairs and < 8% of pair space") {
     val nDocs = Tables.documents(spark, sf01).count()
     val pairSpace = nDocs * (nDocs - 1) / 2.0

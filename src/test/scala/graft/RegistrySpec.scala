@@ -46,14 +46,21 @@ class RegistrySpec extends SparkSpec {
   test("every Spark output column name appears in its oracle SQL (alias drift)") {
     // the driver's compare sorts columns BY NAME before hashing, so a
     // renamed alias on one side hash-mismatches even when values are
-    // identical — catch the drift at test time, not driver time
+    // identical — catch the drift at test time, not driver time.
+    // r11 tightening: the name must appear in ALIAS/SELECT-LIST
+    // position (after AS, after SELECT [DISTINCT], or after a
+    // list comma, optionally table-qualified) — a bare anywhere-match
+    // let short names like `n` or `pos` ride on incidental CTE
+    // aliases or lambda variables elsewhere in the SQL
     val failures = SparkEntry.oracleSql.keySet.toSeq.sorted
       .filterNot(eagerBuilders)
       .flatMap { name =>
         val sql = SparkEntry.oracleSql(name).toLowerCase
         val missing = SparkEntry.queries(name)(spark, sf).schema.fieldNames
           .filterNot { c =>
-            s"""(?i)(?<![a-z0-9_])${java.util.regex.Pattern.quote(c)}(?![a-z0-9_])""".r
+            val ident = java.util.regex.Pattern.quote(c)
+            (s"""(?i)(?:\\bas\\s+|\\bselect\\s+(?:distinct\\s+)?|,\\s*)""" +
+              s"""(?:[a-z0-9_]+\\.)?$ident(?![a-z0-9_])""").r
               .findFirstIn(sql).isDefined
           }
         if (missing.isEmpty) None else Some(s"$name: $missing")
