@@ -435,20 +435,20 @@ object TextAnalysis {
   /** Iterative BPE vocabulary learning — the real merge loop
     * ([[bpePairs]] is its single counting step): start from
     * characters, repeatedly (1) count adjacent symbol pairs over the
-    * weighted unique-word multiset, (2) take the globally most
-    * frequent pair (count desc, then pair asc — deterministic), (3)
-    * merge it greedily left-to-right in every word. Emits the merge
-    * table a tokenizer trainer would persist.
+    * weighted unique-word multiset, (2) select merges by global
+    * frequency (count desc, then pair asc — deterministic), (3)
+    * apply them greedily left-to-right in every word. Emits the
+    * merge table a tokenizer trainer would persist.
     *
     * 100 TB shape: the corpus-sized shuffle happens exactly ONCE (the
     * word-frequency aggregation — partial-agg absorbs the Zipf head);
     * every merge round after that runs on the unique-word vocabulary,
     * which is millions of rows regardless of corpus size. Rounds are
     * whole DataFrame jobs orchestrated by the driver (the same shape
-    * as dedupClusters): one vocabulary-sized pair count + a 1-row
+    * as dedupClusters): one vocabulary-sized pair count + a bounded
     * collect + a map over the vocabulary per round; localCheckpoint
-    * keeps the per-round plan flat instead of stacking nMerges nested
-    * lambdas into one Catalyst tree.
+    * keeps the per-round plan flat instead of stacking nested lambdas
+    * into one Catalyst tree.
     *
     * The merge fold is standard BPE greedy-left-to-right: "aaaa" with
     * pair (a,a) becomes [aa, aa], not [aa, a, a] — the merged symbol
@@ -458,13 +458,38 @@ object TextAnalysis {
   /** The trainer loop shared by [[bpeVocab]] (emits the merge table)
     * and [[bpeEncode]] (needs the final per-word symbol state).
     * Returns (merge list, words DataFrame with columns w/syms/cnt).
+    *
+    * r11: merges are BATCHED — each round selects the top `batchSize`
+    * pairwise-INDEPENDENT pairs from one counting job and applies
+    * them in one vocabulary pass, cutting the job count ~batchSize×
+    * (a real 32k-merge vocabulary cannot be 32k sequential jobs; the
+    * r10 one-merge-per-job loop measured ~1 batch-able pair per round
+    * because natural-language merges chain: e+r, then m+er). This is
+    * the standard batched-BPE trade: the merge table is defined by
+    * the batched selection rule itself — NOT guaranteed identical to
+    * single-merge BPE, since a pair created by one batch member could
+    * have outranked a later member in the strictly sequential order.
+    * `batchSize = 1` recovers classic sequential BPE exactly. BpeSpec
+    * pins BOTH contracts: batch=1 row-for-row against a classic
+    * single-node reference, and the default batch against a batched
+    * single-node reference implementing this exact rule.
+    *
+    * Independence rule (rank order, skip on violation): a candidate
+    * (a,b) is selected iff a, b, and a+b are disjoint from every
+    * earlier selection's symbols AND a, b were not created by an
+    * earlier selection's merge. This makes the batch order-free: no
+    * selection can consume or produce another's symbols, so applying
+    * all of them in one left-to-right pass equals applying them as
+    * separate passes in any order.
+    *
+    * (measured: coalescing the vocab to 8 partitions was SLOWER —
+    * 4.3s→5.6s warm at sf0.1 — the per-round merge fold is CPU-heavy
+    * per row and wants the full 32-way parallelism; scheduling
+    * overhead on the small table is not the bottleneck)
     */
-  private def bpeTrain(spark: SparkSession, dir: String, nMerges: Int)
+  private def bpeTrain(spark: SparkSession, dir: String, nMerges: Int,
+                       batchSize: Int = 8)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
-    // (measured: coalescing the vocab to 8 partitions was SLOWER —
-    // 4.3s→5.6s warm at sf0.1 — the per-round merge fold is CPU-heavy
-    // per row and wants the full 32-way parallelism; scheduling
-    // overhead on the small table is not the bottleneck)
     var words = Tables.documents(spark, dir)
       .select(explode(TextFns.alphaTokens(lower(col("text")))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -474,6 +499,12 @@ object TextAnalysis {
     var r = 1
     var done = false
     while (r <= nMerges && !done) {
+      val want = math.min(nMerges - r + 1, batchSize)
+      // the bounded 4·want+8 candidate window is PART OF the batched
+      // rule (the reference replays it): it keeps the per-round
+      // driver collect O(batchSize) regardless of vocabulary size,
+      // and the first pair is always selectable, so progress never
+      // stalls
       val top = words.filter(size(col("syms")) >= 2)
         .select(col("cnt"), explode(expr(
           "transform(sequence(0, size(syms)-2), i -> struct(syms[i] AS a, syms[i+1] AS b))"))
@@ -481,37 +512,61 @@ object TextAnalysis {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
-      if (top.isEmpty || top.head.getLong(2) < 2) done = true
+        .limit(4 * want + 8).collect()
+        .map(t => (t.getString(0), t.getString(1), t.getLong(2)))
+      val eligible = top.takeWhile(_._3 >= 2)
+      if (eligible.isEmpty) done = true
       else {
-        val (a, b, c) =
-          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
-        merges += ((r.toLong, a, b, c))
-        // greedy left-to-right merge fold; the element_at branch is
-        // only reached when acc is non-empty (ANSI-safe). The pair is
-        // deliberately inlined as LITERALS: a broadcast-1-row-join
-        // variant (meant to share one codegen plan across rounds)
-        // measured SLOWER — warm 4.3s→5.5s at sf0.1 — the per-round
-        // BroadcastExchange costs more than the saved compile
+        val used = scala.collection.mutable.Set.empty[String]
+        val made = scala.collection.mutable.Set.empty[String]
+        val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var i = 0
+        while (i < eligible.length && batch.length < want) {
+          val (a, b, _) = eligible(i)
+          val m = a + b
+          if (!used(a) && !used(b) && !used(m) && !made(a) && !made(b)) {
+            batch += eligible(i); used += a; used += b; made += m
+          }
+          i += 1
+        }
+        if (sys.env.contains("GRAFT_BPE_DEBUG"))
+          System.err.println(s"[bpe] round batch=${batch.size} " +
+            batch.map(p => p._1 + "+" + p._2).mkString(","))
+        batch.foreach { case (a, b, c) =>
+          merges += ((r.toLong, a, b, c)); r += 1
+        }
+        // greedy left-to-right merge fold over the whole batch: at
+        // most one pair can match a given (tail, next) position
+        // (pairwise-disjoint symbols), so one pass applies all of
+        // them exactly as separate sequential passes would. The
+        // element_at branch is only reached when acc is non-empty
+        // (ANSI-safe). Pairs are inlined as LITERALS: a broadcast-
+        // 1-row-join variant (meant to share one codegen plan across
+        // rounds) measured SLOWER — warm 4.3s→5.5s at sf0.1 — the
+        // per-round BroadcastExchange costs more than the saved
+        // compile
         words = words.select(col("w"),
           aggregate(col("syms"), array().cast("array<string>"),
-            (acc, x) => when(size(acc) === 0, concat(acc, array(x)))
-              .otherwise(
+            (acc, x) => {
+              val append = concat(acc, array(x))
+              val chain = batch.foldRight(append) { case ((a, b, _), els) =>
                 when(element_at(acc, -1) === lit(a) && x === lit(b),
                   concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-                  .otherwise(concat(acc, array(x))))).as("syms"),
+                  .otherwise(els)
+              }
+              when(size(acc) === 0, append).otherwise(chain)
+            }).as("syms"),
           col("cnt"))
           .localCheckpoint()
-        r += 1
       }
     }
     (merges.toSeq, words)
   }
 
   def bpeVocab(spark: SparkSession, dir: String,
-               nMerges: Int = 30): DataFrame = {
+               nMerges: Int = 30, batchSize: Int = 8): DataFrame = {
     import spark.implicits._
-    bpeTrain(spark, dir, nMerges)._1
+    bpeTrain(spark, dir, nMerges, batchSize)._1
       .toDF("merge_no", "left", "right", "pair_cnt")
       .select(col("merge_no"), col("left"), col("right"),
         concat(col("left"), col("right")).as("merged"), col("pair_cnt"))
@@ -528,8 +583,8 @@ object TextAnalysis {
     * pays one token-keyed join (Zipf-headed, partial-agg absorbed).
     */
   def bpeEncode(spark: SparkSession, dir: String,
-                nMerges: Int = 15): DataFrame = {
-    val words = bpeTrain(spark, dir, nMerges)._2
+                nMerges: Int = 15, batchSize: Int = 8): DataFrame = {
+    val words = bpeTrain(spark, dir, nMerges, batchSize)._2
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(TextFns.alphaTokens(lower(col("text")))).as("w"))
