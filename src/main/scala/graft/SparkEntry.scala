@@ -110,6 +110,15 @@ object SparkEntry {
     "retention_cohorts" -> (TimeSeries.retentionCohorts(_, _)),
     "ts_session_window" -> (TimeSeries.sessionWindows(_, _)),
     "ts_asof_nearest" -> ((s, d) => TimeSeries.asofNearest(s, d)),
+    // eager builders: run a REAL Structured Streaming job (file
+    // source → watermark → stateful op → memory sink) and emit
+    // batch-equivalence booleans the oracle replays — the r10
+    // sketch-contract pattern promoting the streaming surface into
+    // driver-checked CORRECTNESS rows
+    "stream_window_contract" ->
+      ((s, d) => graft.streaming.Streaming.windowContract(s, d)),
+    "stream_dedup_contract" ->
+      ((s, d) => graft.streaming.Streaming.dedupContract(s, d)),
     // ---- co-occurrence / graph ----
     "assoc_pairs"    -> (Cooccur.assocPairs(_, _)),
     "graph_pagerank" -> (Cooccur.pagerank(_, _)),
@@ -1259,6 +1268,17 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
         | event_type, count(*) AS n, round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    // the streaming contracts: Spark runs the real streaming job and
+    // emits booleans; the oracle pins them TRUE — the row only hashes
+    // green if the streaming twin matched its batch operator
+    "stream_window_contract" ->
+      """SELECT 'window_rows_match' AS metric, TRUE AS ok
+        |UNION ALL SELECT 'window_set_equal', TRUE
+        |ORDER BY metric""".stripMargin,
+    "stream_dedup_contract" ->
+      """SELECT 'dedup_digest_set_equal' AS metric, TRUE AS ok
+        |UNION ALL SELECT 'dedup_rows_match', TRUE
+        |ORDER BY metric""".stripMargin,
     "ts_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |f AS (SELECT *, lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts FROM e),

@@ -262,6 +262,71 @@ object Streaming {
       }
   }
 
+  /** Batch-equivalence CONTRACT rows for the streaming windowed
+    * aggregation — the r10-verdict pattern that promoted the sketch
+    * contracts into driver-checked CORRECTNESS rows, applied to the
+    * streaming surface: run the REAL Structured Streaming pipeline
+    * (file source → watermark → windowed agg → memory sink) over the
+    * events table and emit (metric, TRUE) booleans the DuckDB oracle
+    * replays, so the driver's gate goes red if the streaming twin
+    * ever diverges from the oracle-checked batch operator.
+    *
+    * The events table is staged once through a normalized parquet
+    * copy (the kv_roundtrip build-then-read pattern — also what makes
+    * the stream source vintage-proof against the ns/µs timestamp
+    * encodings Tables.events absorbs), then read back as a file
+    * STREAM: distributed end to end, no driver-side row funnel; the
+    * memory sink holds only the hour×type aggregate.
+    */
+  def windowContract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val batchEvents = graft.Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"), col("value"))
+    val staged = s"/tmp/graft_stream_stage_${dir.replaceAll("[^A-Za-z0-9]", "_")}/events"
+    batchEvents.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged)
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(staged)
+    val got = runToMemory(spark, hourlyCounts(stream),
+      "graft_stream_window_contract", OutputMode.Complete())
+    val want = graft.operators.TimeSeries.hourlyEvents(spark, dir)
+    val (nGot, nWant) = (got.count(), want.count())
+    val extra = got.exceptAll(want).count()
+    val missing = want.exceptAll(got).count()
+    Seq(
+      ("window_rows_match", nGot == nWant),
+      ("window_set_equal", extra == 0L && missing == 0L)
+    ).toDF("metric", "ok").orderBy("metric")
+  }
+
+  /** Batch-equivalence contract rows for the streaming exact dedup
+    * (same pattern as [[windowContract]]): documents stream through
+    * `dropDuplicatesWithinWatermark` keyed on the content digest, and
+    * the surviving digest set must equal the batch distinct-text
+    * digest set. Which COPY survives a duplicate group is
+    * arrival-order-dependent (and therefore not contracted); the
+    * digest set and its size are deterministic.
+    */
+  def dedupContract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir)
+      .select(timestamp_micros(col("doc_id") * 1000000L + 1700000000000000L)
+        .as("ts"), col("text").as("payload"))
+    val staged = s"/tmp/graft_stream_stage_${dir.replaceAll("[^A-Za-z0-9]", "_")}/docs"
+    docs.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged)
+    val stream = spark.readStream.schema(docs.schema).parquet(staged)
+    val got = runToMemory(spark, dedupStream(stream),
+      "graft_stream_dedup_contract", OutputMode.Append())
+      .select(col("digest"))
+    val want = graft.Tables.documents(spark, dir)
+      .select(md5(col("text").cast("binary")).as("digest")).distinct()
+    val (nGot, nWant) = (got.count(), want.count())
+    val extra = got.exceptAll(want).count()
+    val missing = want.exceptAll(got).count()
+    Seq(
+      ("dedup_digest_set_equal", extra == 0L && missing == 0L),
+      ("dedup_rows_match", nGot == nWant)
+    ).toDF("metric", "ok").orderBy("metric")
+  }
+
   /** Run a streaming query over a bounded source into a memory sink
     * and return the sink table — test/demo harness for local runs.
     */

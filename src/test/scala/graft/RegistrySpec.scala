@@ -25,7 +25,7 @@ class RegistrySpec extends SparkSpec {
   private val eagerBuilders = Set("dedup_clusters", "dedup_clusters_star",
     "dedup_keep_longest", // same label-propagation loop as dedup_clusters
     "kv_roundtrip", "bloom_join", "bpe_vocab", "bpe_encode", "ivf_index_topk",
-    "contamination_bloom", // count + Bloom build over the eval side up front
+    "contamination_bloom", "stream_window_contract", "stream_dedup_contract", // count + Bloom build over the eval side up front
     "graph_pagerank", // localCheckpoint iterations run at plan build
     "mixture_temperature") // collects the 5-row quota map up front
 
