@@ -176,7 +176,87 @@ class PlanLintSpec extends SparkSpec {
     "train_manifest"     -> (3, 0), // digest dedup agg + shard rollup + sort
     "corpus_diff"        -> (4, 0), // two co-partitioned sides + rollup + sort
     "source_datacard"    -> (5, 1), // digest-distinct expand + lang rollup; source-key join broadcast
-    "batch_pack"         -> (3, 1)) // quartile agg + (shard,bucket) window + rollup; 1-row quartile broadcast
+    "batch_pack"         -> (3, 1), // quartile agg + (shard,bucket) window + rollup; 1-row quartile broadcast
+    // r11 full-coverage extension: every remaining non-eager query,
+    // measured with graft.tools.PlanCount (reuse-off, sf0.001) — the
+    // whole registry is now exchange-budget-pinned, so ANY query
+    // silently growing a shuffle fails CI
+    "above_avg" -> (2, 1),
+    "agg_stats" -> (2, 0),
+    "array_stats" -> (1, 0),
+    "bool_aggs" -> (2, 0),
+    "bpe_pairs" -> (1, 0),
+    "cube_orders" -> (2, 0),
+    "date_arith" -> (1, 0),
+    "dedup_minhash" -> (6, 3),
+    "dedup_simhash" -> (6, 1),
+    "distinct_agg" -> (2, 0),
+    "doc_chunks" -> (1, 0),
+    "emb_pq_recall" -> (15, 7),
+    "emb_quantize" -> (1, 0),
+    "filter_project" -> (1, 0),
+    "fuzzy_name_match" -> (1, 1),
+    "grouping_sets" -> (2, 0),
+    "histogram_prices" -> (2, 0),
+    "join_anti_noorders" -> (1, 1),
+    "join_broadcast_dims" -> (2, 2),
+    "join_inner_nation" -> (2, 2),
+    "join_interval" -> (1, 1),
+    "join_left_orders" -> (2, 1),
+    "join_range_tiers" -> (2, 1),
+    "join_semi_highval" -> (1, 1),
+    "json_extract" -> (2, 0),
+    "lm_score" -> (5, 2),
+    "map_funcs" -> (3, 0),
+    "mm_audio" -> (1, 0),
+    "mm_features" -> (1, 0),
+    "mm_frames" -> (2, 0),
+    "mm_meta" -> (1, 0),
+    "percentiles" -> (2, 0),
+    "pii_scan" -> (1, 0),
+    "pivot_orders" -> (3, 0),
+    "profile_stats" -> (2, 0),
+    "quality_rules" -> (1, 0),
+    "rollup_qty" -> (2, 0),
+    "sample_split" -> (2, 0),
+    "scalar_date" -> (1, 0),
+    "scalar_math" -> (1, 0),
+    "scalar_regex" -> (1, 0),
+    "scalar_string" -> (1, 0),
+    "set_except" -> (2, 1),
+    "set_intersect" -> (2, 1),
+    "set_union" -> (2, 0),
+    "set_union_all" -> (2, 0),
+    "sim_ann" -> (2, 3),
+    "sim_ann_recall" -> (6, 4),
+    "sim_ivf" -> (12, 4),
+    "sim_ivf_recall" -> (16, 5),
+    "sketch_approx" -> (3, 0),
+    "sketch_hll_merge" -> (7, 1),
+    "sketch_kll_merge" -> (9, 4),
+    "stats_moments" -> (2, 0),
+    "text_entropy" -> (3, 0),
+    "text_fingerprint" -> (2, 0),
+    "text_langid" -> (1, 0),
+    "text_langstats" -> (2, 0),
+    "text_quality" -> (1, 0),
+    "text_rollhash" -> (1, 0),
+    "text_tokens" -> (2, 0),
+    "topk_orders" -> (0, 0),
+    "ts_anomaly" -> (3, 0),
+    "ts_asof_nearest" -> (2, 0),
+    "ts_hourly" -> (2, 0),
+    "ts_session_window" -> (2, 0),
+    "typed_order_gaps" -> (2, 0),
+    "udaf_geomean" -> (2, 0),
+    "unpivot_part" -> (1, 0),
+    "win_distribution" -> (2, 0),
+    "win_lag" -> (2, 0),
+    "win_range_frame" -> (2, 0),
+    "win_rank" -> (2, 0),
+    "win_running" -> (2, 0),
+    "wordcount_filtered" -> (2, 0),
+    "wordcount_flatmap" -> (3, 0))
 
   test("golden shuffle budgets: no flagship query grows an extra exchange") {
     // Two sources make raw exchange counts history-dependent, so this
