@@ -2290,12 +2290,32 @@ object SparkEntry {
         |    FROM a1, generate_series(1, 64) t(i)
         |    GROUP BY cell, i)
         |  GROUP BY cell),
+        |k2 AS (SELECT CASE WHEN count(*) > 16
+        |    THEN CAST(ceil(sqrt(count(*))) AS BIGINT) ELSE 1 END AS k2
+        |  FROM c1),
+        |ss AS (SELECT cell AS sup, cv AS sv FROM (
+        |    SELECT cell, cv, row_number() OVER (ORDER BY cell) AS rn FROM c1), k2
+        |  WHERE rn <= k2.k2),
+        |cs AS (SELECT cell, cv, sup FROM (
+        |    SELECT c.cell, c.cv, s.sup,
+        |      row_number() OVER (PARTITION BY c.cell ORDER BY
+        |        list_inner_product(c.cv, s.sv) /
+        |          (sqrt(list_inner_product(c.cv, c.cv)) *
+        |           sqrt(list_inner_product(s.sv, s.sv))) DESC, s.sup ASC) AS rn
+        |    FROM c1 c, ss s) WHERE rn = 1),
+        |vs AS (SELECT vec_id, sup FROM (
+        |    SELECT e.vec_id, s.sup,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_inner_product(e.vq, s.sv) /
+        |          (sqrt(list_inner_product(e.vq, e.vq)) *
+        |           sqrt(list_inner_product(s.sv, s.sv))) DESC, s.sup ASC) AS rn
+        |    FROM e, ss s) WHERE rn <= 3),
         |s2 AS (
         |  SELECT e.vec_id, c.cell,
         |    list_inner_product(e.vq, c.cv) /
         |      (sqrt(list_inner_product(e.vq, e.vq)) *
         |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
-        |  FROM e, c1 c),
+        |  FROM e JOIN vs ON vs.vec_id = e.vec_id JOIN cs c ON c.sup = vs.sup),
         |asg AS (SELECT vec_id, cell FROM (
         |    SELECT vec_id, cell,
         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
@@ -2361,12 +2381,32 @@ object SparkEntry {
         |    FROM a1, generate_series(1, 64) t(i)
         |    GROUP BY cell, i)
         |  GROUP BY cell),
+        |k2 AS (SELECT CASE WHEN count(*) > 16
+        |    THEN CAST(ceil(sqrt(count(*))) AS BIGINT) ELSE 1 END AS k2
+        |  FROM c1),
+        |ss AS (SELECT cell AS sup, cv AS sv FROM (
+        |    SELECT cell, cv, row_number() OVER (ORDER BY cell) AS rn FROM c1), k2
+        |  WHERE rn <= k2.k2),
+        |cs AS (SELECT cell, cv, sup FROM (
+        |    SELECT c.cell, c.cv, s.sup,
+        |      row_number() OVER (PARTITION BY c.cell ORDER BY
+        |        list_inner_product(c.cv, s.sv) /
+        |          (sqrt(list_inner_product(c.cv, c.cv)) *
+        |           sqrt(list_inner_product(s.sv, s.sv))) DESC, s.sup ASC) AS rn
+        |    FROM c1 c, ss s) WHERE rn = 1),
+        |vs AS (SELECT vec_id, sup FROM (
+        |    SELECT e.vec_id, s.sup,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_inner_product(e.vq, s.sv) /
+        |          (sqrt(list_inner_product(e.vq, e.vq)) *
+        |           sqrt(list_inner_product(s.sv, s.sv))) DESC, s.sup ASC) AS rn
+        |    FROM e, ss s) WHERE rn <= 3),
         |s2 AS (
         |  SELECT e.vec_id, c.cell,
         |    list_inner_product(e.vq, c.cv) /
         |      (sqrt(list_inner_product(e.vq, e.vq)) *
         |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
-        |  FROM e, c1 c),
+        |  FROM e JOIN vs ON vs.vec_id = e.vec_id JOIN cs c ON c.sup = vs.sup),
         |asg AS (SELECT vec_id, cell FROM (
         |    SELECT vec_id, cell,
         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn

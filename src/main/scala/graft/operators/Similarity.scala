@@ -253,10 +253,53 @@ object Similarity {
     val emb = groups
       .select(col("rep").as("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
-    // nProbe nearest cells per vector: negated-sim struct sort gives
-    // (sim desc, cell asc) — a total order, so the selection matches
-    // the oracle's row_number ranking exactly
-    embq.join(broadcast(cents), lit(true))
+    // TWO-LEVEL routing (r11): flat assignment scores every vector
+    // against every centroid — n·√n dot products with the adaptive
+    // ⌈√n_u⌉ codebook, the one superlinear term left in the family.
+    // Once the codebook exceeds 16 cells, the k centroids are grouped
+    // under k2 = ⌈√k⌉ super-cells (the k2 smallest cell ids serve as
+    // super seeds; each cell maps to its nearest seed), and a vector
+    // scores the k2 seeds plus only the cells under its top-3 supers:
+    // ~√k(3 + nProbe) dots per vector instead of k — n·n^0.25 total.
+    // (3 super-probes, not 2: measured drop-set recall at the fixture's
+    // deliberately-low 0.3 bar was 0.897 with 2 — just under the 0.9
+    // contract; 3 restores it with the asymptotics intact.)
+    // Below the threshold k2 = 1, which makes the routing a
+    // pass-through of the exhaustive scoring — one uniform pipeline,
+    // so the oracle replays both regimes with the same SQL. All
+    // arithmetic stays exact-integer; every selection is a
+    // (sim desc, id asc) total order the oracle's row_number mirrors.
+    val k2df = cents.agg(
+      when(count(lit(1)) > 16, ceil(sqrt(count(lit(1)))))
+        .otherwise(lit(1)).cast("long").as("k2"))
+    val ranked = cents.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("cell"))))
+    val superSeeds = ranked.crossJoin(broadcast(k2df))
+      .filter(col("rn") <= col("k2"))
+      .select(col("cell").as("sup"), col("cv").as("sv"))
+    val cellSup = cents.join(broadcast(superSeeds), lit(true))
+      .select(col("cell"), col("cv"), col("sup"),
+        (qdot(col("cv"), col("sv")) /
+          (sqrt(qdot(col("cv"), col("cv"))) * sqrt(qdot(col("sv"), col("sv")))))
+          .as("s"))
+      .groupBy(col("cell"))
+      .agg(max(struct(col("s"), negate(col("sup")).as("negs2"), col("cv"))).as("m"))
+      .select(col("cell"), col("m.cv").as("cv"),
+        negate(col("m.negs2")).as("sup"))
+    val vSup = embq.join(broadcast(superSeeds), lit(true))
+      .select(col("vec_id"),
+        struct(negate(qdot(col("vq"), col("sv")) /
+          (sqrt(qdot(col("vq"), col("vq"))) * sqrt(qdot(col("sv"), col("sv")))))
+          .as("negs"), col("sup")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(slice(array_sort(collect_list(col("sc"))), 1, 3).as("top"))
+      .select(col("vec_id"),
+        explode(transform(col("top"), t => t.getField("sup"))).as("sup"))
+    // nProbe nearest cells per vector AMONG the routed cells:
+    // negated-sim struct sort gives (sim desc, cell asc) — a total
+    // order, so the selection matches the oracle's row_number ranking
+    embq.join(vSup, "vec_id")
+      .join(broadcast(cellSup), "sup")
       .select(col("vec_id"),
         struct(negate(qdot(col("vq"), col("cv")) /
           (sqrt(qdot(col("vq"), col("vq"))) * sqrt(qdot(col("cv"), col("cv")))))
