@@ -242,7 +242,8 @@ object Similarity {
     * shuffled rows are the n_u·nProbe assignment rows themselves.
     */
   private def cellAssignments(spark: SparkSession, groups: DataFrame,
-                              nCells: Int, nProbe: Int): DataFrame = {
+                              nCells: Int, nProbe: Int,
+                              routeAt: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val ndot = graft.functions.GraftFunctions.dot _
     val embq = groups
@@ -270,7 +271,7 @@ object Similarity {
     // arithmetic stays exact-integer; every selection is a
     // (sim desc, id asc) total order the oracle's row_number mirrors.
     val k2df = cents.agg(
-      when(count(lit(1)) > 16, ceil(sqrt(count(lit(1)))))
+      when(count(lit(1)) > routeAt, ceil(sqrt(count(lit(1)))))
         .otherwise(lit(1)).cast("long").as("k2"))
     val ranked = cents.withColumn("rn", row_number().over(
       org.apache.spark.sql.expressions.Window.orderBy(col("cell"))))
@@ -324,8 +325,9 @@ object Similarity {
     * CI-pinned through this exact path.
     */
   private[graft] def blockingCells(spark: SparkSession, dir: String,
-                                   nCells: Int = 0, nProbe: Int = 4): DataFrame =
-    cellAssignments(spark, exactGroups(spark, dir)._1, nCells, nProbe)
+                                   nCells: Int = 0, nProbe: Int = 4,
+                                   routeAt: Int = 16): DataFrame =
+    cellAssignments(spark, exactGroups(spark, dir)._1, nCells, nProbe, routeAt)
       .select(col("vec_id"), col("cell"))
 
   /** Cell-verified near-neighbor stream over group reps: within each
