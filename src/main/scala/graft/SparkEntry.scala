@@ -162,6 +162,9 @@ object SparkEntry {
     "train_manifest"  -> ((s, d) => Curation.trainManifest(s, d)),
     "corpus_diff"     -> ((s, d) => Curation.corpusDiff(s, d)),
     "source_datacard" -> ((s, d) => Curation.sourceDatacard(s, d)),
+    "dsir_sample"     -> ((s, d) => Curation.dsirSample(s, d)),
+    "ppl_buckets"     -> ((s, d) => TextAnalysis.pplBuckets(s, d)),
+    "emb_outliers"    -> ((s, d) => Similarity.embOutliers(s, d)),
     "lm_score"          -> ((s, d) => TextAnalysis.lmScore(s, d)),
     "colloc_pmi"        -> ((s, d) => TextAnalysis.collocPmi(s, d)),
     "heavy_hitters"     -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
@@ -842,6 +845,80 @@ object SparkEntry {
         |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
         |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
         |FROM j GROUP BY 1, 2 ORDER BY source, status""".stripMargin,
+    // DSIR: hashed unigram+bigram buckets, smoothed target/raw
+    // log-ratio averaged per doc (rounded BEFORE the Gumbel add),
+    // Gumbel top-k with the md5 13-hex uniform — replays the whole
+    // importance-resampling pipeline including the noise draw
+    "dsir_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, unnest(ts ||
+        |      list_transform(generate_series(1, len(ts) - 1),
+        |        i -> ts[i] || ' ' || ts[i+1])) AS gram
+        |  FROM d),
+        |gh AS (SELECT doc_id, source, md5('dsir:' || gram) AS hex FROM g),
+        |b AS (
+        |  SELECT doc_id, source,
+        |    list_sum([CAST(strpos('0123456789abcdef', substr(hex, i, 1)) - 1
+        |                   AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (13 - i)))
+        |              for i in range(1, 14)]) % 256 AS bucket
+        |  FROM gh),
+        |tc AS (SELECT bucket, count(*) AS ct FROM b WHERE source = 'src0' GROUP BY 1),
+        |tt AS (SELECT sum(ct) AS tt_all FROM tc),
+        |rc AS (SELECT bucket, count(*) AS cr FROM b WHERE source <> 'src0' GROUP BY 1),
+        |rt AS (SELECT sum(cr) AS tr_all FROM rc),
+        |lr AS (
+        |  SELECT bb.doc_id, bb.source,
+        |    ln((CAST(COALESCE(tc.ct, 0) AS DOUBLE) + 0.5) /
+        |       (CAST(COALESCE(tt.tt_all, 0) AS DOUBLE) + 0.5 * 256)) -
+        |    ln((CAST(COALESCE(rc.cr, 0) AS DOUBLE) + 0.5) /
+        |       (CAST(COALESCE(rt.tr_all, 0) AS DOUBLE) + 0.5 * 256)) AS lr
+        |  FROM b bb LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket), tt, rt
+        |  WHERE bb.source <> 'src0'),
+        |w AS (SELECT doc_id, min(source) AS source, round(avg(lr), 6) AS w
+        |  FROM lr GROUP BY 1),
+        |uh AS (SELECT doc_id, source, w,
+        |    md5('dsir:' || CAST(doc_id AS VARCHAR)) AS hex FROM w),
+        |k AS (
+        |  SELECT doc_id, source,
+        |    round(w - ln(-ln((CAST(list_sum(
+        |      [CAST(strpos('0123456789abcdef', substr(hex, i, 1)) - 1
+        |            AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (13 - i)))
+        |       for i in range(1, 14)]) AS DOUBLE) + 0.5)
+        |        / 4503599627370496.0)), 12) AS dkey
+        |  FROM uh),
+        |r AS (SELECT doc_id, source, dkey,
+        |    row_number() OVER (ORDER BY dkey DESC, doc_id) AS rnk FROM k)
+        |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, source, dkey
+        |FROM r WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
+    // CCNet perplexity terciles: lm_score's scoring pipeline, then
+    // per-lang ntile(3) over the ROUNDED score (total order with
+    // doc_id tie-break, so the bucket boundaries replay exactly)
+    "ppl_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM vocab),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |         round(avg(ln(cnt / CAST(total AS DOUBLE))), 6) AS lm_score
+        |  FROM tok JOIN vocab USING (tok), tot
+        |  GROUP BY doc_id, lang),
+        |t AS (SELECT doc_id, lang, lm_score,
+        |    ntile(3) OVER (PARTITION BY lang
+        |                   ORDER BY lm_score DESC, doc_id) AS tile
+        |  FROM scored)
+        |SELECT doc_id, lang, lm_score,
+        |  CASE WHEN tile = 1 THEN 'head'
+        |       WHEN tile = 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM t ORDER BY doc_id""".stripMargin,
     // the capstone funnel: gate → exact-dedup keep-lowest → train
     // split → shard → per-shard manifest, each stage the established
     // oracle-replayable rule
@@ -2078,6 +2155,51 @@ object SparkEntry {
         |SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
         |       round(avg(sim), 6) AS mean_sim
         |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin,
+    // emb_kmeans's 2-round Lloyd replay through the final assignment
+    // (a2 carries each vector's cosine to its own centroid — exact
+    // integer dots), then per-cell population moments and the rounded
+    // z-score cut (the ts_anomaly discipline: compare the ROUNDED z)
+    "emb_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS vq
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cell, vq AS cv FROM e WHERE vec_id < 8),
+        |s1 AS (
+        |  SELECT e.vec_id, e.vq, c.cell,
+        |    list_inner_product(e.vq, c.cv) /
+        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
+        |  FROM e, c0 c),
+        |a1 AS (SELECT vec_id, vq, cell, sim FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, cell ASC) AS rn FROM s1)
+        |  WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cell, list(s ORDER BY i) AS cv FROM (
+        |    SELECT cell, i, CAST(sum(vq[i]) AS BIGINT) AS s
+        |    FROM a1, generate_series(1, 64) t(i)
+        |    GROUP BY cell, i)
+        |  GROUP BY cell),
+        |s2 AS (
+        |  SELECT e.vec_id, c.cell,
+        |    list_inner_product(e.vq, c.cv) /
+        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
+        |  FROM e, c1 c),
+        |a2 AS (SELECT vec_id, cell, sim FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, cell ASC) AS rn FROM s2)
+        |  WHERE rn = 1),
+        |stats AS (SELECT cell, avg(sim) AS mu, stddev_pop(sim) AS sd
+        |  FROM a2 GROUP BY cell),
+        |z AS (SELECT a2.vec_id, a2.cell, a2.sim,
+        |    round(CASE WHEN s.sd < 1e-12 THEN 0.0
+        |          ELSE (a2.sim - s.mu) / s.sd END, 6) AS z
+        |  FROM a2 JOIN stats s USING (cell))
+        |SELECT vec_id, cell, round(sim, 6) AS sim, z,
+        |       z < -2.0 AS is_outlier
+        |FROM z ORDER BY vec_id""".stripMargin,
     // replays the PQ trainer bit-for-bit: per-subspace 2-pass Lloyd
     // with integer-sum centroids (the emb_kmeans trick with the
     // subspace id as one more grouping key)

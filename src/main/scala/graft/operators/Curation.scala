@@ -456,6 +456,92 @@ object Curation {
       .orderBy("rnk")
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.
+    * 2023, public): pick raw-corpus documents whose hashed-n-gram
+    * distribution looks like a TARGET domain. Features are unigrams
+    * plus adjacent bigrams of the whitespace-tokenized text, hashed
+    * into `nBuckets` md5 buckets; the target (here: source ==
+    * targetSource, a stand-in for "quality domain" like Wikipedia in
+    * the paper) and the remaining raw corpus each induce a smoothed
+    * bucket distribution, a raw document's importance weight is the
+    * mean log-likelihood ratio of its grams, and the sample is the
+    * Gumbel top-k over (weight + Gumbel noise) — the paper's
+    * resampling rule. Every stochastic input is md5-derived (the
+    * weighted_sample 13-hex-char uniform), so Spark, retried tasks,
+    * and the DuckDB oracle draw the identical sample; the selection
+    * key is rounded to 12 decimals with doc_id tie-break so the
+    * RANKING is cross-engine total-ordered despite ln() being only
+    * 1-ulp-specified.
+    *
+    * 100 TB shape: both bucket distributions are `nBuckets`-row
+    * aggregates (broadcast); a document's weight forms map-side from
+    * its exploded grams joined to the broadcast buckets and collapses
+    * in one doc_id partial-agg; the top-`budget` cut is a
+    * TakeOrdered (per-partition heaps, no global sort). The corpus
+    * text itself never shuffles — one gram→doc_id exchange of
+    * (doc_id, bucket) pairs is the whole bill.
+    */
+  def dsirSample(spark: SparkSession, dir: String,
+                 targetSource: String = "src0", nBuckets: Int = 256,
+                 budget: Int = 100): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextFns.wsTokens(lower(col("text"))).as("ts"))
+    // unigrams ++ adjacent bigrams; ws tokens cannot contain spaces,
+    // so "a b" round-trips exactly (the lm_score2 argument)
+    val grams = d.select(col("doc_id"), col("source"),
+      explode(concat(col("ts"),
+        zip_with(slice(col("ts"), lit(1), greatest(size(col("ts")) - 1, lit(0))),
+          slice(col("ts"), lit(2), greatest(size(col("ts")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)))).as("gram"))
+    val bucketed = grams.select(col("doc_id"), col("source"),
+      pmod(conv(substring(md5(concat(lit("dsir:"), col("gram"))), 1, 13),
+        16, 10).cast("long"), lit(nBuckets.toLong)).as("bucket"))
+    // BOTH bucket distributions from ONE conditional-agg pass over the
+    // gram stream (DSIR is a two-pass algorithm: count, then score —
+    // splitting target/raw into separate subplans would re-tokenize
+    // the corpus once per distribution, since Catalyst does not dedupe
+    // the common explode subtree)
+    val counts = bucketed.groupBy(col("bucket"))
+      .agg(sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("ct"),
+        sum(when(col("source") =!= targetSource, 1L).otherwise(0L)).as("cr"))
+    val tot = counts.agg(sum(col("ct")).as("tt_all"), sum(col("cr")).as("tr_all"))
+    // smoothed log-ratio per gram; a bucket unseen in the target side
+    // carries ct=0 from the conditional agg, so the 0.5/(tot + 0.5·B)
+    // floor applies without a null path
+    val ratio = bucketed.filter(col("source") =!= targetSource)
+      .join(broadcast(counts), Seq("bucket"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("source"),
+        (log((col("ct").cast("double") + 0.5) /
+            (col("tt_all").cast("double") + 0.5 * nBuckets)) -
+          log((col("cr").cast("double") + 0.5) /
+            (col("tr_all").cast("double") + 0.5 * nBuckets)))
+          .as("lr"))
+      .groupBy(col("doc_id"))
+      // the mean ratio is rounded BEFORE the Gumbel add: avg() over
+      // doubles is summation-order-sensitive in the last ulps (Spark
+      // partial aggs don't fix an order), and 6 decimals absorbs that
+      // while the noise term below is a single ln chain — ulp-stable,
+      // handled by the final 12-decimal key round
+      .agg(first(col("source")).as("source"),
+        round(avg(col("lr")), 6).as("w"))
+    // Gumbel top-k: u from the 13-hex md5 uniform (exact in a double),
+    // g = −ln(−ln u); key rounded for cross-engine rank stability
+    val v = conv(substring(
+      md5(concat(lit("dsir:"), col("doc_id").cast("string"))), 1, 13),
+      16, 10).cast("long")
+    val u = (v.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val keyed = ratio.withColumn("dkey",
+      round(col("w") - log(-log(u)), 12))
+    val top = keyed.orderBy(col("dkey").desc, col("doc_id")).limit(budget)
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dkey").desc, col("doc_id"))
+    top.withColumn("rnk", row_number().over(wr).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("source"), col("dkey"))
+      .orderBy("rnk")
+  }
+
   /** Corpus snapshot diff — the audit every dataset release runs:
     * which documents were ADDED, REMOVED, CHANGED, or UNCHANGED
     * between two corpus versions, rolled up per source. Versions are

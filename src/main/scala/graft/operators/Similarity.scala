@@ -739,6 +739,47 @@ object Similarity {
       .agg(count(lit(1)).as("n_members"), round(avg(col("sim")), 6).as("mean_sim"))
       .orderBy("cell")
 
+  /** Embedding-space outlier filter — the cluster-based quality gate
+    * a curation pipeline runs after (or instead of) text heuristics:
+    * vectors that sit far from their own cluster's typical cohesion
+    * are mislabeled scrapes, OCR noise, or off-distribution content.
+    * Reuses the [[embKmeans]] trained codebook (2-round integer-exact
+    * Lloyd, so the assignment and every cosine are bit-identical in
+    * both engines), then scores each vector's cosine to its OWN cell
+    * against the cell's population mean/stddev: z = (sim − μ)/σ,
+    * outlier ⇔ z < −zCut. The z is ROUNDED before the cut compare
+    * (the ts_anomaly discipline) so a last-ulp difference in the
+    * aggregated moments cannot flip the flag cross-engine; σ < 1e-12
+    * (singleton or degenerate cell) pins z to 0 — a lone vector is
+    * its own distribution, not an outlier.
+    *
+    * 100 TB shape: the codebook is k broadcast rows; assignment is
+    * the one map-side scored pass [[lloyd]] already does; the stats
+    * are a k-row aggregate broadcast back over the assignment — no
+    * corpus-sized join, no window. The only corpus exchanges are the
+    * Lloyd argmax partial-aggs.
+    */
+  def embOutliers(spark: SparkSession, dir: String,
+                  k: Int = 8, iters: Int = 2,
+                  zCut: Double = 2.0): DataFrame = {
+    // train + assign ONCE: both the stats aggregate and the scoring
+    // join read the assignment, and Catalyst does not dedupe the
+    // common Lloyd subtree — without materialization the 2-round
+    // trainer would run twice (the cellAssignments precedent)
+    val asg = lloyd(spark, dir, k, iters)._1
+      .select(col("vec_id"), col("cell"), col("sim"))
+      .localCheckpoint(eager = false)
+    val stats = asg.groupBy(col("cell"))
+      .agg(avg(col("sim")).as("mu"), stddev_pop(col("sim")).as("sd"))
+    asg.join(broadcast(stats), "cell")
+      .withColumn("z", round(
+        when(col("sd") < 1e-12, lit(0.0))
+          .otherwise((col("sim") - col("mu")) / col("sd")), 6))
+      .select(col("vec_id"), col("cell"), round(col("sim"), 6).as("sim"),
+        col("z"), (col("z") < -zCut).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
   /** Persist the IVF index AT REST: inverted lists hive-partitioned
     * by cell (one directory per cell, the layout a vector store keeps
     * on disk) plus the routing centroids (exact integer sums). At

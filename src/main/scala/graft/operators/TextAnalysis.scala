@@ -365,6 +365,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, public):
+    * per LANGUAGE, rank documents by their LM score and cut the
+    * ranking into head / middle / tail terciles — the quality tiers
+    * a pretraining mixture samples from at different rates. The
+    * score is the [[lmScore]] unigram log-probability (higher =
+    * more typical text = "head"); ranking runs on the ROUNDED score
+    * with doc_id as tie-break, so the ntile boundaries are a total
+    * order both engines replay identically.
+    *
+    * Scale: the corpus tokenize/score pipeline is [[lmScore]]'s (one
+    * tok shuffle + one doc_id aggregate). The ntile window partitions
+    * by language — exact terciles are the CONTRACT here; at 100 TB a
+    * deployment trains per-lang cutoff scores on a bounded sample (a
+    * 2-value broadcast per language, assignment map-side — CCNet's
+    * own recipe, same shape as the histogram_equidepth_approx twin)
+    * rather than totally ordering each language's corpus.
+    */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(TextFns.wsTokens(lower(col("text")))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val scored = toks
+      .join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(avg(log(col("cnt") / col("total").cast("double"))), 6)
+        .as("lm_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("lm_score").desc, col("doc_id"))
+    scored.withColumn("tile", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("lm_score"),
+        when(col("tile") === 1, "head")
+          .when(col("tile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Fixed-token chunking with overlap — the step between a raw
     * document and [[graft.plans.PackSequences sequence packing]]:
     * split each doc's token stream into windows of `chunkTokens`

@@ -22,6 +22,9 @@ object ScaleProbe {
     time(s"dedup_clusters[maxDf=$maxDf]") {
       graft.operators.Dedup.dedupClusters(spark, dir, maxDf = maxDf).count()
     }
+    time(s"dedup_clusters_star[maxDf=$maxDf]") {
+      graft.operators.Dedup.dedupClustersStar(spark, dir, maxDf = maxDf).count()
+    }
     time(s"sim_neardup[nCells=$nCells]") {
       graft.operators.Similarity.embeddingNearDup(spark, dir, nCells = nCells).count()
     }

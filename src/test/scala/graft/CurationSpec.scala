@@ -272,4 +272,54 @@ class CurationSpec extends SparkSpec {
     assert(gated.length < docs.length || kept.size < gated.length ||
       train.size < kept.size)
   }
+
+  test("dsir_sample: budget-sized, raw-only, deterministic, target-shifted") {
+    val rows = Curation.dsirSample(spark, sf)
+      .as[(Long, Long, String, Double)].collect()
+    assert(rows.length == 100)
+    assert(rows.map(_._1).toSeq == (1L to 100L), "dense ranks")
+    assert(rows.map(_._2).distinct.length == 100, "no doc sampled twice")
+    assert(rows.forall(_._3 != "src0"), "target-domain docs never selected")
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sortBy(-_).toSeq,
+      "keys descend with rank")
+    val again = Curation.dsirSample(spark, sf)
+      .as[(Long, Long, String, Double)].collect()
+    assert(rows.sameElements(again), "md5-derived draw is a pure function")
+    // the importance weights must actually steer the draw: with w
+    // constant, the Gumbel top-k degenerates to ranking by noise
+    // alone. Recompute that noise-only top-100 here (same md5 uniform)
+    // and assert the DSIR selection differs — falsifiable evidence the
+    // log-ratio term participates in the key.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def gumbel(docId: Long): Double = {
+      val hex = md.digest(s"dsir:$docId".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4503599627370496.0
+      -math.log(-math.log(u))
+    }
+    val noiseOnly = Tables.documents(spark, sf)
+      .filter(col("source") =!= "src0")
+      .select("doc_id").as[Long].collect()
+      .sortBy(id => (-gumbel(id), id)).take(100).sorted
+    assert(!rows.map(_._2).sorted.sameElements(noiseOnly),
+      "selection must differ from the weight-free Gumbel draw")
+  }
+
+  test("ppl_buckets: full coverage, tercile balance, ordered tiers per lang") {
+    val docs = Tables.documents(spark, sf).count()
+    val rows = graft.operators.TextAnalysis.pplBuckets(spark, sf)
+      .as[(Long, String, Double, String)].collect()
+    assert(rows.length == docs, "every document bucketed")
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val byB = rs.groupBy(_._4).view.mapValues(_.length).toMap
+      val sizes = Seq("head", "middle", "tail").map(byB.getOrElse(_, 0))
+      assert(sizes.max - sizes.min <= 1, s"$lang terciles unbalanced: $sizes")
+      // ntile over (score desc): every head score >= every middle
+      // score >= every tail score within the language
+      def scores(b: String) = rs.filter(_._4 == b).map(_._3)
+      for ((hi, lo) <- Seq(("head", "middle"), ("middle", "tail"))
+           if scores(hi).nonEmpty && scores(lo).nonEmpty)
+        assert(scores(hi).min >= scores(lo).max, s"$lang $hi/$lo overlap")
+    }
+  }
 }

@@ -211,6 +211,27 @@ class DedupSimilaritySpec extends SparkSpec {
       s"refined=${fit(k1)} seed=${fit(seedPass)}")
   }
 
+  test("embedding outliers: full coverage, flag consistent with z, bounded share") {
+    val n = Tables.embeddings(spark, sf).count()
+    val rows = Similarity.embOutliers(spark, sf)
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+    assert(rows.length == n, "every vector scored exactly once")
+    assert(rows.map(_._1).distinct.length == rows.length, "one row per vec_id")
+    rows.foreach { case (vid, _, sim, z, flag) =>
+      assert(sim >= -1.0 - 1e-9 && sim <= 1.0 + 1e-9, s"vec $vid cosine range")
+      assert(flag == (z < -2.0), s"vec $vid flag/z mismatch")
+    }
+    // a z<-2 cut on any distribution flags a minority; catches a
+    // degenerate stats join (all-flagged / none-scored) without
+    // pinning fixture-specific counts
+    val share = rows.count(_._5).toDouble / rows.length
+    assert(share < 0.15, s"outlier share $share")
+    // determinism: integer-exact assignment + rounded moments
+    val again = Similarity.embOutliers(spark, sf)
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+    assert(rows.sameElements(again))
+  }
+
   test("near-dup forest: exact edges, drop-set recall >= 0.9 vs all-pairs, deterministic") {
     // ground truth: exhaustive all-pairs cosine on the driver (fine at
     // spec scale; the operator itself never goes all-pairs)

@@ -43,7 +43,9 @@ class PlanLintSpec extends SparkSpec {
     "graph_triangles", // two 1-row census-total broadcasts
     "sim_topk", "sim_ivf", "sim_ann", "sim_ann_md5", "sim_ann_recall",
     "sim_ivf_recall", "hybrid_rrf",
-    "emb_kmeans", "emb_pq_recall")
+    "emb_kmeans", "emb_pq_recall",
+    "dsir_sample",  // 1-row distribution-totals broadcast
+    "ppl_buckets")  // 1-row vocab-total broadcast (the lm_score shape)
 
   test("no CartesianProduct in any registered query plan") {
     val offenders = SparkEntry.queries
@@ -256,7 +258,11 @@ class PlanLintSpec extends SparkSpec {
     "win_rank" -> (2, 0),
     "win_running" -> (2, 0),
     "wordcount_filtered" -> (2, 0),
-    "wordcount_flatmap" -> (3, 0))
+    "wordcount_flatmap" -> (3, 0),
+    // late-r11 additions
+    "dsir_sample" -> (4, 2),   // one counts agg + 1-row totals + doc_id agg + rank/sort; bucket+totals broadcast
+    "ppl_buckets" -> (6, 2),   // lm_score pipeline (5,2) + per-lang ntile window
+    "emb_outliers" -> (2, 1))  // stats agg + final sort; Lloyd subplan materialized once behind the lazy checkpoint (k-row stats broadcast)
 
   test("golden shuffle budgets: no flagship query grows an extra exchange") {
     // Two sources make raw exchange counts history-dependent, so this
