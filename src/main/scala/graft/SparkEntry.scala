@@ -119,6 +119,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.Streaming.windowContract(s, d)),
     "stream_dedup_contract" ->
       ((s, d) => graft.streaming.Streaming.dedupContract(s, d)),
+    "stream_join_contract" ->
+      ((s, d) => graft.streaming.Streaming.joinContract(s, d)),
     // ---- co-occurrence / graph ----
     "assoc_pairs"    -> (Cooccur.assocPairs(_, _)),
     "graph_pagerank" -> (Cooccur.pagerank(_, _)),
@@ -1355,6 +1357,10 @@ object SparkEntry {
     "stream_dedup_contract" ->
       """SELECT 'dedup_digest_set_equal' AS metric, TRUE AS ok
         |UNION ALL SELECT 'dedup_rows_match', TRUE
+        |ORDER BY metric""".stripMargin,
+    "stream_join_contract" ->
+      """SELECT 'join_rows_match' AS metric, TRUE AS ok
+        |UNION ALL SELECT 'join_set_equal', TRUE
         |ORDER BY metric""".stripMargin,
     "ts_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -327,6 +327,43 @@ object Streaming {
     ).toDF("metric", "ok").orderBy("metric")
   }
 
+  /** Batch-equivalence contract rows for the STREAM-STREAM interval
+    * join (same pattern as [[windowContract]]): clicks and purchases
+    * are staged as two parquet dirs, read back as two file STREAMS,
+    * joined with [[clickPurchaseJoin]] (watermarks on both sides →
+    * bounded state), and the emitted (user, click, purchase, delta)
+    * set must equal the oracle-checked batch `join_interval`
+    * operator's. Inner stream-stream joins emit matches exactly once
+    * regardless of arrival interleaving, so full set equality IS the
+    * contract (unlike dedupContract, where the surviving copy is
+    * arrival-dependent and only the digest set is pinned).
+    */
+  def joinContract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val base = s"/tmp/graft_stream_stage_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val sides = Seq("click", "purchase").map { t =>
+      val side = ev.filter(col("event_type") === t)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      side.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$base/$t")
+      spark.readStream.schema(side.schema).parquet(s"$base/$t")
+    }
+    val got = runToMemory(spark, clickPurchaseJoin(sides(0), sides(1)),
+      "graft_stream_join_contract", OutputMode.Append())
+    val want = graft.operators.Joins.intervalClickPurchase(spark, dir)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("delta_us"))
+    val (nGot, nWant) = (got.count(), want.count())
+    val extra = got.exceptAll(want).count()
+    val missing = want.exceptAll(got).count()
+    Seq(
+      ("join_rows_match", nGot == nWant),
+      ("join_set_equal", extra == 0L && missing == 0L)
+    ).toDF("metric", "ok").orderBy("metric")
+  }
+
   /** Run a streaming query over a bounded source into a memory sink
     * and return the sink table — test/demo harness for local runs.
     */
