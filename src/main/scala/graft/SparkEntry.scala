@@ -153,6 +153,7 @@ object SparkEntry {
     "contamination"     -> ((s, d) => Curation.benchmarkContamination(s, d)),
     "cross_dedup"       -> ((s, d) => Curation.crossDedup(s, d)),
     "contamination_bloom" -> ((s, d) => Curation.contaminationBloom(s, d)),
+    "contamination_semantic" -> ((s, d) => Similarity.contaminationSemantic(s, d)),
     "split_leak_free"   -> (Curation.leakFreeSplit(_, _)),
     "quality_gate"      -> (Curation.qualityGate(_, _)),
     "curate_pipeline"   -> (Curation.curatePipeline(_, _)),
@@ -1362,6 +1363,27 @@ object SparkEntry {
       """SELECT 'join_rows_match' AS metric, TRUE AS ok
         |UNION ALL SELECT 'join_set_equal', TRUE
         |ORDER BY metric""".stripMargin,
+    // semantic decontamination: exact-integer cosines against the
+    // broadcast eval set, per-vector argmax (ties to smallest eval
+    // id), >= tau decided on the RAW exact similarity
+    "contamination_semantic" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS vq
+        |  FROM embeddings),
+        |ev AS (SELECT vec_id AS eval_id, vq AS evv FROM e WHERE vec_id < 20),
+        |s AS (
+        |  SELECT c.vec_id, ev.eval_id,
+        |    list_inner_product(c.vq, ev.evv) /
+        |      (sqrt(list_inner_product(c.vq, c.vq)) *
+        |       sqrt(list_inner_product(ev.evv, ev.evv))) AS sim
+        |  FROM e c, ev WHERE c.vec_id >= 20),
+        |m AS (SELECT vec_id, eval_id, sim FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, eval_id ASC) AS rn FROM s) WHERE rn = 1)
+        |SELECT vec_id, eval_id, round(sim, 6) AS max_sim,
+        |       sim >= 0.8 AS contaminated
+        |FROM m ORDER BY vec_id""".stripMargin,
     "ts_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |f AS (SELECT *, lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts FROM e),

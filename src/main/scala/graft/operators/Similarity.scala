@@ -780,6 +780,50 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** SEMANTIC decontamination — the embedding-level sibling of the
+    * n-gram `contamination` family: flag corpus vectors whose cosine
+    * to ANY held-out evaluation vector reaches `tau` (paraphrased or
+    * templated eval leakage that exact/n-gram matching misses — the
+    * published recipe behind e.g. phi-style decontamination). The
+    * eval set (vec_id < evalMax — a stand-in for the benchmark
+    * embedding table) broadcasts; every corpus vector takes its max
+    * eval cosine MAP-SIDE (partial-agg argmax over the broadcast
+    * rows, ties to the smallest eval id), so the corpus is scanned
+    * once and the only exchanges are the vector-keyed argmax collapse
+    * and the output sort. Dots are exact-integer (×1024 quantization,
+    * the emb_kmeans trick), so the ≥ tau decision is bit-identical
+    * cross-engine on the RAW similarity — no rounding needed at the
+    * decision boundary.
+    *
+    * 100 TB shape: eval suites are thousands of vectors — a few MB
+    * broadcast; per-corpus-vector cost is |eval| dots; nothing
+    * pair-shaped ever shuffles. For eval sets too big to broadcast,
+    * the trained-cell blocking (cellAssignments) is the documented
+    * escalation, same as contamination → contamination_bloom.
+    */
+  def contaminationSemantic(spark: SparkSession, dir: String,
+                            evalMax: Long = 20, tau: Double = 0.8): DataFrame = {
+    val embq = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => round(x.cast("double") * 1024).cast("long")).as("vq"))
+    val eval = embq.filter(col("vec_id") < evalMax)
+      .select(col("vec_id").as("eval_id"), col("vq").as("ev"))
+    embq.filter(col("vec_id") >= evalMax)
+      .join(broadcast(eval), lit(true))
+      .select(col("vec_id"),
+        struct(
+          (qdot(col("vq"), col("ev")) /
+            (sqrt(qdot(col("vq"), col("vq"))) * sqrt(qdot(col("ev"), col("ev")))))
+            .as("s"),
+          negate(col("eval_id")).as("nid")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sc")).as("m"))
+      .select(col("vec_id"), negate(col("m.nid")).as("eval_id"),
+        round(col("m.s"), 6).as("max_sim"),
+        (col("m.s") >= tau).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
   /** Persist the IVF index AT REST: inverted lists hive-partitioned
     * by cell (one directory per cell, the layout a vector store keeps
     * on disk) plus the routing centroids (exact integer sums). At

@@ -232,6 +232,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.sameElements(again))
   }
 
+  test("semantic decontamination: coverage, argmax valid, flag consistent") {
+    val evalMax = 20L
+    val n = Tables.embeddings(spark, sf).count()
+    val rows = Similarity.contaminationSemantic(spark, sf)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(rows.length == n - evalMax, "one verdict per corpus vector")
+    rows.foreach { case (vid, eid, maxSim, flag) =>
+      assert(vid >= evalMax && eid < evalMax, s"$vid/$eid side mix-up")
+      assert(maxSim >= -1.0 - 1e-9 && maxSim <= 1.0 + 1e-9)
+      // flag decided on the raw exact sim; rounded report must agree
+      // up to the rounding step
+      if (flag) assert(maxSim >= 0.8 - 5e-7, s"$vid flagged below tau")
+      else assert(maxSim < 0.8 + 5e-7, s"$vid unflagged above tau")
+    }
+    // brute-force cross-check on a few vectors: reported max_sim is
+    // the true max cosine over the eval set
+    val emb = Tables.embeddings(spark, sf)
+      .as[(Long, Array[Float], Int)].collect()
+      .map(r => r._1 -> r._2.map(x => math.round(x.toDouble * 1024)))
+      .toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      dot / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    rows.take(5).foreach { case (vid, _, maxSim, _) =>
+      val want = (0L until evalMax).map(e => cos(emb(vid), emb(e))).max
+      assert(math.abs(maxSim - want) < 1e-6, s"$vid argmax drift")
+    }
+  }
+
   test("near-dup forest: exact edges, drop-set recall >= 0.9 vs all-pairs, deterministic") {
     // ground truth: exhaustive all-pairs cosine on the driver (fine at
     // spec scale; the operator itself never goes all-pairs)

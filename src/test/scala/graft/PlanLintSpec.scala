@@ -45,7 +45,8 @@ class PlanLintSpec extends SparkSpec {
     "sim_ivf_recall", "hybrid_rrf",
     "emb_kmeans", "emb_pq_recall",
     "dsir_sample",  // 1-row distribution-totals broadcast
-    "ppl_buckets")  // 1-row vocab-total broadcast (the lm_score shape)
+    "ppl_buckets",  // 1-row vocab-total broadcast (the lm_score shape)
+    "contamination_semantic") // broadcast eval vectors scored against the corpus (similarity-family shape)
 
   test("no CartesianProduct in any registered query plan") {
     val offenders = SparkEntry.queries
@@ -262,7 +263,8 @@ class PlanLintSpec extends SparkSpec {
     // late-r11 additions
     "dsir_sample" -> (4, 2),   // one counts agg + 1-row totals + doc_id agg + rank/sort; bucket+totals broadcast
     "ppl_buckets" -> (6, 2),   // lm_score pipeline (5,2) + per-lang ntile window
-    "emb_outliers" -> (2, 1))  // stats agg + final sort; Lloyd subplan materialized once behind the lazy checkpoint (k-row stats broadcast)
+    "emb_outliers" -> (2, 1),  // stats agg + final sort; Lloyd subplan materialized once behind the lazy checkpoint (k-row stats broadcast)
+    "contamination_semantic" -> (2, 1)) // map-side argmax collapse + sort; eval-set broadcast
 
   test("golden shuffle budgets: no flagship query grows an extra exchange") {
     // Two sources make raw exchange counts history-dependent, so this
