@@ -54,7 +54,13 @@ class EmptyInputSpec extends SparkSpec {
       "corpus_diff"   -> ((s, d) => Curation.corpusDiff(s, d)),
       "source_datacard" -> ((s, d) => Curation.sourceDatacard(s, d)),
       "train_manifest" -> ((s, d) => Curation.trainManifest(s, d)),
-      "mm_audio"      -> ((s, d) => Multimodal.audioFeatures(s, d)))
+      "mm_audio"      -> ((s, d) => Multimodal.audioFeatures(s, d)),
+      // late-r11 additions
+      "dsir_sample"   -> ((s, d) => Curation.dsirSample(s, d)),
+      "ppl_buckets"   -> ((s, d) => TextAnalysis.pplBuckets(s, d)),
+      "emb_outliers"  -> ((s, d) => Similarity.embOutliers(s, d)),
+      "contamination_semantic" ->
+        ((s, d) => Similarity.contaminationSemantic(s, d)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()
