@@ -154,6 +154,9 @@ object SparkEntry {
     "cross_dedup"       -> ((s, d) => Curation.crossDedup(s, d)),
     "contamination_bloom" -> ((s, d) => Curation.contaminationBloom(s, d)),
     "contamination_semantic" -> ((s, d) => Similarity.contaminationSemantic(s, d)),
+    // ---- trained-model operators ----
+    "emb_pca"           -> ((s, d) => Models.embPca(s, d)),
+    "domain_classifier" -> ((s, d) => Models.domainClassifier(s, d)),
     "split_leak_free"   -> (Curation.leakFreeSplit(_, _)),
     "quality_gate"      -> (Curation.qualityGate(_, _)),
     "curate_pipeline"   -> (Curation.curatePipeline(_, _)),
@@ -1363,6 +1366,52 @@ object SparkEntry {
       """SELECT 'join_rows_match' AS metric, TRUE AS ok
         |UNION ALL SELECT 'join_set_equal', TRUE
         |ORDER BY metric""".stripMargin,
+    // distributed PCA contract: the exact-integer second-moment
+    // numerators (same ×1024 quantization as the emb family) replay
+    // in DuckDB — n·Σx² − (Σx)² summed over dims is an exact BIGINT —
+    // and the eigen-side invariants (PSD spectrum, orthonormal
+    // components, top-k share ≥ k/d which a DESC-sorted spectrum
+    // guarantees, projected variance reproducing the eigenvalues in
+    // a second distributed pass) are pinned TRUE
+    "emb_pca" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS vq
+        |  FROM embeddings),
+        |s AS (SELECT i, sum(vq[i]) AS sx, sum(vq[i] * vq[i]) AS sxx
+        |      FROM q, generate_series(1, 64) t(i) GROUP BY i),
+        |nn AS (SELECT count(*) AS n FROM q)
+        |SELECT metric, value, ok FROM (
+        |  SELECT 'n_vectors' AS metric, CAST(n AS BIGINT) AS value,
+        |         TRUE AS ok FROM nn
+        |  UNION ALL SELECT 'dim', 64, TRUE
+        |  UNION ALL SELECT 'k_components', 8, TRUE
+        |  UNION ALL SELECT 'trace_num',
+        |    CAST((SELECT sum(n * sxx - sx * sx) FROM s, nn) AS BIGINT), TRUE
+        |  UNION ALL SELECT 'eigvals_nonneg', 0, TRUE
+        |  UNION ALL SELECT 'components_orthonormal', 0, TRUE
+        |  UNION ALL SELECT 'explained_ge_uniform_share', 0, TRUE
+        |  UNION ALL SELECT 'proj_var_matches_eigvals', 0, TRUE
+        |) ORDER BY metric""".stripMargin,
+    // softmax domain-classifier contract: exact per-label counts
+    // replay in DuckDB; the training invariants (loss below the
+    // zero-weight chance loss ln C, accuracy over both the 15% floor
+    // and the majority rate, finite weights) are pinned TRUE
+    "domain_classifier" ->
+      """WITH c AS (SELECT label, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM embeddings GROUP BY label),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nv,
+        |             CAST(count(DISTINCT label) AS BIGINT) AS ncls
+        |      FROM embeddings)
+        |SELECT metric, value, ok FROM (
+        |  SELECT 'n_vectors' AS metric, nv AS value, TRUE AS ok FROM n
+        |  UNION ALL SELECT 'n_classes', ncls, TRUE FROM n
+        |  UNION ALL SELECT 'n_label_' || CAST(label AS VARCHAR), cnt, TRUE FROM c
+        |  UNION ALL SELECT 'loss_below_chance', 0, TRUE
+        |  UNION ALL SELECT 'accuracy_ge_15pct', 0, TRUE
+        |  UNION ALL SELECT 'accuracy_beats_majority', 0, TRUE
+        |  UNION ALL SELECT 'weights_finite', 0, TRUE
+        |) ORDER BY metric""".stripMargin,
     // semantic decontamination: exact-integer cosines against the
     // broadcast eval set, per-vector argmax (ties to smallest eval
     // id), >= tau decided on the RAW exact similarity

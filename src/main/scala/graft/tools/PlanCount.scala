@@ -20,7 +20,9 @@ object PlanCount {
     val eager = Set("dedup_clusters", "dedup_clusters_star",
       "dedup_keep_longest", "kv_roundtrip", "bloom_join", "bpe_vocab",
       "bpe_encode", "ivf_index_topk", "graph_pagerank",
-      "mixture_temperature", "contamination_bloom", "stream_window_contract", "stream_dedup_contract", "stream_join_contract")
+      "mixture_temperature", "contamination_bloom", "stream_window_contract",
+      "stream_dedup_contract", "stream_join_contract", "emb_pca",
+      "domain_classifier")
     val names =
       if (args.length > 1) args(1).split(",").toSeq
       else SparkEntry.queries.keys.toSeq.sorted.filterNot(eager)

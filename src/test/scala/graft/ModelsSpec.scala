@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.Models
+import org.apache.spark.sql.functions._
+
+class ModelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jacobiEigen recovers a known spectrum, orthonormal, A·v = λ·v") {
+    // A = [[2,1],[1,2]] has eigvals 3,1 with eigvecs (1,1)/√2, (1,−1)/√2
+    val a = Array(Array(2.0, 1.0), Array(1.0, 2.0))
+    val (eig, vecs) = Models.jacobiEigen(a)
+    assert(math.abs(eig(0) - 3.0) < 1e-12 && math.abs(eig(1) - 1.0) < 1e-12)
+    for (i <- 0 until 2; j <- 0 until 2) {
+      val dot = (0 until 2).map(r => vecs(i)(r) * vecs(j)(r)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-12)
+    }
+    for (i <- 0 until 2; r <- 0 until 2) {
+      val av = (0 until 2).map(c => a(r)(c) * vecs(i)(c)).sum
+      assert(math.abs(av - eig(i) * vecs(i)(r)) < 1e-10, s"A·v ≠ λ·v at $i,$r")
+    }
+  }
+
+  test("jacobiEigen on a rotated diagonal: eigvals sorted desc, trace preserved") {
+    // build A = R·diag(5,2,−1)·Rᵀ with a fixed rotation in the (0,2) plane
+    val d = Array(5.0, 2.0, -1.0)
+    val th = 0.7
+    val r = Array(
+      Array(math.cos(th), 0.0, -math.sin(th)),
+      Array(0.0, 1.0, 0.0),
+      Array(math.sin(th), 0.0, math.cos(th)))
+    val a = Array.tabulate(3, 3)((i, j) =>
+      (0 until 3).map(k => r(i)(k) * d(k) * r(j)(k)).sum)
+    val (eig, _) = Models.jacobiEigen(a)
+    assert(eig.zip(Seq(5.0, 2.0, -1.0)).forall { case (g, w) => math.abs(g - w) < 1e-10 })
+    assert(math.abs(eig.sum - (a(0)(0) + a(1)(1) + a(2)(2))) < 1e-10)
+  }
+
+  test("emb_pca: every contract row ok, trace_num matches an independent recompute") {
+    val full = Models.embPca(spark, sf).as[(String, Long, Boolean)].collect()
+    assert(full.nonEmpty && full.forall(_._3), s"failed contracts: ${full.filterNot(_._3).mkString(",")}")
+    val vals = full.map(r => r._1 -> r._2).toMap
+    assert(vals("dim") == 64 && vals("k_components") == 8)
+    // independent recompute of the exact-integer trace numerator via
+    // a pure SQL aggregation (no mapPartitions) — pins the Gram path
+    val q = Tables.embeddings(spark, sf)
+      .select(posexplode(transform(col("embedding"),
+        x => round(x.cast("double") * 1024).cast("long"))))
+    val s = q.groupBy(col("pos"))
+      .agg(sum(col("col")).as("sx"), sum(col("col") * col("col")).as("sxx"))
+      .agg(sum(lit(vals("n_vectors")) * col("sxx") - col("sx") * col("sx")))
+      .head().getLong(0)
+    assert(s == vals("trace_num"), s"trace_num $s != ${vals("trace_num")}")
+  }
+
+  test("trainSoftmax drives a cleanly separable 3-class toy set to zero error") {
+    // 3 clusters at distinct corners, deterministic jitter; bias + 2 features
+    val pts = for {
+      c <- 0 until 3
+      i <- 0 until 30
+    } yield {
+      val (cx, cy) = c match {
+        case 0 => (10.0, 0.0)
+        case 1 => (0.0, 10.0)
+        case _ => (-10.0, -10.0)
+      }
+      (c, Array(1.0, cx + (i % 7) * 0.1, cy + (i % 5) * 0.1))
+    }
+    val feat = spark.createDataset(pts)
+    val (w, n, acc, loss) = Models.trainSoftmax(spark, feat, 3, 3, 60, 1.0)
+    assert(n == 90)
+    assert(acc >= 0.99, s"toy accuracy $acc")
+    assert(loss < 0.2, s"toy loss $loss")
+    assert(w.forall(x => !x.isNaN && !x.isInfinite))
+  }
+
+  test("domain_classifier: every contract row ok, label counts exact") {
+    val full = Models.domainClassifier(spark, sf)
+      .as[(String, Long, Boolean)].collect()
+    assert(full.nonEmpty && full.forall(_._3), s"failed contracts: ${full.filterNot(_._3).mkString(",")}")
+    val vals = full.map(r => r._1 -> r._2).toMap
+    val want = Tables.embeddings(spark, sf).groupBy(col("label")).count()
+      .as[(Int, Long)].collect().toMap
+    want.foreach { case (l, c) =>
+      assert(vals(s"n_label_$l") == c, s"label $l count")
+    }
+    assert(vals("n_vectors") == want.values.sum)
+  }
+}
