@@ -288,13 +288,35 @@ object Streaming {
     val got = runToMemory(spark, hourlyCounts(stream),
       "graft_stream_window_contract", OutputMode.Complete())
     val want = graft.operators.TimeSeries.hourlyEvents(spark, dir)
-    val (nGot, nWant) = (got.count(), want.count())
-    val extra = got.exceptAll(want).count()
-    val missing = want.exceptAll(got).count()
+    val (nGot, nWant, extra, missing) = bagCompare(got, want)
     Seq(
       ("window_rows_match", nGot == nWant),
       ("window_set_equal", extra == 0L && missing == 0L)
     ).toDF("metric", "ok").orderBy("metric")
+  }
+
+  /** Multiset comparison of two same-schema frames in ONE job:
+    * tag each side, aggregate per-row-value counts, and roll up
+    * (nGot, nWant, extra, missing) from the per-group side counts.
+    * Replaces the previous 4-action form (two counts + two
+    * `exceptAll`s), which re-ran the batch operator three times and
+    * shuffled both sides twice — measured ~2 s per contract at sf0.1
+    * purely on redundant recompute.
+    */
+  private def bagCompare(got: DataFrame, want: DataFrame): (Long, Long, Long, Long) = {
+    val cols = got.columns.toSeq
+    val tagged = got.withColumn("_side", lit(1))
+      .unionByName(want.withColumn("_side", lit(0)))
+    val r = tagged
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col("_side")).as("g"),
+        sum(lit(1) - col("_side")).as("w"))
+      .agg(coalesce(sum(col("g")), lit(0L)).as("nGot"),
+        coalesce(sum(col("w")), lit(0L)).as("nWant"),
+        coalesce(sum(greatest(col("g") - col("w"), lit(0))), lit(0L)).as("extra"),
+        coalesce(sum(greatest(col("w") - col("g"), lit(0))), lit(0L)).as("missing"))
+      .head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }
 
   /** Batch-equivalence contract rows for the streaming exact dedup
@@ -318,9 +340,7 @@ object Streaming {
       .select(col("digest"))
     val want = graft.Tables.documents(spark, dir)
       .select(md5(col("text").cast("binary")).as("digest")).distinct()
-    val (nGot, nWant) = (got.count(), want.count())
-    val extra = got.exceptAll(want).count()
-    val missing = want.exceptAll(got).count()
+    val (nGot, nWant, extra, missing) = bagCompare(got, want)
     Seq(
       ("dedup_digest_set_equal", extra == 0L && missing == 0L),
       ("dedup_rows_match", nGot == nWant)
@@ -355,9 +375,7 @@ object Streaming {
     val want = graft.operators.Joins.intervalClickPurchase(spark, dir)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("delta_us"))
-    val (nGot, nWant) = (got.count(), want.count())
-    val extra = got.exceptAll(want).count()
-    val missing = want.exceptAll(got).count()
+    val (nGot, nWant, extra, missing) = bagCompare(got, want)
     Seq(
       ("join_rows_match", nGot == nWant),
       ("join_set_equal", extra == 0L && missing == 0L)
@@ -369,13 +387,25 @@ object Streaming {
     */
   def runToMemory(spark: SparkSession, streamed: DataFrame,
                   name: String, mode: OutputMode): DataFrame = {
-    val q = streamed.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    // Stateful micro-batch cost scales with the number of state-store
+    // partitions (one store instance per shuffle partition PER
+    // stateful operator per batch), not with data volume at these
+    // SFs — run the bounded contract replay at 8 partitions instead
+    // of the session's 32 and restore after. At real stream scale
+    // the session default applies (a production job sets its own
+    // partitioning); this knob only narrows the fixed machinery cost
+    // of the drain-a-bounded-source contract pattern.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = streamed.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 
