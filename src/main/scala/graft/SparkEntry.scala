@@ -169,6 +169,7 @@ object SparkEntry {
     "corpus_diff"     -> ((s, d) => Curation.corpusDiff(s, d)),
     "source_datacard" -> ((s, d) => Curation.sourceDatacard(s, d)),
     "dsir_sample"     -> ((s, d) => Curation.dsirSample(s, d)),
+    "dp_release"      -> ((s, d) => Curation.dpRelease(s, d)),
     "ppl_buckets"     -> ((s, d) => TextAnalysis.pplBuckets(s, d)),
     "emb_outliers"    -> ((s, d) => Similarity.embOutliers(s, d)),
     "lm_score"          -> ((s, d) => TextAnalysis.lmScore(s, d)),
@@ -804,6 +805,38 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY skey DESC, doc_id) AS rnk FROM k)
         |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, source, skey
         |FROM r WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
+    // ε-DP Laplace release: derandomized via the weighted_sample
+    // 13-hex-char uniform (v+0.5)/2^52, inverse-CDF noise, released
+    // values rounded to 6 (the ln-ulp discipline)
+    "dp_release" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents),
+        |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS true_docs,
+        |        CAST(sum(least(n_tok, 100)) AS BIGINT) AS true_toks
+        |      FROM d GROUP BY lang),
+        |u AS (
+        |  SELECT lang, true_docs, true_toks,
+        |    list_sum([CAST(strpos('0123456789abcdef',
+        |        substr(md5('dpd:' || lang), i, 1)) - 1 AS BIGINT)
+        |        * (CAST(1 AS BIGINT) << (4 * (13 - i))) for i in range(1, 14)]) AS vd,
+        |    list_sum([CAST(strpos('0123456789abcdef',
+        |        substr(md5('dpt:' || lang), i, 1)) - 1 AS BIGINT)
+        |        * (CAST(1 AS BIGINT) << (4 * (13 - i))) for i in range(1, 14)]) AS vt
+        |  FROM a),
+        |n AS (
+        |  SELECT lang, true_docs, true_toks,
+        |    (CAST(vd AS DOUBLE) + 0.5) / 4503599627370496.0 - 0.5 AS cd,
+        |    (CAST(vt AS DOUBLE) + 0.5) / 4503599627370496.0 - 0.5 AS ct
+        |  FROM u)
+        |SELECT lang, CAST(1.0 AS DOUBLE) AS epsilon,
+        |  round(true_docs + (-sign(cd)) * 1.0 * ln(1.0 - 2.0 * abs(cd)), 6)
+        |    AS noisy_docs,
+        |  round(true_toks + (-sign(ct)) * 100.0 * ln(1.0 - 2.0 * abs(ct)), 6)
+        |    AS noisy_toks
+        |FROM n ORDER BY lang""".stripMargin,
     // data card: volume + language spread + exact-dup load + short
     // share per source; dominant lang tie-broken lexicographically
     // via the same struct-max trick both engines order identically

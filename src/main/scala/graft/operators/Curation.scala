@@ -708,4 +708,50 @@ object Curation {
       .select(col("shard"), col("pos"), col("doc_id"), col("source"))
       .orderBy("shard", "pos")
   }
+
+  /** ε-differentially-private release of per-language corpus
+    * statistics — the mechanism a data card uses when the underlying
+    * counts are sensitive (per-source contributor tallies, medical/
+    * legal slice sizes): Laplace noise at sensitivity/ε is added to
+    * each released aggregate (Dwork et al. 2006, the standard
+    * ε-DP count release). Document counts have sensitivity 1; token
+    * sums are CLIPPED per document at `tokClip` first (the standard
+    * bounded-contribution trick), giving sensitivity `tokClip`.
+    *
+    * The Laplace draw is DERANDOMIZED the weighted_sample way: the
+    * uniform is the released key's first 13 md5 hex chars as an
+    * integer v ∈ [0, 2^52), u = (v+0.5)/2^52 — exactly representable,
+    * strictly inside (0,1), identical in both engines — pushed
+    * through the inverse CDF −scale·sign(u−½)·ln(1−2|u−½|). A salted
+    * key per released statistic ("dpd:"/"dpt:") keeps the two draws
+    * for one group independent. Released values round to 6 decimals
+    * (the repo's ln-ulp discipline). Determinism makes the release
+    * REPRODUCIBLE — same corpus, same ε, same output — which is how
+    * production DP releases are audited (the seed is the secret, here
+    * a fixed salt because the fixture has nothing to protect).
+    *
+    * 100 TB shape: one map-side-combined aggregation to ≤|langs|
+    * rows; the noise is column math on the aggregate — release cost
+    * is independent of corpus size.
+    */
+  def dpRelease(spark: SparkSession, dir: String, eps: Double = 1.0,
+                tokClip: Int = 100): DataFrame = {
+    def lap(key: Column, scale: Double): Column = {
+      val v = conv(substring(md5(key), 1, 13), 16, 10).cast("long")
+      val u = (v.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+      val c = u - lit(0.5)
+      negate(signum(c)) * lit(scale) * log(lit(1.0) - lit(2.0) * abs(c))
+    }
+    Tables.documents(spark, dir)
+      .select(col("lang"), TextFns.nTokens(col("text")).cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("true_docs"),
+        sum(least(col("n_tok"), lit(tokClip.toLong))).as("true_toks"))
+      .select(col("lang"), lit(eps).as("epsilon"),
+        round(col("true_docs") +
+          lap(concat(lit("dpd:"), col("lang")), 1.0 / eps), 6).as("noisy_docs"),
+        round(col("true_toks") +
+          lap(concat(lit("dpt:"), col("lang")), tokClip / eps), 6).as("noisy_toks"))
+      .orderBy("lang")
+  }
 }

@@ -36,6 +36,23 @@ import org.apache.spark.sql.functions._
   */
 object Models {
 
+  /** ×1024 integer quantization, JVM form: identical to the column
+    * expression `round(x.cast("double") * 1024).cast("long")` (HALF_UP
+    * — away from zero on an exact .5, nearest integer otherwise;
+    * QuantParitySpec pins the equivalence over the fixtures).
+    */
+  private[graft] def quantize1024(x: Array[Float]): Array[Long] = {
+    val q = new Array[Long](x.length)
+    var i = 0
+    while (i < x.length) {
+      val v = x(i).toDouble * 1024.0
+      q(i) = if (v >= 0) math.floor(v + 0.5).toLong
+             else -math.floor(-v + 0.5).toLong
+      i += 1
+    }
+    q
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix.
     * Returns (eigenvalues, eigenvectors) sorted by eigenvalue
     * descending; eigenvectors are rows of the returned matrix.
@@ -113,16 +130,21 @@ object Models {
     */
   def embPca(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
     import spark.implicits._
-    val embq = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), transform(col("embedding"),
-        x => round(x.cast("double") * 1024).cast("long")).as("vq"))
-    val parts = embq.select(col("vq")).as[Array[Long]]
+    // quantization runs inside the partition lambdas: the
+    // `transform(..., round(x*1024))` expression form is a
+    // higher-order function, which Spark evaluates INTERPRETED —
+    // measured ~2× on the 100× corpus across the two passes.
+    // QuantParitySpec pins this formula equal to the expression form
+    // (HALF_UP, away from zero on exact halves) over the fixtures.
+    val raw = Tables.embeddings(spark, dir).select(col("embedding"))
+      .as[Array[Float]]
+    val parts = raw
       .mapPartitions { it =>
         var n = 0L
         var sx: Array[Long] = null
         var g: Array[Long] = null // upper triangle, row-major
         while (it.hasNext) {
-          val x = it.next()
+          val x = Models.quantize1024(it.next())
           val d = x.length
           if (sx == null) { sx = new Array[Long](d); g = new Array[Long](d * (d + 1) / 2) }
           n += 1
@@ -193,21 +215,41 @@ object Models {
     // second distributed pass: per-component projected variance must
     // reproduce the eigenvalues — proves the fitted model against the
     // corpus, not just against the driver-side matrix
-    val offsets = (0 until kk).map { j =>
+    val offsets = Array.tabulate(kk) { j =>
       var s = 0.0; var r = 0
       while (r < d) { s += vecs(j)(r) * mean(r); r += 1 }
       s
     }
-    val projCols = (0 until kk).map { j =>
-      val comp = typedLit(vecs(j).toSeq)
-      val p = aggregate(
-        zip_with(col("vq"), comp, (x, c) => x.cast("double") * c),
-        lit(0.0), (acc, x) => acc + x) - lit(offsets(j))
-      sum(p * p).as(s"ss$j")
+    // same mapPartitions shape as the Gram pass (the higher-order
+    // expression formulation of these k·d dot products per row runs
+    // interpreted — measured 8× slower at the 100× corpus)
+    val bComps = spark.sparkContext.broadcast((vecs.take(kk), offsets))
+    val ssParts = raw
+      .mapPartitions { it =>
+        val (comps, offs) = bComps.value
+        val k = comps.length
+        val ss = new Array[Double](k)
+        while (it.hasNext) {
+          val x = Models.quantize1024(it.next())
+          var j = 0
+          while (j < k) {
+            val cj = comps(j)
+            var s = -offs(j); var r = 0
+            while (r < x.length) { s += cj(r) * x(r); r += 1 }
+            ss(j) += s * s
+            j += 1
+          }
+        }
+        Iterator.single(ss)
+      }.collect() // ≤ nPartitions k-sized rows — bounded
+    bComps.unpersist(blocking = false)
+    val ss = new Array[Double](kk)
+    ssParts.foreach { ps =>
+      var j = 0
+      while (j < kk) { ss(j) += ps(j); j += 1 }
     }
-    val ss = embq.agg(projCols.head, projCols.tail: _*).head()
     val projOk = (0 until kk).forall { j =>
-      val pv = ss.getDouble(j) / n
+      val pv = ss(j) / n
       math.abs(pv - eig(j)) <= 1e-6 * math.max(eig(j), trace * 1e-9) + 1e-9
     }
     // raw margins to stderr (not in the hashed output) so a contract
@@ -283,9 +325,10 @@ object Models {
     val clsCol = labels.zipWithIndex.foldLeft(lit(-1)) { case (acc, (l, i)) =>
       when(col("y") === l, lit(i)).otherwise(acc)
     }
+    // no checkpoint here: trainSoftmax persists the decoded RDD for
+    // the loop; the one other consumer (byClass) re-scans the source
     val feat = emb.select(clsCol.as("y"), col("f"))
       .as[(Int, Array[Double])]
-      .localCheckpoint(eager = false)
     val d1 = Tables.embeddings(spark, dir).select(size(col("embedding")))
       .head().getInt(0) + 1
     val (w, n, acc, loss) = trainSoftmax(spark, feat, nC, d1, iters, lr)
@@ -321,12 +364,18 @@ object Models {
       spark: SparkSession,
       feat: org.apache.spark.sql.Dataset[(Int, Array[Double])],
       nC: Int, d1: Int, iters: Int, lr: Double): (Array[Double], Long, Double, Double) = {
-    import spark.implicits._
     val sc = spark.sparkContext
     var w: Array[Double] = new Array[Double](nC * d1) // row-major C×d1
+    // persist the DESERIALIZED rows (the MLlib training-cache
+    // pattern): a checkpointed Dataset re-decodes InternalRows on
+    // every one of the 41 passes — measured ~4× of the loop at the
+    // 100× corpus. At real scale this is MEMORY_AND_DISK_SER
+    // territory; deserialized is right for the in-memory regime.
+    val data = feat.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def pass(wm: Array[Double], C: Int): (Long, Array[Double], Double, Long) = {
       val bw = sc.broadcast(wm)
-      val parts = feat.mapPartitions { it =>
+      val parts = data.mapPartitions { it =>
         val W = bw.value
         val d1 = W.length / C
         val g = new Array[Double](W.length)
@@ -381,6 +430,7 @@ object Models {
       it += 1
     }
     val (n, _, lossSum, correct) = pass(w, nC)
+    data.unpersist(blocking = false)
     (w, n, correct.toDouble / math.max(n, 1L), lossSum / math.max(n, 1L))
   }
 }

@@ -74,6 +74,24 @@ class ModelsSpec extends SparkSpec {
     assert(w.forall(x => !x.isNaN && !x.isInfinite))
   }
 
+  test("quantize1024 JVM form == the round(x*1024) column expression (full fixture)") {
+    val viaExpr = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => round(x.cast("double") * 1024).cast("long")).as("vq"))
+      .as[(Long, Array[Long])].collect().toMap
+    val viaJvm = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    assert(viaJvm.nonEmpty)
+    viaJvm.foreach { case (id, emb) =>
+      assert(Models.quantize1024(emb).sameElements(viaExpr(id)), s"vec $id")
+    }
+    // the exact-half edge both forms must round AWAY from zero
+    // (2.5/1024 = 5·2^-11, exactly representable as a float)
+    assert(Models.quantize1024(Array(2.5f / 1024)).sameElements(Array(3L)))
+    assert(Models.quantize1024(Array(-2.5f / 1024)).sameElements(Array(-3L)))
+  }
+
   test("domain_classifier: every contract row ok, label counts exact") {
     val full = Models.domainClassifier(spark, sf)
       .as[(String, Long, Boolean)].collect()
