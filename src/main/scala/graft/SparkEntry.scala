@@ -170,6 +170,7 @@ object SparkEntry {
     "source_datacard" -> ((s, d) => Curation.sourceDatacard(s, d)),
     "dsir_sample"     -> ((s, d) => Curation.dsirSample(s, d)),
     "dp_release"      -> ((s, d) => Curation.dpRelease(s, d)),
+    "bm25_index_topk" -> ((s, d) => TextAnalysis.bm25IndexTopK(s, d)),
     "ppl_buckets"     -> ((s, d) => TextAnalysis.pplBuckets(s, d)),
     "emb_outliers"    -> ((s, d) => Similarity.embOutliers(s, d)),
     "lm_score"          -> ((s, d) => TextAnalysis.lmScore(s, d)),
@@ -1912,6 +1913,30 @@ object SparkEntry {
     // top-k cut is cross-engine-stable even where raw float sums
     // differ in the last bits
     "bm25_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |           t -> t <> '')) AS term
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfc GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT unnest(['data', 'model', 'system']) AS term),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc JOIN q USING (term) GROUP BY 1),
+        |s AS (
+        |  SELECT t.doc_id,
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (t.tf * 2.2) /
+        |      (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+        |  FROM tfc t JOIN q USING (term) JOIN dfc USING (term)
+        |  JOIN dl ON dl.doc_id = t.doc_id, stats)
+        |SELECT doc_id, round(sum(s), 6) AS score,
+        |       CAST(count(*) AS BIGINT) AS n_terms
+        |FROM s GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // the at-rest index serve must reproduce the direct BM25 ranking
+    // bit-for-bit, so its oracle IS the direct computation (same SQL
+    // as bm25_topk)
+    "bm25_index_topk" ->
       """WITH tok AS (
         |  SELECT doc_id,
         |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),

@@ -460,16 +460,97 @@ object TextAnalysis {
       .join(broadcast(df), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
-          (col("tf") * lit(k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-          .as("s"))
+      .select(col("doc_id"), bm25Score(k1, b).as("s"))
       .groupBy(col("doc_id"))
       .agg(sum(col("s")).as("score"), count(lit(1)).as("n_terms"))
       .select(col("doc_id"), round(col("score"), 6).as("score"), col("n_terms"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** BM25 per-posting partial score — shared by the direct
+    * [[bm25TopK]] path and the at-rest index serve so the two can
+    * never drift; expects columns tf, df, dl, n_docs, avgdl.
+    */
+  private def bm25Score(k1: Double, b: Double) =
+    log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+      (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+
+  /** Write the LEXICAL index at rest — the text sibling of
+    * [[graft.operators.Similarity]]'s ivfWriteIndex: postings
+    * (term, doc_id, tf) hive-partitioned by the term's first letter
+    * (the pruning key a query's term set maps to statically), with
+    * the document length INLINED per posting — the Lucene norms-file
+    * equivalent: one extra long per posting buys serving without a
+    * corpus-sized doc-length join. Per-term document frequencies land
+    * in a `terms/` table under the same partitioning; the two
+    * corpus-level scalars (n_docs, avgdl) in a 1-row `stats/`.
+    *
+    * 100 TB shape: built once at ingest (two doc-keyed exchanges —
+    * the same aggregation the direct query runs); serving reads ONLY
+    * the query terms' letter partitions (PartitionFilters — asserted
+    * in LayoutSpec) and within them prunes by the term dictionary
+    * filter, so query cost scales with posting-list length, not
+    * corpus size.
+    */
+  def bm25WriteIndex(spark: SparkSession, dir: String, out: String): Unit = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextFns.alphaTokens(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    tf.join(dl, "doc_id")
+      .select(substring(col("term"), 1, 1).as("tb"), col("term"),
+        col("doc_id"), col("tf"), col("dl"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("tb").parquet(s"$out/postings")
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .select(substring(col("term"), 1, 1).as("tb"), col("term"), col("df"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("tb").parquet(s"$out/terms")
+    dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$out/stats")
+  }
+
+  /** Serve BM25 top-k from the at-rest index: static routing (query
+    * terms → first-letter buckets) becomes parquet PartitionFilters,
+    * the term dictionary rows for the query broadcast, and scoring
+    * uses the inlined norms — no corpus-sized join anywhere in the
+    * serve path.
+    */
+  def bm25QueryIndex(spark: SparkSession, idx: String,
+                     terms: Seq[String], k: Int,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val buckets = terms.map(_.substring(0, 1)).distinct
+    val post = spark.read.parquet(s"$idx/postings")
+      .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+    val tdf = spark.read.parquet(s"$idx/terms")
+      .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select(col("term"), col("df"))
+    val stats = spark.read.parquet(s"$idx/stats")
+    post.join(broadcast(tdf), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), bm25Score(k1, b).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s")).as("score"), count(lit(1)).as("n_terms"))
+      .select(col("doc_id"), round(col("score"), 6).as("score"), col("n_terms"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Build-then-serve in one registry entry (the ivf_index_topk
+    * pattern); must equal the direct [[bm25TopK]] bit-for-bit — the
+    * oracle replays the direct computation.
+    */
+  def bm25IndexTopK(spark: SparkSession, dir: String,
+                    terms: Seq[String] = Seq("data", "model", "system"),
+                    k: Int = 20): DataFrame = {
+    val idx = s"/tmp/graft_bm25_index_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    bm25WriteIndex(spark, dir, idx)
+    bm25QueryIndex(spark, idx, terms, k)
   }
 
   /** Iterative BPE vocabulary learning — the real merge loop

@@ -22,7 +22,7 @@ object PlanCount {
       "bpe_encode", "ivf_index_topk", "graph_pagerank",
       "mixture_temperature", "contamination_bloom", "stream_window_contract",
       "stream_dedup_contract", "stream_join_contract", "emb_pca",
-      "domain_classifier")
+      "domain_classifier", "bm25_index_topk")
     val names =
       if (args.length > 1) args(1).split(",").toSeq
       else SparkEntry.queries.keys.toSeq.sorted.filterNot(eager)

@@ -26,6 +26,20 @@ class LayoutSpec extends SparkSpec {
     assert(sliced.count() == expected)
   }
 
+  test("at-rest BM25 index: serving prunes to query-term letter buckets, equals direct") {
+    import graft.operators.TextAnalysis
+    val idx = "/tmp/graft_test_bm25_idx"
+    TextAnalysis.bm25WriteIndex(spark, sf, idx)
+    val served = TextAnalysis.bm25QueryIndex(spark, idx,
+      Seq("data", "model", "system"), 20)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("tb"),
+      s"no term-bucket pruning:\n$plan")
+    // the served ranking must equal the direct (index-free) query
+    val direct = TextAnalysis.bm25TopK(spark, sf)
+    assert(served.collect().toSeq == direct.collect().toSeq)
+  }
+
   test("at-rest IVF index: serving scan prunes to the probed cells only") {
     import graft.operators.Similarity
     val idx = "/tmp/graft_test_ivf_idx"
