@@ -60,7 +60,11 @@ class EmptyInputSpec extends SparkSpec {
       "ppl_buckets"   -> ((s, d) => TextAnalysis.pplBuckets(s, d)),
       "emb_outliers"  -> ((s, d) => Similarity.embOutliers(s, d)),
       "contamination_semantic" ->
-        ((s, d) => Similarity.contaminationSemantic(s, d)))
+        ((s, d) => Similarity.contaminationSemantic(s, d)),
+      // trained-model / release operators
+      "emb_pca"           -> ((s, d) => Models.embPca(s, d)),
+      "domain_classifier" -> ((s, d) => Models.domainClassifier(s, d)),
+      "dp_release"        -> ((s, d) => Curation.dpRelease(s, d)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()
