@@ -322,4 +322,38 @@ class CurationSpec extends SparkSpec {
         assert(scores(hi).min >= scores(lo).max, s"$lang $hi/$lo overlap")
     }
   }
+
+  test("dp_release: released value == true count + analytic md5-Laplace noise") {
+    import java.security.MessageDigest
+    def laplace(key: String, scale: Double): Double = {
+      val hex = MessageDigest.getInstance("MD5").digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      val v = java.lang.Long.parseLong(hex, 16)
+      val u = (v.toDouble + 0.5) / 4503599627370496.0 // 2^52
+      val c = u - 0.5
+      -math.signum(c) * scale * math.log(1.0 - 2.0 * math.abs(c))
+    }
+    val rows = Curation.dpRelease(spark, sf)
+      .as[(String, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val truth = Tables.documents(spark, sf)
+      .select(col("lang"),
+        least(graft.functions.TextFns.nTokens(col("text")).cast("long"),
+          lit(100L)).as("t"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("d"), sum(col("t")).as("t"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { case (lang, eps, nd, nt) =>
+      assert(eps == 1.0)
+      val (td, tt) = truth(lang)
+      val wantD = BigDecimal(td + laplace(s"dpd:$lang", 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val wantT = BigDecimal(tt + laplace(s"dpt:$lang", 100.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(nd - wantD) < 1e-9, s"$lang docs: $nd vs $wantD")
+      assert(math.abs(nt - wantT) < 1e-9, s"$lang toks: $nt vs $wantT")
+      // the noise is nonzero (a zero draw would mean no privacy at all)
+      assert(nd != td.toDouble && nt != tt.toDouble, s"$lang: zero noise")
+    }
+  }
 }
