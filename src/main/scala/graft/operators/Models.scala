@@ -30,16 +30,17 @@ import org.apache.spark.sql.functions._
   * loop broadcasts m+1 doubles down and aggregates m+1 doubles up per
   * iteration. Quantized ×1024 integer sums (the emb_kmeans trick)
   * make the accumulated Gram exact and therefore independent of
-  * partitioning and reduce order; long overflow needs |q|≤2¹¹ per
-  * coordinate and ~2⁴⁴ rows per dimension — far beyond 100 TB of
-  * 64-dim vectors.
+  * partitioning and reduce order; Gram-accumulator overflow needs
+  * |q|≤2¹¹ per coordinate and ~2⁴¹ rows — far beyond 100 TB of
+  * 64-dim vectors (the emitted contract integers are n-scaled sums
+  * with the same bound; nothing n²-scaled is emitted).
   */
 object Models {
 
   /** ×1024 integer quantization, JVM form: identical to the column
     * expression `round(x.cast("double") * 1024).cast("long")` (HALF_UP
     * — away from zero on an exact .5, nearest integer otherwise;
-    * QuantParitySpec pins the equivalence over the fixtures).
+    * ModelsSpec's quantize-parity test pins the equivalence over the fixtures).
     */
   private[graft] def quantize1024(x: Array[Float]): Array[Long] = {
     val q = new Array[Long](x.length)
@@ -114,8 +115,8 @@ object Models {
 
   /** Distributed PCA over the embeddings table, emitted as
     * oracle-checkable CONTRACT rows (the sketch_hll_merge pattern):
-    * the exact-integer second-moment numerators (`trace_num` =
-    * Σ_d n·Σx² − (Σx)², computable identically in DuckDB from the
+    * the exact-integer second-moment sums (`sumsq_total` = Σ_d Σx²,
+    * `sum_total` = Σ_d Σx, computable identically in DuckDB from the
     * same ×1024 quantization) pin the distributed accumulation path,
     * and the eigen-side invariants — PSD spectrum, orthonormal
     * components, variance explained, and a SECOND distributed pass
@@ -134,7 +135,7 @@ object Models {
     // `transform(..., round(x*1024))` expression form is a
     // higher-order function, which Spark evaluates INTERPRETED —
     // measured ~2× on the 100× corpus across the two passes.
-    // QuantParitySpec pins this formula equal to the expression form
+    // ModelsSpec's quantize-parity test pins this formula equal to the expression form
     // (HALF_UP, away from zero on exact halves) over the fixtures.
     val raw = Tables.embeddings(spark, dir).select(col("embedding"))
       .as[Array[Float]]
@@ -171,12 +172,18 @@ object Models {
       i = 0
       while (i < g.length) { g(i) += pg(i); i += 1 }
     }
-    // exact integer trace numerator: Σ_d (n·Σx² − (Σx)²) — replayed
-    // bit-for-bit by the DuckDB oracle from the same quantization
-    var traceNum = BigInt(0)
+    // exact integer pins of the distributed accumulation, replayed
+    // bit-for-bit by the DuckDB oracle from the same quantization:
+    // Σ_d Σx² (the Gram diagonal total) and Σ_d Σx (the mean
+    // numerator total). Both are n-SCALED, so they stay inside a
+    // BIGINT to ~2⁴¹ rows — unlike the earlier n²-scaled trace
+    // numerator Σ_d(n·Σx² − (Σx)²), which would have wrapped around
+    // n≈10⁶ rows while DuckDB's HUGEINT sum threw instead
     val diag = Array.tabulate(d) { i => g(i * d - i * (i - 1) / 2) }
+    var sumsqTotal = 0L
+    var sumTotal = 0L
     var i = 0
-    while (i < d) { traceNum += BigInt(n) * diag(i) - BigInt(sx(i)) * sx(i); i += 1 }
+    while (i < d) { sumsqTotal += diag(i); sumTotal += sx(i); i += 1 }
     // covariance in quantized units (doubles): C = G/n − mean·meanᵀ
     val mean = sx.map(_.toDouble / n)
     val cov = Array.ofDim[Double](d, d)
@@ -261,15 +268,18 @@ object Models {
       ("n_vectors", n, true),
       ("dim", d.toLong, true),
       ("k_components", kk.toLong, true),
-      ("trace_num", traceNum.toLong, true),
+      ("sumsq_total", sumsqTotal, true),
+      ("sum_total", sumTotal, true),
       ("eigvals_nonneg", 0L, eigNonneg),
       ("components_orthonormal", 0L, orthoOk),
       // top-k of a DESC-sorted spectrum always captures ≥ k/d of the
-      // trace (mean of the top k ≥ the overall mean) — a guaranteed
-      // invariant, so the contract can never flake on regenerated
-      // data; the stderr line records the actual share (~0.16–0.20
-      // on the near-isotropic synthetic embeddings)
-      ("explained_ge_uniform_share", 0L, explained >= kk.toDouble / d),
+      // trace (mean of the top k ≥ the overall mean) whenever
+      // trace > 0 — guaranteed, so the contract can never flake on
+      // regenerated data; a zero-variance corpus (trace == 0) is
+      // trivially fully explained. The stderr line records the
+      // actual share (~0.16–0.20 on the synthetic embeddings).
+      ("explained_ge_uniform_share", 0L,
+        trace < 1e-12 || explained >= kk.toDouble / d),
       ("proj_var_matches_eigvals", 0L, projOk)
     ).toDF("metric", "value", "ok").orderBy("metric")
   }
@@ -292,7 +302,7 @@ object Models {
     * accuracy ≥ 15% (measured 0.21–0.42 vs ~0.11 majority on the
     * synthetic clusters) and above the majority rate, finite weights
     * — are pinned TRUE, with raw margins on stderr for
-    * diagnosability. ClassifierSpec drives a cleanly separable toy
+    * diagnosability. ModelsSpec drives a cleanly separable toy
     * set to zero error to pin the trainer itself.
     *
     * Note on what was NOT built: a text-feature lang classifier was

@@ -495,6 +495,10 @@ object TextAnalysis {
     * corpus size.
     */
   def bm25WriteIndex(spark: SparkSession, dir: String, out: String): Unit = {
+    // the corpus is tokenized ONCE: the postings land first, and the
+    // derived tables (term dictionary, corpus stats) are computed by
+    // reading the just-written postings back — they already carry
+    // term, tf, and dl, so neither derivation touches the corpus
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(TextFns.alphaTokens(lower(col("text")))).as("term"))
@@ -506,11 +510,15 @@ object TextAnalysis {
         col("doc_id"), col("tf"), col("dl"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("tb").parquet(s"$out/postings")
-    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val posted = spark.read.schema(
+      "term string, doc_id bigint, tf bigint, dl bigint, tb string")
+      .parquet(s"$out/postings")
+    posted.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .select(substring(col("term"), 1, 1).as("tb"), col("term"), col("df"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("tb").parquet(s"$out/terms")
-    dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    posted.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$out/stats")
   }
@@ -524,13 +532,22 @@ object TextAnalysis {
   def bm25QueryIndex(spark: SparkSession, idx: String,
                      terms: Seq[String], k: Int,
                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val buckets = terms.map(_.substring(0, 1)).distinct
-    val post = spark.read.parquet(s"$idx/postings")
+    // explicit schemas: an index built over an EMPTY corpus has no
+    // part files, and schema inference (not the read) is what throws
+    // there — with the schema stated, the serve degrades to 0 rows.
+    // take(1) tolerates empty-string terms (they match no postings,
+    // same as the direct path).
+    val buckets = terms.filter(_.nonEmpty).map(_.take(1)).distinct
+    val post = spark.read
+      .schema("term string, doc_id bigint, tf bigint, dl bigint, tb string")
+      .parquet(s"$idx/postings")
       .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
-    val tdf = spark.read.parquet(s"$idx/terms")
+    val tdf = spark.read.schema("term string, df bigint, tb string")
+      .parquet(s"$idx/terms")
       .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
       .select(col("term"), col("df"))
-    val stats = spark.read.parquet(s"$idx/stats")
+    val stats = spark.read.schema("n_docs bigint, avgdl double")
+      .parquet(s"$idx/stats")
     post.join(broadcast(tdf), "term")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), bm25Score(k1, b).as("s"))

@@ -3,10 +3,10 @@ package graft.tools
 import graft.Sessions
 
 /** Threshold probe for the r11 Models operators: runs emb_pca and
-  * quality_classifier at each given SF dir and prints the contract
-  * rows plus the stderr margin lines, so the pinned thresholds
-  * (explained-variance floor, accuracy-vs-majority) are chosen from
-  * MEASURED margins rather than guessed.
+  * domain_classifier at each given SF dir and prints the contract
+  * rows plus the stderr margin lines, so pinned thresholds (the
+  * classifier's accuracy/loss floors) are chosen from MEASURED
+  * margins rather than guessed.
   *
   * Usage: runMain graft.tools.ModelProbe <sfDir> [<sfDir> ...]
   */

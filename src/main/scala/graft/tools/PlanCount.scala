@@ -17,12 +17,7 @@ object PlanCount {
     spark.conf.set("spark.sql.exchangeReuseEnabled", "false")
     spark.conf.set("spark.sql.execution.reuseSubquery", "false")
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val eager = Set("dedup_clusters", "dedup_clusters_star",
-      "dedup_keep_longest", "kv_roundtrip", "bloom_join", "bpe_vocab",
-      "bpe_encode", "ivf_index_topk", "graph_pagerank",
-      "mixture_temperature", "contamination_bloom", "stream_window_contract",
-      "stream_dedup_contract", "stream_join_contract", "emb_pca",
-      "domain_classifier", "bm25_index_topk")
+    val eager = SparkEntry.eagerQueries
     val names =
       if (args.length > 1) args(1).split(",").toSeq
       else SparkEntry.queries.keys.toSeq.sorted.filterNot(eager)

@@ -64,7 +64,8 @@ class EmptyInputSpec extends SparkSpec {
       // trained-model / release operators
       "emb_pca"           -> ((s, d) => Models.embPca(s, d)),
       "domain_classifier" -> ((s, d) => Models.domainClassifier(s, d)),
-      "dp_release"        -> ((s, d) => Curation.dpRelease(s, d)))
+      "dp_release"        -> ((s, d) => Curation.dpRelease(s, d)),
+      "bm25_index_topk"   -> ((s, d) => TextAnalysis.bm25IndexTopK(s, d)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()

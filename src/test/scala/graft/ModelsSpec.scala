@@ -36,21 +36,20 @@ class ModelsSpec extends SparkSpec {
     assert(math.abs(eig.sum - (a(0)(0) + a(1)(1) + a(2)(2))) < 1e-10)
   }
 
-  test("emb_pca: every contract row ok, trace_num matches an independent recompute") {
+  test("emb_pca: every contract row ok, moment sums match an independent recompute") {
     val full = Models.embPca(spark, sf).as[(String, Long, Boolean)].collect()
     assert(full.nonEmpty && full.forall(_._3), s"failed contracts: ${full.filterNot(_._3).mkString(",")}")
     val vals = full.map(r => r._1 -> r._2).toMap
     assert(vals("dim") == 64 && vals("k_components") == 8)
-    // independent recompute of the exact-integer trace numerator via
-    // a pure SQL aggregation (no mapPartitions) — pins the Gram path
-    val q = Tables.embeddings(spark, sf)
-      .select(posexplode(transform(col("embedding"),
-        x => round(x.cast("double") * 1024).cast("long"))))
-    val s = q.groupBy(col("pos"))
-      .agg(sum(col("col")).as("sx"), sum(col("col") * col("col")).as("sxx"))
-      .agg(sum(lit(vals("n_vectors")) * col("sxx") - col("sx") * col("sx")))
-      .head().getLong(0)
-    assert(s == vals("trace_num"), s"trace_num $s != ${vals("trace_num")}")
+    // independent recompute of the exact-integer moment sums via a
+    // pure SQL aggregation (no mapPartitions) — pins the Gram path
+    val s = Tables.embeddings(spark, sf)
+      .select(explode(transform(col("embedding"),
+        x => round(x.cast("double") * 1024).cast("long"))).as("x"))
+      .agg(sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+      .head()
+    assert(s.getLong(0) == vals("sum_total"), s"sum_total ${s.getLong(0)}")
+    assert(s.getLong(1) == vals("sumsq_total"), s"sumsq_total ${s.getLong(1)}")
   }
 
   test("trainSoftmax drives a cleanly separable 3-class toy set to zero error") {

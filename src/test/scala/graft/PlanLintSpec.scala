@@ -9,12 +9,7 @@ class PlanLintSpec extends SparkSpec {
 
   // queries whose construction runs driver-side jobs (iterative loops,
   // sink writes) — their plan shape is guarded by their own specs
-  private val eagerBuilders = Set("dedup_clusters", "dedup_clusters_star",
-    "dedup_keep_longest", "kv_roundtrip", "bloom_join", "bpe_vocab",
-    "bpe_encode", "ivf_index_topk", "graph_pagerank", "mixture_temperature",
-    "contamination_bloom", "stream_window_contract", "stream_dedup_contract", "stream_join_contract", // count + Bloom build over the eval side up front
-    "emb_pca", "domain_classifier", // driver-side eigen / GD loop over bounded partials
-    "bm25_index_topk") // index write at build time (the ivf_index_topk pattern)
+  private val eagerBuilders = SparkEntry.eagerQueries
 
   // The EXACT set of queries that legitimately plan a
   // BroadcastNestedLoopJoin (enumerated by scanning the registry, kept
