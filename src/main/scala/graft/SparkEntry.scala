@@ -835,10 +835,10 @@ object SparkEntry {
         |u AS (
         |  SELECT lang, true_docs, true_toks,
         |    list_sum([CAST(strpos('0123456789abcdef',
-        |        substr(md5('dpd:' || lang), i, 1)) - 1 AS BIGINT)
+        |        substr(md5('REPLAY-FIXTURE-SEED:dpd:' || lang), i, 1)) - 1 AS BIGINT)
         |        * (CAST(1 AS BIGINT) << (4 * (13 - i))) for i in range(1, 14)]) AS vd,
         |    list_sum([CAST(strpos('0123456789abcdef',
-        |        substr(md5('dpt:' || lang), i, 1)) - 1 AS BIGINT)
+        |        substr(md5('REPLAY-FIXTURE-SEED:dpt:' || lang), i, 1)) - 1 AS BIGINT)
         |        * (CAST(1 AS BIGINT) << (4 * (13 - i))) for i in range(1, 14)]) AS vt
         |  FROM a),
         |n AS (
@@ -1421,7 +1421,10 @@ object SparkEntry {
     // eigen-side invariants (PSD spectrum, orthonormal components,
     // top-k share ≥ k/d which a DESC-sorted spectrum guarantees when
     // trace > 0, projected variance reproducing the eigenvalues in a
-    // second distributed pass) are pinned TRUE
+    // second distributed pass) are pinned TRUE. The WHERE n>0 guard
+    // (r11 ADVICE) makes the oracle 0-row on an empty corpus — the
+    // literal UNION ALL branches would otherwise emit rows where the
+    // Spark side returns none
     "emb_pca" ->
       """WITH q AS (
         |  SELECT list_transform(embedding,
@@ -1441,7 +1444,7 @@ object SparkEntry {
         |  UNION ALL SELECT 'components_orthonormal', 0, TRUE
         |  UNION ALL SELECT 'explained_ge_uniform_share', 0, TRUE
         |  UNION ALL SELECT 'proj_var_matches_eigvals', 0, TRUE
-        |) ORDER BY metric""".stripMargin,
+        |) WHERE (SELECT n FROM nn) > 0 ORDER BY metric""".stripMargin,
     // softmax domain-classifier contract: exact per-label counts
     // replay in DuckDB; the training invariants (loss below the
     // zero-weight chance loss ln C, accuracy over both the 15% floor
@@ -1460,7 +1463,7 @@ object SparkEntry {
         |  UNION ALL SELECT 'accuracy_ge_15pct', 0, TRUE
         |  UNION ALL SELECT 'accuracy_beats_majority', 0, TRUE
         |  UNION ALL SELECT 'weights_finite', 0, TRUE
-        |) ORDER BY metric""".stripMargin,
+        |) WHERE (SELECT nv FROM n) > 0 ORDER BY metric""".stripMargin,
     // semantic decontamination: exact-integer cosines against the
     // broadcast eval set, per-vector argmax (ties to smallest eval
     // id), >= tau decided on the RAW exact similarity

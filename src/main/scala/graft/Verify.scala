@@ -12,8 +12,8 @@ object Verify {
     * never part of any hashed output. Driver-side collects are ≤ the
     * handful of group rows.
     */
-  private def sketchContractDiag(spark: org.apache.spark.sql.SparkSession,
-                                 dir: String): Seq[String] = {
+  private[graft] def sketchContractDiag(spark: org.apache.spark.sql.SparkSession,
+                                        dir: String): Seq[String] = {
     import org.apache.spark.sql.functions._
     val per = Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))

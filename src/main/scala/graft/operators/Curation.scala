@@ -725,23 +725,34 @@ object Curation {
     * through the inverse CDF −scale·sign(u−½)·ln(1−2|u−½|). A salted
     * key per released statistic ("dpd:"/"dpt:") keeps the two draws
     * for one group independent. Released values round to 6 decimals
-    * (the repo's ln-ulp discipline). Determinism makes the release
-    * REPRODUCIBLE — same corpus, same ε, same output — which is how
-    * production DP releases are audited (the seed is the secret, here
-    * a fixed salt because the fixture has nothing to protect).
+    * (the repo's ln-ulp discipline).
+    *
+    * ==NOT a private release as registered== (r11 ADVICE): with the
+    * default `seed`, the noise is a pure function of PUBLIC inputs
+    * (the salt and the released group key), so any consumer can
+    * recompute and subtract it exactly — the registered query is a
+    * deterministic DP-MECHANISM REPLAY, which is what the cross-
+    * engine oracle needs (same corpus, same ε, same output) and all
+    * the fixture requires. A real release MUST pass a secret,
+    * high-entropy `seed`: the draw is then a keyed PRF of
+    * (seed, group) — unpredictable to anyone without the seed, still
+    * reproducible by the auditor who holds it. The test-only default
+    * exists so the oracle can replay the draws; never ship it.
     *
     * 100 TB shape: one map-side-combined aggregation to ≤|langs|
     * rows; the noise is column math on the aggregate — release cost
     * is independent of corpus size.
     */
   def dpRelease(spark: SparkSession, dir: String, eps: Double = 1.0,
-                tokClip: Int = 100): DataFrame = {
+                tokClip: Int = 100,
+                seed: String = "REPLAY-FIXTURE-SEED"): DataFrame = {
     def lap(key: Column, scale: Double): Column = {
       val v = conv(substring(md5(key), 1, 13), 16, 10).cast("long")
       val u = (v.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
       val c = u - lit(0.5)
       negate(signum(c)) * lit(scale) * log(lit(1.0) - lit(2.0) * abs(c))
     }
+    val s = lit(seed + ":")
     Tables.documents(spark, dir)
       .select(col("lang"), TextFns.nTokens(col("text")).cast("long").as("n_tok"))
       .groupBy(col("lang"))
@@ -749,9 +760,9 @@ object Curation {
         sum(least(col("n_tok"), lit(tokClip.toLong))).as("true_toks"))
       .select(col("lang"), lit(eps).as("epsilon"),
         round(col("true_docs") +
-          lap(concat(lit("dpd:"), col("lang")), 1.0 / eps), 6).as("noisy_docs"),
+          lap(concat(s, lit("dpd:"), col("lang")), 1.0 / eps), 6).as("noisy_docs"),
         round(col("true_toks") +
-          lap(concat(lit("dpt:"), col("lang")), tokClip / eps), 6).as("noisy_toks"))
+          lap(concat(s, lit("dpt:"), col("lang")), tokClip / eps), 6).as("noisy_toks"))
       .orderBy("lang")
   }
 }

@@ -562,10 +562,21 @@ object TextAnalysis {
     * pattern); must equal the direct [[bm25TopK]] bit-for-bit — the
     * oracle replays the direct computation.
     */
+  /** Per-JVM scratch token (r11 ADVICE): two PROCESSES invoking
+    * [[bm25IndexTopK]] over the same input dir previously shared one
+    * /tmp path, so one process's Overwrite rebuild could race the
+    * other's serve (missing part files / wrong rankings). A
+    * process-unique suffix isolates them; within one JVM the path is
+    * stable, so repeat invocations still overwrite their own index.
+    */
+  private lazy val scratchToken =
+    java.util.UUID.randomUUID().toString.take(8)
+
   def bm25IndexTopK(spark: SparkSession, dir: String,
                     terms: Seq[String] = Seq("data", "model", "system"),
                     k: Int = 20): DataFrame = {
-    val idx = s"/tmp/graft_bm25_index_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val idx = s"/tmp/graft_bm25_index_${scratchToken}_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
     bm25WriteIndex(spark, dir, idx)
     bm25QueryIndex(spark, idx, terms, k)
   }

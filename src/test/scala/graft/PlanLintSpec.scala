@@ -261,7 +261,8 @@ class PlanLintSpec extends SparkSpec {
     "dsir_sample" -> (4, 2),   // one counts agg + 1-row totals + doc_id agg + rank/sort; bucket+totals broadcast
     "ppl_buckets" -> (6, 2),   // lm_score pipeline (5,2) + per-lang ntile window
     "emb_outliers" -> (2, 1),  // stats agg + final sort; Lloyd subplan materialized once behind the lazy checkpoint (k-row stats broadcast)
-    "contamination_semantic" -> (2, 1)) // map-side argmax collapse + sort; eval-set broadcast
+    "contamination_semantic" -> (2, 1), // map-side argmax collapse + sort; eval-set broadcast
+    "dp_release" -> (2, 0))    // one map-side-combined (lang) agg + final sort; noise is pure column math
 
   test("golden shuffle budgets: no flagship query grows an extra exchange") {
     // Two sources make raw exchange counts history-dependent, so this

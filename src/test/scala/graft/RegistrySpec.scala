@@ -43,29 +43,76 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  /** The FINAL SELECT's projection list: the text between the first
+    * parenthesis-depth-0 SELECT and its depth-0 FROM. CTE bodies and
+    * subqueries sit at depth ≥ 1, so only the outermost projection —
+    * the one whose names the driver hashes — is scanned. Quoted
+    * string literals are skipped so parens inside regex/format
+    * literals can't skew the depth count.
+    */
+  private def finalSelectList(sqlLower: String): Option[String] = {
+    val s = sqlLower
+    def word(at: Int, w: String): Boolean =
+      s.regionMatches(at, w, 0, w.length) &&
+        (at + w.length == s.length ||
+          { val c = s(at + w.length); !c.isLetterOrDigit && c != '_' }) &&
+        (at == 0 || { val c = s(at - 1); !c.isLetterOrDigit && c != '_' })
+    var depth = 0; var i = 0; var selStart = -1
+    while (i < s.length) {
+      s(i) match {
+        case '\'' => // skip the literal (DuckDB escapes ' as '')
+          i += 1
+          while (i < s.length && s(i) != '\'') i += 1
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 =>
+          if (selStart < 0 && word(i, "select")) selStart = i + 6
+          else if (selStart >= 0 && word(i, "from"))
+            return Some(s.substring(selStart, i))
+        case _ =>
+      }
+      i += 1
+    }
+    if (selStart >= 0) Some(s.substring(selStart)) else None
+  }
+
   test("every Spark output column name appears in its oracle SQL (alias drift)") {
     // the driver's compare sorts columns BY NAME before hashing, so a
     // renamed alias on one side hash-mismatches even when values are
     // identical — catch the drift at test time, not driver time.
-    // r11 tightening: the name must appear in ALIAS/SELECT-LIST
-    // position (after AS, after SELECT [DISTINCT], or after a
-    // list comma, optionally table-qualified) — a bare anywhere-match
-    // let short names like `n` or `pos` ride on incidental CTE
-    // aliases or lambda variables elsewhere in the SQL
+    // r12 tightening (ADVICE): the name must appear in the FINAL
+    // SELECT's projection list (bare, qualified, or AS-bound) — the
+    // r11 rule still let short names like `n` ride on any comma-
+    // adjacent token anywhere in the SQL (CTE aliases, lambda vars).
+    // A final `SELECT *` (names flow from a CTE) falls back to
+    // requiring an explicit `AS name` binding somewhere in the SQL.
     val failures = SparkEntry.oracleSql.keySet.toSeq.sorted
       .filterNot(eagerBuilders)
       .flatMap { name =>
         val sql = SparkEntry.oracleSql(name).toLowerCase
+        // star-projection only when the list LEADS with `*` (or
+        // `t.*`): a `*` inside count(*) or a multiplication is not
+        // one. `SELECT *[, extras]` pulls names from a CTE, so those
+        // queries keep the r11 positional rule over the whole SQL.
+        val scope = finalSelectList(sql) match {
+          case Some(list) if !list.trim.matches("""(?s)([a-z0-9_]+\.)?\*([,\s].*)?""") =>
+            list
+          case _ => sql
+        }
+        val starFallback = scope eq sql
         val missing = SparkEntry.queries(name)(spark, sf).schema.fieldNames
           .filterNot { c =>
-            val ident = java.util.regex.Pattern.quote(c)
-            (s"""(?i)(?:\\bas\\s+|\\bselect\\s+(?:distinct\\s+)?|,\\s*)""" +
-              s"""(?:[a-z0-9_]+\\.)?$ident(?![a-z0-9_])""").r
-              .findFirstIn(sql).isDefined
+            val ident = java.util.regex.Pattern.quote(c.toLowerCase)
+            val pat =
+              if (starFallback)
+                s"""(?:\\bas\\s+|\\bselect\\s+(?:distinct\\s+)?|,\\s*)""" +
+                  s"""(?:[a-z0-9_]+\\.)?$ident(?![a-z0-9_])"""
+              else s"""(^|[\\s,(.])$ident(?![a-z0-9_])"""
+            pat.r.findFirstIn(scope).isDefined
           }
-        if (missing.isEmpty) None else Some(s"$name: $missing")
+        if (missing.isEmpty) None else Some(s"$name: ${missing.toList}")
       }
     assert(failures.isEmpty,
-      s"spark columns absent from oracle SQL:\n${failures.mkString("\n")}")
+      s"spark columns absent from oracle SQL final select:\n${failures.mkString("\n")}")
   }
 }

@@ -32,6 +32,12 @@ class SketchMergeSpec extends SparkSpec {
   }
 
   test("hllMerge contract booleans hold and exact counts are exact") {
+    // unconditional raw-margin dump (r11 ADVICE): the contract rows
+    // hash only booleans, so when a probabilistic gate DOES go red —
+    // here or at the driver — the estimates behind it must already be
+    // on stderr to tell sketch noise from a regression
+    Verify.sketchContractDiag(spark, sf)
+      .foreach(l => System.err.println(s"[sketch-diag] $l"))
     val rows = Relational.hllMerge(spark, sf)
       .select(col("grp"), col("exact_custs"), col("est_within_5pct"),
         col("merge_within_5pct"))
