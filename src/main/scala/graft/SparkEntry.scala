@@ -899,10 +899,12 @@ object SparkEntry {
         |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
         |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
         |FROM j GROUP BY 1, 2 ORDER BY source, status""".stripMargin,
-    // DSIR: hashed unigram+bigram buckets, smoothed target/raw
-    // log-ratio averaged per doc (rounded BEFORE the Gumbel add),
-    // Gumbel top-k with the md5 13-hex uniform — replays the whole
-    // importance-resampling pipeline including the noise draw
+    // DSIR: per-occurrence md5 bucket, collapsed to a (doc, bucket)
+    // histogram (the r12 shape — mirrors the Spark side exactly),
+    // smoothed target/raw log-ratio per bucket, occurrence-weighted
+    // mean per doc (rounded BEFORE the Gumbel add), Gumbel top-k
+    // with the md5 13-hex uniform — replays the whole importance-
+    // resampling pipeline including the noise draw
     "dsir_sample" ->
       """WITH d AS (
         |  SELECT doc_id, source,
@@ -913,27 +915,29 @@ object SparkEntry {
         |      list_transform(generate_series(1, len(ts) - 1),
         |        i -> ts[i] || ' ' || ts[i+1])) AS gram
         |  FROM d),
-        |gh AS (SELECT doc_id, source, md5('dsir:' || gram) AS hex FROM g),
         |b AS (
         |  SELECT doc_id, source,
-        |    list_sum([CAST(strpos('0123456789abcdef', substr(hex, i, 1)) - 1
+        |    list_sum([CAST(strpos('0123456789abcdef',
+        |        substr(md5('dsir:' || gram), i, 1)) - 1
         |                   AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (13 - i)))
         |              for i in range(1, 14)]) % 256 AS bucket
-        |  FROM gh),
-        |tc AS (SELECT bucket, count(*) AS ct FROM b WHERE source = 'src0' GROUP BY 1),
-        |tt AS (SELECT sum(ct) AS tt_all FROM tc),
-        |rc AS (SELECT bucket, count(*) AS cr FROM b WHERE source <> 'src0' GROUP BY 1),
-        |rt AS (SELECT sum(cr) AS tr_all FROM rc),
-        |lr AS (
-        |  SELECT bb.doc_id, bb.source,
-        |    ln((CAST(COALESCE(tc.ct, 0) AS DOUBLE) + 0.5) /
-        |       (CAST(COALESCE(tt.tt_all, 0) AS DOUBLE) + 0.5 * 256)) -
-        |    ln((CAST(COALESCE(rc.cr, 0) AS DOUBLE) + 0.5) /
-        |       (CAST(COALESCE(rt.tr_all, 0) AS DOUBLE) + 0.5 * 256)) AS lr
-        |  FROM b bb LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket), tt, rt
-        |  WHERE bb.source <> 'src0'),
-        |w AS (SELECT doc_id, min(source) AS source, round(avg(lr), 6) AS w
-        |  FROM lr GROUP BY 1),
+        |  FROM g),
+        |db AS (SELECT doc_id, source, bucket, CAST(count(*) AS BIGINT) AS n
+        |       FROM b GROUP BY 1, 2, 3),
+        |counts AS (
+        |  SELECT bucket,
+        |    sum(CASE WHEN source = 'src0' THEN n ELSE 0 END) AS ct,
+        |    sum(CASE WHEN source <> 'src0' THEN n ELSE 0 END) AS cr
+        |  FROM db GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS tt_all, sum(cr) AS tr_all FROM counts),
+        |w AS (SELECT db.doc_id, min(db.source) AS source,
+        |    round(sum((ln((CAST(counts.ct AS DOUBLE) + 0.5) /
+        |                  (CAST(tot.tt_all AS DOUBLE) + 0.5 * 256)) -
+        |               ln((CAST(counts.cr AS DOUBLE) + 0.5) /
+        |                  (CAST(tot.tr_all AS DOUBLE) + 0.5 * 256))) * db.n)
+        |      / sum(db.n), 6) AS w
+        |  FROM db JOIN counts USING (bucket), tot
+        |  WHERE db.source <> 'src0' GROUP BY 1),
         |uh AS (SELECT doc_id, source, w,
         |    md5('dsir:' || CAST(doc_id AS VARCHAR)) AS hex FROM w),
         |k AS (

@@ -473,13 +473,26 @@ object Curation {
     * RANKING is cross-engine total-ordered despite ln() being only
     * 1-ulp-specified.
     *
-    * 100 TB shape: both bucket distributions are `nBuckets`-row
-    * aggregates (broadcast); a document's weight forms map-side from
-    * its exploded grams joined to the broadcast buckets and collapses
-    * in one doc_id partial-agg; the top-`budget` cut is a
-    * TakeOrdered (per-partition heaps, no global sort). The corpus
-    * text itself never shuffles — one gram→doc_id exchange of
-    * (doc_id, bucket) pairs is the whole bill.
+    * 100 TB shape (r12 rebuild, probe-measured): the r11 cost was
+    * NOT the md5 — hashing 5.4M gram occurrences adds ~0.1 s on 32
+    * cores (DsirProbe: 2.87 s with vs 2.78 s without) — it was the
+    * corpus being re-TOKENIZED once per consumer of the shared gram
+    * subtree (Catalyst does not dedupe common subtrees, so the
+    * bucket-distribution broadcast and the scoring stream each
+    * re-ran the scan+explode). A gram-string dictionary join
+    * dedupes the hashing but replaces it with a corpus-sized string
+    * shuffle — measured WORSE (the (doc,gram) exchange alone is
+    * 8.2 s at 10× vs 2.9 s for the whole gram stream). The shape
+    * that wins: bucket per occurrence map-side (md5 is free), then
+    * collapse IMMEDIATELY to a (doc_id, source, bucket, n)
+    * histogram — compact rows, ≤ min(grams, docs·nBuckets) — in ONE
+    * exchange whose node is identical in both consumers, so AQE's
+    * ReuseExchange runs the scan+tokenize+hash exactly once; the
+    * bucket distributions are nBuckets-row broadcasts off that
+    * exchange, and the document weight is the n-weighted mean of
+    * its buckets' log-ratios — algebraically the per-occurrence
+    * mean DSIR defines (lr is constant within a bucket).
+    * Top-`budget` stays a TakeOrdered.
     */
   def dsirSample(spark: SparkSession, dir: String,
                  targetSource: String = "src0", nBuckets: Int = 256,
@@ -494,38 +507,48 @@ object Curation {
         zip_with(slice(col("ts"), lit(1), greatest(size(col("ts")) - 1, lit(0))),
           slice(col("ts"), lit(2), greatest(size(col("ts")) - 1, lit(0))),
           (a, b) => concat(a, lit(" "), b)))).as("gram"))
-    val bucketed = grams.select(col("doc_id"), col("source"),
-      pmod(conv(substring(md5(concat(lit("dsir:"), col("gram"))), 1, 13),
-        16, 10).cast("long"), lit(nBuckets.toLong)).as("bucket"))
-    // BOTH bucket distributions from ONE conditional-agg pass over the
-    // gram stream (DSIR is a two-pass algorithm: count, then score —
-    // splitting target/raw into separate subplans would re-tokenize
-    // the corpus once per distribution, since Catalyst does not dedupe
-    // the common explode subtree)
-    val counts = bucketed.groupBy(col("bucket"))
-      .agg(sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("ct"),
-        sum(when(col("source") =!= targetSource, 1L).otherwise(0L)).as("cr"))
+    // per-(doc, bucket) occurrence histogram — the ONLY corpus-sized
+    // work, materialized ONCE behind a lazy localCheckpoint (the
+    // emb_outliers pattern). ReuseExchange alone does NOT dedupe the
+    // two consumers here: the raw-side filter below is on a GROUP
+    // key, so Catalyst pushes it beneath the aggregate in that
+    // branch, the two exchange subtrees stop canonicalizing equal,
+    // and the corpus gets scanned twice (probe-verified:
+    // reused_exchange_nodes=0 without the checkpoint)
+    val docBuckets = grams.select(col("doc_id"), col("source"),
+        pmod(conv(substring(md5(concat(lit("dsir:"), col("gram"))), 1, 13),
+          16, 10).cast("long"), lit(nBuckets.toLong)).as("bucket"))
+      .groupBy(col("doc_id"), col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    // BOTH bucket distributions from ONE conditional agg over the
+    // shared histogram (DSIR is count-then-score)
+    val counts = docBuckets.groupBy(col("bucket"))
+      .agg(sum(when(col("source") === targetSource, col("n")).otherwise(0L))
+          .as("ct"),
+        sum(when(col("source") =!= targetSource, col("n")).otherwise(0L))
+          .as("cr"))
     val tot = counts.agg(sum(col("ct")).as("tt_all"), sum(col("cr")).as("tr_all"))
-    // smoothed log-ratio per gram; a bucket unseen in the target side
-    // carries ct=0 from the conditional agg, so the 0.5/(tot + 0.5·B)
-    // floor applies without a null path
-    val ratio = bucketed.filter(col("source") =!= targetSource)
+    // smoothed log-ratio per bucket; a bucket unseen in the target
+    // side carries ct=0 from the conditional agg, so the
+    // 0.5/(tot + 0.5·B) floor applies without a null path
+    val ratio = docBuckets.filter(col("source") =!= targetSource)
       .join(broadcast(counts), Seq("bucket"))
       .crossJoin(broadcast(tot))
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col("source"), col("n"),
         (log((col("ct").cast("double") + 0.5) /
             (col("tt_all").cast("double") + 0.5 * nBuckets)) -
           log((col("cr").cast("double") + 0.5) /
             (col("tr_all").cast("double") + 0.5 * nBuckets)))
           .as("lr"))
       .groupBy(col("doc_id"))
-      // the mean ratio is rounded BEFORE the Gumbel add: avg() over
-      // doubles is summation-order-sensitive in the last ulps (Spark
-      // partial aggs don't fix an order), and 6 decimals absorbs that
-      // while the noise term below is a single ln chain — ulp-stable,
-      // handled by the final 12-decimal key round
+      // the occurrence-weighted mean ratio is rounded BEFORE the
+      // Gumbel add: double summation is order-sensitive in the last
+      // ulps (Spark partial aggs don't fix an order), and 6 decimals
+      // absorbs that while the noise term below is a single ln chain
+      // — ulp-stable, handled by the final 12-decimal key round
       .agg(first(col("source")).as("source"),
-        round(avg(col("lr")), 6).as("w"))
+        round(sum(col("lr") * col("n")) / sum(col("n")), 6).as("w"))
     // Gumbel top-k: u from the 13-hex md5 uniform (exact in a double),
     // g = −ln(−ln u); key rounded for cross-engine rank stability
     val v = conv(substring(

@@ -49,8 +49,20 @@ object ScaleUp {
   }
 
   def run(spark: SparkSession, in: String, out: String, n: Int): Unit = {
+    // r12: replicated tables are REPARTITIONED before the write. The
+    // source SF tables are single-file, the broadcast cross join
+    // preserves that partitioning, and until r12 every derived table
+    // therefore landed as ONE parquet file — which serialized the map
+    // side of every query in the scale sweep onto one core (probe:
+    // the 10× doc tokenize+agg ran 1 task, 11 s where 32-way takes
+    // ~1 s) and inflated every measured slope. A real N× corpus is
+    // many files; 32 (one per local core) keeps the harness honest.
     def write(df: DataFrame, name: String): Unit =
-      df.write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
+      df.repartition(32).write.mode(SaveMode.Overwrite)
+        .parquet(s"$out/$name.parquet")
+    def writeDim(df: DataFrame, name: String): Unit =
+      df.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$out/$name.parquet")
 
     // key-domain sizes (max+1) from the source data
     val ck = maxPlus1(Tables.customer(spark, in), "c_custkey")
@@ -62,8 +74,8 @@ object ScaleUp {
     val dk = maxPlus1(Tables.documents(spark, in), "doc_id")
     val vk = maxPlus1(Tables.embeddings(spark, in), "vec_id")
 
-    write(Tables.region(spark, in), "region")
-    write(Tables.nation(spark, in), "nation")
+    writeDim(Tables.region(spark, in), "region")
+    writeDim(Tables.nation(spark, in), "nation")
     write(replicate(Tables.customer(spark, in), n, Map("c_custkey" -> ck)), "customer")
     write(replicate(Tables.supplier(spark, in), n, Map("s_suppkey" -> sk)), "supplier")
     write(replicate(Tables.part(spark, in), n, Map("p_partkey" -> pk)), "part")

@@ -346,9 +346,11 @@ class CurationSpec extends SparkSpec {
     rows.foreach { case (lang, eps, nd, nt) =>
       assert(eps == 1.0)
       val (td, tt) = truth(lang)
-      val wantD = BigDecimal(td + laplace(s"dpd:$lang", 1.0))
+      // the replay prepends the (test-only default) seed — r12's
+      // seedable mechanism
+      val wantD = BigDecimal(td + laplace(s"REPLAY-FIXTURE-SEED:dpd:$lang", 1.0))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      val wantT = BigDecimal(tt + laplace(s"dpt:$lang", 100.0))
+      val wantT = BigDecimal(tt + laplace(s"REPLAY-FIXTURE-SEED:dpt:$lang", 100.0))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(math.abs(nd - wantD) < 1e-9, s"$lang docs: $nd vs $wantD")
       assert(math.abs(nt - wantT) < 1e-9, s"$lang toks: $nt vs $wantT")

@@ -258,7 +258,7 @@ class PlanLintSpec extends SparkSpec {
     "wordcount_filtered" -> (2, 0),
     "wordcount_flatmap" -> (3, 0),
     // late-r11 additions
-    "dsir_sample" -> (4, 2),   // one counts agg + 1-row totals + doc_id agg + rank/sort; bucket+totals broadcast
+    "dsir_sample" -> (4, 2),   // counts agg + 1-row totals + doc_id agg + rank/sort; bucket+totals broadcast; the (doc,bucket) histogram exchange lives behind the lazy checkpoint (r12: one corpus pass)
     "ppl_buckets" -> (6, 2),   // lm_score pipeline (5,2) + per-lang ntile window
     "emb_outliers" -> (2, 1),  // stats agg + final sort; Lloyd subplan materialized once behind the lazy checkpoint (k-row stats broadcast)
     "contamination_semantic" -> (2, 1), // map-side argmax collapse + sort; eval-set broadcast
