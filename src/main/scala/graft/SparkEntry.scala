@@ -31,7 +31,8 @@ object SparkEntry {
     "graph_pagerank", "mixture_temperature", "contamination_bloom",
     "stream_window_contract", "stream_dedup_contract",
     "stream_join_contract", "emb_pca", "domain_classifier",
-    "bm25_index_topk")
+    "bm25_index_topk", "bm25_serve_topk", "bm25_refresh",
+    "bm25_upsert_topk")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference flagship: word count (ops #1-#9, #15-#21) ----
@@ -185,6 +186,9 @@ object SparkEntry {
     "dsir_sample"     -> ((s, d) => Curation.dsirSample(s, d)),
     "dp_release"      -> ((s, d) => Curation.dpRelease(s, d)),
     "bm25_index_topk" -> ((s, d) => TextAnalysis.bm25IndexTopK(s, d)),
+    "bm25_serve_topk" -> ((s, d) => TextAnalysis.bm25ServeTopK(s, d)),
+    "bm25_refresh"    -> ((s, d) => TextAnalysis.bm25Refresh(s, d)),
+    "bm25_upsert_topk" -> ((s, d) => TextAnalysis.bm25UpsertTopK(s, d)),
     "ppl_buckets"     -> ((s, d) => TextAnalysis.pplBuckets(s, d)),
     "emb_outliers"    -> ((s, d) => Similarity.embOutliers(s, d)),
     "lm_score"          -> ((s, d) => TextAnalysis.lmScore(s, d)),
@@ -1964,6 +1968,78 @@ object SparkEntry {
         |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
         |           t -> t <> '')) AS term
         |  FROM documents),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfc GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT unnest(['data', 'model', 'system']) AS term),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc JOIN q USING (term) GROUP BY 1),
+        |s AS (
+        |  SELECT t.doc_id,
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (t.tf * 2.2) /
+        |      (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+        |  FROM tfc t JOIN q USING (term) JOIN dfc USING (term)
+        |  JOIN dl ON dl.doc_id = t.doc_id, stats)
+        |SELECT doc_id, round(sum(s), 6) AS score,
+        |       CAST(count(*) AS BIGINT) AS n_terms
+        |FROM s GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // serve-only twin: identical ranking semantics — the per-JVM
+    // index cache changes only WHEN the build runs, never the math
+    "bm25_serve_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |           t -> t <> '')) AS term
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfc GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT unnest(['data', 'model', 'system']) AS term),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc JOIN q USING (term) GROUP BY 1),
+        |s AS (
+        |  SELECT t.doc_id,
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (t.tf * 2.2) /
+        |      (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+        |  FROM tfc t JOIN q USING (term) JOIN dfc USING (term)
+        |  JOIN dl ON dl.doc_id = t.doc_id, stats)
+        |SELECT doc_id, round(sum(s), 6) AS score,
+        |       CAST(count(*) AS BIGINT) AS n_terms
+        |FROM s GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // incremental refresh: the SERVED ranking after merging the
+    // v1→v2 delta must equal the direct BM25 computation over v2 —
+    // the oracle never sees the index, only the post-delta corpus
+    "bm25_refresh" ->
+      """WITH v2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 30 <> 7),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |           t -> t <> '')) AS term
+        |  FROM v2),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfc GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT unnest(['data', 'model', 'system']) AS term),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc JOIN q USING (term) GROUP BY 1),
+        |s AS (
+        |  SELECT t.doc_id,
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (t.tf * 2.2) /
+        |      (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+        |  FROM tfc t JOIN q USING (term) JOIN dfc USING (term)
+        |  JOIN dl ON dl.doc_id = t.doc_id, stats)
+        |SELECT doc_id, round(sum(s), 6) AS score,
+        |       CAST(count(*) AS BIGINT) AS n_terms
+        |FROM s GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // segment-append twin: serving base + appended segment through
+    // the tombstone filter must STILL equal the direct BM25 over v2
+    "bm25_upsert_topk" ->
+      """WITH v2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 30 <> 7),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |           t -> t <> '')) AS term
+        |  FROM v2),
         |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfc GROUP BY 1),
         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),

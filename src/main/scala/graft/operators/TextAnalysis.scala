@@ -494,31 +494,55 @@ object TextAnalysis {
     * filter, so query cost scales with posting-list length, not
     * corpus size.
     */
-  def bm25WriteIndex(spark: SparkSession, dir: String, out: String): Unit = {
-    // the corpus is tokenized ONCE: the postings land first, and the
-    // derived tables (term dictionary, corpus stats) are computed by
-    // reading the just-written postings back — they already carry
-    // term, tf, and dl, so neither derivation touches the corpus
-    val tf = Tables.documents(spark, dir)
+  def bm25WriteIndex(spark: SparkSession, dir: String, out: String): Unit =
+    bm25WriteIndexDocs(spark,
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), out)
+
+  /** Columns of the at-rest postings table, shared by every reader. */
+  private val postingsSchema =
+    "term string, doc_id bigint, tf bigint, dl bigint, tb string"
+
+  /** (doc_id, term, tf, dl, tb) postings of a document set — the one
+    * tokenize pass both the full build and the incremental refresh
+    * run over their inputs.
+    */
+  private def postingsOf(docs: DataFrame): DataFrame = {
+    val tf = docs
       .select(col("doc_id"),
         explode(TextFns.alphaTokens(lower(col("text")))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     tf.join(dl, "doc_id")
-      .select(substring(col("term"), 1, 1).as("tb"), col("term"),
-        col("doc_id"), col("tf"), col("dl"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        substring(col("term"), 1, 1).as("tb"))
+  }
+
+  def bm25WriteIndexDocs(spark: SparkSession, docs: DataFrame,
+                         out: String): Unit = {
+    // the corpus is tokenized ONCE: the postings land first, and the
+    // derived tables (term dictionary, corpus stats) are computed by
+    // reading the just-written postings back — they already carry
+    // term, tf, and dl, so neither derivation touches the corpus
+    postingsOf(docs)
+      .select(col("tb"), col("term"), col("doc_id"), col("tf"), col("dl"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("tb").parquet(s"$out/postings")
-    val posted = spark.read.schema(
-      "term string, doc_id bigint, tf bigint, dl bigint, tb string")
-      .parquet(s"$out/postings")
+    val posted = spark.read.schema(postingsSchema).parquet(s"$out/postings")
     posted.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .select(substring(col("term"), 1, 1).as("tb"), col("term"), col("df"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("tb").parquet(s"$out/terms")
+    // r12: stats carry the exact integer token total alongside the
+    // derived mean, and avgdl is DEFINED as sum_dl/n_docs (one
+    // double division of exact longs) so a refresh that adjusts the
+    // sums reproduces the rebuild's avgdl bit-for-bit; serve reads a
+    // subset schema, so the extra column is invisible to it
     posted.select(col("doc_id"), col("dl")).distinct()
-      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"),
+        coalesce(col("sum_dl"), lit(0L)).as("sum_dl"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$out/stats")
   }
@@ -538,14 +562,8 @@ object TextAnalysis {
     // take(1) tolerates empty-string terms (they match no postings,
     // same as the direct path).
     val buckets = terms.filter(_.nonEmpty).map(_.take(1)).distinct
-    val post = spark.read
-      .schema("term string, doc_id bigint, tf bigint, dl bigint, tb string")
-      .parquet(s"$idx/postings")
-      .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
-    val tdf = spark.read.schema("term string, df bigint, tb string")
-      .parquet(s"$idx/terms")
-      .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
-      .select(col("term"), col("df"))
+    val post = postingsView(spark, idx, buckets, terms).drop("ord")
+    val tdf = termsView(spark, idx, buckets, terms)
     val stats = spark.read.schema("n_docs bigint, avgdl double")
       .parquet(s"$idx/stats")
     post.join(broadcast(tdf), "term")
@@ -556,6 +574,75 @@ object TextAnalysis {
       .select(col("doc_id"), round(col("score"), 6).as("score"), col("n_terms"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** Name-ordered segment dirs under `idx/segments` (empty when the
+    * index has never been appended to — the base-only fast path).
+    * Segment NAMES define recency: seg-00002's tombstones kill
+    * seg-00001's and the base's postings, never its own.
+    */
+  private def segmentDirs(spark: SparkSession, idx: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$idx/segments")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.toString).sorted.toSeq
+  }
+
+  /** The VISIBLE postings of buckets (∩ terms when non-empty) across
+    * base + segments: a posting survives unless a strictly-later
+    * segment tombstones its doc (a changed document's new postings
+    * and its tombstone land in the same segment, so `ord >= dord`
+    * keeps the new version while killing every older one). Both the
+    * segment union and the tombstone set are delta-sized; tombstones
+    * broadcast. Extra column `ord` (segment ordinal) for callers
+    * that care; base-only indexes take the no-join fast path.
+    */
+  private def postingsView(spark: SparkSession, idx: String,
+                           buckets: Seq[String],
+                           terms: Seq[String]): DataFrame = {
+    def pruned(df: DataFrame): DataFrame = {
+      val b = df.filter(col("tb").isin(buckets: _*))
+      if (terms.isEmpty) b else b.filter(col("term").isin(terms: _*))
+    }
+    def readPost(p: String, ord: Long): DataFrame =
+      pruned(spark.read.schema(postingsSchema).parquet(s"$p/postings"))
+        .withColumn("ord", lit(ord))
+    val segs = segmentDirs(spark, idx)
+    val all = (readPost(idx, 0L) +: segs.zipWithIndex.map { case (s, i) =>
+      readPost(s, i + 1L) }).reduce(_ unionByName _)
+    if (segs.isEmpty) all
+    else {
+      val dead = segs.zipWithIndex.map { case (s, i) =>
+        spark.read.schema("doc_id bigint").parquet(s"$s/tombstones")
+          .withColumn("dord", lit(i + 1L))
+      }.reduce(_ unionByName _)
+        .groupBy(col("doc_id")).agg(max(col("dord")).as("dord"))
+      all.join(broadcast(dead), Seq("doc_id"), "left")
+        .filter(col("dord").isNull || col("ord") >= col("dord"))
+        .drop("dord")
+    }
+  }
+
+  /** Effective per-term document frequencies: the base df plus the
+    * SIGNED deltas each segment recorded (+1 per new posting doc,
+    * −1 per tombstoned one) — summable without reading any postings.
+    */
+  private def termsView(spark: SparkSession, idx: String,
+                        buckets: Seq[String],
+                        terms: Seq[String]): DataFrame = {
+    def readTerms(p: String): DataFrame = {
+      val b = spark.read.schema("term string, df bigint, tb string")
+        .parquet(s"$p/terms").filter(col("tb").isin(buckets: _*))
+      (if (terms.isEmpty) b else b.filter(col("term").isin(terms: _*)))
+        .select(col("term"), col("df"))
+    }
+    val segs = segmentDirs(spark, idx)
+    val all = (readTerms(idx) +: segs.map(readTerms)).reduce(_ unionByName _)
+    if (segs.isEmpty) all
+    else all.groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
   }
 
   /** Build-then-serve in one registry entry (the ivf_index_topk
@@ -578,6 +665,280 @@ object TextAnalysis {
     val idx = s"/tmp/graft_bm25_index_${scratchToken}_" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
     bm25WriteIndex(spark, dir, idx)
+    bm25QueryIndex(spark, idx, terms, k)
+  }
+
+  /** Serve-only registry twin of [[bm25IndexTopK]] (r11 verdict #7):
+    * the index is built AT MOST ONCE per JVM per corpus dir and every
+    * subsequent invocation pays only the partition-pruned serve —
+    * which is what the at-rest operator costs in production, where
+    * the index already exists. The driver's min-of-2 bench therefore
+    * times the read path, while `bm25_index_topk` keeps timing the
+    * build-and-serve composite.
+    */
+  private val serveIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def bm25ServeTopK(spark: SparkSession, dir: String,
+                    terms: Seq[String] = Seq("data", "model", "system"),
+                    k: Int = 20): DataFrame = {
+    val idx = serveIdxCache.computeIfAbsent(dir, _ => {
+      val p = s"/tmp/graft_bm25_serve_${scratchToken}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      bm25WriteIndex(spark, dir, p)
+      p
+    })
+    bm25QueryIndex(spark, idx, terms, k)
+  }
+
+  /** INCREMENTAL index refresh — the missing half of the index
+    * lifecycle (r11 verdict #1): merge a corpus snapshot delta into
+    * the at-rest letter-partitioned index without a full rebuild.
+    * `newDocs` are the post-delta versions of added+changed
+    * documents, `oldDocs` the indexed versions of removed+changed
+    * ones (a changed document appears in BOTH — its old postings are
+    * dead-listed, its new ones appended). All work is DELTA-sized
+    * except one pruned scan: the only letter partitions read or
+    * rewritten are those containing a term of a delta document
+    * (old or new text), found by tokenizing the delta itself —
+    * never by scanning the index.
+    *
+    * Mechanics per touched letter: postings = (old postings minus
+    * dead doc_ids, via a broadcast anti-join of the delta id set)
+    * ∪ (delta postings); written with DYNAMIC partition overwrite so
+    * untouched letters keep their files byte-identical (asserted in
+    * LayoutSpec). A touched letter whose merged set is empty gets no
+    * file from dynamic overwrite, so its stale dir is deleted
+    * explicitly. The term dictionary recomputes df from the
+    * refreshed postings of touched letters only (a term's postings
+    * live entirely in its own letter, so untouched letters' df
+    * cannot have changed). The corpus scalars adjust by exact
+    * integer sums: n_docs ± distinct delta docs with postings,
+    * sum_dl ± their token totals, and avgdl = sum_dl/n_docs — the
+    * same division the full build performs, so a refreshed index
+    * serves bit-identical rankings to a from-scratch rebuild over
+    * base+delta (LayoutSpec proves it).
+    *
+    * 100 TB shape: a snapshot refresh costs O(delta + touched
+    * postings), not O(corpus); the delta feed is exactly what
+    * [[graft.operators.Curation.corpusDiff]]'s digest join emits.
+    * The merged postings materialize (localCheckpoint) before the
+    * write because the rewrite targets the partitions being read.
+    */
+  def bm25RefreshIndex(spark: SparkSession, idx: String,
+                       newDocs: DataFrame, oldDocs: DataFrame): Unit = {
+    val newTf = postingsOf(newDocs).localCheckpoint()
+    val oldTf = postingsOf(oldDocs).localCheckpoint()
+    val touched = newTf.select(col("tb")).union(oldTf.select(col("tb")))
+      .distinct().collect().map(_.getString(0)).sorted // ≤ |alphabet|
+    if (touched.isEmpty) return
+    val deadIds = oldDocs.select(col("doc_id")).distinct()
+    val oldPost = spark.read.schema(postingsSchema)
+      .parquet(s"$idx/postings")
+      .filter(col("tb").isin(touched: _*)) // PartitionFilters prune
+    rewritePostings(spark, idx, touched,
+      oldPost.join(broadcast(deadIds), Seq("doc_id"), "left_anti")
+        .unionByName(newTf))
+    adjustStats(spark, idx, newTf, oldTf)
+  }
+
+  /** Dynamic-overwrite the touched letters of `idx/postings` with
+    * `merged`, delete letters the merge emptied (dynamic overwrite
+    * writes nothing there, so their stale files would survive), and
+    * recompute the term dictionary for the surviving touched letters
+    * from the refreshed postings (a term's postings live entirely in
+    * its own letter, so untouched letters' df cannot have changed).
+    * `merged` materializes first because the rewrite targets the
+    * very partitions it was read from.
+    */
+  private def rewritePostings(spark: SparkSession, idx: String,
+                              touched: Seq[String],
+                              merged: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val m = merged.localCheckpoint()
+    m.select(col("tb"), col("term"), col("doc_id"), col("tf"), col("dl"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("tb").parquet(s"$idx/postings")
+    val kept = m.select(col("tb")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val fs = new Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (touched.toSet -- kept).foreach { l =>
+      fs.delete(new Path(s"$idx/postings/tb=$l"), true)
+      fs.delete(new Path(s"$idx/terms/tb=$l"), true)
+    }
+    val keptTouched = touched.filter(kept)
+    if (keptTouched.nonEmpty)
+      spark.read.schema(postingsSchema).parquet(s"$idx/postings")
+        .filter(col("tb").isin(keptTouched: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .select(substring(col("term"), 1, 1).as("tb"), col("term"), col("df"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("tb").parquet(s"$idx/terms")
+  }
+
+  /** Exact-integer corpus-scalar adjustment shared by the in-place
+    * refresh and the segment append: n_docs and sum_dl shift by the
+    * delta's distinct documents-with-postings, and avgdl is re-derived
+    * by the same division the full build performs — so every path to
+    * a given corpus state yields bit-identical stats.
+    */
+  private def adjustStats(spark: SparkSession, idx: String,
+                          newTf: DataFrame, oldTf: DataFrame): Unit = {
+    val base = spark.read.schema("n_docs bigint, avgdl double, sum_dl bigint")
+      .parquet(s"$idx/stats").head()
+    def docStats(tf: DataFrame): (Long, Long) = {
+      val r = tf.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)), sum(col("dl"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val (nDead, sDead) = docStats(oldTf)
+    val (nNew, sNew) = docStats(newTf)
+    val n2 = base.getLong(0) - nDead + nNew
+    val s2 = (if (base.isNullAt(2)) 0L else base.getLong(2)) - sDead + sNew
+    // n2 == 0 (index emptied): avgdl degrades to null exactly like a
+    // from-scratch build over no docs — ANSI division would throw
+    val avgdl2 =
+      if (n2 == 0) lit(null).cast("double")
+      else lit(s2).cast("double") / lit(n2)
+    spark.range(1)
+      .select(lit(n2).as("n_docs"),
+        avgdl2.as("avgdl"),
+        lit(s2).as("sum_dl"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$idx/stats")
+  }
+
+  /** STRICTLY delta-sized ingest — the Lucene segment model: instead
+    * of rewriting touched letter partitions (which for a delta whose
+    * terms span the alphabet means rewriting most of the index —
+    * letter partitioning is coarse), append the delta as a NEW
+    * segment: its own letter-partitioned postings, a tombstone list
+    * of superseded doc_ids, and SIGNED df deltas (+1 per new posting
+    * doc, −1 per tombstoned one) that make the effective dictionary
+    * a pure sum. Base files are never opened, let alone rewritten
+    * (LayoutSpec asserts byte-identity of the ENTIRE base). Serving
+    * reads base + segments with the same letter pruning and drops
+    * tombstoned postings via a broadcast anti-filter; when segments
+    * accumulate, [[bm25Compact]] folds them into the base using the
+    * touched-partition rewrite and deletes them. Append cost is
+    * O(delta) — tokenize the delta, write delta-sized files, adjust
+    * two scalars — independent of corpus size.
+    */
+  def bm25AppendSegment(spark: SparkSession, idx: String,
+                        newDocs: DataFrame, oldDocs: DataFrame): String = {
+    val seg = f"$idx/segments/seg-${segmentDirs(spark, idx).size + 1}%05d"
+    val newTf = postingsOf(newDocs).localCheckpoint()
+    val oldTf = postingsOf(oldDocs).localCheckpoint()
+    newTf.select(col("tb"), col("term"), col("doc_id"), col("tf"), col("dl"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("tb").parquet(s"$seg/postings")
+    newTf.select(col("term"), lit(1L).as("d"))
+      .unionByName(oldTf.select(col("term"), lit(-1L).as("d")))
+      .groupBy(col("term")).agg(sum(col("d")).as("df"))
+      .filter(col("df") =!= 0)
+      .select(substring(col("term"), 1, 1).as("tb"), col("term"), col("df"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("tb").parquet(s"$seg/terms")
+    oldDocs.select(col("doc_id")).distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$seg/tombstones")
+    adjustStats(spark, idx, newTf, oldTf)
+    seg
+  }
+
+  /** Fold every segment into the base index: rewrite exactly the
+    * letters the segments touched (their postings' letters plus the
+    * letters of tombstoned docs' terms, which the signed df deltas
+    * recorded) with the VISIBLE postings of those letters, recompute
+    * those letters' dictionary rows, delete the segments. Stats are
+    * already exact (every append adjusted them), so compaction is a
+    * pure layout operation: served rankings are identical before and
+    * after (LayoutSpec proves it).
+    */
+  def bm25Compact(spark: SparkSession, idx: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val segs = segmentDirs(spark, idx)
+    if (segs.isEmpty) return
+    val touched = segs.map { s =>
+      spark.read.schema(postingsSchema).parquet(s"$s/postings")
+        .select(col("tb"))
+        .unionByName(spark.read.schema("term string, df bigint, tb string")
+          .parquet(s"$s/terms").select(col("tb")))
+    }.reduce(_ unionByName _)
+      .distinct().collect().map(_.getString(0)).sorted
+    if (touched.nonEmpty)
+      rewritePostings(spark, idx, touched,
+        postingsView(spark, idx, touched, Seq.empty).drop("ord"))
+    val p = new Path(s"$idx/segments")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** Registry fixture for the refresh: build the index over the v1
+    * snapshot (the [[graft.operators.Curation.corpusDiff]] fixture —
+    * v1 misses the docs v2 added (id ≡ 0 mod 30), carries pre-edit
+    * text for id ≡ 0 mod 20, and still has the docs v2 removed
+    * (id ≡ 7 mod 30)), derive the delta by the same digest join
+    * corpus_diff runs, merge it in, and serve. The oracle replays
+    * the DIRECT BM25 ranking over v2 — served-after-refresh must
+    * equal a full computation over the post-delta corpus.
+    */
+  def bm25Refresh(spark: SparkSession, dir: String,
+                  terms: Seq[String] = Seq("data", "model", "system"),
+                  k: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val v1 = docs.filter(pmod(col("doc_id"), lit(30)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(20)) === 0,
+          concat(lit("v1:"), col("text"))).otherwise(col("text")).as("text"))
+    val v2 = docs.filter(pmod(col("doc_id"), lit(30)) =!= 7)
+    val idx = s"/tmp/graft_bm25_refresh_${scratchToken}_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    bm25WriteIndexDocs(spark, v1, idx)
+    val (newD, oldD) = snapshotDelta(v1, v2)
+    bm25RefreshIndex(spark, idx, newD, oldD)
+    bm25QueryIndex(spark, idx, terms, k)
+  }
+
+  /** (added+changed-new, removed+changed-old) between two snapshots,
+    * via digest joins (delta-sized outputs; text never shuffles
+    * beyond the delta rows themselves) — the corpus_diff pattern.
+    */
+  private def snapshotDelta(v1: DataFrame,
+                            v2: DataFrame): (DataFrame, DataFrame) = {
+    val d1 = v1.select(col("doc_id"), md5(col("text")).as("d1"))
+    val d2 = v2.select(col("doc_id"), md5(col("text")).as("d2"))
+    val oldD = v1.join(d2, Seq("doc_id"), "left")
+      .filter(col("d2").isNull || md5(col("text")) =!= col("d2"))
+      .select(col("doc_id"), col("text"))
+    val newD = v2.join(d1, Seq("doc_id"), "left")
+      .filter(col("d1").isNull || md5(col("text")) =!= col("d1"))
+      .select(col("doc_id"), col("text"))
+    (newD, oldD)
+  }
+
+  /** Segment-append twin of [[bm25Refresh]]: same v1→v2 fixture, but
+    * the delta lands as an APPENDED SEGMENT (O(delta), base never
+    * rewritten) and the serve reads base+segment through the
+    * tombstone filter — the oracle is still the direct BM25 over v2,
+    * so the row proves the segmented read path end-to-end.
+    */
+  def bm25UpsertTopK(spark: SparkSession, dir: String,
+                     terms: Seq[String] = Seq("data", "model", "system"),
+                     k: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val v1 = docs.filter(pmod(col("doc_id"), lit(30)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(20)) === 0,
+          concat(lit("v1:"), col("text"))).otherwise(col("text")).as("text"))
+    val v2 = docs.filter(pmod(col("doc_id"), lit(30)) =!= 7)
+    val idx = s"/tmp/graft_bm25_upsert_${scratchToken}_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    bm25WriteIndexDocs(spark, v1, idx)
+    val (newD, oldD) = snapshotDelta(v1, v2)
+    bm25AppendSegment(spark, idx, newD, oldD)
     bm25QueryIndex(spark, idx, terms, k)
   }
 

@@ -65,7 +65,11 @@ class EmptyInputSpec extends SparkSpec {
       "emb_pca"           -> ((s, d) => Models.embPca(s, d)),
       "domain_classifier" -> ((s, d) => Models.domainClassifier(s, d)),
       "dp_release"        -> ((s, d) => Curation.dpRelease(s, d)),
-      "bm25_index_topk"   -> ((s, d) => TextAnalysis.bm25IndexTopK(s, d)))
+      "bm25_index_topk"   -> ((s, d) => TextAnalysis.bm25IndexTopK(s, d)),
+      // r12 index-lifecycle additions
+      "bm25_serve_topk"   -> ((s, d) => TextAnalysis.bm25ServeTopK(s, d)),
+      "bm25_refresh"      -> ((s, d) => TextAnalysis.bm25Refresh(s, d)),
+      "bm25_upsert_topk"  -> ((s, d) => TextAnalysis.bm25UpsertTopK(s, d)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()

@@ -63,6 +63,132 @@ class LayoutSpec extends SparkSpec {
       s"bucket IN-set missing from PartitionFilters: $pf")
   }
 
+  test("bm25 incremental refresh: only delta-touched letters rewrite, served == rebuild") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bm25-refresh").toString
+    val idx = s"$root/idx"
+    // base corpus over letters {a,b,c,d,q}; doc 2 is the ONLY holder
+    // of a q-term (its removal must delete the q partition), and no
+    // delta document touches c (that partition must stay byte-
+    // identical)
+    val base = Seq(
+      (1L, "apple banana cat dog"),
+      (2L, "banana bear quince"),
+      (3L, "apple dog dig"),
+      (4L, "bear apple cherry dog")).toDF("doc_id", "text")
+    TextAnalysis.bm25WriteIndexDocs(spark, base, idx)
+    def files(sub: String): Map[String, Seq[(String, Long)]] =
+      new java.io.File(s"$idx/$sub").listFiles()
+        .filter(_.getName.startsWith("tb=")).map { d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.lastModified)).toSeq.sortBy(_._1)
+        }.toMap
+    val postBefore = files("postings")
+    val termsBefore = files("terms")
+    assert(postBefore.keySet == Set("tb=a", "tb=b", "tb=c", "tb=d", "tb=q"))
+    // delta: remove doc 2 (letters b,q), change doc 3 (old a,d → new
+    // a,z), add doc 5 (z). Touched = {a,b,d,q,z}; untouched = {c}.
+    val newD = Seq((3L, "apple zebra"), (5L, "zulu zebra")).toDF("doc_id", "text")
+    val oldD = Seq((2L, "banana bear quince"), (3L, "apple dog dig"))
+      .toDF("doc_id", "text")
+    TextAnalysis.bm25RefreshIndex(spark, idx, newD, oldD)
+    val postAfter = files("postings")
+    // untouched letter: same files, same mtimes — never rewritten
+    assert(postAfter("tb=c") == postBefore("tb=c"),
+      s"untouched partition rewritten: ${postBefore("tb=c")} -> ${postAfter("tb=c")}")
+    assert(files("terms")("tb=c") == termsBefore("tb=c"))
+    // emptied letter: the stale q dir is gone from postings AND terms
+    assert(!postAfter.contains("tb=q"), "stale q postings survived the refresh")
+    assert(!files("terms").contains("tb=q"))
+    // new letter appeared
+    assert(postAfter.contains("tb=z"))
+    // the refreshed index serves bit-identically to a from-scratch
+    // rebuild over base+delta — including corpus stats (avgdl shifts
+    // with every delta and is defined identically in both paths)
+    val finalDocs = Seq(
+      (1L, "apple banana cat dog"),
+      (3L, "apple zebra"),
+      (4L, "bear apple cherry dog"),
+      (5L, "zulu zebra")).toDF("doc_id", "text")
+    val rebuilt = s"$root/rebuilt"
+    TextAnalysis.bm25WriteIndexDocs(spark, finalDocs, rebuilt)
+    val q = Seq("apple", "banana", "zebra", "cat")
+    assert(TextAnalysis.bm25QueryIndex(spark, idx, q, 10).collect().toSeq ==
+      TextAnalysis.bm25QueryIndex(spark, rebuilt, q, 10).collect().toSeq)
+    val statsOf = (p: String) => spark.read
+      .schema("n_docs bigint, avgdl double, sum_dl bigint")
+      .parquet(s"$p/stats").head()
+    assert(statsOf(idx) == statsOf(rebuilt))
+  }
+
+  test("bm25 segment append: O(delta) ingest leaves the ENTIRE base untouched; compact folds it in") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bm25-seg").toString
+    val idx = s"$root/idx"
+    val base = Seq(
+      (1L, "apple banana cat dog"),
+      (2L, "banana bear quince"),
+      (3L, "apple dog dig"),
+      (4L, "bear apple cherry dog")).toDF("doc_id", "text")
+    TextAnalysis.bm25WriteIndexDocs(spark, base, idx)
+    def baseFiles(): Seq[(String, Long, Long)] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) else Seq(d)
+      (walk(new java.io.File(s"$idx/postings")) ++
+        walk(new java.io.File(s"$idx/terms")))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getAbsolutePath, f.lastModified, f.length))
+        .sortBy(_._1)
+    }
+    val before = baseFiles()
+    // same delta as the merge-refresh test: remove doc 2, change doc
+    // 3, add doc 5 — but appended as a segment
+    val newD = Seq((3L, "apple zebra"), (5L, "zulu zebra")).toDF("doc_id", "text")
+    val oldD = Seq((2L, "banana bear quince"), (3L, "apple dog dig"))
+      .toDF("doc_id", "text")
+    TextAnalysis.bm25AppendSegment(spark, idx, newD, oldD)
+    // EVERY base file — all letters, postings and terms — untouched
+    assert(baseFiles() == before, "segment append rewrote base files")
+    assert(new java.io.File(s"$idx/segments/seg-00001/postings").exists)
+    // serving through the tombstone filter == a from-scratch rebuild
+    val finalDocs = Seq(
+      (1L, "apple banana cat dog"),
+      (3L, "apple zebra"),
+      (4L, "bear apple cherry dog"),
+      (5L, "zulu zebra")).toDF("doc_id", "text")
+    val rebuilt = s"$root/rebuilt"
+    TextAnalysis.bm25WriteIndexDocs(spark, finalDocs, rebuilt)
+    val q = Seq("apple", "banana", "zebra", "quince", "cat")
+    def served(p: String) =
+      TextAnalysis.bm25QueryIndex(spark, p, q, 10).collect().toSeq
+    assert(served(idx) == served(rebuilt))
+    // a second segment on top of the first: doc 5 changes again —
+    // its seg-1 postings must die to the seg-2 tombstone while the
+    // seg-2 replacement survives
+    TextAnalysis.bm25AppendSegment(spark, idx,
+      Seq((5L, "zulu cat")).toDF("doc_id", "text"),
+      Seq((5L, "zulu zebra")).toDF("doc_id", "text"))
+    val rebuilt2 = s"$root/rebuilt2"
+    TextAnalysis.bm25WriteIndexDocs(spark,
+      finalDocs.filter(col("doc_id") =!= 5L)
+        .unionByName(Seq((5L, "zulu cat")).toDF("doc_id", "text")), rebuilt2)
+    assert(served(idx) == served(rebuilt2))
+    // compaction: pure layout change — same rankings, segments gone,
+    // the letter held only by tombstoned docs (q) deleted
+    TextAnalysis.bm25Compact(spark, idx)
+    assert(!new java.io.File(s"$idx/segments").exists)
+    assert(!new java.io.File(s"$idx/postings/tb=q").exists)
+    assert(served(idx) == served(rebuilt2))
+    val statsOf = (p: String) => spark.read
+      .schema("n_docs bigint, avgdl double, sum_dl bigint")
+      .parquet(s"$p/stats").head()
+    assert(statsOf(idx) == statsOf(rebuilt2))
+  }
+
   test("at-rest IVF index: serving scan prunes to the probed cells only") {
     import graft.operators.Similarity
     val idx = "/tmp/graft_test_ivf_idx"
