@@ -30,7 +30,8 @@ object SparkEntry {
     "bloom_join", "bpe_vocab", "bpe_encode", "ivf_index_topk",
     "graph_pagerank", "mixture_temperature", "contamination_bloom",
     "stream_window_contract", "stream_dedup_contract",
-    "stream_join_contract", "emb_pca", "domain_classifier",
+    "stream_join_contract", "stream_neardup_contract",
+    "emb_pca", "domain_classifier",
     "bm25_index_topk", "bm25_serve_topk", "bm25_refresh",
     "bm25_upsert_topk")
 
@@ -136,6 +137,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.Streaming.dedupContract(s, d)),
     "stream_join_contract" ->
       ((s, d) => graft.streaming.Streaming.joinContract(s, d)),
+    "stream_neardup_contract" ->
+      ((s, d) => graft.streaming.Streaming.nearDupContract(s, d)),
     // ---- co-occurrence / graph ----
     "assoc_pairs"    -> (Cooccur.assocPairs(_, _)),
     "graph_pagerank" -> (Cooccur.pagerank(_, _)),
@@ -1421,6 +1424,10 @@ object SparkEntry {
     "stream_join_contract" ->
       """SELECT 'join_rows_match' AS metric, TRUE AS ok
         |UNION ALL SELECT 'join_set_equal', TRUE
+        |ORDER BY metric""".stripMargin,
+    "stream_neardup_contract" ->
+      """SELECT 'neardup_pair_set_equal' AS metric, TRUE AS ok
+        |UNION ALL SELECT 'neardup_rows_match', TRUE
         |ORDER BY metric""".stripMargin,
     // distributed PCA contract: the exact-integer second-moment SUMS
     // (same ×1024 quantization as the emb family) replay in DuckDB —

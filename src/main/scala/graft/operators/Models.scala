@@ -381,7 +381,15 @@ object Models {
     // every one of the 41 passes — measured ~4× of the loop at the
     // 100× corpus. At real scale this is MEMORY_AND_DISK_SER
     // territory; deserialized is right for the in-memory regime.
-    val data = feat.rdd.persist(
+    // r12: the cached RDD is COALESCED to ~2×cores first — each of
+    // the 41 rounds launches one task per partition and collects one
+    // model-sized partial from it, so on a source with thousands of
+    // small input splits the loop would pay 41×thousands of tiny
+    // task launches for zero extra parallelism (the r11 verdict's
+    // iteration-overhead note). Narrow dependency, no shuffle.
+    val target = math.max(1,
+      math.min(sc.defaultParallelism * 2, feat.rdd.getNumPartitions))
+    val data = feat.rdd.coalesce(target).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def pass(wm: Array[Double], C: Int): (Long, Array[Double], Double, Long) = {
       val bw = sc.broadcast(wm)

@@ -347,6 +347,60 @@ object Streaming {
     ).toDF("metric", "ok").orderBy("metric")
   }
 
+  /** Batch-equivalence contract rows for the streaming MinHash
+    * near-dup (same pattern as [[windowContract]], promoted from the
+    * spec-only check in r12): the documents table streams through
+    * [[nearDupStream]] — signatures and banding per arriving row,
+    * per-(band,bucket) keyed state, exact-Jaccard verify at ingest —
+    * and the emitted pair set (band duplicates collapsed, jaccard
+    * rounded to the batch operator's 6 decimals) must equal the
+    * oracle-checked batch `dedup_minhash` pipeline's. The raw
+    * jaccards are bit-comparable: both sides divide the same exact
+    * integers in the same order, so the shared rounding can't
+    * disagree at a boundary. The bounded replay drains in one
+    * micro-batch (file source, no trigger cap), so the state horizon
+    * never evicts mid-contract — arrival-order effects are confined
+    * to WHICH band emits a pair first, which the distinct absorbs.
+    *
+    * The driver-gated replay runs on a DETERMINISTIC QUARTER of the
+    * corpus (doc_id ≡ 0 mod 4), staged as its own fixture dir so the
+    * batch twin computes over the identical subset: the streaming
+    * near-dup carries each document's shingle set once per band
+    * through the keyed-state shuffle, so a full-corpus replay at
+    * sf0.1 costs ~16 s of pure contract machinery — the quarter
+    * keeps the row's bench cost proportionate while the FULL-corpus
+    * equivalence stays pinned in StreamingSpec.
+    */
+  def nearDupContract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = s"/tmp/graft_stream_stage_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    // ONE staging write serves both sides: the batch twin reads it as
+    // a fixture dir, the stream reads the same files and derives the
+    // event timestamp on the fly
+    val subset = graft.Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(4)) === 0)
+      .select(col("doc_id"), col("text"))
+    subset.coalesce(8).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$base/neardup_fixture/documents.parquet")
+    val stream = spark.readStream.schema(subset.schema)
+      .parquet(s"$base/neardup_fixture/documents.parquet")
+      .select(timestamp_micros(col("doc_id") * 1000000L + 1700000000000000L)
+        .as("ts"), col("doc_id"), col("text"))
+      .as[DocEvent]
+    val got = runToMemory(spark, nearDupStream(stream).toDF(),
+      "graft_stream_neardup_contract", OutputMode.Append())
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+      .distinct()
+    val want = graft.operators.Dedup
+      .minhashLsh(spark, s"$base/neardup_fixture", minJ = 0.2)
+      .select(col("a"), col("b"), col("jaccard"))
+    val (nGot, nWant, extra, missing) = bagCompare(got, want)
+    Seq(
+      ("neardup_pair_set_equal", extra == 0L && missing == 0L),
+      ("neardup_rows_match", nGot == nWant)
+    ).toDF("metric", "ok").orderBy("metric")
+  }
+
   /** Batch-equivalence contract rows for the STREAM-STREAM interval
     * join (same pattern as [[windowContract]]): clicks and purchases
     * are staged as two parquet dirs, read back as two file STREAMS,

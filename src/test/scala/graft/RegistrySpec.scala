@@ -26,6 +26,7 @@ class RegistrySpec extends SparkSpec {
     "dedup_keep_longest", // same label-propagation loop as dedup_clusters
     "kv_roundtrip", "bloom_join", "bpe_vocab", "bpe_encode", "ivf_index_topk",
     "contamination_bloom", "stream_window_contract", "stream_dedup_contract", // count + Bloom build over the eval side up front
+    "stream_neardup_contract", // full streaming near-dup replay at plan build
     "graph_pagerank", // localCheckpoint iterations run at plan build
     "mixture_temperature") // collects the 5-row quota map up front
 
