@@ -33,7 +33,7 @@ object SparkEntry {
     "stream_join_contract", "stream_neardup_contract",
     "emb_pca", "domain_classifier",
     "bm25_index_topk", "bm25_serve_topk", "bm25_refresh",
-    "bm25_upsert_topk")
+    "bm25_upsert_topk", "ivf_serve_topk", "ivf_append_topk")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference flagship: word count (ops #1-#9, #15-#21) ----
@@ -236,6 +236,8 @@ object SparkEntry {
     // eager builder: writes the cell-partitioned index, then serves
     // from it with partition pruning (the kv_roundtrip pattern)
     "ivf_index_topk" -> ((s, d) => Similarity.ivfIndexTopK(s, d)),
+    "ivf_serve_topk" -> ((s, d) => Similarity.ivfServeTopK(s, d)),
+    "ivf_append_topk" -> ((s, d) => Similarity.ivfAppendTopK(s, d)),
     "sem_dedup_keep" -> ((s, d) => Similarity.semanticKeep(s, d)),
     "layout_zorder"  -> ((s, d) => graft.sources.Layout.zorderOrders(s, d)),
     "emb_pq"         -> ((s, d) => Similarity.productQuantize(s, d)),
@@ -2559,6 +2561,121 @@ object SparkEntry {
         |      (sqrt(list_inner_product(e.vq, e.vq)) *
         |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
         |  FROM e, c0 c),
+        |a1 AS (SELECT vec_id, vq, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, cell ASC) AS rn FROM s1)
+        |  WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cell, list(s ORDER BY i) AS cv FROM (
+        |    SELECT cell, i, CAST(sum(vq[i]) AS BIGINT) AS s
+        |    FROM a1, generate_series(1, 64) t(i)
+        |    GROUP BY cell, i)
+        |  GROUP BY cell),
+        |s2 AS (
+        |  SELECT e.vec_id, c.cell,
+        |    list_inner_product(e.vq, c.cv) /
+        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
+        |  FROM e, c1 c),
+        |a2 AS (SELECT vec_id, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, cell ASC) AS rn FROM s2)
+        |  WHERE rn = 1),
+        |qp AS (
+        |  SELECT e.vec_id AS qid, c.cell,
+        |    list_inner_product(e.vq, c.cv) /
+        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS s
+        |  FROM e, c1 c WHERE e.vec_id < 8),
+        |pr AS (SELECT qid, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY s DESC, cell ASC) AS rn FROM qp)
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT pr.qid, a.vec_id AS cid
+        |  FROM pr JOIN a2 a ON a.cell = pr.cell WHERE a.vec_id <> pr.qid),
+        |sc AS (
+        |  SELECT c.qid, c.cid, list_cosine_similarity(eq.v, ec.v) AS sim
+        |  FROM cand c JOIN e eq ON eq.vec_id = c.qid JOIN e ec ON ec.vec_id = c.cid),
+        |r AS (SELECT qid, cid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+        |  FROM sc)
+        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, round(sim, 6) AS sim
+        |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // serve-only twin (per-JVM cached build; identical math) and the
+    // vector-upsert fixture: Lloyd trains on the BASE slice
+    // (vec_id % 10 <> 3), the held-out slice is appended against the
+    // FIXED centroids, and the final assignment (a2) + serve run over
+    // ALL vectors — exactly what the Spark side does with
+    // append-mode list files
+    "ivf_serve_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS vq
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cell, vq AS cv FROM e WHERE vec_id < 8),
+        |s1 AS (
+        |  SELECT e.vec_id, e.vq, c.cell,
+        |    list_inner_product(e.vq, c.cv) /
+        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
+        |  FROM e, c0 c),
+        |a1 AS (SELECT vec_id, vq, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, cell ASC) AS rn FROM s1)
+        |  WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cell, list(s ORDER BY i) AS cv FROM (
+        |    SELECT cell, i, CAST(sum(vq[i]) AS BIGINT) AS s
+        |    FROM a1, generate_series(1, 64) t(i)
+        |    GROUP BY cell, i)
+        |  GROUP BY cell),
+        |s2 AS (
+        |  SELECT e.vec_id, c.cell,
+        |    list_inner_product(e.vq, c.cv) /
+        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
+        |  FROM e, c1 c),
+        |a2 AS (SELECT vec_id, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, cell ASC) AS rn FROM s2)
+        |  WHERE rn = 1),
+        |qp AS (
+        |  SELECT e.vec_id AS qid, c.cell,
+        |    list_inner_product(e.vq, c.cv) /
+        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS s
+        |  FROM e, c1 c WHERE e.vec_id < 8),
+        |pr AS (SELECT qid, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY s DESC, cell ASC) AS rn FROM qp)
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT pr.qid, a.vec_id AS cid
+        |  FROM pr JOIN a2 a ON a.cell = pr.cell WHERE a.vec_id <> pr.qid),
+        |sc AS (
+        |  SELECT c.qid, c.cid, list_cosine_similarity(eq.v, ec.v) AS sim
+        |  FROM cand c JOIN e eq ON eq.vec_id = c.qid JOIN e ec ON ec.vec_id = c.cid),
+        |r AS (SELECT qid, cid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+        |  FROM sc)
+        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, round(sim, 6) AS sim
+        |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "ivf_append_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS vq
+        |  FROM embeddings),
+        |eb AS (SELECT * FROM e WHERE vec_id % 10 <> 3),
+        |c0 AS (SELECT vec_id AS cell, vq AS cv FROM eb WHERE vec_id < 8),
+        |s1 AS (
+        |  SELECT e.vec_id, e.vq, c.cell,
+        |    list_inner_product(e.vq, c.cv) /
+        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
+        |  FROM eb e, c0 c),
         |a1 AS (SELECT vec_id, vq, cell FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id
         |        ORDER BY sim DESC, cell ASC) AS rn FROM s1)

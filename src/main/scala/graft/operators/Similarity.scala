@@ -832,15 +832,57 @@ object Similarity {
     * the index lookup.
     */
   def ivfWriteIndex(spark: SparkSession, dir: String, out: String,
-                    k: Int = 8, iters: Int = 2): Unit = {
-    val (assigned, cents) = lloyd(spark, dir, k, iters)
-    Tables.embeddings(spark, dir)
+                    k: Int = 8, iters: Int = 2): Unit =
+    ivfWriteIndexVecs(spark, Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")), out, k, iters)
+
+  def ivfWriteIndexVecs(spark: SparkSession, vecs: DataFrame, out: String,
+                        k: Int = 8, iters: Int = 2): Unit = {
+    val (assigned, cents) = lloydOn(vecs
+      .select(col("vec_id"), transform(col("embedding"),
+        x => round(x.cast("double") * 1024).cast("long")).as("vq")),
+      k, iters, adaptiveSqrtCells = false, sampleCap = 0)
+    vecs
       .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
       .select(col("cell"), col("vec_id"), col("embedding"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell").parquet(s"$out/lists")
     cents.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$out/centroids")
+  }
+
+  /** O(delta) vector upsert into the at-rest IVF index — the FAISS
+    * `add` model: new vectors are assigned to their nearest EXISTING
+    * centroid (the identical exact-integer struct-max argmax the
+    * build's final assignment pass uses, so an appended vector lands
+    * in exactly the cell a2 would give it) and their list rows are
+    * written with parquet APPEND mode — new part files inside the
+    * assigned cells' directories, never touching an existing file
+    * (LayoutSpec asserts byte-identity of the prior lists). The
+    * centroids do NOT move — standard IVF ingest semantics: routing
+    * quality for the appended vectors is whatever the trained
+    * codebook gives them, and a periodic retrain (full
+    * [[ivfWriteIndexVecs]]) is the compaction analogue. Serving
+    * needs no changes: probed cells simply contain more files.
+    */
+  def ivfAppendVectors(spark: SparkSession, idx: String,
+                       vecs: DataFrame): Unit = {
+    val cents = spark.read.parquet(s"$idx/centroids")
+    val vq = vecs.select(col("vec_id"), col("embedding"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1024).cast("long")).as("vq"))
+    vq.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        (qdot(col("vq"), col("cv")) /
+          (sqrt(qdot(col("vq"), col("vq"))) * sqrt(qdot(col("cv"), col("cv")))))
+          .as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), negate(col("cell")).as("negc"))).as("m"),
+        first(col("embedding")).as("embedding"))
+      .select(negate(col("m.negc")).as("cell"), col("vec_id"),
+        col("embedding"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cell").parquet(s"$idx/lists")
   }
 
   /** Serve top-k from the at-rest index: route each query to its
@@ -899,11 +941,62 @@ object Similarity {
     * index dir is derived from the sf dir so concurrent SFs don't
     * collide; overwrite keeps it idempotent.
     */
+  /** Per-JVM scratch token (the bm25 r11-ADVICE fix, applied here for
+    * the same reason): concurrent processes over the same input dir
+    * must not race each other's index Overwrite against a serve.
+    */
+  private lazy val scratchToken =
+    java.util.UUID.randomUUID().toString.take(8)
+
   def ivfIndexTopK(spark: SparkSession, dir: String,
                    nQueries: Int = 8, kNN: Int = 5,
                    nProbe: Int = 2): DataFrame = {
-    val idx = s"/tmp/graft_ivf_index_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val idx = s"/tmp/graft_ivf_index_${scratchToken}_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
     ivfWriteIndex(spark, dir, idx)
+    ivfQueryIndex(spark, dir, idx, nQueries, kNN, nProbe)
+  }
+
+  /** Serve-only registry twin of [[ivfIndexTopK]] (the bm25_serve
+    * pattern): the index builds at most once per JVM per corpus dir,
+    * so the driver's min-of-2 bench times the partition-pruned read
+    * path — what the at-rest operator costs when the index already
+    * exists.
+    */
+  private val serveIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def ivfServeTopK(spark: SparkSession, dir: String,
+                   nQueries: Int = 8, kNN: Int = 5,
+                   nProbe: Int = 2): DataFrame = {
+    val idx = serveIdxCache.computeIfAbsent(dir, _ => {
+      val p = s"/tmp/graft_ivf_serve_${scratchToken}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      ivfWriteIndex(spark, dir, p)
+      p
+    })
+    ivfQueryIndex(spark, dir, idx, nQueries, kNN, nProbe)
+  }
+
+  /** Registry fixture for the vector upsert: train the index on the
+    * BASE slice (vec_id ≢ 3 mod 10), append the held-out slice with
+    * [[ivfAppendVectors]] (fixed centroids, append-mode list files),
+    * and serve. The oracle replays the same split — Lloyd over the
+    * base, final assignment over ALL vectors — so the row hashes
+    * green only if the appended vectors landed in exactly the cells
+    * the trained codebook routes them to and the serve ranks across
+    * old and new files identically.
+    */
+  def ivfAppendTopK(spark: SparkSession, dir: String,
+                    nQueries: Int = 8, kNN: Int = 5,
+                    nProbe: Int = 2): DataFrame = {
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val idx = s"/tmp/graft_ivf_append_${scratchToken}_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    ivfWriteIndexVecs(spark, all.filter(pmod(col("vec_id"), lit(10)) =!= 3), idx)
+    ivfAppendVectors(spark, idx,
+      all.filter(pmod(col("vec_id"), lit(10)) === 3))
     ivfQueryIndex(spark, dir, idx, nQueries, kNN, nProbe)
   }
 

@@ -69,7 +69,9 @@ class EmptyInputSpec extends SparkSpec {
       // r12 index-lifecycle additions
       "bm25_serve_topk"   -> ((s, d) => TextAnalysis.bm25ServeTopK(s, d)),
       "bm25_refresh"      -> ((s, d) => TextAnalysis.bm25Refresh(s, d)),
-      "bm25_upsert_topk"  -> ((s, d) => TextAnalysis.bm25UpsertTopK(s, d)))
+      "bm25_upsert_topk"  -> ((s, d) => TextAnalysis.bm25UpsertTopK(s, d)),
+      "ivf_serve_topk"    -> ((s, d) => Similarity.ivfServeTopK(s, d)),
+      "ivf_append_topk"   -> ((s, d) => Similarity.ivfAppendTopK(s, d)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()

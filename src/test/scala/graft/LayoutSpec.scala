@@ -211,6 +211,37 @@ class LayoutSpec extends SparkSpec {
     assert(nCellDirs >= 2, s"index should have multiple cell dirs")
   }
 
+  test("ivf vector append: new list files only, existing files byte-identical") {
+    import graft.operators.Similarity
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivf-append").toString
+    val idx = s"$root/idx"
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.ivfWriteIndexVecs(spark,
+      base.filter(pmod(col("vec_id"), lit(10)) =!= 3), idx)
+    def listFiles(): Seq[(String, Long, Long)] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) else Seq(d)
+      walk(new java.io.File(s"$idx/lists"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getAbsolutePath, f.lastModified, f.length))
+        .sortBy(_._1)
+    }
+    val before = listFiles()
+    Similarity.ivfAppendVectors(spark, idx,
+      base.filter(pmod(col("vec_id"), lit(10)) === 3))
+    val after = listFiles()
+    // every pre-append file survives unmodified; the delta landed as
+    // strictly NEW part files inside the assigned cells
+    assert(after.toSet.intersect(before.toSet) == before.toSet,
+      "append rewrote existing list files")
+    assert(after.size > before.size, "append added no files")
+    // the index now holds every vector exactly once
+    val total = spark.read.parquet(s"$idx/lists").count()
+    assert(total == base.count(), s"index holds $total of ${base.count()}")
+  }
+
   test("bucketed tables join + aggregate with zero Exchange") {
     Layout.writeBucketedOrderTables(spark, sf)
     val df = Layout.bucketedOrderTotals(spark)

@@ -25,6 +25,7 @@ class RegistrySpec extends SparkSpec {
   private val eagerBuilders = Set("dedup_clusters", "dedup_clusters_star",
     "dedup_keep_longest", // same label-propagation loop as dedup_clusters
     "kv_roundtrip", "bloom_join", "bpe_vocab", "bpe_encode", "ivf_index_topk",
+    "ivf_serve_topk", "ivf_append_topk", // same Lloyd build jobs at plan construction
     "contamination_bloom", "stream_window_contract", "stream_dedup_contract", // count + Bloom build over the eval side up front
     "stream_neardup_contract", // full streaming near-dup replay at plan build
     "graph_pagerank", // localCheckpoint iterations run at plan build
