@@ -836,6 +836,16 @@ object Similarity {
     ivfWriteIndexVecs(spark, Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding")), out, k, iters)
 
+  /** At-rest layouts of the two index tables, stated explicitly at
+    * every read (the bm25 `postingsSchema` discipline, r12 verdict
+    * #1): an index built over an EMPTY corpus writes no part files,
+    * and schema INFERENCE — not the read — is what throws there.
+    * With the schema stated, serve/append degrade to 0 rows.
+    * `cell` is the hive partition column of `lists`.
+    */
+  private val centroidsSchema = "cell bigint, cv array<bigint>"
+  private val listsSchema = "vec_id bigint, embedding array<float>, cell bigint"
+
   def ivfWriteIndexVecs(spark: SparkSession, vecs: DataFrame, out: String,
                         k: Int = 8, iters: Int = 2): Unit = {
     val (assigned, cents) = lloydOn(vecs
@@ -867,7 +877,7 @@ object Similarity {
     */
   def ivfAppendVectors(spark: SparkSession, idx: String,
                        vecs: DataFrame): Unit = {
-    val cents = spark.read.parquet(s"$idx/centroids")
+    val cents = spark.read.schema(centroidsSchema).parquet(s"$idx/centroids")
     val vq = vecs.select(col("vec_id"), col("embedding"),
       transform(col("embedding"),
         x => round(x.cast("double") * 1024).cast("long")).as("vq"))
@@ -899,7 +909,7 @@ object Similarity {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val ndot = graft.functions.GraftFunctions.dot _
-    val cents = spark.read.parquet(s"$idx/centroids")
+    val cents = spark.read.schema(centroidsSchema).parquet(s"$idx/centroids")
     val q = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
@@ -917,7 +927,7 @@ object Similarity {
       .select(col("qid"), col("cell"))
     val probePairs = probes.as[(Long, Long)].collect()
     val probedCells = probePairs.map(_._2).distinct.sorted
-    val lists = spark.read.parquet(s"$idx/lists")
+    val lists = spark.read.schema(listsSchema).parquet(s"$idx/lists")
       .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
     val routing = probePairs.toSeq.toDF("qid", "cell")
     val wk = org.apache.spark.sql.expressions.Window

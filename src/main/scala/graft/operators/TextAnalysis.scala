@@ -520,6 +520,14 @@ object TextAnalysis {
 
   def bm25WriteIndexDocs(spark: SparkSession, docs: DataFrame,
                          out: String): Unit = {
+    // a full build must yield a BASE-ONLY index: Overwrite replaces
+    // postings/terms/stats but a segments/ dir from a prior append at
+    // this path would survive and poison every subsequent serve with
+    // stale tombstones and double-counted df deltas (r12 ADVICE) —
+    // delete the whole index dir so rebuild means rebuild
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(outPath, true)
     // the corpus is tokenized ONCE: the postings land first, and the
     // derived tables (term dictionary, corpus stats) are computed by
     // reading the just-written postings back — they already carry
@@ -789,6 +797,13 @@ object TextAnalysis {
                           newTf: DataFrame, oldTf: DataFrame): Unit = {
     val base = spark.read.schema("n_docs bigint, avgdl double, sum_dl bigint")
       .parquet(s"$idx/stats").head()
+    // a pre-sum_dl stats file (null sum_dl with docs present) cannot
+    // be adjusted — silently coercing to 0 would break the
+    // bit-identical-to-rebuild guarantee with no error (r12 ADVICE):
+    // fail fast and demand a rebuild instead
+    require(base.getLong(0) == 0L || !base.isNullAt(2),
+      s"$idx/stats has n_docs=${base.getLong(0)} but no sum_dl — " +
+        "index predates the exact-stats format; rebuild it before refreshing")
     def docStats(tf: DataFrame): (Long, Long) = {
       val r = tf.select(col("doc_id"), col("dl")).distinct()
         .agg(count(lit(1)), sum(col("dl"))).head()
@@ -828,10 +843,18 @@ object TextAnalysis {
     * two scalars — independent of corpus size.
     */
   def bm25AppendSegment(spark: SparkSession, idx: String,
-                        newDocs: DataFrame, oldDocs: DataFrame): String = {
+                        newDocs: DataFrame, oldDocs: DataFrame): Option[String] = {
     val seg = f"$idx/segments/seg-${segmentDirs(spark, idx).size + 1}%05d"
     val newTf = postingsOf(newDocs).localCheckpoint()
     val oldTf = postingsOf(oldDocs).localCheckpoint()
+    // an empty delta must not mint a segment (r12 ADVICE): it would
+    // permanently add the segment-union + tombstone broadcast join to
+    // every subsequent serve for zero content. No new postings and no
+    // old postings also means no effective tombstones — a doc with no
+    // postings in the delta had none in the base either (postingsOf
+    // is deterministic over the same text), so there is nothing to
+    // kill and the stats cannot shift: skip entirely.
+    if (newTf.isEmpty && oldTf.isEmpty) return None
     newTf.select(col("tb"), col("term"), col("doc_id"), col("tf"), col("dl"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("tb").parquet(s"$seg/postings")
@@ -846,7 +869,7 @@ object TextAnalysis {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$seg/tombstones")
     adjustStats(spark, idx, newTf, oldTf)
-    seg
+    Some(seg)
   }
 
   /** Fold every segment into the base index: rewrite exactly the

@@ -278,11 +278,25 @@ object Streaming {
     * STREAM: distributed end to end, no driver-side row funnel; the
     * memory sink holds only the hour×type aggregate.
     */
+  /** Per-process staging root for the contract fixtures (r12 ADVICE):
+    * two concurrent processes replaying contracts over the same corpus
+    * dir previously shared one /tmp path, so one process's Overwrite
+    * re-stage could corrupt the other's in-flight stream — the same
+    * cross-process race the bm25/ivf scratch indexes close with a
+    * per-JVM scratchToken. Within one JVM the path is stable, so
+    * repeat contract runs still overwrite their own fixture.
+    */
+  private lazy val scratchToken =
+    java.util.UUID.randomUUID().toString.take(8)
+  private def stageBase(dir: String): String =
+    s"/tmp/graft_stream_stage_${scratchToken}_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+
   def windowContract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val batchEvents = graft.Tables.events(spark, dir)
       .select(col("ts"), col("event_type"), col("value"))
-    val staged = s"/tmp/graft_stream_stage_${dir.replaceAll("[^A-Za-z0-9]", "_")}/events"
+    val staged = s"${stageBase(dir)}/events"
     batchEvents.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged)
     val stream = spark.readStream.schema(batchEvents.schema).parquet(staged)
     val got = runToMemory(spark, hourlyCounts(stream),
@@ -332,7 +346,7 @@ object Streaming {
     val docs = graft.Tables.documents(spark, dir)
       .select(timestamp_micros(col("doc_id") * 1000000L + 1700000000000000L)
         .as("ts"), col("text").as("payload"))
-    val staged = s"/tmp/graft_stream_stage_${dir.replaceAll("[^A-Za-z0-9]", "_")}/docs"
+    val staged = s"${stageBase(dir)}/docs"
     docs.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged)
     val stream = spark.readStream.schema(docs.schema).parquet(staged)
     val got = runToMemory(spark, dedupStream(stream),
@@ -373,7 +387,7 @@ object Streaming {
     */
   def nearDupContract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = s"/tmp/graft_stream_stage_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val base = stageBase(dir)
     // ONE staging write serves both sides: the batch twin reads it as
     // a fixture dir, the stream reads the same files and derives the
     // event timestamp on the fly
@@ -416,7 +430,7 @@ object Streaming {
     import spark.implicits._
     val ev = graft.Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
-    val base = s"/tmp/graft_stream_stage_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val base = stageBase(dir)
     val sides = Seq("click", "purchase").map { t =>
       val side = ev.filter(col("event_type") === t)
         .select(col("user_id"), col("event_id"), col("ts"))
