@@ -33,7 +33,8 @@ object SparkEntry {
     "stream_join_contract", "stream_neardup_contract",
     "emb_pca", "domain_classifier",
     "bm25_index_topk", "bm25_serve_topk", "bm25_refresh",
-    "bm25_upsert_topk", "ivf_serve_topk", "ivf_append_topk")
+    "bm25_upsert_topk", "bm25_compact", "ivf_serve_topk",
+    "ivf_append_topk", "ivf_append_recall")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference flagship: word count (ops #1-#9, #15-#21) ----
@@ -192,6 +193,7 @@ object SparkEntry {
     "bm25_serve_topk" -> ((s, d) => TextAnalysis.bm25ServeTopK(s, d)),
     "bm25_refresh"    -> ((s, d) => TextAnalysis.bm25Refresh(s, d)),
     "bm25_upsert_topk" -> ((s, d) => TextAnalysis.bm25UpsertTopK(s, d)),
+    "bm25_compact"    -> ((s, d) => TextAnalysis.bm25CompactTopK(s, d)),
     "ppl_buckets"     -> ((s, d) => TextAnalysis.pplBuckets(s, d)),
     "emb_outliers"    -> ((s, d) => Similarity.embOutliers(s, d)),
     "lm_score"          -> ((s, d) => TextAnalysis.lmScore(s, d)),
@@ -238,6 +240,7 @@ object SparkEntry {
     "ivf_index_topk" -> ((s, d) => Similarity.ivfIndexTopK(s, d)),
     "ivf_serve_topk" -> ((s, d) => Similarity.ivfServeTopK(s, d)),
     "ivf_append_topk" -> ((s, d) => Similarity.ivfAppendTopK(s, d)),
+    "ivf_append_recall" -> ((s, d) => Similarity.ivfAppendRecall(s, d)),
     "sem_dedup_keep" -> ((s, d) => Similarity.semanticKeep(s, d)),
     "layout_zorder"  -> ((s, d) => graft.sources.Layout.zorderOrders(s, d)),
     "emb_pq"         -> ((s, d) => Similarity.productQuantize(s, d)),
@@ -2064,6 +2067,31 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_terms
         |FROM s GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // compaction twin: folding the appended segment into the base is
+    // a pure layout change, so serve-after-compact must STILL equal
+    // the direct BM25 over v2
+    "bm25_compact" ->
+      """WITH v2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 30 <> 7),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |           t -> t <> '')) AS term
+        |  FROM v2),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfc GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT unnest(['data', 'model', 'system']) AS term),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc JOIN q USING (term) GROUP BY 1),
+        |s AS (
+        |  SELECT t.doc_id,
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (t.tf * 2.2) /
+        |      (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+        |  FROM tfc t JOIN q USING (term) JOIN dfc USING (term)
+        |  JOIN dl ON dl.doc_id = t.doc_id, stats)
+        |SELECT doc_id, round(sum(s), 6) AS score,
+        |       CAST(count(*) AS BIGINT) AS n_terms
+        |FROM s GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "bpe_pairs" ->
       """WITH toks AS (SELECT list_filter(
         |  string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ts
@@ -2726,6 +2754,16 @@ object SparkEntry {
     "sim_ivf_recall" ->
       """SELECT vec_id AS qid, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+    // recall-after-append: queries are the first 8 APPENDED vectors
+    // (vec_id ≡ 3 mod 10) — the slice the frozen codebook never saw.
+    // The oracle pins two booleans TRUE: mean recall ≥ 0.5 at
+    // nProbe=4, and the append loses ≤ 0.2 mean recall vs a
+    // full-retrain index (the drift guard of the FAISS add model)
+    "ivf_append_recall" ->
+      """SELECT 'append_mean_recall_ge_0_5' AS metric, TRUE AS ok
+        |UNION ALL
+        |SELECT 'append_within_slack_of_retrain' AS metric, TRUE AS ok
+        |ORDER BY metric""".stripMargin,
     // replays the ENTIRE derived-blocking pipeline (seed scoring,
     // top-nProbe cell assignment, candidate join, exact verify) so the
     // IVF-cell near-dup is oracle-hash-checked end-to-end, no

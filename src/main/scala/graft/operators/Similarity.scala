@@ -84,7 +84,15 @@ object Similarity {
     * single-reducer bottleneck at 100 TB.)
     */
   def bruteForceTopK(spark: SparkSession, dir: String,
-                     nQueries: Int = 8, k: Int = 5): DataFrame = {
+                     nQueries: Int = 8, k: Int = 5): DataFrame =
+    bruteForceTopKWhere(spark, dir, col("vec_id") < nQueries, k)
+
+  /** [[bruteForceTopK]] with an arbitrary query-set predicate (the
+    * exact side of slice-drawn recall contracts).
+    */
+  private def bruteForceTopKWhere(spark: SparkSession, dir: String,
+                                  qpred: org.apache.spark.sql.Column,
+                                  k: Int): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val ndot = graft.functions.GraftFunctions.dot _
@@ -94,7 +102,7 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
-    val q = emb.filter(col("vec_id") < nQueries)
+    val q = emb.filter(qpred)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val c = emb.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
@@ -905,13 +913,23 @@ object Similarity {
     */
   def ivfQueryIndex(spark: SparkSession, dir: String, idx: String,
                     nQueries: Int = 8, kNN: Int = 5,
-                    nProbe: Int = 2): DataFrame = {
+                    nProbe: Int = 2): DataFrame =
+    ivfQueryIndexWhere(spark, dir, idx, col("vec_id") < nQueries, kNN, nProbe)
+
+  /** [[ivfQueryIndex]] with an arbitrary query-set predicate — the
+    * recall contracts draw their queries from slices (e.g. the
+    * appended vectors) rather than the id prefix.
+    */
+  private def ivfQueryIndexWhere(spark: SparkSession, dir: String,
+                                 idx: String,
+                                 qpred: org.apache.spark.sql.Column,
+                                 kNN: Int, nProbe: Int): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val ndot = graft.functions.GraftFunctions.dot _
     val cents = spark.read.schema(centroidsSchema).parquet(s"$idx/centroids")
     val q = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") < nQueries)
+      .filter(qpred)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         transform(col("embedding"),
           x => round(x.cast("double") * 1024).cast("long")).as("qq"))
@@ -976,17 +994,18 @@ object Similarity {
   private val serveIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def ivfServeTopK(spark: SparkSession, dir: String,
-                   nQueries: Int = 8, kNN: Int = 5,
-                   nProbe: Int = 2): DataFrame = {
-    val idx = serveIdxCache.computeIfAbsent(dir, _ => {
+  private def serveIdx(spark: SparkSession, dir: String): String =
+    serveIdxCache.computeIfAbsent(dir, _ => {
       val p = s"/tmp/graft_ivf_serve_${scratchToken}_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       ivfWriteIndex(spark, dir, p)
       p
     })
-    ivfQueryIndex(spark, dir, idx, nQueries, kNN, nProbe)
-  }
+
+  def ivfServeTopK(spark: SparkSession, dir: String,
+                   nQueries: Int = 8, kNN: Int = 5,
+                   nProbe: Int = 2): DataFrame =
+    ivfQueryIndex(spark, dir, serveIdx(spark, dir), nQueries, kNN, nProbe)
 
   /** Registry fixture for the vector upsert: train the index on the
     * BASE slice (vec_id ≢ 3 mod 10), append the held-out slice with
@@ -1009,6 +1028,74 @@ object Similarity {
       all.filter(pmod(col("vec_id"), lit(10)) === 3))
     ivfQueryIndex(spark, dir, idx, nQueries, kNN, nProbe)
   }
+
+  /** Recall-after-append CONTRACT (r12 verdict #6): [[ivfAppendTopK]]
+    * pins routing/ranking EXACTNESS of the appended index, but nothing
+    * there guards retrieval QUALITY as vectors accumulate under frozen
+    * centroids — the documented drift risk of the FAISS add model.
+    * Queries are drawn FROM THE APPENDED SLICE (vectors the trained
+    * codebook never saw); the guarded property is RELATIVE: the
+    * appended index's mean recall vs the exact top-k must sit within
+    * `slack` of a FULL-RETRAIN index's (the compaction analogue) —
+    * plus an absolute floor. Measured on this corpus (numpy replica +
+    * this operator, 3 SFs): per-query recall of ANY fixed-k=8 IVF is
+    * coverage-bound (~nProbe/nCells) for non-seed queries — appended
+    * and retrained alike (append means .425/.425/.525 vs retrain
+    * .45/.525/.45 at nProbe=2 across sf0.001/0.01/0.1) — so an
+    * absolute per-query 0.8 bar would indict the codebook, not the
+    * append; the append-vs-retrain delta is the drift signal, and it
+    * never exceeded 0.1 in the mean (append WINS at sf0.001/0.1 with
+    * nProbe=4). Bars: mean ≥ 0.5 at nProbe=4 (measured .875/.70/.875)
+    * and mean ≥ retrain − 0.2 (worst measured delta 0.10). Raw means
+    * go to stderr for diagnosability. Both fixture indexes build at
+    * most once per JVM per corpus dir (the retrain side IS the
+    * serve-cache index); repeat invocations pay only the pruned
+    * serves and the broadcast-NLJ exact pass.
+    */
+  def ivfAppendRecall(spark: SparkSession, dir: String,
+                      nQueries: Int = 8, kNN: Int = 5,
+                      nProbe: Int = 4,
+                      slack: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val appendIdx = appendIdxCache.computeIfAbsent(dir, _ => {
+      val p = s"/tmp/graft_ivf_apprecall_${scratchToken}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val all = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      ivfWriteIndexVecs(spark, all.filter(pmod(col("vec_id"), lit(10)) =!= 3), p)
+      ivfAppendVectors(spark, p,
+        all.filter(pmod(col("vec_id"), lit(10)) === 3))
+      p
+    })
+    // the first nQueries appended ids: 3, 13, ..., 10·nQueries − 7
+    val qpred = pmod(col("vec_id"), lit(10)) === 3 &&
+      col("vec_id") < 10L * nQueries
+    val exact = bruteForceTopKWhere(spark, dir, qpred, kNN)
+      .select(col("qid"), col("cid"))
+    if (exact.isEmpty) return Seq.empty[(String, Boolean)]
+      .toDF("metric", "ok")
+    // pooled mean recall — every query contributes exactly kNN exact
+    // rows, so the pooled ratio equals the mean of per-query recalls
+    def meanRecall(approx: DataFrame): Double =
+      exact.join(approx.select(col("qid"), col("cid"), lit(1).as("hit")),
+          Seq("qid", "cid"), "left")
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") /
+          count(lit(1))).as("r"))
+        .head().getDouble(0)
+    val ra = meanRecall(
+      ivfQueryIndexWhere(spark, dir, appendIdx, qpred, kNN, nProbe))
+    val rr = meanRecall(
+      ivfQueryIndexWhere(spark, dir, serveIdx(spark, dir), qpred, kNN, nProbe))
+    System.err.println(
+      f"[ivf_append_recall] append_mean=$ra%.3f retrain_mean=$rr%.3f " +
+        f"(nProbe=$nProbe, slack=$slack)")
+    Seq(("append_mean_recall_ge_0_5", ra >= 0.5),
+        ("append_within_slack_of_retrain", ra >= rr - slack))
+      .toDF("metric", "ok").orderBy("metric")
+  }
+
+  private val appendIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** ANN recall CONTRACT as a query: per query id, did the
     * approximate top-k recover ≥ minRecall of the exact top-k? The

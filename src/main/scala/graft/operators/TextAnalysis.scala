@@ -908,18 +908,62 @@ object TextAnalysis {
     * the DIRECT BM25 ranking over v2 — served-after-refresh must
     * equal a full computation over the post-delta corpus.
     */
-  def bm25Refresh(spark: SparkSession, dir: String,
-                  terms: Seq[String] = Seq("data", "model", "system"),
-                  k: Int = 20): DataFrame = {
+  /** The v1/v2 corpus snapshots every lifecycle fixture shares: v1
+    * misses the docs v2 added (id ≡ 0 mod 30), carries pre-edit text
+    * for id ≡ 0 mod 20, and still has the docs v2 removed
+    * (id ≡ 7 mod 30) — the [[graft.operators.Curation.corpusDiff]]
+    * fixture shape.
+    */
+  private def snapshotFixture(spark: SparkSession,
+                              dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val v1 = docs.filter(pmod(col("doc_id"), lit(30)) =!= 0)
       .select(col("doc_id"),
         when(pmod(col("doc_id"), lit(20)) === 0,
           concat(lit("v1:"), col("text"))).otherwise(col("text")).as("text"))
     val v2 = docs.filter(pmod(col("doc_id"), lit(30)) =!= 7)
+    (v1, v2)
+  }
+
+  /** The v1 BASE index for the lifecycle fixtures, built at most once
+    * per JVM per corpus dir and kept PRISTINE — each invocation copies
+    * it to its own working path before mutating (an index-sized file
+    * copy, never a corpus re-tokenize). r12 verdict: without this the
+    * registry rows' headline cost was the from-scratch fixture build
+    * (~4.3 s of the row's 4.3 s), i.e. the very thing the refresh and
+    * append operators exist to avoid; with the base cached, the
+    * driver's min-of-2 bench times copy + delta operation + serve.
+    */
+  private val lifecycleBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def v1BaseIndex(spark: SparkSession, dir: String): String =
+    lifecycleBaseCache.computeIfAbsent(dir, _ => {
+      val p = s"/tmp/graft_bm25_v1base_${scratchToken}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      bm25WriteIndexDocs(spark, snapshotFixture(spark, dir)._1, p)
+      p
+    })
+
+  /** Delete-then-copy of an at-rest index dir, so the destination is
+    * exactly the source — base-only, no stale segments or partitions.
+    */
+  private def copyIndex(spark: SparkSession, src: String,
+                        dst: String): Unit = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dst).getFileSystem(conf)
+    fs.delete(new Path(dst), true)
+    FileUtil.copy(fs, new Path(src), fs, new Path(dst), false, conf)
+  }
+
+  def bm25Refresh(spark: SparkSession, dir: String,
+                  terms: Seq[String] = Seq("data", "model", "system"),
+                  k: Int = 20): DataFrame = {
+    val (v1, v2) = snapshotFixture(spark, dir)
     val idx = s"/tmp/graft_bm25_refresh_${scratchToken}_" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
-    bm25WriteIndexDocs(spark, v1, idx)
+    copyIndex(spark, v1BaseIndex(spark, dir), idx)
     val (newD, oldD) = snapshotDelta(v1, v2)
     bm25RefreshIndex(spark, idx, newD, oldD)
     bm25QueryIndex(spark, idx, terms, k)
@@ -951,17 +995,34 @@ object TextAnalysis {
   def bm25UpsertTopK(spark: SparkSession, dir: String,
                      terms: Seq[String] = Seq("data", "model", "system"),
                      k: Int = 20): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val v1 = docs.filter(pmod(col("doc_id"), lit(30)) =!= 0)
-      .select(col("doc_id"),
-        when(pmod(col("doc_id"), lit(20)) === 0,
-          concat(lit("v1:"), col("text"))).otherwise(col("text")).as("text"))
-    val v2 = docs.filter(pmod(col("doc_id"), lit(30)) =!= 7)
+    val (v1, v2) = snapshotFixture(spark, dir)
     val idx = s"/tmp/graft_bm25_upsert_${scratchToken}_" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
-    bm25WriteIndexDocs(spark, v1, idx)
+    copyIndex(spark, v1BaseIndex(spark, dir), idx)
     val (newD, oldD) = snapshotDelta(v1, v2)
     bm25AppendSegment(spark, idx, newD, oldD)
+    bm25QueryIndex(spark, idx, terms, k)
+  }
+
+  /** Compaction twin of [[bm25UpsertTopK]] (r12 verdict #5): same
+    * v1→v2 fixture, but after the segment append the index is
+    * COMPACTED — segments folded into the base, tombstoned letters
+    * deleted — and the serve runs over the post-compaction base-only
+    * layout. The oracle is still the direct BM25 over v2: compaction
+    * is a pure layout change, so serve-after-compact must rank
+    * bit-identically to the direct computation — this row driver-gates
+    * the last previously-spec-only path of the index lifecycle.
+    */
+  def bm25CompactTopK(spark: SparkSession, dir: String,
+                      terms: Seq[String] = Seq("data", "model", "system"),
+                      k: Int = 20): DataFrame = {
+    val (v1, v2) = snapshotFixture(spark, dir)
+    val idx = s"/tmp/graft_bm25_compact_${scratchToken}_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    copyIndex(spark, v1BaseIndex(spark, dir), idx)
+    val (newD, oldD) = snapshotDelta(v1, v2)
+    bm25AppendSegment(spark, idx, newD, oldD)
+    bm25Compact(spark, idx)
     bm25QueryIndex(spark, idx, terms, k)
   }
 

@@ -71,7 +71,10 @@ class EmptyInputSpec extends SparkSpec {
       "bm25_refresh"      -> ((s, d) => TextAnalysis.bm25Refresh(s, d)),
       "bm25_upsert_topk"  -> ((s, d) => TextAnalysis.bm25UpsertTopK(s, d)),
       "ivf_serve_topk"    -> ((s, d) => Similarity.ivfServeTopK(s, d)),
-      "ivf_append_topk"   -> ((s, d) => Similarity.ivfAppendTopK(s, d)))
+      "ivf_append_topk"   -> ((s, d) => Similarity.ivfAppendTopK(s, d)),
+      // r13 additions
+      "bm25_compact"      -> ((s, d) => TextAnalysis.bm25CompactTopK(s, d)),
+      "ivf_append_recall" -> ((s, d) => Similarity.ivfAppendRecall(s, d)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()
@@ -83,5 +86,79 @@ class EmptyInputSpec extends SparkSpec {
       }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  /** r12 verdict #8: the registry rows above exercise empty CORPORA;
+    * the lifecycle APIs must also degrade on the other empty shapes —
+    * empty DELTA against a populated base, and a populated delta
+    * against an EMPTY base — without crashing, minting contentless
+    * segments, or corrupting served rankings.
+    */
+  test("index lifecycle paths degrade on empty base or empty delta") {
+    import graft.operators.{Similarity, TextAnalysis}
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-empty-lifecycle").toString
+    val docs = Seq((1L, "apple banana"), (2L, "banana cherry"))
+      .toDF("doc_id", "text")
+    val noDocs = docs.limit(0)
+    val q = Seq("apple", "banana", "cherry")
+    def served(p: String) =
+      TextAnalysis.bm25QueryIndex(spark, p, q, 10).collect().toSeq
+
+    // empty delta on a populated base: refresh and append are both
+    // no-ops — no segment minted, rankings byte-identical
+    val idx = s"$root/idx"
+    TextAnalysis.bm25WriteIndexDocs(spark, docs, idx)
+    val before = served(idx)
+    TextAnalysis.bm25RefreshIndex(spark, idx, noDocs, noDocs)
+    assert(served(idx) == before, "empty-delta refresh changed rankings")
+    assert(TextAnalysis.bm25AppendSegment(spark, idx, noDocs, noDocs).isEmpty,
+      "empty delta minted a segment")
+    assert(!new java.io.File(s"$idx/segments").exists,
+      "empty-delta append created a segments dir")
+    assert(served(idx) == before, "empty-delta append changed rankings")
+    // compact with no segments: no-op, same rankings
+    TextAnalysis.bm25Compact(spark, idx)
+    assert(served(idx) == before, "segmentless compact changed rankings")
+
+    // populated delta on an EMPTY base: both paths must yield an
+    // index serving exactly the delta (== a from-scratch build)
+    val want = {
+      val d = s"$root/direct"
+      TextAnalysis.bm25WriteIndexDocs(spark, docs, d)
+      served(d)
+    }
+    val emptyRefresh = s"$root/emptyRefresh"
+    TextAnalysis.bm25WriteIndexDocs(spark, noDocs, emptyRefresh)
+    TextAnalysis.bm25RefreshIndex(spark, emptyRefresh, docs, noDocs)
+    assert(served(emptyRefresh) == want,
+      "refresh into an empty base != from-scratch build")
+    val emptyAppend = s"$root/emptyAppend"
+    TextAnalysis.bm25WriteIndexDocs(spark, noDocs, emptyAppend)
+    assert(TextAnalysis.bm25AppendSegment(spark, emptyAppend, docs, noDocs).nonEmpty)
+    assert(served(emptyAppend) == want,
+      "segment append onto an empty base != from-scratch build")
+
+    // IVF: append against an index built over an empty corpus (no
+    // centroids — nothing to route to) must not crash, and the index
+    // must still serve 0 rows
+    val ivfIdx = s"$root/ivf"
+    Similarity.ivfWriteIndexVecs(spark,
+      Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding")).limit(0),
+      ivfIdx)
+    Similarity.ivfAppendVectors(spark, ivfIdx,
+      Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding")).limit(4))
+    assert(Similarity.ivfQueryIndex(spark, emptyDir, ivfIdx).count() == 0)
+    // and an EMPTY append onto a populated index is a no-op
+    val ivfIdx2 = s"$root/ivf2"
+    Similarity.ivfWriteIndexVecs(spark,
+      Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding")), ivfIdx2)
+    val servedBefore = Similarity.ivfQueryIndex(spark, sf, ivfIdx2).collect().toSeq
+    Similarity.ivfAppendVectors(spark, ivfIdx2,
+      Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding")).limit(0))
+    assert(Similarity.ivfQueryIndex(spark, sf, ivfIdx2).collect().toSeq == servedBefore,
+      "empty IVF append changed served results")
   }
 }
