@@ -145,10 +145,19 @@ object Streaming {
   case class DocEvent(ts: java.sql.Timestamp, doc_id: Long, text: String)
 
   /** A banded document: one row per (band, bucket) the doc hashes
-    * into, carrying the shingle set for the exact verify.
+    * into, carrying the DIGESTED shingle set for the exact verify —
+    * r13: per-shingle xxhash64 digests instead of the strings
+    * themselves. The Jaccard of two digest sets equals the Jaccard of
+    * the underlying string sets absent a 64-bit collision inside the
+    * compared pair (P ≈ m²·2⁻⁶⁵ for m shingles — negligible, and
+    * deterministic either way), while the state payload that crosses
+    * the keyed-state shuffle ONCE PER BAND shrinks ~5× (8-byte longs
+    * vs avg ~40-byte shingle strings) — the per-band shingle payload
+    * was the dominant cost of the full-corpus contract replay.
+    * StreamingSpec still pins stream == batch pair-for-pair.
     */
   case class BucketDoc(band: Int, bucket: Long, doc_id: Long,
-                       ts: java.sql.Timestamp, shset: Array[String])
+                       ts: java.sql.Timestamp, shset: Array[Long])
 
   case class NearDupHit(a: Long, b: Long, jaccard: Double)
 
@@ -177,14 +186,18 @@ object Streaming {
                     horizon: String = "10 minutes"): Dataset[NearDupHit] = {
     import docs.sparkSession.implicits._
     val rows = k / bands
+    // signatures hash the shingle STRINGS (bit-identical to the batch
+    // twin's family); only the verify payload is digested
     val banded = docs.toDF()
       .withWatermark("ts", horizon)
-      .withColumn("shset", array_distinct(
+      .withColumn("shs", array_distinct(
         graft.functions.TextFns.shinglesOf(
           graft.functions.TextFns.wsTokens(col("text")), n)))
-      .filter(size(col("shset")) > 0)
+      .filter(size(col("shs")) > 0)
       .withColumn("sig", transform(sequence(lit(0), lit(k - 1)),
-        i => array_min(transform(col("shset"), s => xxhash64(s, i)))))
+        i => array_min(transform(col("shs"), s => xxhash64(s, i)))))
+      .withColumn("shset",
+        array_distinct(transform(col("shs"), s => xxhash64(s))))
       .select(col("doc_id"), col("ts"), col("shset"),
         posexplode(array((0 until bands).map(bd =>
           xxhash64(lit(bd) +:
@@ -193,7 +206,7 @@ object Streaming {
       .as[BucketDoc]
     banded
       .groupByKey(b => (b.band, b.bucket))
-      .flatMapGroupsWithState[List[(Long, Set[String])], NearDupHit](
+      .flatMapGroupsWithState[List[(Long, Set[Long])], NearDupHit](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (_, it, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
@@ -385,14 +398,15 @@ object Streaming {
     * keeps the row's bench cost proportionate while the FULL-corpus
     * equivalence stays pinned in StreamingSpec.
     */
-  def nearDupContract(spark: SparkSession, dir: String): DataFrame = {
+  def nearDupContract(spark: SparkSession, dir: String,
+                      everyNth: Int = 4): DataFrame = {
     import spark.implicits._
     val base = stageBase(dir)
     // ONE staging write serves both sides: the batch twin reads it as
     // a fixture dir, the stream reads the same files and derives the
     // event timestamp on the fly
     val subset = graft.Tables.documents(spark, dir)
-      .filter(pmod(col("doc_id"), lit(4)) === 0)
+      .filter(pmod(col("doc_id"), lit(everyNth)) === 0)
       .select(col("doc_id"), col("text"))
     subset.coalesce(8).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$base/neardup_fixture/documents.parquet")

@@ -5,11 +5,20 @@ import graft.Sessions
 /** Splits bm25_index_topk's cost into BUILD (index write) vs SERVE
   * (partition-pruned query) at a given SF dir — the number that
   * matters at scale is the serve, since the build runs once at
-  * ingest. Usage: runMain graft.tools.Bm25Probe <sfDir>
+  * ingest. Usage: runMain graft.tools.Bm25Probe <sfDir> [deltaCap]
+  *
+  * r13 (r12 verdict #3): the optional `deltaCap` bounds the delta to
+  * doc_id < cap. The default fixture delta is ~13% of docs and grows
+  * WITH the corpus, so its slope rows conflate delta growth with
+  * corpus growth; passing the 1× corpus's doc_id domain size as the
+  * cap on a ScaleUp-derived N× dir (replica 0 occupies exactly that
+  * id range) applies a FIXED-size delta to a growing corpus — the
+  * measurement that separates O(delta) from O(corpus).
   */
 object Bm25Probe {
   def main(args: Array[String]): Unit = {
     val dir = args.head
+    val cap = if (args.length > 1) args(1).toLong else Long.MaxValue
     val spark = Sessions.local("graft-bm25-probe")
     val idx = s"/tmp/graft_bm25_probe_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     val terms = Seq("data", "model", "system")
@@ -39,10 +48,12 @@ object Bm25Probe {
     val oldD = d1.join(v2.select(col("doc_id"), md5(col("text")).as("d2")),
         Seq("doc_id"), "left")
       .filter(col("d2").isNull || md5(col("text")) =!= col("d2"))
+      .filter(col("doc_id") < cap)
       .select(col("doc_id"), col("text")).localCheckpoint()
     val newD = v2.join(d1.select(col("doc_id"), md5(col("text")).as("dd")),
         Seq("doc_id"), "left")
       .filter(col("dd").isNull || md5(col("text")) =!= col("dd"))
+      .filter(col("doc_id") < cap)
       .select(col("doc_id"), col("text")).localCheckpoint()
     println(s"BM25 delta: old=${oldD.count()} new=${newD.count()} " +
       s"of ${docs.count()} docs")
