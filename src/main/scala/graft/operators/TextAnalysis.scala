@@ -947,9 +947,11 @@ object TextAnalysis {
 
   /** Delete-then-copy of an at-rest index dir, so the destination is
     * exactly the source — base-only, no stale segments or partitions.
+    * (Shared with the other lifecycle fixtures — [[Dedup]]'s at-rest
+    * near-dup index uses the same pristine-base-copy pattern.)
     */
-  private def copyIndex(spark: SparkSession, src: String,
-                        dst: String): Unit = {
+  private[operators] def copyIndex(spark: SparkSession, src: String,
+                                   dst: String): Unit = {
     import org.apache.hadoop.fs.{FileUtil, Path}
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(dst).getFileSystem(conf)

@@ -242,6 +242,43 @@ class LayoutSpec extends SparkSpec {
     assert(total == base.count(), s"index holds $total of ${base.count()}")
   }
 
+  test("near-dup check-in: index never rewritten, pairs found across check-ins") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-neardup-idx").toString
+    val idx = s"$root/idx"
+    // base docs 1-2; doc 3 (delta 1) duplicates doc 1; doc 4 is
+    // novel; doc 5 (delta 2) duplicates doc 4 — found only if the
+    // first check-in actually ADMITTED doc 4 into the index
+    Dedup.neardupWriteIndex(spark, Seq(
+      (1L, "a b c d e"), (2L, "x y z w v")).toDF("doc_id", "text"), idx)
+    def files(): Seq[(String, Long, Long)] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) else Seq(d)
+      (walk(new java.io.File(s"$idx/buckets")) ++
+        walk(new java.io.File(s"$idx/docsets")))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getAbsolutePath, f.lastModified, f.length))
+        .sortBy(_._1)
+    }
+    val before = files()
+    val p1 = Dedup.neardupCheckIn(spark, idx, Seq(
+      (3L, "a b c d e"), (4L, "q r s t u")).toDF("doc_id", "text")).collect()
+    assert(p1.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      == Seq((1L, 3L, 1.0)), s"check-in 1 pairs: ${p1.toSeq}")
+    val mid = files()
+    assert(mid.toSet.intersect(before.toSet) == before.toSet,
+      "check-in rewrote existing index files")
+    assert(mid.size > before.size, "check-in admitted no files")
+    val p2 = Dedup.neardupCheckIn(spark, idx, Seq(
+      (5L, "q r s t u")).toDF("doc_id", "text")).collect()
+    assert(p2.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      == Seq((4L, 5L, 1.0)), s"check-in 2 pairs: ${p2.toSeq}")
+    assert(files().toSet.intersect(mid.toSet) == mid.toSet,
+      "second check-in rewrote existing index files")
+  }
+
   test("bucketed tables join + aggregate with zero Exchange") {
     Layout.writeBucketedOrderTables(spark, sf)
     val df = Layout.bucketedOrderTotals(spark)
