@@ -480,6 +480,11 @@ object Dedup {
     * banding; the verify runs over digest sets rather than raw
     * shingles (equal absent an in-pair 48-bit collision), and the
     * oracle replays the digest form exactly.
+    *
+    * Single-writer assumption (standard for index mutation, same as
+    * [[TextAnalysis.bm25AppendSegment]]): concurrent check-ins to the
+    * SAME index dir race the read-then-append; serialize them (a
+    * deployment runs one ingest job per index).
     */
   def neardupCheckIn(spark: SparkSession, idx: String, newDocs: DataFrame,
                      minJ: Double = 0.2, n: Int = 3, k: Int = 16,
