@@ -34,7 +34,8 @@ object SparkEntry {
     "emb_pca", "domain_classifier",
     "bm25_index_topk", "bm25_serve_topk", "bm25_refresh",
     "bm25_upsert_topk", "bm25_compact", "ivf_serve_topk",
-    "ivf_append_topk", "ivf_append_recall", "dedup_checkin")
+    "ivf_append_topk", "ivf_append_recall", "dedup_checkin",
+    "dedup_checkin_removed")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference flagship: word count (ops #1-#9, #15-#21) ----
@@ -214,6 +215,7 @@ object SparkEntry {
     // eager builder: at-rest near-dup index — check the held-out
     // delta in against the indexed 3/4 without re-signaturing it
     "dedup_checkin" -> ((s, d) => Dedup.neardupUpsert(s, d)),
+    "dedup_checkin_removed" -> ((s, d) => Dedup.neardupUpsertRemoved(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashPairsMd5(s, d)),
     "dedup_blocks"  -> ((s, d) => Dedup.blockDedup(s, d)),
@@ -2259,6 +2261,42 @@ object SparkEntry {
     // 48-bit digests (h1) — the digest form the index stores
     "dedup_checkin" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |   for i in range(1, len(t) - 1)]) AS shingle FROM toks WHERE len(t) >= 3),
+        |hh AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(substring(md5(shingle), 1, 12), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) AS h1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(substring(md5(shingle), 13, 12), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) AS h2
+        |  FROM sh),
+        |dsz AS (SELECT doc_id, count(DISTINCT h1) AS sz FROM hh GROUP BY doc_id),
+        |mh AS (SELECT doc_id, i, min((h1 + i * h2) & 281474976710655) AS h
+        |  FROM hh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+        |bk AS (SELECT doc_id, i // 4 AS band,
+        |    md5(string_agg(CAST(h AS VARCHAR), '|' ORDER BY i)) AS bucket
+        |  FROM mh GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x JOIN bk y
+        |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        |  WHERE x.doc_id % 4 = 1 OR y.doc_id % 4 = 1),
+        |inter AS (SELECT c.a, c.b, count(DISTINCT sa.h1) AS i FROM cand c
+        |  JOIN hh sa ON sa.doc_id = c.a
+        |  JOIN hh sb ON sb.doc_id = c.b AND sb.h1 = sa.h1
+        |  GROUP BY c.a, c.b)
+        |SELECT a, b, round(i / CAST(za.sz + zb.sz - i AS DOUBLE), 6) AS jaccard
+        |FROM inter JOIN dsz za ON za.doc_id = a JOIN dsz zb ON zb.doc_id = b
+        |WHERE i / CAST(za.sz + zb.sz - i AS DOUBLE) >= 0.2
+        |ORDER BY a, b""".stripMargin,
+    // removal twin: base docs with doc_id % 8 = 0 are tombstoned
+    // before the check-in — the oracle simply replays the family
+    // over the corpus WITHOUT them (delta docs are % 4 = 1, never
+    // % 8 = 0, so only the indexed side shrinks)
+    "dedup_checkin_removed" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 8 <> 0),
         |sh AS (SELECT DISTINCT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
         |   for i in range(1, len(t) - 1)]) AS shingle FROM toks WHERE len(t) >= 3),
         |hh AS (SELECT doc_id,

@@ -491,7 +491,12 @@ object Dedup {
                      bands: Int = 4): DataFrame = {
     val sigs = md5DocSig(newDocs, n, k).localCheckpoint()
     val dBand = bandedOf(sigs, k, bands)
-    val iBand = spark.read.schema(bucketsSchema).parquet(s"$idx/buckets")
+    // tombstoned (removed) docs stop matching immediately: the dead-id
+    // set is removal-sized and broadcasts into an anti-join over the
+    // postings scan — no index file rewrite until neardupCompact
+    val rawBand = spark.read.schema(bucketsSchema).parquet(s"$idx/buckets")
+    val iBand = liveTombstones(spark, idx).fold(rawBand)(dead =>
+      rawBand.join(broadcast(dead), Seq("doc_id"), "left_anti"))
     val cIdx = iBand
       .join(broadcast(dBand.select(col("band"), col("bucket"),
         col("doc_id").as("d"))), Seq("band", "bucket"))
@@ -534,6 +539,53 @@ object Dedup {
     pairs.orderBy("a", "b")
   }
 
+  /** REMOVE documents from the at-rest index — the takedown /
+    * license-revocation path a compliance pipeline needs: the ids
+    * land in an append-only `tombstones` table (delta-sized files;
+    * no index file is opened, the Lucene dead-docs model), and every
+    * subsequent [[neardupCheckIn]] stops flagging against them.
+    * [[neardupCompact]] is the amortized fold: physically drop
+    * tombstoned postings/docsets and clear the tombstones — a pure
+    * layout change (check-in results identical before and after).
+    */
+  def neardupRemove(spark: SparkSession, idx: String,
+                    docIds: DataFrame): Unit =
+    docIds.select(col("doc_id")).distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$idx/tombstones")
+
+  private def liveTombstones(spark: SparkSession,
+                             idx: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$idx/tombstones")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      None
+    else Some(spark.read.schema("doc_id bigint").parquet(s"$idx/tombstones"))
+  }
+
+  /** Physically drop tombstoned docs: rewrite `buckets` and
+    * `docsets` without them (corpus-order, the rebuild-shaped
+    * amortization — exactly like [[TextAnalysis.bm25Compact]]), then
+    * delete the tombstones table. The rewrite materializes before
+    * replacing the dirs it read from (the dynamic-overwrite
+    * discipline from the bm25 refresh).
+    */
+  def neardupCompact(spark: SparkSession, idx: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dead = liveTombstones(spark, idx).getOrElse(return)
+    val fs = new Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b = spark.read.schema(bucketsSchema).parquet(s"$idx/buckets")
+      .join(broadcast(dead), Seq("doc_id"), "left_anti")
+      .select(col("band"), col("doc_id"), col("bucket")).localCheckpoint()
+    val d = spark.read.schema(docsetsSchema).parquet(s"$idx/docsets")
+      .join(broadcast(dead), Seq("doc_id"), "left_anti").localCheckpoint()
+    b.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("band").parquet(s"$idx/buckets")
+    d.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$idx/docsets")
+    fs.delete(new Path(s"$idx/tombstones"), true)
+  }
+
   /** Registry fixture for the check-in (the bm25 lifecycle pattern):
     * the index holds 3/4 of the corpus (doc_id ≢ 1 mod 4) — built at
     * most once per JVM per corpus dir and kept pristine; each
@@ -548,18 +600,41 @@ object Dedup {
   private val neardupBaseCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def neardupUpsert(spark: SparkSession, dir: String,
-                    minJ: Double = 0.2): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val base = neardupBaseCache.computeIfAbsent(dir, _ => {
+  private def pristineBase(spark: SparkSession, dir: String,
+                           docs: DataFrame): String =
+    neardupBaseCache.computeIfAbsent(dir, _ => {
       val p = s"/tmp/graft_neardup_base_${scratchToken}_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       neardupWriteIndex(spark, docs.filter(pmod(col("doc_id"), lit(4)) =!= 1), p)
       p
     })
+
+  def neardupUpsert(spark: SparkSession, dir: String,
+                    minJ: Double = 0.2): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val idx = s"/tmp/graft_neardup_upsert_${scratchToken}_" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
-    TextAnalysis.copyIndex(spark, base, idx)
+    TextAnalysis.copyIndex(spark, pristineBase(spark, dir, docs), idx)
+    neardupCheckIn(spark, idx,
+      docs.filter(pmod(col("doc_id"), lit(4)) === 1), minJ)
+  }
+
+  /** Removal twin of [[neardupUpsert]]: before the check-in, the base
+    * docs with doc_id ≡ 0 (mod 8) are REMOVED via [[neardupRemove]]
+    * (append-only tombstones, no index rewrite) — the takedown path.
+    * The oracle replays the batch family over the corpus WITHOUT the
+    * removed docs, so the row hashes green only if tombstoned docs
+    * really stop being flagged against (the removal set provably
+    * intersects the found pairs at every SF).
+    */
+  def neardupUpsertRemoved(spark: SparkSession, dir: String,
+                           minJ: Double = 0.2): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val idx = s"/tmp/graft_neardup_rm_${scratchToken}_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    TextAnalysis.copyIndex(spark, pristineBase(spark, dir, docs), idx)
+    neardupRemove(spark, idx,
+      docs.filter(pmod(col("doc_id"), lit(8)) === 0).select(col("doc_id")))
     neardupCheckIn(spark, idx,
       docs.filter(pmod(col("doc_id"), lit(4)) === 1), minJ)
   }

@@ -75,7 +75,8 @@ class EmptyInputSpec extends SparkSpec {
       // r13 additions
       "bm25_compact"      -> ((s, d) => TextAnalysis.bm25CompactTopK(s, d)),
       "ivf_append_recall" -> ((s, d) => Similarity.ivfAppendRecall(s, d)),
-      "dedup_checkin"     -> ((s, d) => Dedup.neardupUpsert(s, d)))
+      "dedup_checkin"     -> ((s, d) => Dedup.neardupUpsert(s, d)),
+      "dedup_checkin_removed" -> ((s, d) => Dedup.neardupUpsertRemoved(s, d)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()

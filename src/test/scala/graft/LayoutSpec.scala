@@ -277,6 +277,28 @@ class LayoutSpec extends SparkSpec {
       == Seq((4L, 5L, 1.0)), s"check-in 2 pairs: ${p2.toSeq}")
     assert(files().toSet.intersect(mid.toSet) == mid.toSet,
       "second check-in rewrote existing index files")
+    // removal: tombstone doc 4 (append-only — index files untouched);
+    // a fresh duplicate of it must no longer be flagged, while doc
+    // 1's duplicates still are
+    val preRemove = files()
+    Dedup.neardupRemove(spark, idx, Seq(4L).toDF("doc_id"))
+    assert(files() == preRemove, "remove touched index files")
+    val p3 = Dedup.neardupCheckIn(spark, idx, Seq(
+      (6L, "q r s t u"), (7L, "a b c d e")).toDF("doc_id", "text")).collect()
+    val got3 = p3.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got3 == Set((1L, 7L, 1.0), (3L, 7L, 1.0), (5L, 6L, 1.0)),
+      s"post-removal pairs: $got3")
+    // compact: physically drops doc 4, clears tombstones — a repeat
+    // duplicate check finds the same pairs as the tombstone filter did
+    Dedup.neardupCompact(spark, idx)
+    assert(!new java.io.File(s"$idx/tombstones").exists)
+    assert(spark.read.parquet(s"$idx/docsets")
+      .filter(col("doc_id") === 4L).count() == 0, "compact kept dead docsets")
+    val p4 = Dedup.neardupCheckIn(spark, idx, Seq(
+      (8L, "q r s t u")).toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(p4 == Set((5L, 8L, 1.0), (6L, 8L, 1.0)),
+      s"post-compact pairs: $p4")
   }
 
   test("bucketed tables join + aggregate with zero Exchange") {
