@@ -520,27 +520,77 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy("k")
 
-  /** Equi-depth (equal-frequency) histogram: the decile boundaries
-    * come from one percentile aggregation, broadcast as a 1-row array,
-    * and every row assigns its bucket map-side by counting boundaries
-    * below it — NO global ntile window (which would rank the whole
-    * table in one task). Rows exactly on a boundary fall to the lower
-    * bucket in both engines (strict `<` comparison).
+  /** Equi-depth (equal-frequency) histogram with EXACT decile edges,
+    * computed by distributed order-statistic selection instead of the
+    * single-task `percentile()` buffer (r7–r12 standing note, closed
+    * r13): (1) value counts — one groupBy, O(distinct) rows; (2) the
+    * counts range-partition and sort BY VALUE, per-partition totals
+    * (≤ nPartitions rows) prefix-sum on the driver; (3) a second pass
+    * over the same cached counts emits only the ≤ 2·|deciles| order
+    * statistics whose global ranks the interpolation needs. No task
+    * ever holds more than its partition's distinct values, and the
+    * driver holds ≤ 18 (rank, value) rows — the shape that survives
+    * an all-distinct 100 TB column, where percentile()'s value→count
+    * final-agg map is an executor OOM.
     *
-    * Scale note: the bucket-assignment side IS the scalable shape, but
-    * the exact percentile() aggregate buffers every distinct value of
-    * the column in one final-agg task. It is kept exact here only for
-    * DuckDB oracle parity; the at-scale variant swaps in
-    * approx_percentile (KLL-style bounded sketch, mergeable at the
-    * exchange) with no other change to the plan.
+    * The interpolation reproduces Spark's `Percentile` arithmetic
+    * bit-for-bit — position = (n−1)·q, edge = (⌈pos⌉−pos)·v_lo +
+    * (pos−⌊pos⌋)·v_hi, v at integer positions taken verbatim — so
+    * the edges (and therefore the DuckDB-oracle-matched buckets) are
+    * IDENTICAL to the old percentile() form. Bucket assignment is
+    * unchanged: edges broadcast as a literal array, every row counts
+    * boundaries strictly below it map-side — no global ntile window.
+    * Rows exactly on a boundary fall to the lower bucket in both
+    * engines (strict `<`).
     */
   def histogramEquidepth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qs = Array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
     val li = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("p"))
-    val edges = li.agg(expr(
-      "percentile(p, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("qs"))
-    li.crossJoin(broadcast(edges))
-      .select(col("p"),
-        (lit(1) + size(filter(col("qs"), q => q < col("p")))).cast("long").as("bucket"))
+    val vc = li.groupBy(col("p")).agg(count(lit(1)).as("c"))
+      .repartitionByRange(32, col("p"))
+      .sortWithinPartitions(col("p"))
+      .as[(Double, Long)]
+      .cache()
+    // pass 1: per-partition row totals (≤ 32 rows to the driver)
+    val perPart = vc.rdd.mapPartitionsWithIndex { (pid, it) =>
+      Iterator.single(pid -> it.map(_._2).sum)
+    }.collect().toMap
+    val nParts = perPart.keys.foldLeft(-1)(math.max) + 1
+    val offsets = new Array[Long](math.max(nParts, 1))
+    var acc = 0L
+    (0 until nParts).foreach { pid =>
+      offsets(pid) = acc; acc += perPart.getOrElse(pid, 0L)
+    }
+    val total = acc
+    if (total == 0) {
+      vc.unpersist()
+      return Seq.empty[(Long, Long, Double, Double)]
+        .toDF("bucket", "n", "lo", "hi")
+    }
+    // 0-based fractional positions and the integer ranks they need
+    val positions = qs.map(q => (total - 1) * q)
+    val wanted = positions
+      .flatMap(pos => Seq(math.floor(pos).toLong, math.ceil(pos).toLong))
+      .distinct.sorted
+    // pass 2: emit exactly the wanted order statistics (≤ 18 rows)
+    val rankVal = vc.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = offsets(pid)
+      it.flatMap { case (v, c) =>
+        val lo = cum; cum += c
+        wanted.iterator.filter(r => r >= lo && r < cum).map(r => (r, v))
+      }
+    }.collect().toMap
+    vc.unpersist()
+    val edges = positions.map { pos =>
+      val lo = math.floor(pos).toLong
+      val hi = math.ceil(pos).toLong
+      if (hi == lo) rankVal(lo)
+      else (hi - pos) * rankVal(lo) + (pos - lo) * rankVal(hi)
+    }
+    li.select(col("p"),
+        (lit(1) + size(filter(array(edges.map(lit): _*), q => q < col("p"))))
+          .cast("long").as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         round(min(col("p")), 2).as("lo"),

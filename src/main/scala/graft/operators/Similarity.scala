@@ -903,6 +903,29 @@ object Similarity {
       .partitionBy("cell").parquet(s"$idx/lists")
   }
 
+  /** REMOVE vectors from the at-rest IVF index — the FAISS
+    * `remove_ids` analogue, takedown-shaped like
+    * [[graft.operators.Dedup.neardupRemove]]: ids land in an
+    * append-only `tombstones` table (no list file is opened) and the
+    * serve drops them via a broadcast anti-join before scoring. The
+    * compaction analogue is the periodic full retrain
+    * ([[ivfWriteIndexVecs]]), which rebuilds the lists without the
+    * dead vectors — consistent with the add-model's documented
+    * retrain cadence.
+    */
+  def ivfRemove(spark: SparkSession, idx: String, ids: DataFrame): Unit =
+    ids.select(col("vec_id")).distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$idx/tombstones")
+
+  private def ivfTombstones(spark: SparkSession,
+                            idx: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$idx/tombstones")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      None
+    else Some(spark.read.schema("vec_id bigint").parquet(s"$idx/tombstones"))
+  }
+
   /** Serve top-k from the at-rest index: route each query to its
     * nProbe nearest centroids (exact integer math — bit-identical to
     * the oracle's routing), then scan ONLY those cells' directories.
@@ -945,8 +968,13 @@ object Similarity {
       .select(col("qid"), col("cell"))
     val probePairs = probes.as[(Long, Long)].collect()
     val probedCells = probePairs.map(_._2).distinct.sorted
-    val lists = spark.read.schema(listsSchema).parquet(s"$idx/lists")
+    // tombstoned (removed) vectors drop before scoring — the dead-id
+    // set is removal-sized and broadcasts into an anti-join over the
+    // pruned list scan; no list file is ever rewritten
+    val rawLists = spark.read.schema(listsSchema).parquet(s"$idx/lists")
       .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
+    val lists = ivfTombstones(spark, idx).fold(rawLists)(dead =>
+      rawLists.join(broadcast(dead), Seq("vec_id"), "left_anti"))
     val routing = probePairs.toSeq.toDF("qid", "cell")
     val wk = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
@@ -1006,6 +1034,28 @@ object Similarity {
                    nQueries: Int = 8, kNN: Int = 5,
                    nProbe: Int = 2): DataFrame =
     ivfQueryIndex(spark, dir, serveIdx(spark, dir), nQueries, kNN, nProbe)
+
+  /** Removal twin of [[ivfServeTopK]] (the dedup_checkin_removed
+    * pattern): the cached serve index is copied (the shared cache is
+    * never mutated), vectors with vec_id ≡ 3 (mod 7) are REMOVED via
+    * [[ivfRemove]] (append-only tombstones, no list rewrite), and the
+    * serve must rank as if they were never indexed — the oracle
+    * replays the full build but excludes the removed ids from the
+    * candidate lists, so the row hashes green only if tombstoned
+    * vectors really stop being served (~14% of every top-k shortlist
+    * is affected at any SF).
+    */
+  def ivfServeRemoved(spark: SparkSession, dir: String,
+                      nQueries: Int = 8, kNN: Int = 5,
+                      nProbe: Int = 2): DataFrame = {
+    val idx = s"/tmp/graft_ivf_rm_${scratchToken}_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.operators.TextAnalysis.copyIndex(spark, serveIdx(spark, dir), idx)
+    ivfRemove(spark, idx,
+      Tables.embeddings(spark, dir)
+        .filter(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id")))
+    ivfQueryIndex(spark, dir, idx, nQueries, kNN, nProbe)
+  }
 
   /** Registry fixture for the vector upsert: train the index on the
     * BASE slice (vec_id ≢ 3 mod 10), append the held-out slice with

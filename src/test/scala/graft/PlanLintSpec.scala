@@ -31,7 +31,6 @@ class PlanLintSpec extends SparkSpec {
     "q11_important", "q22_idle_balance", "lm_score", "lm_score2",
     "tfidf_keywords", "layout_zorder", "sketch_cms", "sketch_hll_merge",
     "bm25_topk", "join_range_tiers", "fuzzy_name_match",
-    "histogram_equidepth", // 1-row percentile-edges broadcast
     "histogram_equidepth_approx", // 1-row sketch-edges + 1-row total broadcasts
     "batch_pack",       // 1-row global-quartiles broadcast
     "sketch_kll_merge", // 1-row merged-median-estimate broadcast
@@ -159,7 +158,10 @@ class PlanLintSpec extends SparkSpec {
     "salted_wordcount"   -> (3, 0), // two-stage salted agg
     "join_skew_salted"   -> (6, 2),
     "seq_pack"           -> (3, 0), // ONE range exchange under the pack node
-    "histogram_equidepth" -> (3, 1),
+    // r13: histogram_equidepth moved to eagerQueries — its edges now
+    // come from a driver-orchestrated distributed rank selection (two
+    // bounded collects), so the builder runs jobs and the visible
+    // final plan is just scan → bucket-count agg → sort
     "histogram_equidepth_approx" -> (4, 2),
     // r7 additions (contamination_bloom is excluded: eager Bloom build)
     "weighted_sample"    -> (0, 0), // TakeOrdered: zero exchanges
