@@ -76,7 +76,9 @@ class EmptyInputSpec extends SparkSpec {
       "bm25_compact"      -> ((s, d) => TextAnalysis.bm25CompactTopK(s, d)),
       "ivf_append_recall" -> ((s, d) => Similarity.ivfAppendRecall(s, d)),
       "dedup_checkin"     -> ((s, d) => Dedup.neardupUpsert(s, d)),
-      "dedup_checkin_removed" -> ((s, d) => Dedup.neardupUpsertRemoved(s, d)))
+      "dedup_checkin_removed" -> ((s, d) => Dedup.neardupUpsertRemoved(s, d)),
+      "ivf_serve_removed" -> ((s, d) => Similarity.ivfServeRemoved(s, d)),
+      "histogram_equidepth" -> (Relational.histogramEquidepth(_, _)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()
