@@ -44,6 +44,77 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("near-dup check-in == independent plain-Scala reference on random corpora") {
+    // an INDEPENDENT implementation of the md5 Kirsch–Mitzenmacher
+    // family (MessageDigest + plain collections — no Spark, no shared
+    // helpers), so a bug in the column-expression pipeline cannot
+    // cancel itself out of the comparison
+    import graft.operators.Dedup
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val mask = (1L << 48) - 1
+    def family(text: String): Option[(Set[Long], Seq[(Int, String)])] = {
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val shingles = toks.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSeq.distinct
+      if (shingles.isEmpty) return None
+      val hs = shingles.map { s =>
+        val h = md5Hex(s)
+        (java.lang.Long.parseLong(h.substring(0, 12), 16),
+          java.lang.Long.parseLong(h.substring(12, 24), 16))
+      }
+      val sig = (0 until 16).map(i =>
+        hs.map { case (h1, h2) => (h1 + i * h2) & mask }.min)
+      val buckets = (0 until 4).map(bd =>
+        bd -> md5Hex((0 until 4).map(r => sig(bd * 4 + r)).mkString("|")))
+      Some((hs.map(_._1).toSet, buckets))
+    }
+    def referencePairs(docs: Seq[(Long, String)],
+                       deltaIds: Set[Long]): Set[(Long, Long, Double)] = {
+      val fam = docs.flatMap { case (id, t) => family(t).map(id -> _) }.toMap
+      val pairs = for {
+        (a, (setA, bkA)) <- fam.toSeq
+        (b, (setB, bkB)) <- fam.toSeq
+        if a < b && (deltaIds(a) || deltaIds(b))
+        if bkA.exists(bkB.contains)
+      } yield {
+        val inter = setA.intersect(setB).size
+        val j = inter.toDouble / (setA.size + setB.size - inter)
+        (a, b, BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      pairs.filter(_._3 >= 0.2).toSet
+    }
+    // small vocab forces shingle collisions and genuine near-dups
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta")
+    val docGen = Gen.chooseNum(0, 10)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))).map(_.mkString(" "))
+    // originals + exact/near copies of random originals, so every
+    // corpus contains genuine duplicate structure to find
+    val corpusGen = for {
+      n <- Gen.chooseNum(6, 10)
+      originals <- Gen.listOfN(n, docGen)
+      dupOf <- Gen.listOfN(4, Gen.chooseNum(0, n - 1))
+      sfx <- Gen.listOfN(4, Gen.oneOf("", "", " omega"))
+    } yield originals ++ dupOf.zip(sfx).map { case (i, s) => originals(i) + s }
+    var totalPairs = 0
+    samples(corpusGen, 6).zipWithIndex.foreach { case (texts, ci) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val (delta, base) = docs.partition(_._1 % 3 == 0)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-prop-ndx").toString + "/idx"
+      Dedup.neardupWriteIndex(spark, base.toDF("doc_id", "text"), idx)
+      val got = Dedup.neardupCheckIn(spark, idx, delta.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = referencePairs(docs, delta.map(_._1).toSet)
+      assert(got == want, s"corpus $ci: got=$got want=$want texts=$texts")
+      totalPairs += want.size
+    }
+    // the comparison must have exercised real pairs, not empty==empty
+    assert(totalPairs > 0, "generator produced no near-dup pairs at all")
+  }
+
   test("dedup idempotence: dropDuplicates twice == once") {
     val docs = Tables.documents(spark, sf)
     val once = docs.dropDuplicates("text")
