@@ -35,7 +35,7 @@ object SparkEntry {
     "bm25_index_topk", "bm25_serve_topk", "bm25_refresh",
     "bm25_upsert_topk", "bm25_compact", "ivf_serve_topk",
     "ivf_append_topk", "ivf_append_recall", "ivf_serve_removed",
-    "dedup_checkin", "dedup_checkin_removed",
+    "dedup_checkin", "dedup_checkin_removed", "ingest_pipeline",
     // r13: edges via driver-orchestrated distributed rank selection
     "histogram_equidepth")
 
@@ -218,6 +218,9 @@ object SparkEntry {
     // delta in against the indexed 3/4 without re-signaturing it
     "dedup_checkin" -> ((s, d) => Dedup.neardupUpsert(s, d)),
     "dedup_checkin_removed" -> ((s, d) => Dedup.neardupUpsertRemoved(s, d)),
+    // eager composite: delta diff -> near-dup gate (dry-run lookup)
+    // -> bm25 refresh with the surviving delta -> pruned serve
+    "ingest_pipeline" -> ((s, d) => Curation.ingestPipeline(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashPairsMd5(s, d)),
     "dedup_blocks"  -> ((s, d) => Dedup.blockDedup(s, d)),
@@ -2258,6 +2261,70 @@ object SparkEntry {
         |FROM inter JOIN sizes za ON za.doc_id = a JOIN sizes zb ON zb.doc_id = b
         |WHERE i / CAST(za.sz + zb.sz - i AS DOUBLE) >= 0.2
         |ORDER BY a, b""".stripMargin,
+    // continuous-ingest composite: the oracle replays the ENTIRE
+    // funnel from scratch — the md5-family rejection of added docs
+    // (vs v1 or earlier added, digest-set verify), then the direct
+    // BM25 ranking over v2 minus the rejected set
+    "ingest_pipeline" ->
+      """WITH v1 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 20 = 0 THEN 'v1:' || text ELSE text END AS text
+        |  FROM documents WHERE doc_id % 30 <> 0),
+        |added AS (SELECT doc_id, text FROM documents WHERE doc_id % 30 = 0),
+        |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM added),
+        |toksx AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM u),
+        |shx AS (SELECT DISTINCT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |   for i in range(1, len(t) - 1)]) AS shingle FROM toksx WHERE len(t) >= 3),
+        |hh AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(substring(md5(shingle), 1, 12), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) AS h1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(substring(md5(shingle), 13, 12), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) AS h2
+        |  FROM shx),
+        |dsz AS (SELECT doc_id, count(DISTINCT h1) AS sz FROM hh GROUP BY doc_id),
+        |mh AS (SELECT doc_id, i, min((h1 + i * h2) & 281474976710655) AS h
+        |  FROM hh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+        |bk AS (SELECT doc_id, i // 4 AS band,
+        |    md5(string_agg(CAST(h AS VARCHAR), '|' ORDER BY i)) AS bucket
+        |  FROM mh GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x JOIN bk y
+        |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        |  WHERE x.doc_id % 30 = 0 OR y.doc_id % 30 = 0),
+        |inter AS (SELECT c.a, c.b, count(DISTINCT sa.h1) AS i FROM cand c
+        |  JOIN hh sa ON sa.doc_id = c.a
+        |  JOIN hh sb ON sb.doc_id = c.b AND sb.h1 = sa.h1
+        |  GROUP BY c.a, c.b),
+        |pairs AS (SELECT a, b FROM inter
+        |  JOIN dsz za ON za.doc_id = a JOIN dsz zb ON zb.doc_id = b
+        |  WHERE i / CAST(za.sz + zb.sz - i AS DOUBLE) >= 0.2),
+        |rejected AS (SELECT DISTINCT
+        |    CASE WHEN b % 30 = 0 THEN b ELSE a END AS doc_id FROM pairs),
+        |v2k AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 30 <> 7
+        |    AND doc_id NOT IN (SELECT doc_id FROM rejected)),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |           t -> t <> '')) AS term
+        |  FROM v2k),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfc GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT unnest(['data', 'model', 'system']) AS term),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc JOIN q USING (term) GROUP BY 1),
+        |s AS (
+        |  SELECT t.doc_id,
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (t.tf * 2.2) /
+        |      (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+        |  FROM tfc t JOIN q USING (term) JOIN dfc USING (term)
+        |  JOIN dl ON dl.doc_id = t.doc_id, stats)
+        |SELECT doc_id, round(sum(s), 6) AS score,
+        |       CAST(count(*) AS BIGINT) AS n_terms
+        |FROM s GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // at-rest near-dup check-in: the emitted pairs must equal the
     // batch md5 family over the FULL corpus restricted to pairs with
     // a delta member (doc_id % 4 = 1); the verify intersects DISTINCT

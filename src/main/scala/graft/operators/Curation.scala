@@ -146,6 +146,60 @@ object Curation {
       .orderBy("source")
   }
 
+  /** CONTINUOUS-INGEST composite — the index lifecycles composed the
+    * way a production corpus actually evolves, as one driver-gated
+    * row: (1) the v1→v2 snapshot delta (the corpus_diff digest
+    * join), (2) a NEAR-DUP GATE on the ADDED documents against the
+    * v1 at-rest MinHash index ([[Dedup.neardupLookup]] — dry-run, so
+    * rejected docs never pollute any index): an added doc is
+    * rejected if it near-dups any v1 doc or an earlier (smaller-id)
+    * added doc, (3) the bm25 index REFRESHES with the surviving
+    * delta (changed/removed docs always flow; rejection applies to
+    * additions — an update of an existing doc is not spam), (4) the
+    * refreshed index serves. The oracle replays the whole funnel
+    * from scratch: the md5-family rejection set in SQL, then the
+    * direct BM25 ranking over (v2 minus rejected) — so the row
+    * hashes green only if gate, refresh, and serve all compose
+    * correctly. Both fixture indexes (v1 near-dup, v1 bm25) build at
+    * most once per JVM per corpus dir; min-of-2 times
+    * lookup + copy + refresh + serve.
+    *
+    * 100 TB shape: every stage is the already-audited shape of its
+    * standalone row — digest-join delta, broadcast-delta index
+    * lookup, touched-letter refresh, pruned serve; nothing
+    * corpus-sized shuffles beyond what those rows shuffle.
+    */
+  def ingestPipeline(spark: SparkSession, dir: String,
+                     terms: Seq[String] = Seq("data", "model", "system"),
+                     k: Int = 20, minJ: Double = 0.2): DataFrame = {
+    val (v1, v2) = TextAnalysis.snapshotFixture(spark, dir)
+    val (newD, oldD) = TextAnalysis.snapshotDelta(v1, v2)
+    val added = newD.filter(pmod(col("doc_id"), lit(30)) === 0)
+    val ndIdx = ingestNdCache.computeIfAbsent(dir, _ => {
+      val p = s"/tmp/graft_ingest_nd_${ingestToken}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Dedup.neardupWriteIndex(spark, v1, p)
+      p
+    })
+    val pairs = Dedup.neardupLookup(spark, ndIdx, added, minJ)
+    // pairs are (a < b): the added member to reject is b when b is
+    // added (covers v1<added and added<added first-wins), else a
+    val rejected = pairs.select(
+      when(pmod(col("b"), lit(30)) === 0, col("b"))
+        .otherwise(col("a")).as("doc_id")).distinct()
+    val admitted = newD.join(rejected, Seq("doc_id"), "left_anti")
+    val idx = s"/tmp/graft_ingest_bm25_${ingestToken}_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    TextAnalysis.copyIndex(spark, TextAnalysis.v1BaseIndex(spark, dir), idx)
+    TextAnalysis.bm25RefreshIndex(spark, idx, admitted, oldD)
+    TextAnalysis.bm25QueryIndex(spark, idx, terms, k)
+  }
+
+  private lazy val ingestToken =
+    java.util.UUID.randomUUID().toString.take(8)
+  private val ingestNdCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def benchmarkContamination(spark: SparkSession, dir: String,
                              benchMax: Long = 20, n: Int = 3): DataFrame = {
     val sh = Dedup.docShingles(spark, dir, n)

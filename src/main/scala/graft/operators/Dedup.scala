@@ -489,6 +489,32 @@ object Dedup {
   def neardupCheckIn(spark: SparkSession, idx: String, newDocs: DataFrame,
                      minJ: Double = 0.2, n: Int = 3, k: Int = 16,
                      bands: Int = 4): DataFrame = {
+    val (pairs, sigs) = lookupWithSigs(spark, idx, newDocs, minJ, n, k, bands)
+    bandedOf(sigs, k, bands)
+      .select(col("band"), col("doc_id"), col("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("band").parquet(s"$idx/buckets")
+    sigs.select(col("doc_id"), col("dset"), col("sz"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$idx/docsets")
+    pairs.orderBy("a", "b")
+  }
+
+  /** The lookup HALF of [[neardupCheckIn]] — flag the delta against
+    * the index (and itself) WITHOUT admitting it: the dry-run a gate
+    * runs when rejected documents must never enter the index at all
+    * (the [[Curation.ingestPipeline]] shape). Same pairs, same cost,
+    * no mutation.
+    */
+  def neardupLookup(spark: SparkSession, idx: String, newDocs: DataFrame,
+                    minJ: Double = 0.2, n: Int = 3, k: Int = 16,
+                    bands: Int = 4): DataFrame =
+    lookupWithSigs(spark, idx, newDocs, minJ, n, k, bands)._1
+      .orderBy("a", "b")
+
+  private def lookupWithSigs(spark: SparkSession, idx: String,
+                             newDocs: DataFrame, minJ: Double, n: Int,
+                             k: Int, bands: Int): (DataFrame, DataFrame) = {
     val sigs = md5DocSig(newDocs, n, k).localCheckpoint()
     val dBand = bandedOf(sigs, k, bands)
     // tombstoned (removed) docs stop matching immediately: the dead-id
@@ -516,8 +542,8 @@ object Dedup {
           .withColumnRenamed(side, "doc_id")), "doc_id")
         .select(col("doc_id").as(side), col("dset").as(s"set_$side"),
           col("sz").as(s"sz_$side"))
-    // eager snapshot BEFORE the admit below mutates the index — the
-    // returned plan must never see the delta's own appended postings
+    // eager snapshot BEFORE any admit mutates the index — a returned
+    // plan must never see the delta's own appended postings
     val pairs = cand
       .join(lookup("a"), "a").join(lookup("b"), "b")
       .select(col("a"), col("b"),
@@ -529,14 +555,7 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= minJ)
       .localCheckpoint()
-    bandedOf(sigs, k, bands)
-      .select(col("band"), col("doc_id"), col("bucket"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("band").parquet(s"$idx/buckets")
-    sigs.select(col("doc_id"), col("dset"), col("sz"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"$idx/docsets")
-    pairs.orderBy("a", "b")
+    (pairs, sigs)
   }
 
   /** REMOVE documents from the at-rest index — the takedown /

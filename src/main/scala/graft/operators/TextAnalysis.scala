@@ -914,8 +914,8 @@ object TextAnalysis {
     * (id ≡ 7 mod 30) — the [[graft.operators.Curation.corpusDiff]]
     * fixture shape.
     */
-  private def snapshotFixture(spark: SparkSession,
-                              dir: String): (DataFrame, DataFrame) = {
+  private[operators] def snapshotFixture(spark: SparkSession,
+                                         dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val v1 = docs.filter(pmod(col("doc_id"), lit(30)) =!= 0)
       .select(col("doc_id"),
@@ -937,7 +937,7 @@ object TextAnalysis {
   private val lifecycleBaseCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def v1BaseIndex(spark: SparkSession, dir: String): String =
+  private[operators] def v1BaseIndex(spark: SparkSession, dir: String): String =
     lifecycleBaseCache.computeIfAbsent(dir, _ => {
       val p = s"/tmp/graft_bm25_v1base_${scratchToken}_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -975,8 +975,8 @@ object TextAnalysis {
     * via digest joins (delta-sized outputs; text never shuffles
     * beyond the delta rows themselves) — the corpus_diff pattern.
     */
-  private def snapshotDelta(v1: DataFrame,
-                            v2: DataFrame): (DataFrame, DataFrame) = {
+  private[operators] def snapshotDelta(v1: DataFrame,
+                                       v2: DataFrame): (DataFrame, DataFrame) = {
     val d1 = v1.select(col("doc_id"), md5(col("text")).as("d1"))
     val d2 = v2.select(col("doc_id"), md5(col("text")).as("d2"))
     val oldD = v1.join(d2, Seq("doc_id"), "left")

@@ -78,7 +78,8 @@ class EmptyInputSpec extends SparkSpec {
       "dedup_checkin"     -> ((s, d) => Dedup.neardupUpsert(s, d)),
       "dedup_checkin_removed" -> ((s, d) => Dedup.neardupUpsertRemoved(s, d)),
       "ivf_serve_removed" -> ((s, d) => Similarity.ivfServeRemoved(s, d)),
-      "histogram_equidepth" -> (Relational.histogramEquidepth(_, _)))
+      "histogram_equidepth" -> (Relational.histogramEquidepth(_, _)),
+      "ingest_pipeline"   -> ((s, d) => Curation.ingestPipeline(s, d)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()
