@@ -474,7 +474,12 @@ object Dedup {
     * the two slim index scans; a deployment amortizes it by batching
     * deltas, and the escalation is bucketing `buckets` by bucket and
     * `docsets` by doc_id so the lookups prune files instead of
-    * scanning (the KV-store shape of a dedicated LSH service).
+    * scanning (the KV-store shape of a dedicated LSH service). On a
+    * pathologically duplicated corpus a single hot bucket can hold
+    * O(corpus) postings and the candidate set degenerates toward
+    * delta×bucket — the standard guard is a per-bucket posting cap
+    * (the maxDf discipline of [[ngramJaccard]]) applied at index
+    * build; the fixtures' natural duplicate load does not need it.
     * Emitted pairs equal [[minhashLshMd5]] over (indexed ∪ delta)
     * restricted to pairs with a delta member — same family, same
     * banding; the verify runs over digest sets rather than raw

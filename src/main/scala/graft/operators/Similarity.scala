@@ -1120,8 +1120,10 @@ object Similarity {
     // the first nQueries appended ids: 3, 13, ..., 10·nQueries − 7
     val qpred = pmod(col("vec_id"), lit(10)) === 3 &&
       col("vec_id") < 10L * nQueries
+    // materialized once: the exact side feeds the emptiness probe and
+    // BOTH recall denominators (3 consumers of one broadcast-NLJ pass)
     val exact = bruteForceTopKWhere(spark, dir, qpred, kNN)
-      .select(col("qid"), col("cid"))
+      .select(col("qid"), col("cid")).localCheckpoint()
     if (exact.isEmpty) return Seq.empty[(String, Boolean)]
       .toDF("metric", "ok")
     // pooled mean recall — every query contributes exactly kNN exact
