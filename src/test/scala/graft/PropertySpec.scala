@@ -115,6 +115,53 @@ class PropertySpec extends SparkSpec {
     assert(totalPairs > 0, "generator produced no near-dup pairs at all")
   }
 
+  test("bm25 lifecycle == from-scratch rebuild on random corpora and deltas") {
+    // randomized generalization of LayoutSpec's hand-built cases:
+    // every lifecycle path (in-place merge-refresh; segment append;
+    // append + compact) must serve bit-identically to a from-scratch
+    // build over the post-delta corpus — including deltas that empty
+    // documents, touch no letters, or remove a letter's only holder
+    import graft.operators.TextAnalysis
+    val vocab = Vector("apple", "banana", "cherry", "dog", "emu",
+      "fig", "grape", "quince", "zebra", "")
+    val docGen = Gen.chooseNum(0, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))).map(_.mkString(" "))
+    val corpusGen = Gen.chooseNum(4, 8).flatMap(n => Gen.listOfN(n, docGen))
+    val terms = Seq("apple", "banana", "quince", "zebra", "dog")
+    def served(p: String) =
+      TextAnalysis.bm25QueryIndex(spark, p, terms, 20).collect().toSeq
+    samples(corpusGen, 4).zipWithIndex.foreach { case (texts, ci) =>
+      val v1docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // deterministic delta from ids: remove ≡1 (mod 3), change ≡2
+      // (append " zebra zulu"), add two fresh docs
+      val removed = v1docs.filter(_._1 % 3 == 1)
+      val changed = v1docs.filter(_._1 % 3 == 2)
+      val added = Seq((100L, "quince dog apple"), (101L, ""))
+      val newD = changed.map { case (id, t) => (id, s"$t zebra zulu") } ++ added
+      val oldD = removed ++ changed
+      val v2docs = v1docs.filter(_._1 % 3 == 0) ++ newD
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-prop-bm25-$ci").toString
+      TextAnalysis.bm25WriteIndexDocs(spark, v2docs.toDF("doc_id", "text"),
+        s"$root/rebuilt")
+      val want = served(s"$root/rebuilt")
+      // path 1: in-place merge-refresh
+      TextAnalysis.bm25WriteIndexDocs(spark, v1docs.toDF("doc_id", "text"),
+        s"$root/refresh")
+      TextAnalysis.bm25RefreshIndex(spark, s"$root/refresh",
+        newD.toDF("doc_id", "text"), oldD.toDF("doc_id", "text"))
+      assert(served(s"$root/refresh") == want, s"refresh != rebuild, corpus $ci: $texts")
+      // path 2: segment append, then path 3: compact
+      TextAnalysis.bm25WriteIndexDocs(spark, v1docs.toDF("doc_id", "text"),
+        s"$root/seg")
+      TextAnalysis.bm25AppendSegment(spark, s"$root/seg",
+        newD.toDF("doc_id", "text"), oldD.toDF("doc_id", "text"))
+      assert(served(s"$root/seg") == want, s"append != rebuild, corpus $ci: $texts")
+      TextAnalysis.bm25Compact(spark, s"$root/seg")
+      assert(served(s"$root/seg") == want, s"compact != rebuild, corpus $ci: $texts")
+    }
+  }
+
   test("dedup idempotence: dropDuplicates twice == once") {
     val docs = Tables.documents(spark, sf)
     val once = docs.dropDuplicates("text")
