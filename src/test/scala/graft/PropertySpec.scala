@@ -44,62 +44,67 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("near-dup check-in == independent plain-Scala reference on random corpora") {
-    // an INDEPENDENT implementation of the md5 Kirsch–Mitzenmacher
-    // family (MessageDigest + plain collections — no Spark, no shared
-    // helpers), so a bug in the column-expression pipeline cannot
-    // cancel itself out of the comparison
-    import graft.operators.Dedup
-    def md5Hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  // an INDEPENDENT implementation of the md5 Kirsch–Mitzenmacher
+  // family (MessageDigest + plain collections — no Spark, no shared
+  // helpers), so a bug in the column-expression pipeline cannot
+  // cancel itself out of the comparison
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def refFamily(text: String): Option[(Set[Long], Seq[(Int, String)])] = {
     val mask = (1L << 48) - 1
-    def family(text: String): Option[(Set[Long], Seq[(Int, String)])] = {
-      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
-      val shingles = toks.sliding(3).filter(_.size == 3)
-        .map(_.mkString(" ")).toSeq.distinct
-      if (shingles.isEmpty) return None
-      val hs = shingles.map { s =>
-        val h = md5Hex(s)
-        (java.lang.Long.parseLong(h.substring(0, 12), 16),
-          java.lang.Long.parseLong(h.substring(12, 24), 16))
-      }
-      val sig = (0 until 16).map(i =>
-        hs.map { case (h1, h2) => (h1 + i * h2) & mask }.min)
-      val buckets = (0 until 4).map(bd =>
-        bd -> md5Hex((0 until 4).map(r => sig(bd * 4 + r)).mkString("|")))
-      Some((hs.map(_._1).toSet, buckets))
+    val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+    val shingles = toks.sliding(3).filter(_.size == 3)
+      .map(_.mkString(" ")).toSeq.distinct
+    if (shingles.isEmpty) return None
+    val hs = shingles.map { s =>
+      val h = md5Hex(s)
+      (java.lang.Long.parseLong(h.substring(0, 12), 16),
+        java.lang.Long.parseLong(h.substring(12, 24), 16))
     }
-    def referencePairs(docs: Seq[(Long, String)],
-                       deltaIds: Set[Long]): Set[(Long, Long, Double)] = {
-      val fam = docs.flatMap { case (id, t) => family(t).map(id -> _) }.toMap
-      val pairs = for {
-        (a, (setA, bkA)) <- fam.toSeq
-        (b, (setB, bkB)) <- fam.toSeq
-        if a < b && (deltaIds(a) || deltaIds(b))
-        if bkA.exists(bkB.contains)
-      } yield {
-        val inter = setA.intersect(setB).size
-        val j = inter.toDouble / (setA.size + setB.size - inter)
-        (a, b, BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }
-      pairs.filter(_._3 >= 0.2).toSet
+    val sig = (0 until 16).map(i =>
+      hs.map { case (h1, h2) => (h1 + i * h2) & mask }.min)
+    val buckets = (0 until 4).map(bd =>
+      bd -> md5Hex((0 until 4).map(r => sig(bd * 4 + r)).mkString("|")))
+    Some((hs.map(_._1).toSet, buckets))
+  }
+
+  private def referencePairs(docs: Seq[(Long, String)],
+                             deltaIds: Set[Long]): Set[(Long, Long, Double)] = {
+    val fam = docs.flatMap { case (id, t) => refFamily(t).map(id -> _) }.toMap
+    val pairs = for {
+      (a, (setA, bkA)) <- fam.toSeq
+      (b, (setB, bkB)) <- fam.toSeq
+      if a < b && (deltaIds(a) || deltaIds(b))
+      if bkA.exists(bkB.contains)
+    } yield {
+      val inter = setA.intersect(setB).size
+      val j = inter.toDouble / (setA.size + setB.size - inter)
+      (a, b, BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
-    // small vocab forces shingle collisions and genuine near-dups
+    pairs.filter(_._3 >= 0.2).toSet
+  }
+
+  // originals + exact/near copies of random originals, so every
+  // corpus contains genuine duplicate structure to find
+  private val neardupCorpusGen = {
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
       "zeta", "eta", "theta")
     val docGen = Gen.chooseNum(0, 10)
       .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))).map(_.mkString(" "))
-    // originals + exact/near copies of random originals, so every
-    // corpus contains genuine duplicate structure to find
-    val corpusGen = for {
+    for {
       n <- Gen.chooseNum(6, 10)
       originals <- Gen.listOfN(n, docGen)
       dupOf <- Gen.listOfN(4, Gen.chooseNum(0, n - 1))
       sfx <- Gen.listOfN(4, Gen.oneOf("", "", " omega"))
     } yield originals ++ dupOf.zip(sfx).map { case (i, s) => originals(i) + s }
+  }
+
+  test("near-dup check-in == independent plain-Scala reference on random corpora") {
+    import graft.operators.Dedup
     var totalPairs = 0
-    samples(corpusGen, 6).zipWithIndex.foreach { case (texts, ci) =>
+    samples(neardupCorpusGen, 6).zipWithIndex.foreach { case (texts, ci) =>
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       val (delta, base) = docs.partition(_._1 % 3 == 0)
       val idx = java.nio.file.Files
@@ -113,6 +118,41 @@ class PropertySpec extends SparkSpec {
     }
     // the comparison must have exercised real pairs, not empty==empty
     assert(totalPairs > 0, "generator produced no near-dup pairs at all")
+  }
+
+  test("near-dup removal: tombstoned docs vanish from lookups, == reference on corpus-minus-removed") {
+    import graft.operators.Dedup
+    var totalPairs = 0
+    var totalSuppressed = 0
+    samples(neardupCorpusGen, 4).zipWithIndex.foreach { case (texts, ci) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-prop-ndrm").toString + "/idx"
+      Dedup.neardupWriteIndex(spark, docs.toDF("doc_id", "text"), idx)
+      // remove the even ids, then probe with near-copies of EVERY
+      // original (ids +1000): removed docs must not be flagged
+      // against, surviving docs must still be
+      val removed = docs.map(_._1).filter(_ % 2 == 0)
+      Dedup.neardupRemove(spark, idx, removed.toDF("doc_id"))
+      val probes = docs.map { case (id, t) => (id + 1000L, t) }
+      val got = Dedup.neardupLookup(spark, idx, probes.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val surviving = docs.filterNot { case (id, _) => id % 2 == 0 }
+      val want = referencePairs(surviving ++ probes, probes.map(_._1).toSet)
+      assert(got == want, s"corpus $ci: got=$got want=$want texts=$texts")
+      // the same lookup WITHOUT removal must flag more: the removed
+      // docs' suppressed pairs are the delta between the references
+      val wantAll = referencePairs(docs ++ probes, probes.map(_._1).toSet)
+      totalSuppressed += wantAll.size - want.size
+      totalPairs += want.size
+      // compaction is a pure layout change for lookups
+      Dedup.neardupCompact(spark, idx)
+      val got2 = Dedup.neardupLookup(spark, idx, probes.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got2 == want, s"corpus $ci post-compact: got=$got2 want=$want")
+    }
+    assert(totalPairs > 0, "no pairs survived removal anywhere — vacuous")
+    assert(totalSuppressed > 0, "removal never suppressed a pair — vacuous")
   }
 
   test("bm25 lifecycle == from-scratch rebuild on random corpora and deltas") {
