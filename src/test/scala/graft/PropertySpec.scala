@@ -202,6 +202,60 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ivf build+append routing == plain-Scala Lloyd reference on random vectors") {
+    // the full at-rest routing pipeline — integer quantization, seed
+    // cells, one exact-integer-sum Lloyd update, argmax assignment,
+    // FAISS-style fixed-centroid append — replayed in plain Scala.
+    // All arithmetic is exact-long dots + IEEE double division in the
+    // same order, so the reference is bit-identical, not approximate.
+    import graft.operators.Similarity
+    val k = 3
+    def quant(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.round(x.toDouble * 1024))
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      def dot(x: Seq[Long], y: Seq[Long]): Long =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      dot(a, b).toDouble /
+        (math.sqrt(dot(a, a).toDouble) * math.sqrt(dot(b, b).toDouble))
+    }
+    def assign(vq: Seq[Long], cents: Seq[(Long, Seq[Long])]): Long =
+      cents.map { case (c, cv) => (cos(vq, cv), c) }
+        .minBy { case (s, c) => (-s, c) }._2
+    val vecGen = Gen.listOfN(3,
+      Gen.chooseNum(-1000, 1000).map(_ / 1024.0f))
+      .map(v => 0.5f +: v) // fixed nonzero head: no zero-norm vectors
+    val corpusGen = Gen.chooseNum(8, 16).flatMap(n => Gen.listOfN(n, vecGen))
+    samples(corpusGen, 4).zipWithIndex.foreach { case (vecs, ci) =>
+      val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+      val (delta, base) = rows.partition(_._1 % 3 == 0)
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-prop-ivf-$ci").toString
+      val idx = s"$root/idx"
+      Similarity.ivfWriteIndexVecs(spark,
+        base.toDF("vec_id", "embedding"), idx, k = k)
+      Similarity.ivfAppendVectors(spark, idx,
+        delta.toDF("vec_id", "embedding"))
+      // schema-inferred partition column comes back as int — cast
+      val got = spark.read.parquet(s"$idx/lists")
+        .select(col("vec_id"), col("cell").cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: seeds = base ids < k; one update over base; final
+      // assignment of base by lloydOn's a2, delta by the append rule
+      // (identical argmax vs the stored centroids)
+      val q = rows.map { case (id, v) => id -> quant(v.toSeq) }.toMap
+      val seeds = base.map(_._1).filter(_ < k).sorted
+        .map(id => id -> q(id))
+      val a1 = base.map { case (id, _) => id -> assign(q(id), seeds) }
+      val cents = seeds.collect { case (c, _)
+          if a1.exists(_._2 == c) =>
+        c -> a1.filter(_._2 == c).map { case (id, _) => q(id) }
+          .transpose.map(_.sum)
+      }
+      val want = rows.map { case (id, _) => id -> assign(q(id), cents) }.toMap
+      assert(got == want, s"corpus $ci: got=$got want=$want")
+    }
+  }
+
   test("dedup idempotence: dropDuplicates twice == once") {
     val docs = Tables.documents(spark, sf)
     val once = docs.dropDuplicates("text")
