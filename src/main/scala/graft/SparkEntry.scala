@@ -35,7 +35,9 @@ object SparkEntry {
     "bm25_index_topk", "bm25_serve_topk", "bm25_refresh",
     "bm25_upsert_topk", "bm25_compact", "ivf_serve_topk",
     "ivf_append_topk", "ivf_append_recall", "ivf_serve_removed",
-    "dedup_checkin", "dedup_checkin_removed", "ingest_pipeline",
+    "ivf_retrain_topk",
+    "dedup_checkin", "dedup_checkin_removed", "dedup_checkin_capped",
+    "ingest_pipeline",
     // r13: edges via driver-orchestrated distributed rank selection
     "histogram_equidepth")
 
@@ -218,6 +220,7 @@ object SparkEntry {
     // delta in against the indexed 3/4 without re-signaturing it
     "dedup_checkin" -> ((s, d) => Dedup.neardupUpsert(s, d)),
     "dedup_checkin_removed" -> ((s, d) => Dedup.neardupUpsertRemoved(s, d)),
+    "dedup_checkin_capped" -> ((s, d) => Dedup.neardupUpsertCapped(s, d)),
     // eager composite: delta diff -> near-dup gate (dry-run lookup)
     // -> bm25 refresh with the surviving delta -> pruned serve
     "ingest_pipeline" -> ((s, d) => Curation.ingestPipeline(s, d)),
@@ -252,6 +255,7 @@ object SparkEntry {
     "ivf_append_topk" -> ((s, d) => Similarity.ivfAppendTopK(s, d)),
     "ivf_append_recall" -> ((s, d) => Similarity.ivfAppendRecall(s, d)),
     "ivf_serve_removed" -> ((s, d) => Similarity.ivfServeRemoved(s, d)),
+    "ivf_retrain_topk" -> ((s, d) => Similarity.ivfRetrainTopK(s, d)),
     "sem_dedup_keep" -> ((s, d) => Similarity.semanticKeep(s, d)),
     "layout_zorder"  -> ((s, d) => graft.sources.Layout.zorderOrders(s, d)),
     "emb_pq"         -> ((s, d) => Similarity.productQuantize(s, d)),
@@ -2360,6 +2364,50 @@ object SparkEntry {
         |FROM inter JOIN dsz za ON za.doc_id = a JOIN dsz zb ON zb.doc_id = b
         |WHERE i / CAST(za.sz + zb.sz - i AS DOUBLE) >= 0.2
         |ORDER BY a, b""".stripMargin,
+    // hot-bucket-cap twin: index-side candidates only from (band,
+    // bucket) keys whose INDEX posting count (doc_id % 4 <> 1 side)
+    // is <= 1; delta-delta candidates are uncapped — mirrors
+    // neardupCheckIn(capBucket = 1) exactly
+    "dedup_checkin_capped" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |   for i in range(1, len(t) - 1)]) AS shingle FROM toks WHERE len(t) >= 3),
+        |hh AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(substring(md5(shingle), 1, 12), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) AS h1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(substring(md5(shingle), 13, 12), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) AS h2
+        |  FROM sh),
+        |dsz AS (SELECT doc_id, count(DISTINCT h1) AS sz FROM hh GROUP BY doc_id),
+        |mh AS (SELECT doc_id, i, min((h1 + i * h2) & 281474976710655) AS h
+        |  FROM hh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+        |bk AS (SELECT doc_id, i // 4 AS band,
+        |    md5(string_agg(CAST(h AS VARCHAR), '|' ORDER BY i)) AS bucket
+        |  FROM mh GROUP BY doc_id, i // 4),
+        |bsz AS (SELECT band, bucket, count(*) AS c FROM bk
+        |  WHERE doc_id % 4 <> 1 GROUP BY band, bucket),
+        |candI AS (SELECT DISTINCT least(i.doc_id, d.doc_id) AS a,
+        |    greatest(i.doc_id, d.doc_id) AS b
+        |  FROM bk i JOIN bk d ON i.band = d.band AND i.bucket = d.bucket
+        |  JOIN bsz z ON z.band = i.band AND z.bucket = i.bucket
+        |  WHERE i.doc_id % 4 <> 1 AND d.doc_id % 4 = 1 AND z.c <= 1),
+        |candD AS (SELECT x.doc_id AS a, y.doc_id AS b FROM bk x JOIN bk y
+        |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        |  WHERE x.doc_id % 4 = 1 AND y.doc_id % 4 = 1),
+        |cand AS (SELECT DISTINCT a, b FROM
+        |  (SELECT * FROM candI UNION ALL SELECT * FROM candD)),
+        |inter AS (SELECT c.a, c.b, count(DISTINCT sa.h1) AS i FROM cand c
+        |  JOIN hh sa ON sa.doc_id = c.a
+        |  JOIN hh sb ON sb.doc_id = c.b AND sb.h1 = sa.h1
+        |  GROUP BY c.a, c.b)
+        |SELECT a, b, round(i / CAST(za.sz + zb.sz - i AS DOUBLE), 6) AS jaccard
+        |FROM inter JOIN dsz za ON za.doc_id = a JOIN dsz zb ON zb.doc_id = b
+        |WHERE i / CAST(za.sz + zb.sz - i AS DOUBLE) >= 0.2
+        |ORDER BY a, b""".stripMargin,
     // removal twin: base docs with doc_id % 8 = 0 are tombstoned
     // before the check-in — the oracle simply replays the family
     // over the corpus WITHOUT them (delta docs are % 4 = 1, never
@@ -2887,6 +2935,65 @@ object SparkEntry {
         |  SELECT pr.qid, a.vec_id AS cid
         |  FROM pr JOIN a2 a ON a.cell = pr.cell
         |  WHERE a.vec_id <> pr.qid AND a.vec_id % 7 <> 3),
+        |sc AS (
+        |  SELECT c.qid, c.cid, list_cosine_similarity(eq.v, ec.v) AS sim
+        |  FROM cand c JOIN e eq ON eq.vec_id = c.qid JOIN e ec ON ec.vec_id = c.cid),
+        |r AS (SELECT qid, cid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+        |  FROM sc)
+        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, round(sim, 6) AS sim
+        |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // retrain twin: remove vec_id % 7 = 3, then FULL retrain at the
+    // same path — rebuild deletes the index dir including tombstones,
+    // so the oracle is the plain full-corpus serve replay (identical
+    // SQL to ivf_serve_topk); the row hashes green only if the
+    // removed-then-reindexed ids really serve again
+    "ivf_retrain_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS vq
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cell, vq AS cv FROM e WHERE vec_id < 8),
+        |s1 AS (
+        |  SELECT e.vec_id, e.vq, c.cell,
+        |    list_inner_product(e.vq, c.cv) /
+        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
+        |  FROM e, c0 c),
+        |a1 AS (SELECT vec_id, vq, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, cell ASC) AS rn FROM s1)
+        |  WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cell, list(s ORDER BY i) AS cv FROM (
+        |    SELECT cell, i, CAST(sum(vq[i]) AS BIGINT) AS s
+        |    FROM a1, generate_series(1, 64) t(i)
+        |    GROUP BY cell, i)
+        |  GROUP BY cell),
+        |s2 AS (
+        |  SELECT e.vec_id, c.cell,
+        |    list_inner_product(e.vq, c.cv) /
+        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
+        |  FROM e, c1 c),
+        |a2 AS (SELECT vec_id, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, cell ASC) AS rn FROM s2)
+        |  WHERE rn = 1),
+        |qp AS (
+        |  SELECT e.vec_id AS qid, c.cell,
+        |    list_inner_product(e.vq, c.cv) /
+        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS s
+        |  FROM e, c1 c WHERE e.vec_id < 8),
+        |pr AS (SELECT qid, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY s DESC, cell ASC) AS rn FROM qp)
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT pr.qid, a.vec_id AS cid
+        |  FROM pr JOIN a2 a ON a.cell = pr.cell WHERE a.vec_id <> pr.qid),
         |sc AS (
         |  SELECT c.qid, c.cid, list_cosine_similarity(eq.v, ec.v) AS sim
         |  FROM cand c JOIN e eq ON eq.vec_id = c.qid JOIN e ec ON ec.vec_id = c.cid),

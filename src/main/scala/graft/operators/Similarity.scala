@@ -856,6 +856,16 @@ object Similarity {
 
   def ivfWriteIndexVecs(spark: SparkSession, vecs: DataFrame, out: String,
                         k: Int = 8, iters: Int = 2): Unit = {
+    // a retrain must yield a FRESH index: Overwrite replaces
+    // lists/centroids, but a tombstones table written by [[ivfRemove]]
+    // at this path would survive and keep legitimately re-indexed
+    // vec_ids hidden from every serve (the r13 bm25/neardup
+    // rebuild-means-rebuild discipline, applied to IVF) — delete the
+    // whole index dir first. Also drops stale append-era list files
+    // in cells the retrain no longer uses.
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(outPath, true)
     val (assigned, cents) = lloydOn(vecs
       .select(col("vec_id"), transform(col("embedding"),
         x => round(x.cast("double") * 1024).cast("long")).as("vq")),
@@ -1054,6 +1064,33 @@ object Similarity {
     ivfRemove(spark, idx,
       Tables.embeddings(spark, dir)
         .filter(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id")))
+    ivfQueryIndex(spark, dir, idx, nQueries, kNN, nProbe)
+  }
+
+  /** Retrain-after-removal twin of [[ivfServeRemoved]] (r13 ADVICE,
+    * medium): a periodic full retrain is the IVF compaction analogue,
+    * and rebuild must mean rebuild — the retrain deletes the index
+    * dir (including the tombstones [[ivfRemove]] appended), so a
+    * vec_id that was removed and later legitimately re-indexed serves
+    * again. The fixture removes vec_id ≡ 3 (mod 7) from a copy of the
+    * serve index, retrains over the FULL corpus at the SAME path, and
+    * serves: the oracle is the plain full-corpus serve replay
+    * (identical to ivf_serve_topk's), so the row hashes green only if
+    * no stale tombstone outlives the retrain — the removed ids
+    * provably re-enter the rankings (they are ~14% of every top-k
+    * shortlist, the ivf_serve_removed fixture's own measurement).
+    */
+  def ivfRetrainTopK(spark: SparkSession, dir: String,
+                     nQueries: Int = 8, kNN: Int = 5,
+                     nProbe: Int = 2): DataFrame = {
+    val idx = s"/tmp/graft_ivf_retrain_${scratchToken}_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.operators.TextAnalysis.copyIndex(spark, serveIdx(spark, dir), idx)
+    ivfRemove(spark, idx,
+      Tables.embeddings(spark, dir)
+        .filter(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id")))
+    ivfWriteIndexVecs(spark, Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")), idx)
     ivfQueryIndex(spark, dir, idx, nQueries, kNN, nProbe)
   }
 

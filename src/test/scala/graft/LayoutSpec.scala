@@ -242,6 +242,38 @@ class LayoutSpec extends SparkSpec {
     assert(total == base.count(), s"index holds $total of ${base.count()}")
   }
 
+  test("ivf retrain at same path clears tombstones: removed ids serve again") {
+    import graft.operators.Similarity
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivf-retrain").toString
+    val idx = s"$root/idx"
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.ivfWriteIndexVecs(spark, all, idx)
+    val fresh = Similarity.ivfQueryIndex(spark, sf, idx).collect().toSeq
+    // remove every other candidate the fresh serve returned — the
+    // removal set provably intersects the rankings
+    import spark.implicits._
+    val dead = fresh.map(_.getLong(2)).distinct.zipWithIndex
+      .filter(_._2 % 2 == 0).map(_._1)
+    assert(dead.nonEmpty)
+    Similarity.ivfRemove(spark, idx, dead.toDF("vec_id"))
+    val removedServe = Similarity.ivfQueryIndex(spark, sf, idx)
+      .collect().toSeq
+    assert(removedServe.map(_.getLong(2)).toSet
+      .intersect(dead.toSet).isEmpty, "tombstoned ids still served")
+    assert(removedServe != fresh)
+    // FULL retrain at the SAME path (the compaction analogue): the
+    // stale tombstones must not outlive the rebuild — the removed
+    // ids are legitimately re-indexed and must serve again (r13
+    // ADVICE medium)
+    Similarity.ivfWriteIndexVecs(spark, all, idx)
+    assert(!new java.io.File(s"$idx/tombstones").exists,
+      "retrain left stale tombstones behind")
+    assert(Similarity.ivfQueryIndex(spark, sf, idx).collect().toSeq
+      == fresh, "retrained serve differs from a fresh build's")
+  }
+
   test("near-dup check-in: index never rewritten, pairs found across check-ins") {
     import graft.operators.Dedup
     import spark.implicits._
@@ -299,6 +331,58 @@ class LayoutSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(p4 == Set((5L, 8L, 1.0), (6L, 8L, 1.0)),
       s"post-compact pairs: $p4")
+  }
+
+  test("near-dup lookup prunes BOTH index scans to the delta's hash buckets") {
+    import graft.operators.Dedup
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-neardup-prune").toString
+    val idx = s"$root/idx"
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    Dedup.neardupWriteIndex(spark,
+      docs.filter(pmod(col("doc_id"), lit(4)) =!= 1), idx)
+    // pick ONE delta doc that provably has an indexed near-dup, so
+    // the candidate path (and with it the docsets scan) is exercised
+    val quarter = docs.filter(pmod(col("doc_id"), lit(4)) === 1)
+    val anyPair = Dedup.neardupLookup(spark, idx, quarter).collect()
+    assert(anyPair.nonEmpty, "fixture has no near-dup pairs")
+    val deltaId = anyPair.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+      .find(_ % 4 == 1).get
+    val (pairs, _) = Dedup.lookupPlan(spark, idx,
+      docs.filter(col("doc_id") === deltaId), 0.2, 3, 16, 4, Int.MaxValue)
+    assert(pairs.collect().nonEmpty)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    def totalFiles(sub: String): Int = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) else Seq(d)
+      walk(new java.io.File(s"$idx/$sub")).count(_.getName.endsWith(".parquet"))
+    }
+    // a single doc emits 4 band buckets → at most 4 of the 4×16
+    // (band, pb) directories are opened; its candidates' ids hash to
+    // a handful of the 16 db directories
+    val allScans = scans(pairs.queryExecution.executedPlan)
+    def pruned(sub: String, partCol: String): Unit = {
+      val ss = allScans.filter(_.toString.contains(sub))
+      assert(ss.nonEmpty, s"no $sub scan in plan")
+      val s = ss.head
+      val scanned = s.metrics("numFiles").value
+      val total = totalFiles(sub)
+      assert(scanned > 0 && scanned < total,
+        s"$sub not file-pruned: scanned $scanned of $total")
+      assert(s.toString.contains(s"$partCol IN") ||
+        s.toString.contains(s"$partCol#"),
+        s"$sub scan lacks $partCol partition filter:\n$s")
+    }
+    pruned("buckets", "pb")
+    pruned("docsets", "db")
   }
 
   test("bucketed tables join + aggregate with zero Exchange") {
