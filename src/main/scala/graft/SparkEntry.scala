@@ -2164,7 +2164,7 @@ object SparkEntry {
         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2),
         |pairs AS (SELECT a, b FROM inter JOIN sizes sa ON sa.doc_id = a
         |  JOIN sizes sb ON sb.doc_id = b
-        |  WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5),
+        |  WHERE round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.5),
         |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
         |reach(src, dst) AS (
         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
@@ -2188,7 +2188,7 @@ object SparkEntry {
         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2),
         |pairs AS (SELECT a, b FROM inter JOIN sizes sa ON sa.doc_id = a
         |  JOIN sizes sb ON sb.doc_id = b
-        |  WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5),
+        |  WHERE round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.5),
         |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
         |reach(src, dst) AS (
         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
@@ -2222,7 +2222,7 @@ object SparkEntry {
         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2),
         |pairs AS (SELECT a, b FROM inter JOIN sizes sa ON sa.doc_id = a
         |  JOIN sizes sb ON sb.doc_id = b
-        |  WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5),
+        |  WHERE round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.5),
         |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
         |reach(src, dst) AS (
         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
@@ -2263,7 +2263,7 @@ object SparkEntry {
         |  GROUP BY c.a, c.b)
         |SELECT a, b, round(i / CAST(za.sz + zb.sz - i AS DOUBLE), 6) AS jaccard
         |FROM inter JOIN sizes za ON za.doc_id = a JOIN sizes zb ON zb.doc_id = b
-        |WHERE i / CAST(za.sz + zb.sz - i AS DOUBLE) >= 0.2
+        |WHERE round(i / CAST(za.sz + zb.sz - i AS DOUBLE), 6) >= 0.2
         |ORDER BY a, b""".stripMargin,
     // continuous-ingest composite: the oracle replays the ENTIRE
     // funnel from scratch — the md5-family rejection of added docs
@@ -2303,7 +2303,7 @@ object SparkEntry {
         |  GROUP BY c.a, c.b),
         |pairs AS (SELECT a, b FROM inter
         |  JOIN dsz za ON za.doc_id = a JOIN dsz zb ON zb.doc_id = b
-        |  WHERE i / CAST(za.sz + zb.sz - i AS DOUBLE) >= 0.2),
+        |  WHERE round(i / CAST(za.sz + zb.sz - i AS DOUBLE), 6) >= 0.2),
         |rejected AS (SELECT DISTINCT
         |    CASE WHEN b % 30 = 0 THEN b ELSE a END AS doc_id FROM pairs),
         |v2k AS (SELECT doc_id, text FROM documents
@@ -2362,7 +2362,7 @@ object SparkEntry {
         |  GROUP BY c.a, c.b)
         |SELECT a, b, round(i / CAST(za.sz + zb.sz - i AS DOUBLE), 6) AS jaccard
         |FROM inter JOIN dsz za ON za.doc_id = a JOIN dsz zb ON zb.doc_id = b
-        |WHERE i / CAST(za.sz + zb.sz - i AS DOUBLE) >= 0.2
+        |WHERE round(i / CAST(za.sz + zb.sz - i AS DOUBLE), 6) >= 0.2
         |ORDER BY a, b""".stripMargin,
     // hot-bucket-cap twin: index-side candidates only from (band,
     // bucket) keys whose INDEX posting count (doc_id % 4 <> 1 side)
@@ -2406,7 +2406,7 @@ object SparkEntry {
         |  GROUP BY c.a, c.b)
         |SELECT a, b, round(i / CAST(za.sz + zb.sz - i AS DOUBLE), 6) AS jaccard
         |FROM inter JOIN dsz za ON za.doc_id = a JOIN dsz zb ON zb.doc_id = b
-        |WHERE i / CAST(za.sz + zb.sz - i AS DOUBLE) >= 0.2
+        |WHERE round(i / CAST(za.sz + zb.sz - i AS DOUBLE), 6) >= 0.2
         |ORDER BY a, b""".stripMargin,
     // removal twin: base docs with doc_id % 8 = 0 are tombstoned
     // before the check-in — the oracle simply replays the family
@@ -2442,7 +2442,7 @@ object SparkEntry {
         |  GROUP BY c.a, c.b)
         |SELECT a, b, round(i / CAST(za.sz + zb.sz - i AS DOUBLE), 6) AS jaccard
         |FROM inter JOIN dsz za ON za.doc_id = a JOIN dsz zb ON zb.doc_id = b
-        |WHERE i / CAST(za.sz + zb.sz - i AS DOUBLE) >= 0.2
+        |WHERE round(i / CAST(za.sz + zb.sz - i AS DOUBLE), 6) >= 0.2
         |ORDER BY a, b""".stripMargin,
     "sim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

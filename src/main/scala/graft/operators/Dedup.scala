@@ -562,7 +562,7 @@ object Dedup {
                              newDocs: DataFrame, minJ: Double, n: Int,
                              k: Int, bands: Int,
                              capBucket: Int): (DataFrame, DataFrame) = {
-    val (pairs, sigs) =
+    val (pairs, sigs, _) =
       lookupPlan(spark, idx, newDocs, minJ, n, k, bands, capBucket)
     // eager snapshot BEFORE any admit mutates the index — a returned
     // plan must never see the delta's own appended postings
@@ -571,13 +571,16 @@ object Dedup {
 
   /** The lazy lookup plan (package-private so LayoutSpec can assert
     * the two index scans' PartitionFilters before the checkpoint
-    * snapshot hides them). Bounded driver work: two collects of hash-
-    * bucket IN-sets, ≤ nPb and ≤ nDb ints.
+    * snapshots hide them; the third element is the LAZY candidate
+    * plan — the buckets scan lives there now that candidates are
+    * checkpointed). Bounded driver work: two collects of hash-bucket
+    * IN-sets, ≤ nPb and ≤ nDb ints.
     */
   private[graft] def lookupPlan(spark: SparkSession, idx: String,
                                 newDocs: DataFrame, minJ: Double, n: Int,
                                 k: Int, bands: Int,
-                                capBucket: Int): (DataFrame, DataFrame) = {
+                                capBucket: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val sigs = md5DocSig(newDocs, n, k).localCheckpoint()
     val dBand = bandedOf(sigs, k, bands)
     // the delta's pb hash buckets (≤ nPb values) become a literal
@@ -619,7 +622,13 @@ object Dedup {
         col("x.bucket") === col("y.bucket") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-    val cand = cIdx.unionByName(cNew).distinct()
+    val candLazy = cIdx.unionByName(cNew).distinct()
+    // collision-sized snapshot (r14 ADVICE): checkpoint the candidate
+    // set so the pruned buckets scan and the candidate joins execute
+    // exactly ONCE — the dbs collect below, the verify joins, and the
+    // caller's eager pairs snapshot all read this materialization
+    // instead of re-running candidate generation
+    val cand = candLazy.localCheckpoint()
     // the candidates' db hash buckets (≤ nDb values) prune the
     // docsets scan the same way — the verify reads only directories
     // that can hold a candidate's digest set
@@ -634,14 +643,17 @@ object Dedup {
         lit(1).as("ord")))
     // fresh-id guard (r13 ADVICE): if a delta id already has an
     // indexed docsets row, keep only the NEWEST (delta beats index;
-    // among stale index twins, the larger set) so the verify join
-    // cannot emit duplicate pair rows — candidate-sized window
+    // among stale index twins, the larger set; equal-size twins with
+    // different content tie-break on the set digest so repeated
+    // lookups always keep the SAME row — r14 ADVICE) so the verify
+    // join cannot emit duplicate pair rows — candidate-sized window
     def lookup(side: String): DataFrame =
       allSets.join(broadcast(cand.select(col(side)).distinct()
           .withColumnRenamed(side, "doc_id")), "doc_id")
         .withColumn("rn", row_number().over(Window
           .partitionBy(col("doc_id"))
-          .orderBy(col("ord").desc, col("sz").desc)))
+          .orderBy(col("ord").desc, col("sz").desc,
+            xxhash64(col("dset")).desc)))
         .filter(col("rn") === 1)
         .select(col("doc_id").as(side), col("dset").as(s"set_$side"),
           col("sz").as(s"sz_$side"))
@@ -655,7 +667,7 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= minJ)
-    (pairs, sigs)
+    (pairs, sigs, candLazy)
   }
 
   /** REMOVE documents from the at-rest index — the takedown /

@@ -93,6 +93,27 @@ class DedupSimilaritySpec extends SparkSpec {
       }
   }
 
+  test("hot-bucket cap: hand-built hot bucket drops index-side candidates, keeps delta-delta pairs") {
+    // three IDENTICAL indexed docs form one hot posting cluster:
+    // every (band, bucket) they occupy holds 3 live postings, so at
+    // capBucket = 1 NO index-side candidate may survive — while the
+    // two identical delta docs' internal pair must (delta-delta is
+    // uncapped by contract)
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-hotbucket").toString + "/idx"
+    Dedup.neardupWriteIndex(spark,
+      Seq((2L, base), (4L, base), (6L, base)).toDF("doc_id", "text"), idx)
+    val delta = Seq((1L, base), (3L, base)).toDF("doc_id", "text")
+    val uncapped = Dedup.neardupLookup(spark, idx, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == Set((1L, 2L), (1L, 3L), (1L, 4L), (1L, 6L),
+      (2L, 3L), (3L, 4L), (3L, 6L)), s"uncapped=$uncapped")
+    val capped = Dedup.neardupLookup(spark, idx, delta, capBucket = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 3L)), s"capped=$capped")
+  }
+
   test("simhash: near-identical docs collide, signatures deterministic") {
     val s1 = Dedup.simhashSigs(spark, sf).orderBy("doc_id")
       .as[(Long, Long)].collect()

@@ -348,9 +348,10 @@ class LayoutSpec extends SparkSpec {
     assert(anyPair.nonEmpty, "fixture has no near-dup pairs")
     val deltaId = anyPair.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
       .find(_ % 4 == 1).get
-    val (pairs, _) = Dedup.lookupPlan(spark, idx,
+    val (pairs, _, candLazy) = Dedup.lookupPlan(spark, idx,
       docs.filter(col("doc_id") === deltaId), 0.2, 3, 16, 4, Int.MaxValue)
     assert(pairs.collect().nonEmpty)
+    candLazy.collect() // the buckets scan lives in the lazy cand plan
     def scans(p: org.apache.spark.sql.execution.SparkPlan)
         : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -368,7 +369,8 @@ class LayoutSpec extends SparkSpec {
     // a single doc emits 4 band buckets → at most 4 of the 4×16
     // (band, pb) directories are opened; its candidates' ids hash to
     // a handful of the 16 db directories
-    val allScans = scans(pairs.queryExecution.executedPlan)
+    val allScans = scans(pairs.queryExecution.executedPlan) ++
+      scans(candLazy.queryExecution.executedPlan)
     def pruned(sub: String, partCol: String): Unit = {
       val ss = allScans.filter(_.toString.contains(sub))
       assert(ss.nonEmpty, s"no $sub scan in plan")

@@ -155,6 +155,109 @@ class PropertySpec extends SparkSpec {
     assert(totalSuppressed > 0, "removal never suppressed a pair — vacuous")
   }
 
+  // capped twin of [[referencePairs]]: index-side candidates only
+  // from buckets whose INDEX posting count is <= cap (the
+  // neardupCheckIn capBucket contract); delta-delta pairs uncapped
+  private def referencePairsCapped(base: Seq[(Long, String)],
+                                   delta: Seq[(Long, String)],
+                                   cap: Int): Set[(Long, Long, Double)] = {
+    val famB = base.flatMap { case (id, t) => refFamily(t).map(id -> _) }.toMap
+    val famD = delta.flatMap { case (id, t) => refFamily(t).map(id -> _) }.toMap
+    val nPost = famB.toSeq.flatMap(_._2._2).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val candI = for {
+      (d, (_, bkD)) <- famD.toSeq
+      (i, (_, bkI)) <- famB.toSeq
+      if bkD.exists(bk => bkI.contains(bk) && nPost(bk) <= cap)
+    } yield (math.min(d, i), math.max(d, i))
+    val candD = for {
+      (a, (_, bkA)) <- famD.toSeq
+      (b, (_, bkB)) <- famD.toSeq
+      if a < b && bkA.exists(bkB.contains)
+    } yield (a, b)
+    val fam = famB ++ famD
+    (candI ++ candD).distinct.map { case (a, b) =>
+      val sa = fam(a)._1; val sb = fam(b)._1
+      val inter = sa.intersect(sb).size
+      val j = inter.toDouble / (sa.size + sb.size - inter)
+      (a, b, BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.filter(_._3 >= 0.2).toSet
+  }
+
+  // pathologically duplicated corpus: a hot cluster of identical
+  // index docs (every bucket they share exceeds cap=1), a few
+  // single-word mutants, and a delta identical to the cluster —
+  // every doc is a near-dup of every other, the degenerate load the
+  // hot-bucket cap exists for
+  private val hotCorpusGen = {
+    val vocab = Vector("ion", "flux", "core", "node", "grid", "mesh",
+      "atom", "bond")
+    for {
+      baseWords <- Gen.listOfN(12, Gen.oneOf(vocab))
+      nIdxDup <- Gen.chooseNum(3, 6)
+      nIdxMut <- Gen.chooseNum(0, 3)
+      mutPos <- Gen.listOfN(nIdxMut, Gen.chooseNum(0, 11))
+      mutW <- Gen.listOfN(nIdxMut, Gen.oneOf(vocab))
+      nDelta <- Gen.chooseNum(2, 4)
+    } yield {
+      val base = baseWords.mkString(" ")
+      val idxTexts = Seq.fill(nIdxDup)(base) ++
+        mutPos.zip(mutW).map { case (p, w) =>
+          baseWords.updated(p, w).mkString(" ") }
+      (idxTexts, Seq.fill(nDelta)(base))
+    }
+  }
+
+  test("hot-bucket cap on pathological corpora: candidates stay O(delta*cap), exclusions real, == capped reference") {
+    import graft.operators.Dedup
+    val bands = 4
+    var totalExcluded = 0
+    samples(hotCorpusGen, 6).zipWithIndex.foreach {
+      case ((idxTexts, deltaTexts), ci) =>
+        val base = idxTexts.zipWithIndex.map { case (t, i) => (100L + i, t) }
+        val delta = deltaTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft-prop-hot").toString + "/idx"
+        Dedup.neardupWriteIndex(spark, base.toDF("doc_id", "text"), idx)
+        val capped = Dedup.neardupLookup(spark, idx,
+            delta.toDF("doc_id", "text"), capBucket = 1)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        // 1) exact agreement with the independent capped reference
+        val want = referencePairsCapped(base, delta, cap = 1)
+        assert(capped == want, s"corpus $ci: got=$capped want=$want")
+        // 2) cap only removes: capped subset of uncapped, and the
+        // excluded set is NON-EMPTY on every pathological corpus
+        // (the hot cluster's delta-vs-index pairs share only hot
+        // buckets, so cap=1 must drop all of them)
+        val uncapped = Dedup.neardupLookup(spark, idx,
+            delta.toDF("doc_id", "text"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(capped.subsetOf(uncapped))
+        val excluded = uncapped -- capped
+        assert(excluded.nonEmpty, s"corpus $ci: cap=1 excluded nothing")
+        totalExcluded += excluded.size
+        // 3) delta-internal pairs are never capped: every delta-delta
+        // pair present uncapped survives the cap
+        val dIds = delta.map(_._1).toSet
+        val dd = uncapped.filter(p => dIds(p._1) && dIds(p._2))
+        assert(dd.nonEmpty && dd.subsetOf(capped),
+          s"corpus $ci: delta-delta pairs lost under cap")
+        // 4) the candidate set stays O(delta*cap): <= delta*bands*cap
+        // index-side + C(delta,2) internal — while the UNCAPPED
+        // candidate count degenerates toward delta*cluster
+        val (_, _, candCap) = Dedup.lookupPlan(spark, idx,
+          delta.toDF("doc_id", "text"), 0.2, 3, 16, bands, 1)
+        val nCap = candCap.count()
+        val bound = delta.size * bands * 1 + delta.size * (delta.size - 1) / 2
+        assert(nCap <= bound, s"corpus $ci: $nCap candidates > bound $bound")
+        val (_, _, candAll) = Dedup.lookupPlan(spark, idx,
+          delta.toDF("doc_id", "text"), 0.2, 3, 16, bands, Int.MaxValue)
+        assert(candAll.count() >= delta.size.toLong * idxTexts.count(_ == deltaTexts.head),
+          s"corpus $ci: uncapped candidates did not degenerate")
+    }
+    assert(totalExcluded >= 6, s"only $totalExcluded exclusions across corpora")
+  }
+
   test("bm25 lifecycle == from-scratch rebuild on random corpora and deltas") {
     // randomized generalization of LayoutSpec's hand-built cases:
     // every lifecycle path (in-place merge-refresh; segment append;
