@@ -155,6 +155,16 @@ object Streaming {
     * vs avg ~40-byte shingle strings) — the per-band shingle payload
     * was the dominant cost of the full-corpus contract replay.
     * StreamingSpec still pins stream == batch pair-for-pair.
+    *
+    * STATE-FORMAT BREAK (r13): the keyed-state payload changed from
+    * Array[String] shingles to Array[Long] digests. A checkpoint
+    * written by the pre-r13 operator is NOT readable by this one
+    * (state rows deserialize to garbage, not to an error) — restart
+    * such a job from a fresh checkpoint and replay its horizon, the
+    * standard Structured Streaming state-schema-migration discipline.
+    * Checkpoints written by THIS format recover cleanly; StreamingSpec
+    * ("checkpoint recovery: near-dup state survives a query restart")
+    * pins stop → restart → pre-restart docs still matched against.
     */
   case class BucketDoc(band: Int, bucket: Long, doc_id: Long,
                        ts: java.sql.Timestamp, shset: Array[Long])

@@ -79,7 +79,10 @@ class EmptyInputSpec extends SparkSpec {
       "dedup_checkin_removed" -> ((s, d) => Dedup.neardupUpsertRemoved(s, d)),
       "ivf_serve_removed" -> ((s, d) => Similarity.ivfServeRemoved(s, d)),
       "histogram_equidepth" -> (Relational.histogramEquidepth(_, _)),
-      "ingest_pipeline"   -> ((s, d) => Curation.ingestPipeline(s, d)))
+      "ingest_pipeline"   -> ((s, d) => Curation.ingestPipeline(s, d)),
+      // r14 additions
+      "dedup_checkin_capped" -> ((s, d) => Dedup.neardupUpsertCapped(s, d)),
+      "ivf_retrain_topk"  -> ((s, d) => Similarity.ivfRetrainTopK(s, d)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()
@@ -165,5 +168,16 @@ class EmptyInputSpec extends SparkSpec {
       Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding")).limit(0))
     assert(Similarity.ivfQueryIndex(spark, sf, ivfIdx2).collect().toSeq == servedBefore,
       "empty IVF append changed served results")
+    // retrain over an EMPTY corpus at a path holding a populated,
+    // tombstoned index (the r14 ivf_retrain_topk path's empty shape):
+    // rebuild-means-rebuild even down to nothing — the old lists AND
+    // tombstones vanish and the index serves 0 rows without crashing
+    Similarity.ivfRemove(spark, ivfIdx2,
+      Tables.embeddings(spark, sf).select(col("vec_id")).limit(2))
+    Similarity.ivfWriteIndexVecs(spark,
+      Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding")).limit(0),
+      ivfIdx2)
+    assert(Similarity.ivfQueryIndex(spark, sf, ivfIdx2).count() == 0,
+      "empty-corpus retrain still serves rows")
   }
 }
