@@ -401,7 +401,8 @@ object Dedup {
       .select(col("doc_id"), TextFns.wsTokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(TextFns.shinglesOf(col("toks"), n)).as("shingle"))
-      .distinct()
+      // no pre-distinct: collect_set dedupes (map-side partial agg
+      // included) — a distinct() here is a second full shuffle
       .groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("shset"))
       .select(col("doc_id"), transform(col("shset"), s => md5(s)).as("hhex"))
@@ -445,8 +446,12 @@ object Dedup {
     */
   private val bucketsSchema = "doc_id bigint, bucket string, band int, pb int"
   private val docsetsSchema = "doc_id bigint, dset array<bigint>, sz int, db int"
-  private val nPb = 16
-  private val nDb = 16
+  // 8 hash buckets each at fixture scale (r15: 16 → 8 halved the
+  // per-check-in partitioned-write + fixture-copy file counts with
+  // identical pruning semantics; a 100 TB deployment raises these —
+  // they only shape directories, results are layout-invariant)
+  private val nPb = 8
+  private val nDb = 8
   private def pbOf(bucket: org.apache.spark.sql.Column) =
     pmod(xxhash64(bucket), lit(nPb)).cast("int")
   private def dbOf(docId: org.apache.spark.sql.Column) =
@@ -531,17 +536,28 @@ object Dedup {
                      capBucket: Int = Int.MaxValue): DataFrame = {
     val (pairs, sigs) =
       lookupWithSigs(spark, idx, newDocs, minJ, n, k, bands, capBucket)
-    bandedOf(sigs, k, bands)
-      .select(col("band"), pbOf(col("bucket")).as("pb"),
-        col("doc_id"), col("bucket"))
-      .repartition(col("band"), col("pb"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("band", "pb").parquet(s"$idx/buckets")
-    sigs.select(dbOf(col("doc_id")).as("db"),
-        col("doc_id"), col("dset"), col("sz"))
-      .repartition(col("db"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("db").parquet(s"$idx/docsets")
+    // the two admit appends are independent (disjoint subdirs, both
+    // reading the checkpointed sigs) — run them as concurrent jobs so
+    // the delta pays one write's wall-clock, not two
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val wb = Future {
+      bandedOf(sigs, k, bands)
+        .select(col("band"), pbOf(col("bucket")).as("pb"),
+          col("doc_id"), col("bucket"))
+        .repartition(col("band"), col("pb"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("band", "pb").parquet(s"$idx/buckets")
+    }
+    val wd = Future {
+      sigs.select(dbOf(col("doc_id")).as("db"),
+          col("doc_id"), col("dset"), col("sz"))
+        .repartition(col("db"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("db").parquet(s"$idx/docsets")
+    }
+    Await.result(wb, Duration.Inf); Await.result(wd, Duration.Inf)
     pairs.orderBy("a", "b")
   }
 

@@ -952,11 +952,29 @@ object TextAnalysis {
     */
   private[operators] def copyIndex(spark: SparkSession, src: String,
                                    dst: String): Unit = {
-    import org.apache.hadoop.fs.{FileUtil, Path}
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(dst).getFileSystem(conf)
-    fs.delete(new Path(dst), true)
-    FileUtil.copy(fs, new Path(src), fs, new Path(dst), false, conf)
+    // FIXTURE helper (local FS only — a deployment clones an index
+    // with distcp): plain-nio parallel copy. Hadoop's FileUtil.copy
+    // pays per-file checksum/stream setup — measured ~1 s for the
+    // ~80-file bucketed near-dup index vs ~0.07 s raw, and every
+    // lifecycle registry row pays it once per invocation.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    import scala.collection.parallel.CollectionConverters._
+    val s = Paths.get(src); val d = Paths.get(dst)
+    if (Files.exists(d)) {
+      val del = Files.walk(d).iterator().asScala.toSeq.reverse
+      del.foreach(Files.deleteIfExists(_))
+    }
+    val files = {
+      val st = Files.walk(s)
+      try st.iterator().asScala.filter(Files.isRegularFile(_)).toVector
+      finally st.close()
+    }
+    files.par.foreach { p =>
+      val t = d.resolve(s.relativize(p).toString)
+      Files.createDirectories(t.getParent)
+      Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   def bm25Refresh(spark: SparkSession, dir: String,
