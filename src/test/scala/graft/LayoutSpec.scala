@@ -52,8 +52,9 @@ class LayoutSpec extends SparkSpec {
     val scan = scans(served.queryExecution.executedPlan)
       .filter(_.toString.contains("postings")).head
     val scanned = scan.metrics("numFiles").value
-    val total = new java.io.File(s"$idx/postings").listFiles()
-      .filter(_.getName.startsWith("tb=")).flatMap(_.listFiles())
+    def walkAll(d: java.io.File): Seq[java.io.File] =
+      if (d.isDirectory) d.listFiles().toSeq.flatMap(walkAll) else Seq(d)
+    val total = walkAll(new java.io.File(s"$idx/postings"))
       .count(_.getName.endsWith(".parquet"))
     assert(scanned > 0 && scanned < total,
       s"no file-level pruning: scanned $scanned of $total postings files")
@@ -79,12 +80,15 @@ class LayoutSpec extends SparkSpec {
       (3L, "apple dog dig"),
       (4L, "bear apple cherry dog")).toDF("doc_id", "text")
     TextAnalysis.bm25WriteIndexDocs(spark, base, idx)
-    def files(sub: String): Map[String, Seq[(String, Long)]] =
+    def files(sub: String): Map[String, Seq[(String, Long)]] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) else Seq(d)
       new java.io.File(s"$idx/$sub").listFiles()
         .filter(_.getName.startsWith("tb=")).map { d =>
-          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
-            .map(f => (f.getName, f.lastModified)).toSeq.sortBy(_._1)
+          d.getName -> walk(d).filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getAbsolutePath, f.lastModified)).sortBy(_._1)
         }.toMap
+    }
     val postBefore = files("postings")
     val termsBefore = files("terms")
     assert(postBefore.keySet == Set("tb=a", "tb=b", "tb=c", "tb=d", "tb=q"))
