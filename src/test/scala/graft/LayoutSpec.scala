@@ -127,6 +127,54 @@ class LayoutSpec extends SparkSpec {
     assert(statsOf(idx) == statsOf(rebuilt))
   }
 
+  test("bm25 refresh is term-bucket granular: same-letter different-bucket terms stay byte-identical") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // two words sharing a first letter but hashing to DIFFERENT tk
+    // buckets: a delta touching only one of them must leave the
+    // other's (tb, tk) directory byte-identical — the granularity
+    // the two-level layout adds over letter-only partitioning
+    val aWords = Seq("apple", "avocado", "almond", "apricot", "anise",
+      "acorn", "aster", "amber", "agate", "auburn")
+    val tkOf = aWords.map(w => w -> TextAnalysis.tkOf(w)).toMap
+    val pick = (for {
+      x <- aWords; y <- aWords if tkOf(x) != tkOf(y)
+    } yield (x, y)).head
+    val (wa, wb) = pick
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bm25-tk").toString
+    val idx = s"$root/idx"
+    TextAnalysis.bm25WriteIndexDocs(spark, Seq(
+      (1L, s"$wa $wa banana"),
+      (2L, s"$wb cherry"),
+      (3L, s"$wa $wb dog")).toDF("doc_id", "text"), idx)
+    def bucketFiles(sub: String, w: String): Seq[(String, Long)] = {
+      val d = new java.io.File(
+        s"$idx/$sub/tb=${w.take(1)}/tk=${TextAnalysis.tkOf(w)}")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified)).toSeq.sortBy(_._1)
+    }
+    val bBefore = bucketFiles("postings", wb)
+    val tBefore = bucketFiles("terms", wb)
+    // delta: doc 1's text changes wa-count and banana — touches wa's
+    // bucket and b's letter, never wb's bucket (same letter as wa!)
+    TextAnalysis.bm25RefreshIndex(spark, idx,
+      Seq((1L, s"$wa banana banana")).toDF("doc_id", "text"),
+      Seq((1L, s"$wa $wa banana")).toDF("doc_id", "text"))
+    assert(bucketFiles("postings", wb) == bBefore,
+      s"untouched same-letter bucket of '$wb' was rewritten")
+    assert(bucketFiles("terms", wb) == tBefore)
+    // and the refreshed index still serves == a from-scratch rebuild
+    val rebuilt = s"$root/rebuilt"
+    TextAnalysis.bm25WriteIndexDocs(spark, Seq(
+      (1L, s"$wa banana banana"),
+      (2L, s"$wb cherry"),
+      (3L, s"$wa $wb dog")).toDF("doc_id", "text"), rebuilt)
+    val q = Seq(wa, wb, "banana", "cherry", "dog")
+    assert(TextAnalysis.bm25QueryIndex(spark, idx, q, 10).collect().toSeq ==
+      TextAnalysis.bm25QueryIndex(spark, rebuilt, q, 10).collect().toSeq)
+  }
+
   test("bm25 segment append: O(delta) ingest leaves the ENTIRE base untouched; compact folds it in") {
     import graft.operators.TextAnalysis
     import spark.implicits._
