@@ -37,7 +37,7 @@ object SparkEntry {
     "ivf_append_topk", "ivf_append_recall", "ivf_serve_removed",
     "ivf_retrain_topk",
     "dedup_checkin", "dedup_checkin_removed", "dedup_checkin_capped",
-    "ingest_pipeline",
+    "ingest_pipeline", "ingest_pipeline2",
     // r13: edges via driver-orchestrated distributed rank selection
     "histogram_equidepth")
 
@@ -224,6 +224,7 @@ object SparkEntry {
     // eager composite: delta diff -> near-dup gate (dry-run lookup)
     // -> bm25 refresh with the surviving delta -> pruned serve
     "ingest_pipeline" -> ((s, d) => Curation.ingestPipeline(s, d)),
+    "ingest_pipeline2" -> ((s, d) => Curation.ingestPipeline2(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashPairsMd5(s, d)),
     "dedup_blocks"  -> ((s, d) => Dedup.blockDedup(s, d)),
@@ -2314,6 +2315,115 @@ object SparkEntry {
         |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
         |           t -> t <> '')) AS term
         |  FROM v2k),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfc GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT unnest(['data', 'model', 'system']) AS term),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc JOIN q USING (term) GROUP BY 1),
+        |s AS (
+        |  SELECT t.doc_id,
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (t.tf * 2.2) /
+        |      (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+        |  FROM tfc t JOIN q USING (term) JOIN dfc USING (term)
+        |  JOIN dl ON dl.doc_id = t.doc_id, stats)
+        |SELECT doc_id, round(sum(s), 6) AS score,
+        |       CAST(count(*) AS BIGINT) AS n_terms
+        |FROM s GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // two chained funnel rounds, both replayed from scratch: round
+    // 1's gate over v1 ∪ added₁, the reject rule, round 2's gate
+    // over (v1 ∪ SURVIVORS₁) ∪ added₂ — survivors, not all of
+    // added₁: a rejected doc leaves no trace in the reference set —
+    // then direct BM25 over the final corpus
+    "ingest_pipeline2" ->
+      """WITH v1 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 20 = 0 THEN 'v1:' || text ELSE text END AS text
+        |  FROM documents WHERE doc_id % 30 <> 0),
+        |added1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 30 = 0),
+        |u1 AS (SELECT * FROM v1 UNION ALL SELECT * FROM added1),
+        |toks1 AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM u1),
+        |sh1 AS (SELECT DISTINCT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |   for i in range(1, len(t) - 1)]) AS shingle FROM toks1 WHERE len(t) >= 3),
+        |hh1 AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(substring(md5(shingle), 1, 12), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) AS h1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(substring(md5(shingle), 13, 12), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) AS h2
+        |  FROM sh1),
+        |dsz1 AS (SELECT doc_id, count(DISTINCT h1) AS sz FROM hh1 GROUP BY doc_id),
+        |mh1 AS (SELECT doc_id, i, min((h1 + i * h2) & 281474976710655) AS h
+        |  FROM hh1 CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+        |bk1 AS (SELECT doc_id, i // 4 AS band,
+        |    md5(string_agg(CAST(h AS VARCHAR), '|' ORDER BY i)) AS bucket
+        |  FROM mh1 GROUP BY doc_id, i // 4),
+        |cand1 AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk1 x JOIN bk1 y
+        |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        |  WHERE x.doc_id % 30 = 0 OR y.doc_id % 30 = 0),
+        |inter1 AS (SELECT c.a, c.b, count(DISTINCT sa.h1) AS i FROM cand1 c
+        |  JOIN hh1 sa ON sa.doc_id = c.a
+        |  JOIN hh1 sb ON sb.doc_id = c.b AND sb.h1 = sa.h1
+        |  GROUP BY c.a, c.b),
+        |pairs1 AS (SELECT a, b FROM inter1
+        |  JOIN dsz1 za ON za.doc_id = a JOIN dsz1 zb ON zb.doc_id = b
+        |  WHERE round(i / CAST(za.sz + zb.sz - i AS DOUBLE), 6) >= 0.2),
+        |rejected1 AS (SELECT DISTINCT
+        |    CASE WHEN b % 30 = 0 THEN b ELSE a END AS doc_id FROM pairs1),
+        |survivors1 AS (SELECT doc_id, text FROM added1
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM rejected1)),
+        |copies AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 15 = 0 AND doc_id % 30 <> 7),
+        |novel AS (SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string(list_reverse(
+        |      list_filter(string_split_regex(text, '\s+'), x -> x <> '')), ' ') AS text
+        |  FROM documents WHERE doc_id % 40 = 3 AND doc_id % 30 <> 7),
+        |added2 AS (SELECT * FROM copies UNION ALL SELECT * FROM novel),
+        |u2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM survivors1
+        |  UNION ALL SELECT * FROM added2),
+        |toks2 AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM u2),
+        |sh2 AS (SELECT DISTINCT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |   for i in range(1, len(t) - 1)]) AS shingle FROM toks2 WHERE len(t) >= 3),
+        |hh2 AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(substring(md5(shingle), 1, 12), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) AS h1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(substring(md5(shingle), 13, 12), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) AS h2
+        |  FROM sh2),
+        |dsz2 AS (SELECT doc_id, count(DISTINCT h1) AS sz FROM hh2 GROUP BY doc_id),
+        |mh2 AS (SELECT doc_id, i, min((h1 + i * h2) & 281474976710655) AS h
+        |  FROM hh2 CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+        |bk2 AS (SELECT doc_id, i // 4 AS band,
+        |    md5(string_agg(CAST(h AS VARCHAR), '|' ORDER BY i)) AS bucket
+        |  FROM mh2 GROUP BY doc_id, i // 4),
+        |cand2 AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk2 x JOIN bk2 y
+        |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        |  WHERE y.doc_id >= 1000000),
+        |inter2 AS (SELECT c.a, c.b, count(DISTINCT sa.h1) AS i FROM cand2 c
+        |  JOIN hh2 sa ON sa.doc_id = c.a
+        |  JOIN hh2 sb ON sb.doc_id = c.b AND sb.h1 = sa.h1
+        |  GROUP BY c.a, c.b),
+        |pairs2 AS (SELECT a, b FROM inter2
+        |  JOIN dsz2 za ON za.doc_id = a JOIN dsz2 zb ON zb.doc_id = b
+        |  WHERE round(i / CAST(za.sz + zb.sz - i AS DOUBLE), 6) >= 0.2),
+        |rejected2 AS (SELECT DISTINCT b AS doc_id FROM pairs2),
+        |final AS (SELECT doc_id, text FROM documents
+        |    WHERE doc_id % 30 <> 7
+        |      AND doc_id NOT IN (SELECT doc_id FROM rejected1)
+        |  UNION ALL
+        |  SELECT doc_id, text FROM added2
+        |    WHERE doc_id NOT IN (SELECT doc_id FROM rejected2)),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |           t -> t <> '')) AS term
+        |  FROM final),
         |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfc GROUP BY 1),
         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),

@@ -200,6 +200,84 @@ object Curation {
   private val ingestNdCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** TWO chained funnel rounds — the day-2 claim [[ingestPipeline]]
+    * (one round) leaves open (r13 verdict item 4): after round 1's
+    * gate → admit → refresh, the ADMITTED added docs are CHECKED IN
+    * to the near-dup index, so round 2's gate rejects against
+    * v1 ∪ survivors₁ — exactly the reference set a continuously-
+    * ingesting pipeline accumulates — never against rejected docs
+    * (they must leave no trace). Round 2's delta is synthesized from
+    * the corpus deterministically: verbatim COPIES of doc_id ≡ 0
+    * (mod 15) docs (ids +1,000,000 — near-dups of v1 members and of
+    * round-1 added docs, so the gate's reference set is what decides
+    * them) plus token-REVERSED variants of doc_id ≡ 3 (mod 40) docs
+    * (ids +2,000,000 — reversed 3-gram shingles share nothing with
+    * the originals, so these are the novel admits that make round 2's
+    * refresh non-trivial). Survivors refresh into the bm25 index (no
+    * removals in round 2) and the final serve is the row. The oracle
+    * replays BOTH rounds from scratch: the md5 family over
+    * v1 ∪ added₁, the reject rule, the family again over
+    * (v1 ∪ survivorsAdded₁) ∪ added₂, and direct BM25 over the final
+    * corpus.
+    *
+    * Round 1's end state (nd index with survivors checked in + bm25
+    * index after refresh 1) is per-JVM cached — day 2 runs against
+    * yesterday's indexes, which is the production shape; only the
+    * bm25 index is copied per invocation (round 2 refreshes it;
+    * round 2 only READS the nd index).
+    */
+  def ingestPipeline2(spark: SparkSession, dir: String,
+                      terms: Seq[String] = Seq("data", "model", "system"),
+                      k: Int = 20, minJ: Double = 0.2): DataFrame = {
+    val (v1, v2) = TextAnalysis.snapshotFixture(spark, dir)
+    val (ndIdx, bmBase) = ingest2Cache.computeIfAbsent(dir, _ => {
+      val (newD, oldD) = TextAnalysis.snapshotDelta(v1, v2)
+      val added1 = newD.filter(pmod(col("doc_id"), lit(30)) === 0)
+      val nd = s"/tmp/graft_ingest2_nd_${ingestToken}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      TextAnalysis.copyIndex(spark, ingestNdCache.computeIfAbsent(dir, _ => {
+        val p = s"/tmp/graft_ingest_nd_${ingestToken}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        Dedup.neardupWriteIndex(spark, v1, p)
+        p
+      }), nd)
+      val pairs1 = Dedup.neardupLookup(spark, nd, added1, minJ)
+      val rejected1 = pairs1.select(
+        when(pmod(col("b"), lit(30)) === 0, col("b"))
+          .otherwise(col("a")).as("doc_id")).distinct().localCheckpoint()
+      // survivors enter the near-dup index — round 2's reference set
+      Dedup.neardupCheckIn(spark, nd,
+        added1.join(rejected1, Seq("doc_id"), "left_anti"), minJ)
+      val bm = s"/tmp/graft_ingest2_bm_${ingestToken}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      TextAnalysis.copyIndex(spark, TextAnalysis.v1BaseIndex(spark, dir), bm)
+      TextAnalysis.bm25RefreshIndex(spark, bm,
+        newD.join(rejected1, Seq("doc_id"), "left_anti"), oldD)
+      (nd, bm)
+    })
+    val copies = v2.filter(pmod(col("doc_id"), lit(15)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val novel = v2.filter(pmod(col("doc_id"), lit(40)) === 3)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ",
+          reverse(graft.functions.TextFns.wsTokens(col("text")))).as("text"))
+    val added2 = copies.unionByName(novel)
+    val pairs2 = Dedup.neardupLookup(spark, ndIdx, added2, minJ)
+    // every pair's b is the round-2 member (their ids exceed all
+    // corpus ids), covering index-vs-added and added-vs-added
+    // first-wins in one rule
+    val rejected2 = pairs2.select(col("b").as("doc_id")).distinct()
+    val admitted2 = added2.join(rejected2, Seq("doc_id"), "left_anti")
+    val idx = s"/tmp/graft_ingest2_run_${ingestToken}_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    TextAnalysis.copyIndex(spark, bmBase, idx)
+    TextAnalysis.bm25RefreshIndex(spark, idx, admitted2, v2.limit(0))
+    TextAnalysis.bm25QueryIndex(spark, idx, terms, k)
+  }
+
+  private val ingest2Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
   def benchmarkContamination(spark: SparkSession, dir: String,
                              benchMax: Long = 20, n: Int = 3): DataFrame = {
     val sh = Dedup.docShingles(spark, dir, n)

@@ -358,4 +358,69 @@ class CurationSpec extends SparkSpec {
       assert(nd != td.toDouble && nt != tt.toDouble, s"$lang: zero noise")
     }
   }
+
+  test("two-round ingest gate: a doc near-dup ONLY of a rejected doc is admitted") {
+    // the discriminating case the ingest_pipeline2 registry fixture
+    // cannot produce naturally (a verbatim copy of a rejected doc is
+    // also a near-dup of whatever caused the rejection): r is
+    // rejected against x in round 1, r2 overlaps ONLY r's novel tail
+    // — correct reference set (v1 ∪ survivors) admits r2; a gate that
+    // wrongly indexed rejected docs would reject it. The corpus is
+    // FOUND by a plain-Scala replica of the md5 family (banding at
+    // J≈0.25 collides rarely; the search is in-memory md5 only, and
+    // the family is deterministic so the found corpus stays valid).
+    import graft.operators.Dedup
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def fam(text: String): (Set[Long], Set[String]) = {
+      val mask = (1L << 48) - 1
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val hs = toks.sliding(3).filter(_.size == 3).map(_.mkString(" "))
+        .toSeq.distinct.map { s =>
+          val h = md5Hex(s)
+          (java.lang.Long.parseLong(h.substring(0, 12), 16),
+            java.lang.Long.parseLong(h.substring(12, 24), 16))
+        }
+      val sig = (0 until 16).map(i =>
+        hs.map { case (h1, h2) => (h1 + i * h2) & mask }.min)
+      ((hs.map(_._1).toSet,
+        (0 until 4).map(bd => bd + "|" + md5Hex(
+          (0 until 4).map(r => sig(bd * 4 + r)).mkString("|"))).toSet))
+    }
+    def jac(a: Set[Long], b: Set[Long]): Double =
+      a.intersect(b).size.toDouble / (a.size + b.size - a.intersect(b).size)
+    val x = (1 to 30).map(i => s"w$i").mkString(" ")
+    val (sx, bx) = fam(x)
+    val found = (0 until 256).iterator.map { i =>
+      val tail = (1 to 12).map(j => s"t${i}q$j").mkString(" ")
+      (s"$x $tail", tail + " " + (1 to 3).map(j => s"n${i}z$j").mkString(" "))
+    }.find { case (r, r2) =>
+      val (sr, br) = fam(r); val (s2, b2) = fam(r2)
+      bx.intersect(br).nonEmpty && jac(sx, sr) >= 0.2 &&
+      br.intersect(b2).nonEmpty && jac(sr, s2) >= 0.2 &&
+      jac(sx, s2) < 0.2 && bx.intersect(b2).isEmpty
+    }
+    assert(found.nonEmpty, "no colliding corpus in the search budget")
+    val (r, r2) = found.get
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-ingest2-gate").toString + "/idx"
+    Dedup.neardupWriteIndex(spark, Seq((1L, x)).toDF("doc_id", "text"), idx)
+    // round 1: r rejected against v1 — and therefore NOT checked in
+    val p1 = Dedup.neardupLookup(spark, idx, Seq((10L, r)).toDF("doc_id", "text"))
+      .collect()
+    assert(p1.nonEmpty, "fixture broke: r not rejected in round 1")
+    // round 2 against v1 ∪ survivors (= v1 alone): r2 must be ADMITTED
+    val p2 = Dedup.neardupLookup(spark, idx, Seq((20L, r2)).toDF("doc_id", "text"))
+      .collect()
+    assert(p2.isEmpty,
+      s"r2 rejected against a reference set that must not contain r: ${p2.toSeq}")
+    // contrast: had the gate wrongly indexed the REJECTED r, r2
+    // would be rejected — the two outcomes differ exactly on the
+    // reference-set semantics
+    Dedup.neardupCheckIn(spark, idx, Seq((10L, r)).toDF("doc_id", "text"))
+    val p3 = Dedup.neardupLookup(spark, idx, Seq((20L, r2)).toDF("doc_id", "text"))
+      .collect()
+    assert(p3.nonEmpty, "contrast leg broke: r2 no longer pairs with r")
+  }
 }
