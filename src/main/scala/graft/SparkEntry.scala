@@ -37,7 +37,7 @@ object SparkEntry {
     "ivf_append_topk", "ivf_append_recall", "ivf_serve_removed",
     "ivf_retrain_topk",
     "dedup_checkin", "dedup_checkin_removed", "dedup_checkin_capped",
-    "ingest_pipeline", "ingest_pipeline2",
+    "ingest_pipeline", "ingest_pipeline2", "fold_trigger",
     // r13: edges via driver-orchestrated distributed rank selection
     "histogram_equidepth")
 
@@ -225,6 +225,10 @@ object SparkEntry {
     // -> bm25 refresh with the surviving delta -> pruned serve
     "ingest_pipeline" -> ((s, d) => Curation.ingestPipeline(s, d)),
     "ingest_pipeline2" -> ((s, d) => Curation.ingestPipeline2(s, d)),
+    // fold-trigger policy contract across all three index families:
+    // quiet on pristine, fires over budget, clears after the fold,
+    // fold preserves/restores semantics (raw margins to stderr)
+    "fold_trigger" -> ((s, d) => Curation.foldTriggerContract(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashPairsMd5(s, d)),
     "dedup_blocks"  -> ((s, d) => Dedup.blockDedup(s, d)),
@@ -3185,6 +3189,17 @@ object SparkEntry {
       """SELECT 'append_mean_recall_ge_0_5' AS metric, TRUE AS ok
         |UNION ALL
         |SELECT 'append_within_slack_of_retrain' AS metric, TRUE AS ok
+        |ORDER BY metric""".stripMargin,
+    "fold_trigger" ->
+      """SELECT unnest([
+        |  'bm25_clears_after_fold', 'bm25_fires_over_segment_budget',
+        |  'bm25_fold_preserves_serve', 'bm25_quiet_on_pristine',
+        |  'ivf_clears_after_fold', 'ivf_fires_over_tombstone_budget',
+        |  'ivf_fold_restores_pristine_serve', 'ivf_quiet_on_pristine',
+        |  'ivf_removal_changes_serve',
+        |  'nd_clears_after_fold', 'nd_fires_over_tombstone_budget',
+        |  'nd_fold_preserves_lookup', 'nd_quiet_on_pristine']) AS metric,
+        |  TRUE AS ok
         |ORDER BY metric""".stripMargin,
     // replays the ENTIRE derived-blocking pipeline (seed scoring,
     // top-nProbe cell assignment, candidate join, exact verify) so the

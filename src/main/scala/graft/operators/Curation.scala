@@ -278,6 +278,125 @@ object Curation {
   private val ingest2Cache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
+  /** Fold-trigger CONTRACT across all three index families (r13
+    * stretch item 8): the lifecycles can fold (bm25Compact /
+    * neardupCompact / IVF retrain) and the fold is proven CORRECT
+    * elsewhere — this row pins WHEN: segment count > budget (bm25),
+    * live-tombstone fraction > budget (near-dup, IVF). Emits
+    * (metric, ok) rows the oracle pins TRUE:
+    *   - the policy is QUIET on a pristine index,
+    *   - FIRES after the mutations cross its budget,
+    *   - CLEARS after the policy-triggered fold, and
+    *   - the fold preserves semantics (bm25 serve identical before
+    *     vs after; near-dup lookups identical; IVF retrain restores
+    *     the pristine serve that removals had changed).
+    * Raw margins (counts, fractions, serve wall-clock before/after
+    * each fold) go to stderr — booleans hash, timings inform.
+    * Fixtures are doc_id/vec_id ≡ {0,1,2} (mod 10) slices, built
+    * once per JVM per corpus dir; each invocation copies and
+    * mutates the copies.
+    */
+  def foldTriggerContract(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(pmod(col("doc_id"), lit(10)) < 3)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .filter(pmod(col("vec_id"), lit(10)) < 3)
+    // empty corpus: no indexes to police — 0 rows, like every
+    // contract fixture (EmptyInputSpec representative)
+    if (docs.isEmpty && vecs.isEmpty)
+      return Seq.empty[(String, Boolean)].toDF("metric", "ok")
+    val (bmBase, ndBase, ivfBase) = foldBaseCache.computeIfAbsent(dir, _ => {
+      val bm = s"/tmp/graft_fold_bmbase_${ingestToken}_$tag"
+      TextAnalysis.bm25WriteIndexDocs(spark, docs, bm)
+      val nd = s"/tmp/graft_fold_ndbase_${ingestToken}_$tag"
+      Dedup.neardupWriteIndex(spark, docs, nd)
+      val iv = s"/tmp/graft_fold_ivfbase_${ingestToken}_$tag"
+      Similarity.ivfWriteIndexVecs(spark, vecs, iv)
+      (bm, nd, iv)
+    })
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    def timedServe[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[fold_trigger] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    // ---- bm25: segment-count budget ----
+    val bm = s"/tmp/graft_fold_bm_${ingestToken}_$tag"
+    TextAnalysis.copyIndex(spark, bmBase, bm)
+    val terms = Seq("data", "model", "system")
+    rows += ("bm25_quiet_on_pristine" ->
+      !TextAnalysis.bm25FoldDue(spark, bm, maxSegments = 1))
+    val none = docs.limit(0)
+    TextAnalysis.bm25AppendSegment(spark, bm,
+      docs.filter(pmod(col("doc_id"), lit(7)) === 1)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text")), none)
+    TextAnalysis.bm25AppendSegment(spark, bm,
+      docs.filter(pmod(col("doc_id"), lit(7)) === 2)
+        .select((col("doc_id") + 20000L).as("doc_id"), col("text")), none)
+    rows += ("bm25_fires_over_segment_budget" ->
+      TextAnalysis.bm25FoldDue(spark, bm, maxSegments = 1))
+    val bmBefore = timedServe("bm25 serve pre-fold")(
+      TextAnalysis.bm25QueryIndex(spark, bm, terms, 20).collect().toSeq)
+    TextAnalysis.bm25Compact(spark, bm)
+    rows += ("bm25_clears_after_fold" ->
+      !TextAnalysis.bm25FoldDue(spark, bm, maxSegments = 1))
+    val bmAfter = timedServe("bm25 serve post-fold")(
+      TextAnalysis.bm25QueryIndex(spark, bm, terms, 20).collect().toSeq)
+    rows += ("bm25_fold_preserves_serve" -> (bmBefore == bmAfter))
+    // ---- near-dup: tombstone-fraction budget ----
+    val nd = s"/tmp/graft_fold_nd_${ingestToken}_$tag"
+    TextAnalysis.copyIndex(spark, ndBase, nd)
+    rows += ("nd_quiet_on_pristine" ->
+      !Dedup.neardupFoldDue(spark, nd, maxFrac = 0.1))
+    Dedup.neardupRemove(spark, nd,
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0).select(col("doc_id")))
+    rows += ("nd_fires_over_tombstone_budget" ->
+      Dedup.neardupFoldDue(spark, nd, maxFrac = 0.1))
+    val probe = docs.filter(pmod(col("doc_id"), lit(9)) === 4)
+      .select((col("doc_id") + 30000L).as("doc_id"), col("text"))
+      .localCheckpoint()
+    val ndBefore = timedServe("nd lookup pre-fold")(
+      Dedup.neardupLookup(spark, nd, probe).collect().toSeq)
+    Dedup.neardupCompact(spark, nd)
+    rows += ("nd_clears_after_fold" ->
+      !Dedup.neardupFoldDue(spark, nd, maxFrac = 0.1))
+    val ndAfter = timedServe("nd lookup post-fold")(
+      Dedup.neardupLookup(spark, nd, probe).collect().toSeq)
+    rows += ("nd_fold_preserves_lookup" -> (ndBefore == ndAfter))
+    // ---- IVF: tombstone-fraction budget; fold = retrain ----
+    val iv = s"/tmp/graft_fold_ivf_${ingestToken}_$tag"
+    TextAnalysis.copyIndex(spark, ivfBase, iv)
+    rows += ("ivf_quiet_on_pristine" ->
+      !Similarity.ivfFoldDue(spark, iv, maxFrac = 0.1))
+    Similarity.ivfRemove(spark, iv,
+      vecs.filter(pmod(col("vec_id"), lit(5)) === 0).select(col("vec_id")))
+    rows += ("ivf_fires_over_tombstone_budget" ->
+      Similarity.ivfFoldDue(spark, iv, maxFrac = 0.1))
+    val servedPristine = Similarity.ivfQueryIndex(spark, dir, ivfBase)
+      .collect().toSeq
+    val servedRemoved = timedServe("ivf serve pre-fold")(
+      Similarity.ivfQueryIndex(spark, dir, iv).collect().toSeq)
+    rows += ("ivf_removal_changes_serve" -> (servedRemoved != servedPristine))
+    Similarity.ivfWriteIndexVecs(spark, vecs, iv) // the retrain fold
+    rows += ("ivf_clears_after_fold" ->
+      !Similarity.ivfFoldDue(spark, iv, maxFrac = 0.1))
+    val servedRetrained = timedServe("ivf serve post-fold")(
+      Similarity.ivfQueryIndex(spark, dir, iv).collect().toSeq)
+    rows += ("ivf_fold_restores_pristine_serve" ->
+      (servedRetrained == servedPristine))
+    rows.toSeq.toDF("metric", "ok").orderBy("metric")
+  }
+
+  private val foldBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+
   def benchmarkContamination(spark: SparkSession, dir: String,
                              benchMax: Long = 20, n: Int = 3): DataFrame = {
     val sh = Dedup.docShingles(spark, dir, n)

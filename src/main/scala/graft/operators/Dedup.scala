@@ -709,6 +709,26 @@ object Dedup {
     else Some(spark.read.schema("doc_id bigint").parquet(s"$idx/tombstones"))
   }
 
+  /** Fold-trigger policy (r13 stretch item 8): the near-dup index is
+    * DUE for [[neardupCompact]] once live tombstones exceed
+    * `maxFrac` of the stored docsets rows — every tombstone rides
+    * the broadcast anti-join of every lookup, so the fraction bounds
+    * per-check-in overhead. Both counts are parquet footer
+    * row-counts (no data pages read); the denominator counts stored
+    * ROWS, not distinct docs — the cheap, slightly-conservative
+    * denominator (re-checked-in ids add rows until compacted).
+    */
+  def neardupFoldDue(spark: SparkSession, idx: String,
+                     maxFrac: Double = 0.1): Boolean = {
+    val dead = liveTombstones(spark, idx).map(_.count()).getOrElse(0L)
+    if (dead == 0L) false
+    else {
+      val total = spark.read.schema(docsetsSchema)
+        .parquet(s"$idx/docsets").count()
+      total > 0L && dead.toDouble / total > maxFrac
+    }
+  }
+
   /** Physically drop tombstoned docs: rewrite `buckets` and
     * `docsets` without them (corpus-order, the rebuild-shaped
     * amortization — exactly like [[TextAnalysis.bm25Compact]]), then

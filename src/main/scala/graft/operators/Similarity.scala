@@ -936,6 +936,24 @@ object Similarity {
     else Some(spark.read.schema("vec_id bigint").parquet(s"$idx/tombstones"))
   }
 
+  /** Fold-trigger policy (r13 stretch item 8): the IVF index is DUE
+    * for a retrain ([[ivfWriteIndexVecs]] at the same path — the
+    * FAISS-rebuild fold) once live tombstones exceed `maxFrac` of
+    * the stored list rows: tombstones ride every serve's broadcast
+    * anti-join, and removals also erode the trained centroids'
+    * fit. Footer row-counts only.
+    */
+  def ivfFoldDue(spark: SparkSession, idx: String,
+                 maxFrac: Double = 0.1): Boolean = {
+    val dead = ivfTombstones(spark, idx).map(_.count()).getOrElse(0L)
+    if (dead == 0L) false
+    else {
+      val total = spark.read.schema(listsSchema)
+        .parquet(s"$idx/lists").count()
+      total > 0L && dead.toDouble / total > maxFrac
+    }
+  }
+
   /** Serve top-k from the at-rest index: route each query to its
     * nProbe nearest centroids (exact integer math — bit-identical to
     * the oracle's routing), then scan ONLY those cells' directories.

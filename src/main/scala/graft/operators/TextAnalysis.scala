@@ -929,6 +929,16 @@ object TextAnalysis {
     Some(seg)
   }
 
+  /** Fold-trigger policy (r13 stretch item 8): a segmented index is
+    * DUE for compaction once its segment count exceeds the budget —
+    * each segment adds a union branch + tombstone broadcast to every
+    * serve, so the budget bounds serve-plan width. Pure directory
+    * listing; no data is read.
+    */
+  def bm25FoldDue(spark: SparkSession, idx: String,
+                  maxSegments: Int = 3): Boolean =
+    segmentDirs(spark, idx).size > maxSegments
+
   /** Fold every segment into the base index: rewrite exactly the
     * letters the segments touched (their postings' letters plus the
     * letters of tombstoned docs' terms, which the signed df deltas

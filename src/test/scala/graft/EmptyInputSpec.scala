@@ -82,7 +82,10 @@ class EmptyInputSpec extends SparkSpec {
       "ingest_pipeline"   -> ((s, d) => Curation.ingestPipeline(s, d)),
       // r14 additions
       "dedup_checkin_capped" -> ((s, d) => Dedup.neardupUpsertCapped(s, d)),
-      "ivf_retrain_topk"  -> ((s, d) => Similarity.ivfRetrainTopK(s, d)))
+      "ivf_retrain_topk"  -> ((s, d) => Similarity.ivfRetrainTopK(s, d)),
+      // r15 additions
+      "ingest_pipeline2"  -> ((s, d) => Curation.ingestPipeline2(s, d)),
+      "fold_trigger"      -> ((s, d) => Curation.foldTriggerContract(s, d)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()
