@@ -3194,6 +3194,7 @@ object SparkEntry {
       """SELECT unnest([
         |  'bm25_clears_after_fold', 'bm25_fires_over_segment_budget',
         |  'bm25_fold_preserves_serve', 'bm25_quiet_on_pristine',
+        |  'bm25_quiet_under_budget',
         |  'ivf_clears_after_fold', 'ivf_fires_over_tombstone_budget',
         |  'ivf_fold_restores_pristine_serve', 'ivf_quiet_on_pristine',
         |  'ivf_removal_changes_serve',
