@@ -242,9 +242,12 @@ object Curation {
         p
       }), nd)
       val pairs1 = Dedup.neardupLookup(spark, nd, added1, minJ)
+      // pairs1 is already an eager localCheckpoint (neardupLookup
+      // returns one), so this tiny projection needs no snapshot of
+      // its own — both anti-joins below re-read that materialization
       val rejected1 = pairs1.select(
         when(pmod(col("b"), lit(30)) === 0, col("b"))
-          .otherwise(col("a")).as("doc_id")).distinct().localCheckpoint()
+          .otherwise(col("a")).as("doc_id")).distinct()
       // survivors enter the near-dup index — round 2's reference set
       Dedup.neardupCheckIn(spark, nd,
         added1.join(rejected1, Seq("doc_id"), "left_anti"), minJ)
@@ -311,17 +314,23 @@ object Curation {
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
       .filter(col("vec_id") < 200 && pmod(col("vec_id"), lit(10)) < 3)
-    // empty corpus: no indexes to police — 0 rows, like every
-    // contract fixture (EmptyInputSpec representative)
-    if (docs.isEmpty && vecs.isEmpty)
+    // an absent MODALITY has no indexes to police — its families emit
+    // no rows (a fully empty corpus emits none at all, like every
+    // contract fixture; EmptyInputSpec representative). Emptiness is
+    // invocation-invariant, so probed once per JVM per corpus dir.
+    val (docsEmpty, vecsEmpty) = foldEmptyCache.computeIfAbsent(dir, _ =>
+      (docs.isEmpty, vecs.isEmpty))
+    if (docsEmpty && vecsEmpty)
       return Seq.empty[(String, Boolean)].toDF("metric", "ok")
     val (bmBase, ndBase, ivfBase) = foldBaseCache.computeIfAbsent(dir, _ => {
       val bm = s"/tmp/graft_fold_bmbase_${ingestToken}_$tag"
-      TextAnalysis.bm25WriteIndexDocs(spark, docs, bm)
       val nd = s"/tmp/graft_fold_ndbase_${ingestToken}_$tag"
-      Dedup.neardupWriteIndex(spark, docs, nd)
+      if (!docsEmpty) {
+        TextAnalysis.bm25WriteIndexDocs(spark, docs, bm)
+        Dedup.neardupWriteIndex(spark, docs, nd)
+      }
       val iv = s"/tmp/graft_fold_ivfbase_${ingestToken}_$tag"
-      Similarity.ivfWriteIndexVecs(spark, vecs, iv)
+      if (!vecsEmpty) Similarity.ivfWriteIndexVecs(spark, vecs, iv)
       (bm, nd, iv)
     })
     def timedServe[A](label: String)(f: => A): A = {
@@ -417,12 +426,19 @@ object Curation {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val sections = Seq(Future(bm25Section()), Future(ndSection()),
-      Future(ivfSection()))
-    val rows = sections.flatMap(Await.result(_, Duration.Inf))
+    val sections =
+      (if (docsEmpty) Seq.empty
+       else Seq(Future(bm25Section()), Future(ndSection()))) ++
+      (if (vecsEmpty) Seq.empty else Seq(Future(ivfSection())))
+    // await ALL sections before any rethrow — failing fast would
+    // leave sibling sections still mutating their fixture copies
+    val tried = sections.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    val rows = tried.flatMap(_.get)
     rows.toDF("metric", "ok").orderBy("metric")
   }
 
+  private val foldEmptyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Boolean)]()
   private val foldBaseCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
   private val foldPristineServeCache =

@@ -440,9 +440,10 @@ object Dedup {
     * service) — a check-in's two index lookups carry literal pb/db
     * IN-sets, so they become parquet PartitionFilters and read only
     * the delta's hash buckets' files instead of scanning the corpus.
-    * 16 hash buckets per band keeps fixture file counts sane; a
-    * 100 TB deployment raises nPb/nDb (they only shape directories —
-    * results are layout-invariant, LayoutSpec pins the pruning).
+    * nPb hash buckets per band (8 at fixture scale) keeps fixture
+    * file counts sane; a 100 TB deployment raises nPb/nDb (they only
+    * shape directories — results are layout-invariant, LayoutSpec
+    * pins the pruning).
     */
   private val bucketsSchema = "doc_id bigint, bucket string, band int, pb int"
   private val docsetsSchema = "doc_id bigint, dset array<bigint>, sz int, db int"
@@ -557,7 +558,13 @@ object Dedup {
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .partitionBy("db").parquet(s"$idx/docsets")
     }
-    Await.result(wb, Duration.Inf); Await.result(wd, Duration.Inf)
+    // await BOTH before any rethrow — failing fast on wb while wd is
+    // still appending would hand the caller (whose recovery is
+    // delete-then-recopy of the index dir) a race against the
+    // in-flight sibling write
+    val rb = scala.util.Try(Await.result(wb, Duration.Inf))
+    val rd = scala.util.Try(Await.result(wd, Duration.Inf))
+    rb.get; rd.get
     pairs.orderBy("a", "b")
   }
 
@@ -713,21 +720,15 @@ object Dedup {
     * DUE for [[neardupCompact]] once live tombstones exceed
     * `maxFrac` of the stored docsets rows — every tombstone rides
     * the broadcast anti-join of every lookup, so the fraction bounds
-    * per-check-in overhead. Both counts are parquet footer
-    * row-counts (no data pages read); the denominator counts stored
-    * ROWS, not distinct docs — the cheap, slightly-conservative
-    * denominator (re-checked-in ids add rows until compacted).
+    * per-check-in overhead. Counts are parquet footer row-counts
+    * (no data pages read); predicate shared via [[IndexPolicy]].
     */
   def neardupFoldDue(spark: SparkSession, idx: String,
-                     maxFrac: Double = 0.1): Boolean = {
-    val dead = liveTombstones(spark, idx).map(_.count()).getOrElse(0L)
-    if (dead == 0L) false
-    else {
-      val total = spark.read.schema(docsetsSchema)
-        .parquet(s"$idx/docsets").count()
-      total > 0L && dead.toDouble / total > maxFrac
-    }
-  }
+                     maxFrac: Double = 0.1): Boolean =
+    IndexPolicy.tombstoneFoldDue(
+      liveTombstones(spark, idx).map(_.count()).getOrElse(0L),
+      spark.read.schema(docsetsSchema).parquet(s"$idx/docsets").count(),
+      maxFrac)
 
   /** Physically drop tombstoned docs: rewrite `buckets` and
     * `docsets` without them (corpus-order, the rebuild-shaped

@@ -941,18 +941,15 @@ object Similarity {
     * FAISS-rebuild fold) once live tombstones exceed `maxFrac` of
     * the stored list rows: tombstones ride every serve's broadcast
     * anti-join, and removals also erode the trained centroids'
-    * fit. Footer row-counts only.
+    * fit. Footer row-counts only; predicate shared via
+    * [[IndexPolicy]].
     */
   def ivfFoldDue(spark: SparkSession, idx: String,
-                 maxFrac: Double = 0.1): Boolean = {
-    val dead = ivfTombstones(spark, idx).map(_.count()).getOrElse(0L)
-    if (dead == 0L) false
-    else {
-      val total = spark.read.schema(listsSchema)
-        .parquet(s"$idx/lists").count()
-      total > 0L && dead.toDouble / total > maxFrac
-    }
-  }
+                 maxFrac: Double = 0.1): Boolean =
+    IndexPolicy.tombstoneFoldDue(
+      ivfTombstones(spark, idx).map(_.count()).getOrElse(0L),
+      spark.read.schema(listsSchema).parquet(s"$idx/lists").count(),
+      maxFrac)
 
   /** Serve top-k from the at-rest index: route each query to its
     * nProbe nearest centroids (exact integer math — bit-identical to

@@ -826,12 +826,21 @@ object TextAnalysis {
       .partitionBy("tb", "tk").parquet(tmpT)
     val fs = new Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Hadoop FileSystem reports most rename/delete failures by
+    // returning false, not throwing — an unchecked rename here would
+    // silently lose a bucket AFTER its destination was deleted (the
+    // one failure mode the old commit-protocol overwrite couldn't
+    // produce), so every mutation is require()d.
     def swap(tmp: String, dst: String): Unit = {
       touched.foreach { case (b, k) =>
         val to = new Path(s"$dst/tb=$b/tk=$k")
         val from = new Path(s"$tmp/tb=$b/tk=$k")
-        fs.delete(to, true)
-        if (fs.exists(from)) { fs.mkdirs(to.getParent); fs.rename(from, to) }
+        require(!fs.exists(to) || fs.delete(to, true),
+          s"swap: could not clear $to")
+        if (fs.exists(from)) {
+          fs.mkdirs(to.getParent)
+          require(fs.rename(from, to), s"swap: rename $from -> $to failed")
+        }
         val parent = to.getParent
         if (fs.exists(parent) && fs.listStatus(parent).isEmpty)
           fs.delete(parent, true)
@@ -1030,7 +1039,8 @@ object TextAnalysis {
     import scala.collection.parallel.CollectionConverters._
     val s = Paths.get(src); val d = Paths.get(dst)
     if (Files.exists(d)) {
-      val del = Files.walk(d).iterator().asScala.toSeq.reverse
+      val st = Files.walk(d)
+      val del = try st.iterator().asScala.toSeq.reverse finally st.close()
       del.foreach(Files.deleteIfExists(_))
     }
     val files = {

@@ -418,9 +418,10 @@ class LayoutSpec extends SparkSpec {
         if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) else Seq(d)
       walk(new java.io.File(s"$idx/$sub")).count(_.getName.endsWith(".parquet"))
     }
-    // a single doc emits 4 band buckets → at most 4 of the 4×16
+    // a single doc emits 4 band buckets → at most 4 of the 4×nPb
     // (band, pb) directories are opened; its candidates' ids hash to
-    // a handful of the 16 db directories
+    // a handful of the nDb db directories (nPb = nDb = 8 at fixture
+    // scale)
     val allScans = scans(pairs.queryExecution.executedPlan) ++
       scans(candLazy.queryExecution.executedPlan)
     def pruned(sub: String, partCol: String): Unit = {
