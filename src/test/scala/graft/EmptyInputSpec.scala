@@ -183,4 +183,36 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.ivfQueryIndex(spark, sf, ivfIdx2).count() == 0,
       "empty-corpus retrain still serves rows")
   }
+
+  /** An absent MODALITY (docs but no embeddings, or vice versa) must
+    * not emit red contract rows for the missing family's indexes —
+    * fold_trigger polices only the families whose corpus exists.
+    */
+  test("fold_trigger polices only the present modalities") {
+    import org.apache.spark.sql.functions.col
+    def mixedDir(withDocs: Boolean): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-fold-mixed").toString
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      (if (withDocs) docs else docs.limit(0))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      (if (withDocs) vecs.limit(0) else vecs)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    val textOnly = Curation.foldTriggerContract(spark, mixedDir(true))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toSeq
+    assert(textOnly.map(_._1).forall(m =>
+      m.startsWith("bm25_") || m.startsWith("nd_")),
+      s"docs-only corpus emitted non-text rows: ${textOnly.map(_._1)}")
+    assert(textOnly.size == 9 && textOnly.forall(_._2),
+      s"docs-only families not all green: $textOnly")
+    val vecOnly = Curation.foldTriggerContract(spark, mixedDir(false))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toSeq
+    assert(vecOnly.map(_._1).forall(_.startsWith("ivf_")),
+      s"embeddings-only corpus emitted non-ivf rows: ${vecOnly.map(_._1)}")
+    assert(vecOnly.size == 5 && vecOnly.forall(_._2),
+      s"embeddings-only family not all green: $vecOnly")
+  }
 }
