@@ -33,7 +33,8 @@ object SparkEntry {
     "stream_join_contract", "stream_neardup_contract",
     "emb_pca", "domain_classifier",
     "bm25_index_topk", "bm25_serve_topk", "bm25_refresh",
-    "bm25_upsert_topk", "bm25_compact", "ivf_serve_topk",
+    "bm25_upsert_topk", "bm25_compact", "bm25_serve_asof",
+    "ivf_serve_topk",
     "ivf_append_topk", "ivf_append_recall", "ivf_serve_removed",
     "ivf_retrain_topk",
     "dedup_checkin", "dedup_checkin_removed", "dedup_checkin_capped",
@@ -198,6 +199,7 @@ object SparkEntry {
     "bm25_serve_topk" -> ((s, d) => TextAnalysis.bm25ServeTopK(s, d)),
     "bm25_refresh"    -> ((s, d) => TextAnalysis.bm25Refresh(s, d)),
     "bm25_upsert_topk" -> ((s, d) => TextAnalysis.bm25UpsertTopK(s, d)),
+    "bm25_serve_asof"  -> ((s, d) => TextAnalysis.bm25ServeAsOfTopK(s, d)),
     "bm25_compact"    -> ((s, d) => TextAnalysis.bm25CompactTopK(s, d)),
     "ppl_buckets"     -> ((s, d) => TextAnalysis.pplBuckets(s, d)),
     "emb_outliers"    -> ((s, d) => Similarity.embOutliers(s, d)),
@@ -2072,6 +2074,37 @@ object SparkEntry {
         |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
         |           t -> t <> '')) AS term
         |  FROM v2),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfc GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT unnest(['data', 'model', 'system']) AS term),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc JOIN q USING (term) GROUP BY 1),
+        |s AS (
+        |  SELECT t.doc_id,
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (t.tf * 2.2) /
+        |      (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+        |  FROM tfc t JOIN q USING (term) JOIN dfc USING (term)
+        |  JOIN dl ON dl.doc_id = t.doc_id, stats)
+        |SELECT doc_id, round(sum(s), 6) AS score,
+        |       CAST(count(*) AS BIGINT) AS n_terms
+        |FROM s GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // as-of (generation-pinned) serve: the SAME index that bm25_upsert
+    // serves at its newest generation, read AS OF generation 0 — the
+    // ranking must equal direct BM25 over the V1 snapshot even though
+    // the index has absorbed the v1→v2 delta since (the segment's
+    // postings/df-deltas/tombstones are excluded and the stats come
+    // from the segment's pre-append snapshot)
+    "bm25_serve_asof" ->
+      """WITH v1 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 20 = 0 THEN 'v1:' || text ELSE text END AS text
+        |  FROM documents WHERE doc_id % 30 <> 0),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |           t -> t <> '')) AS term
+        |  FROM v1),
         |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfc GROUP BY 1),
         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),

@@ -589,7 +589,34 @@ object TextAnalysis {
     */
   def bm25QueryIndex(spark: SparkSession, idx: String,
                      terms: Seq[String], k: Int,
-                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25QueryAt(spark, idx, terms, k, k1, b, gen = None)
+
+  /** Serve top-k AS OF generation `gen` — the index state after its
+    * first `gen` segments (gen 0 = the base build), regardless of how
+    * many appends have landed since. The reproducibility pin a
+    * training pipeline needs: a run manifest records the generation
+    * it retrieved against, and any later re-run serves bit-identical
+    * rankings from the same at-rest index. Possible because segments
+    * are append-only (postings/tombstones/df deltas never rewritten
+    * until a compact FOLDS them away — as-of reads of pre-compaction
+    * generations are then gone by design) and each append snapshots
+    * the 1-row PRE-append corpus stats into its segment. Indexes
+    * whose segments predate that snapshot fail fast here.
+    */
+  def bm25QueryIndexAsOf(spark: SparkSession, idx: String, gen: Int,
+                         terms: Seq[String], k: Int,
+                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val nSegs = segmentDirs(spark, idx).size
+    require(gen >= 0 && gen <= nSegs,
+      s"as-of generation $gen outside [0, $nSegs] for $idx")
+    bm25QueryAt(spark, idx, terms, k, k1, b, gen = Some(gen))
+  }
+
+  private def bm25QueryAt(spark: SparkSession, idx: String,
+                          terms: Seq[String], k: Int,
+                          k1: Double, b: Double,
+                          gen: Option[Int]): DataFrame = {
     // explicit schemas: an index built over an EMPTY corpus has no
     // part files, and schema inference (not the read) is what throws
     // there — with the schema stated, the serve degrades to 0 rows.
@@ -598,10 +625,26 @@ object TextAnalysis {
     val live = terms.filter(_.nonEmpty)
     val buckets = live.map(_.take(1)).distinct
     val tks = live.map(tkOf).distinct
-    val post = postingsView(spark, idx, buckets, tks, terms).drop("ord")
-    val tdf = termsView(spark, idx, buckets, tks, terms)
+    val post = postingsView(spark, idx, buckets, tks, terms, gen).drop("ord")
+    val tdf = termsView(spark, idx, buckets, tks, terms, gen)
+    // stats at gen g = the PRE-append snapshot of the first EXCLUDED
+    // segment; the newest gen (and the no-gen serve) reads the live
+    // stats the appends kept exact
+    val statsPath = gen match {
+      case Some(g) =>
+        val segs = segmentDirs(spark, idx)
+        if (g < segs.size) {
+          val p = new org.apache.hadoop.fs.Path(s"${segs(g)}/stats_before")
+          require(p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(p),
+            s"${segs(g)} predates as-of support (no stats_before " +
+              "snapshot) — compact or rebuild the index")
+          s"${segs(g)}/stats_before"
+        } else s"$idx/stats"
+      case None => s"$idx/stats"
+    }
     val stats = spark.read.schema("n_docs bigint, avgdl double")
-      .parquet(s"$idx/stats")
+      .parquet(statsPath)
     post.join(broadcast(tdf), "term")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), bm25Score(k1, b).as("s"))
@@ -643,19 +686,22 @@ object TextAnalysis {
 
   private def postingsView(spark: SparkSession, idx: String,
                            buckets: Seq[String], tks: Seq[Int],
-                           terms: Seq[String]): DataFrame =
+                           terms: Seq[String],
+                           upTo: Option[Int] = None): DataFrame =
     postingsViewWhere(spark, idx, df => {
       val b = df.filter(col("tb").isin(buckets: _*))
       val t = if (tks.isEmpty) b else b.filter(col("tk").isin(tks: _*))
       if (terms.isEmpty) t else t.filter(col("term").isin(terms: _*))
-    })
+    }, upTo)
 
   private def postingsViewWhere(spark: SparkSession, idx: String,
-                                pruned: DataFrame => DataFrame): DataFrame = {
+                                pruned: DataFrame => DataFrame,
+                                upTo: Option[Int] = None): DataFrame = {
     def readPost(p: String, ord: Long): DataFrame =
       pruned(spark.read.schema(postingsSchema).parquet(s"$p/postings"))
         .withColumn("ord", lit(ord))
-    val segs = segmentDirs(spark, idx)
+    val allSegs = segmentDirs(spark, idx)
+    val segs = upTo.fold(allSegs)(allSegs.take)
     val all = (readPost(idx, 0L) +: segs.zipWithIndex.map { case (s, i) =>
       readPost(s, i + 1L) }).reduce(_ unionByName _)
     if (segs.isEmpty) all
@@ -677,7 +723,8 @@ object TextAnalysis {
     */
   private def termsView(spark: SparkSession, idx: String,
                         buckets: Seq[String], tks: Seq[Int],
-                        terms: Seq[String]): DataFrame = {
+                        terms: Seq[String],
+                        upTo: Option[Int] = None): DataFrame = {
     def readTerms(p: String): DataFrame = {
       val b = spark.read.schema(termsSchema)
         .parquet(s"$p/terms").filter(col("tb").isin(buckets: _*))
@@ -685,7 +732,8 @@ object TextAnalysis {
       (if (terms.isEmpty) t else t.filter(col("term").isin(terms: _*)))
         .select(col("term"), col("df"))
     }
-    val segs = segmentDirs(spark, idx)
+    val allSegs = segmentDirs(spark, idx)
+    val segs = upTo.fold(allSegs)(allSegs.take)
     val all = (readTerms(idx) +: segs.map(readTerms)).reduce(_ unionByName _)
     if (segs.isEmpty) all
     else all.groupBy(col("term")).agg(sum(col("df")).as("df"))
@@ -737,6 +785,33 @@ object TextAnalysis {
     })
     bm25QueryIndex(spark, idx, terms, k)
   }
+
+  /** Registry row for [[bm25QueryIndexAsOf]]: the upsert fixture's
+    * index (v1 base + the v1→v2 delta as segment 1) served AS OF
+    * generation 0 — the ranking must equal direct BM25 over the v1
+    * snapshot even though the index has since absorbed the delta.
+    * The oracle replays direct BM25 over v1; LayoutSpec additionally
+    * pins that the newest generation equals the ordinary serve.
+    * Fixture index built once per JVM per corpus dir; the row times
+    * the generation-pinned read path.
+    */
+  def bm25ServeAsOfTopK(spark: SparkSession, dir: String,
+                        terms: Seq[String] = Seq("data", "model", "system"),
+                        k: Int = 20): DataFrame = {
+    val idx = asofIdxCache.computeIfAbsent(dir, _ => {
+      val p = s"/tmp/graft_bm25_asof_${scratchToken}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      copyIndex(spark, v1BaseIndex(spark, dir), p)
+      val (v1, v2) = snapshotFixture(spark, dir)
+      val (newD, oldD) = snapshotDelta(v1, v2)
+      bm25AppendSegment(spark, p, newD, oldD)
+      p
+    })
+    bm25QueryIndexAsOf(spark, idx, gen = 0, terms, k)
+  }
+
+  private val asofIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** INCREMENTAL index refresh — the missing half of the index
     * lifecycle (r11 verdict #1): merge a corpus snapshot delta into
@@ -934,6 +1009,15 @@ object TextAnalysis {
     oldDocs.select(col("doc_id")).distinct()
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$seg/tombstones")
+    // PRE-append stats snapshot (1 row): makes the index readable
+    // AS OF any generation — serve-time stats at gen g come from
+    // segment g+1's snapshot (or the live stats for the newest gen).
+    // adjustStats mutates the live stats in place, so without this
+    // the historical (n_docs, avgdl) would be unrecoverable.
+    spark.read.schema("n_docs bigint, avgdl double, sum_dl bigint")
+      .parquet(s"$idx/stats")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$seg/stats_before")
     adjustStats(spark, idx, newTf, oldTf)
     Some(seg)
   }

@@ -85,7 +85,8 @@ class EmptyInputSpec extends SparkSpec {
       "ivf_retrain_topk"  -> ((s, d) => Similarity.ivfRetrainTopK(s, d)),
       // r15 additions
       "ingest_pipeline2"  -> ((s, d) => Curation.ingestPipeline2(s, d)),
-      "fold_trigger"      -> ((s, d) => Curation.foldTriggerContract(s, d)))
+      "fold_trigger"      -> ((s, d) => Curation.foldTriggerContract(s, d)),
+      "bm25_serve_asof"   -> ((s, d) => TextAnalysis.bm25ServeAsOfTopK(s, d)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()

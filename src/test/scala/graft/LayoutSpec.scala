@@ -241,6 +241,71 @@ class LayoutSpec extends SparkSpec {
     assert(statsOf(idx) == statsOf(rebuilt2))
   }
 
+  test("bm25 as-of serve: every generation replays its historical ranking; compact folds history away") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bm25-asof").toString
+    val idx = s"$root/idx"
+    val gen0 = Seq(
+      (1L, "apple banana cat dog"),
+      (2L, "banana bear quince"),
+      (3L, "apple dog dig"),
+      (4L, "bear apple cherry dog")).toDF("doc_id", "text")
+    TextAnalysis.bm25WriteIndexDocs(spark, gen0, idx)
+    // gen 1: remove doc 2, change doc 3, add doc 5
+    TextAnalysis.bm25AppendSegment(spark, idx,
+      Seq((3L, "apple zebra"), (5L, "zulu zebra")).toDF("doc_id", "text"),
+      Seq((2L, "banana bear quince"), (3L, "apple dog dig"))
+        .toDF("doc_id", "text"))
+    val gen1 = Seq(
+      (1L, "apple banana cat dog"),
+      (3L, "apple zebra"),
+      (4L, "bear apple cherry dog"),
+      (5L, "zulu zebra")).toDF("doc_id", "text")
+    // gen 2: doc 5 changes again
+    TextAnalysis.bm25AppendSegment(spark, idx,
+      Seq((5L, "zulu cat")).toDF("doc_id", "text"),
+      Seq((5L, "zulu zebra")).toDF("doc_id", "text"))
+    val gen2 = gen1.filter(col("doc_id") =!= 5L)
+      .unionByName(Seq((5L, "zulu cat")).toDF("doc_id", "text"))
+    val q = Seq("apple", "banana", "zebra", "quince", "cat")
+    def direct(docs: org.apache.spark.sql.DataFrame) = {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-bm25-asof-direct").toString
+      TextAnalysis.bm25WriteIndexDocs(spark, docs, p)
+      TextAnalysis.bm25QueryIndex(spark, p, q, 10).collect().toSeq
+    }
+    def asOf(g: Int) =
+      TextAnalysis.bm25QueryIndexAsOf(spark, idx, g, q, 10).collect().toSeq
+    // each pinned generation == a from-scratch build of that corpus,
+    // served from ONE at-rest index that has moved on since
+    assert(asOf(0) == direct(gen0), "as-of 0 != v0 rebuild")
+    assert(asOf(1) == direct(gen1), "as-of 1 != v1 rebuild")
+    assert(asOf(2) == direct(gen2), "as-of 2 != v2 rebuild")
+    // the newest generation is the ordinary serve
+    assert(asOf(2) == TextAnalysis.bm25QueryIndex(spark, idx, q, 10)
+      .collect().toSeq, "newest as-of != plain serve")
+    // generation bounds fail fast
+    intercept[IllegalArgumentException](asOf(3))
+    intercept[IllegalArgumentException](asOf(-1))
+    // a segment without the stats snapshot (pre-feature index) fails
+    // fast instead of serving wrong stats
+    val legacy = new java.io.File(s"$idx/segments/seg-00001/stats_before")
+    def wipe(d: java.io.File): Unit = {
+      if (d.isDirectory) d.listFiles().foreach(wipe)
+      d.delete()
+    }
+    wipe(legacy)
+    intercept[IllegalArgumentException](asOf(0))
+    // compact folds segments into the base: history is gone BY DESIGN
+    // — only the newest generation remains addressable, and it still
+    // serves the post-delta ranking
+    TextAnalysis.bm25Compact(spark, idx)
+    intercept[IllegalArgumentException](asOf(1))
+    assert(asOf(0) == direct(gen2), "post-compact gen 0 != newest corpus")
+  }
+
   test("at-rest IVF index: serving scan prunes to the probed cells only") {
     import graft.operators.Similarity
     val idx = "/tmp/graft_test_ivf_idx"
