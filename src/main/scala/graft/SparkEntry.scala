@@ -36,7 +36,7 @@ object SparkEntry {
     "bm25_upsert_topk", "bm25_compact", "bm25_serve_asof",
     "ivf_serve_topk",
     "ivf_append_topk", "ivf_append_recall", "ivf_serve_removed",
-    "ivf_retrain_topk",
+    "ivf_retrain_topk", "ivf_serve_asof",
     "dedup_checkin", "dedup_checkin_removed", "dedup_checkin_capped",
     "ingest_pipeline", "ingest_pipeline2", "fold_trigger",
     // r13: edges via driver-orchestrated distributed rank selection
@@ -259,6 +259,7 @@ object SparkEntry {
     // from it with partition pruning (the kv_roundtrip pattern)
     "ivf_index_topk" -> ((s, d) => Similarity.ivfIndexTopK(s, d)),
     "ivf_serve_topk" -> ((s, d) => Similarity.ivfServeTopK(s, d)),
+    "ivf_serve_asof" -> ((s, d) => Similarity.ivfServeAsOf(s, d)),
     "ivf_append_topk" -> ((s, d) => Similarity.ivfAppendTopK(s, d)),
     "ivf_append_recall" -> ((s, d) => Similarity.ivfAppendRecall(s, d)),
     "ivf_serve_removed" -> ((s, d) => Similarity.ivfServeRemoved(s, d)),
@@ -2978,6 +2979,64 @@ object SparkEntry {
     // ALL vectors — exactly what the Spark side does with
     // append-mode list files
     "ivf_serve_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS vq
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cell, vq AS cv FROM e WHERE vec_id < 8),
+        |s1 AS (
+        |  SELECT e.vec_id, e.vq, c.cell,
+        |    list_inner_product(e.vq, c.cv) /
+        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
+        |  FROM e, c0 c),
+        |a1 AS (SELECT vec_id, vq, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, cell ASC) AS rn FROM s1)
+        |  WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cell, list(s ORDER BY i) AS cv FROM (
+        |    SELECT cell, i, CAST(sum(vq[i]) AS BIGINT) AS s
+        |    FROM a1, generate_series(1, 64) t(i)
+        |    GROUP BY cell, i)
+        |  GROUP BY cell),
+        |s2 AS (
+        |  SELECT e.vec_id, c.cell,
+        |    list_inner_product(e.vq, c.cv) /
+        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
+        |  FROM e, c1 c),
+        |a2 AS (SELECT vec_id, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, cell ASC) AS rn FROM s2)
+        |  WHERE rn = 1),
+        |qp AS (
+        |  SELECT e.vec_id AS qid, c.cell,
+        |    list_inner_product(e.vq, c.cv) /
+        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS s
+        |  FROM e, c1 c WHERE e.vec_id < 8),
+        |pr AS (SELECT qid, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY s DESC, cell ASC) AS rn FROM qp)
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT pr.qid, a.vec_id AS cid
+        |  FROM pr JOIN a2 a ON a.cell = pr.cell WHERE a.vec_id <> pr.qid),
+        |sc AS (
+        |  SELECT c.qid, c.cid, list_cosine_similarity(eq.v, ec.v) AS sim
+        |  FROM cand c JOIN e eq ON eq.vec_id = c.qid JOIN e ec ON ec.vec_id = c.cid),
+        |r AS (SELECT qid, cid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+        |  FROM sc)
+        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, round(sim, 6) AS sim
+        |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // as-of (generation-pinned) serve: the index has absorbed an
+    // append of query-duplicates (gen 1) and the serve-intersecting
+    // removal set (gen 2) since, but read AS OF generation 0 it must
+    // reproduce the pristine full-corpus serve exactly
+    "ivf_serve_asof" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |    list_transform(embedding,

@@ -852,7 +852,36 @@ object Similarity {
     * `cell` is the hive partition column of `lists`.
     */
   private val centroidsSchema = "cell bigint, cv array<bigint>"
-  private val listsSchema = "vec_id bigint, embedding array<float>, cell bigint"
+  private val listsSchema =
+    "vec_id bigint, embedding array<float>, cell bigint, gen bigint"
+  private val ivfTombSchema = "vec_id bigint, gen bigint"
+
+  /** Current mutation generation of an IVF index (0 = freshly built;
+    * every append or remove bumps it — the counter behind
+    * [[ivfQueryIndexAsOf]]). One-row parquet, single-writer like
+    * every index mutation here. None = the index predates generation
+    * tracking (or the dir is not an index).
+    */
+  private def ivfGen(spark: SparkSession, idx: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$idx/meta")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      None
+    else Some(spark.read.schema("gen bigint").parquet(s"$idx/meta")
+      .head().getLong(0))
+  }
+
+  private def ivfWriteGen(spark: SparkSession, idx: String, g: Long): Unit =
+    spark.range(1).select(lit(g).as("gen"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$idx/meta")
+
+  private def ivfBumpGen(spark: SparkSession, idx: String): Long =
+    ivfGen(spark, idx) match {
+      case Some(g) => g + 1L
+      case None => throw new IllegalArgumentException(
+        s"$idx predates generation tracking (no meta) — retrain " +
+          "(ivfWriteIndexVecs) to enable mutations and as-of reads")
+    }
 
   def ivfWriteIndexVecs(spark: SparkSession, vecs: DataFrame, out: String,
                         k: Int = 8, iters: Int = 2): Unit = {
@@ -872,11 +901,16 @@ object Similarity {
       k, iters, adaptiveSqrtCells = false, sampleCap = 0)
     vecs
       .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
-      .select(col("cell"), col("vec_id"), col("embedding"))
+      .select(col("cell"), col("vec_id"), col("embedding"),
+        lit(0L).as("gen"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell").parquet(s"$out/lists")
     cents.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$out/centroids")
+    // generation 0: the dir-delete above already erased any prior
+    // history — a retrain resets the as-of timeline by design (the
+    // bm25Compact analogue)
+    ivfWriteGen(spark, out, 0L)
   }
 
   /** O(delta) vector upsert into the at-rest IVF index — the FAISS
@@ -895,6 +929,7 @@ object Similarity {
     */
   def ivfAppendVectors(spark: SparkSession, idx: String,
                        vecs: DataFrame): Unit = {
+    val g = ivfBumpGen(spark, idx)
     val cents = spark.read.schema(centroidsSchema).parquet(s"$idx/centroids")
     val vq = vecs.select(col("vec_id"), col("embedding"),
       transform(col("embedding"),
@@ -908,9 +943,10 @@ object Similarity {
       .agg(max(struct(col("sim"), negate(col("cell")).as("negc"))).as("m"),
         first(col("embedding")).as("embedding"))
       .select(negate(col("m.negc")).as("cell"), col("vec_id"),
-        col("embedding"))
+        col("embedding"), lit(g).as("gen"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("cell").parquet(s"$idx/lists")
+    ivfWriteGen(spark, idx, g)
   }
 
   /** REMOVE vectors from the at-rest IVF index — the FAISS
@@ -923,17 +959,21 @@ object Similarity {
     * dead vectors — consistent with the add-model's documented
     * retrain cadence.
     */
-  def ivfRemove(spark: SparkSession, idx: String, ids: DataFrame): Unit =
+  def ivfRemove(spark: SparkSession, idx: String, ids: DataFrame): Unit = {
+    val g = ivfBumpGen(spark, idx)
     ids.select(col("vec_id")).distinct()
+      .select(col("vec_id"), lit(g).as("gen"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$idx/tombstones")
+    ivfWriteGen(spark, idx, g)
+  }
 
   private def ivfTombstones(spark: SparkSession,
                             idx: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$idx/tombstones")
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
       None
-    else Some(spark.read.schema("vec_id bigint").parquet(s"$idx/tombstones"))
+    else Some(spark.read.schema(ivfTombSchema).parquet(s"$idx/tombstones"))
   }
 
   /** Fold-trigger policy (r13 stretch item 8): the IVF index is DUE
@@ -971,6 +1011,29 @@ object Similarity {
                     nProbe: Int = 2): DataFrame =
     ivfQueryIndexWhere(spark, dir, idx, col("vec_id") < nQueries, kNN, nProbe)
 
+  /** Serve top-k AS OF mutation generation `gen` — the index state
+    * after its first `gen` mutations (gen 0 = the fresh build),
+    * regardless of the appends/removals that landed since: list rows
+    * and tombstones above the pinned generation are excluded, and
+    * the centroids are build-invariant (the FAISS add model never
+    * moves them), so a historical serve routes exactly as it did
+    * then. The reproducibility pin for retrieval (the
+    * [[graft.operators.TextAnalysis.bm25QueryIndexAsOf]] analogue);
+    * a retrain deletes the dir and resets the timeline to gen 0 by
+    * design. Indexes predating generation tracking fail fast.
+    */
+  def ivfQueryIndexAsOf(spark: SparkSession, dir: String, idx: String,
+                        gen: Long, nQueries: Int = 8, kNN: Int = 5,
+                        nProbe: Int = 2): DataFrame = {
+    val cur = ivfGen(spark, idx).getOrElse(throw new IllegalArgumentException(
+      s"$idx predates generation tracking (no meta) — retrain to " +
+        "enable as-of reads"))
+    require(gen >= 0L && gen <= cur,
+      s"as-of generation $gen outside [0, $cur] for $idx")
+    ivfQueryIndexWhere(spark, dir, idx, col("vec_id") < nQueries, kNN,
+      nProbe, asOf = Some(gen))
+  }
+
   /** [[ivfQueryIndex]] with an arbitrary query-set predicate — the
     * recall contracts draw their queries from slices (e.g. the
     * appended vectors) rather than the id prefix.
@@ -978,7 +1041,8 @@ object Similarity {
   private def ivfQueryIndexWhere(spark: SparkSession, dir: String,
                                  idx: String,
                                  qpred: org.apache.spark.sql.Column,
-                                 kNN: Int, nProbe: Int): DataFrame = {
+                                 kNN: Int, nProbe: Int,
+                                 asOf: Option[Long] = None): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val ndot = graft.functions.GraftFunctions.dot _
@@ -1007,11 +1071,18 @@ object Similarity {
     // tombstoned (removed) vectors drop before scoring — the dead-id
     // set is removal-sized and broadcasts into an anti-join over the
     // pruned list scan; no list file is ever rewritten
-    val rawLists = spark.read.schema(listsSchema).parquet(s"$idx/lists")
+    val prunedLists = spark.read.schema(listsSchema).parquet(s"$idx/lists")
       .filter(if (probedCells.isEmpty) lit(false)
               else col("cell").isin(probedCells.toIndexedSeq: _*))
-    val lists = ivfTombstones(spark, idx).fold(rawLists)(dead =>
-      rawLists.join(broadcast(dead), Seq("vec_id"), "left_anti"))
+    // as-of: list rows and tombstones ABOVE the pinned generation
+    // don't exist yet from that generation's point of view
+    val rawLists = asOf.fold(prunedLists)(g =>
+      prunedLists.filter(col("gen") <= g))
+    val dead = ivfTombstones(spark, idx)
+      .map(d => asOf.fold(d)(g => d.filter(col("gen") <= g)))
+    val lists = dead.fold(rawLists)(d =>
+      rawLists.join(broadcast(d.select(col("vec_id"))),
+        Seq("vec_id"), "left_anti"))
     val wk = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
     lists.join(broadcast(routing), "cell")
@@ -1092,6 +1163,40 @@ object Similarity {
         .filter(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id")))
     ivfQueryIndex(spark, dir, idx, nQueries, kNN, nProbe)
   }
+
+  /** Registry row for [[ivfQueryIndexAsOf]]: a copy of the serve
+    * index absorbs two mutations — gen 1 appends exact DUPLICATES of
+    * the query vectors under fresh ids (guaranteed rank-1 hits, so a
+    * leaked list row breaks the ranking), gen 2 removes vec_id ≡ 3
+    * (mod 7) (the ivf_serve_removed set, which provably intersects
+    * every top-k) — then serves AS OF generation 0. The output must
+    * equal the pristine full-corpus serve (ivf_serve_topk's oracle):
+    * a broken lists-gen filter admits the duplicates, a broken
+    * tombstone-gen filter applies the removals — both directions
+    * break the hash. Fixture built once per JVM per corpus dir; the
+    * row times the generation-pinned read path.
+    */
+  def ivfServeAsOf(spark: SparkSession, dir: String,
+                   nQueries: Int = 8, kNN: Int = 5,
+                   nProbe: Int = 2): DataFrame = {
+    val idx = asofIdxCache.computeIfAbsent(dir, _ => {
+      val p = s"/tmp/graft_ivf_asof_${scratchToken}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.TextAnalysis.copyIndex(spark, serveIdx(spark, dir), p)
+      val all = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      ivfAppendVectors(spark, p,
+        all.filter(col("vec_id") < nQueries)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      ivfRemove(spark, p,
+        all.filter(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id")))
+      p
+    })
+    ivfQueryIndexAsOf(spark, dir, idx, gen = 0L, nQueries, kNN, nProbe)
+  }
+
+  private val asofIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Retrain-after-removal twin of [[ivfServeRemoved]] (r13 ADVICE,
     * medium): a periodic full retrain is the IVF compaction analogue,

@@ -86,7 +86,8 @@ class EmptyInputSpec extends SparkSpec {
       // r15 additions
       "ingest_pipeline2"  -> ((s, d) => Curation.ingestPipeline2(s, d)),
       "fold_trigger"      -> ((s, d) => Curation.foldTriggerContract(s, d)),
-      "bm25_serve_asof"   -> ((s, d) => TextAnalysis.bm25ServeAsOfTopK(s, d)))
+      "bm25_serve_asof"   -> ((s, d) => TextAnalysis.bm25ServeAsOfTopK(s, d)),
+      "ivf_serve_asof"    -> ((s, d) => Similarity.ivfServeAsOf(s, d)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()

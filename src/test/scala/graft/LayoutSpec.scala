@@ -391,6 +391,57 @@ class LayoutSpec extends SparkSpec {
       == fresh, "retrained serve differs from a fresh build's")
   }
 
+  test("ivf as-of serve: every mutation generation replays its historical ranking; retrain resets the timeline") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivf-asof").toString
+    val idx = s"$root/idx"
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.ivfWriteIndexVecs(spark, all, idx)                    // gen 0
+    def serveNow() = Similarity.ivfQueryIndex(spark, sf, idx).collect().toSeq
+    def asOf(g: Long) =
+      Similarity.ivfQueryIndexAsOf(spark, sf, idx, g).collect().toSeq
+    val serve0 = serveNow()
+    // gen 1: append exact duplicates of the query vectors — rank-1
+    // hits, so the live serve provably changes
+    Similarity.ivfAppendVectors(spark, idx,
+      all.filter(col("vec_id") < 8)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val serve1 = serveNow()
+    assert(serve1 != serve0, "append did not change the live serve")
+    // gen 2: remove every other candidate of the CURRENT serve
+    val dead = serve1.map(_.getLong(2)).distinct.zipWithIndex
+      .filter(_._2 % 2 == 0).map(_._1)
+    assert(dead.nonEmpty)
+    Similarity.ivfRemove(spark, idx, dead.toDF("vec_id"))
+    val serve2 = serveNow()
+    assert(serve2 != serve1, "removal did not change the live serve")
+    // each pinned generation replays its historical ranking from the
+    // SAME at-rest index that has moved on since
+    assert(asOf(0) == serve0, "as-of 0 != pre-mutation serve")
+    assert(asOf(1) == serve1, "as-of 1 != post-append serve")
+    assert(asOf(2) == serve2, "as-of 2 != live serve")
+    // generation bounds fail fast
+    intercept[IllegalArgumentException](asOf(3))
+    intercept[IllegalArgumentException](asOf(-1))
+    // retrain deletes the dir: the timeline resets to gen 0 by design
+    Similarity.ivfWriteIndexVecs(spark, all, idx)
+    intercept[IllegalArgumentException](asOf(1))
+    assert(asOf(0) == serve0, "post-retrain gen 0 != fresh-build serve")
+    // a pre-generation-tracking index (no meta) fails fast instead of
+    // serving an unpinnable ranking
+    def wipe(d: java.io.File): Unit = {
+      if (d.isDirectory) d.listFiles().foreach(wipe)
+      d.delete()
+    }
+    wipe(new java.io.File(s"$idx/meta"))
+    intercept[IllegalArgumentException](asOf(0))
+    intercept[IllegalArgumentException](
+      Similarity.ivfAppendVectors(spark, idx, all.limit(1)))
+  }
+
   test("near-dup check-in: index never rewritten, pairs found across check-ins") {
     import graft.operators.Dedup
     import spark.implicits._
