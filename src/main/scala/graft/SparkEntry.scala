@@ -38,6 +38,7 @@ object SparkEntry {
     "ivf_append_topk", "ivf_append_recall", "ivf_serve_removed",
     "ivf_retrain_topk", "ivf_serve_asof",
     "dedup_checkin", "dedup_checkin_removed", "dedup_checkin_capped",
+    "dedup_lookup_asof",
     "ingest_pipeline", "ingest_pipeline2", "fold_trigger",
     // r13: edges via driver-orchestrated distributed rank selection
     "histogram_equidepth")
@@ -221,6 +222,7 @@ object SparkEntry {
     // eager builder: at-rest near-dup index — check the held-out
     // delta in against the indexed 3/4 without re-signaturing it
     "dedup_checkin" -> ((s, d) => Dedup.neardupUpsert(s, d)),
+    "dedup_lookup_asof" -> ((s, d) => Dedup.neardupLookupAsOfRow(s, d)),
     "dedup_checkin_removed" -> ((s, d) => Dedup.neardupUpsertRemoved(s, d)),
     "dedup_checkin_capped" -> ((s, d) => Dedup.neardupUpsertCapped(s, d)),
     // eager composite: delta diff -> near-dup gate (dry-run lookup)
@@ -2504,6 +2506,46 @@ object SparkEntry {
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x JOIN bk y
         |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
         |  WHERE x.doc_id % 4 = 1 OR y.doc_id % 4 = 1),
+        |inter AS (SELECT c.a, c.b, count(DISTINCT sa.h1) AS i FROM cand c
+        |  JOIN hh sa ON sa.doc_id = c.a
+        |  JOIN hh sb ON sb.doc_id = c.b AND sb.h1 = sa.h1
+        |  GROUP BY c.a, c.b)
+        |SELECT a, b, round(i / CAST(za.sz + zb.sz - i AS DOUBLE), 6) AS jaccard
+        |FROM inter JOIN dsz za ON za.doc_id = a JOIN dsz zb ON zb.doc_id = b
+        |WHERE round(i / CAST(za.sz + zb.sz - i AS DOUBLE), 6) >= 0.2
+        |ORDER BY a, b""".stripMargin,
+    // as-of (generation-pinned) lookup: the index has absorbed the
+    // quarter check-in (gen 1) and the doc_id%8=0 removals (gen 2)
+    // since, but a probe of re-tagged copies looked up AS OF
+    // generation 0 must flag exactly what a lookup against the
+    // PRISTINE base index (doc_id % 4 <> 1, no removals) would
+    "dedup_lookup_asof" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 8 <= 1),
+        |toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM corpus),
+        |sh AS (SELECT DISTINCT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |   for i in range(1, len(t) - 1)]) AS shingle FROM toks WHERE len(t) >= 3),
+        |hh AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(substring(md5(shingle), 1, 12), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) AS h1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(substring(md5(shingle), 13, 12), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) AS h2
+        |  FROM sh),
+        |dsz AS (SELECT doc_id, count(DISTINCT h1) AS sz FROM hh GROUP BY doc_id),
+        |mh AS (SELECT doc_id, i, min((h1 + i * h2) & 281474976710655) AS h
+        |  FROM hh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+        |bk AS (SELECT doc_id, i // 4 AS band,
+        |    md5(string_agg(CAST(h AS VARCHAR), '|' ORDER BY i)) AS bucket
+        |  FROM mh GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x JOIN bk y
+        |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        |  WHERE x.doc_id >= 1000000 OR y.doc_id >= 1000000),
         |inter AS (SELECT c.a, c.b, count(DISTINCT sa.h1) AS i FROM cand c
         |  JOIN hh sa ON sa.doc_id = c.a
         |  JOIN hh sb ON sb.doc_id = c.b AND sb.h1 = sa.h1

@@ -445,8 +445,11 @@ object Dedup {
     * shape directories — results are layout-invariant, LayoutSpec
     * pins the pruning).
     */
-  private val bucketsSchema = "doc_id bigint, bucket string, band int, pb int"
-  private val docsetsSchema = "doc_id bigint, dset array<bigint>, sz int, db int"
+  private val bucketsSchema =
+    "doc_id bigint, bucket string, band int, pb int, gen bigint"
+  private val docsetsSchema =
+    "doc_id bigint, dset array<bigint>, sz int, db int, gen bigint"
+  private val ndTombSchema = "doc_id bigint, gen bigint"
   // 8 hash buckets each at fixture scale (r15: 16 → 8 halved the
   // per-check-in partitioned-write + fixture-copy file counts with
   // identical pruning semantics; a 100 TB deployment raises these —
@@ -475,15 +478,18 @@ object Dedup {
     // build emits one file per directory instead of files×tasks
     bandedOf(sigs, k, bands)
       .select(col("band"), pbOf(col("bucket")).as("pb"),
-        col("doc_id"), col("bucket"))
+        col("doc_id"), col("bucket"), lit(0L).as("gen"))
       .repartition(col("band"), col("pb"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("band", "pb").parquet(s"$idx/buckets")
     sigs.select(dbOf(col("doc_id")).as("db"),
-        col("doc_id"), col("dset"), col("sz"))
+        col("doc_id"), col("dset"), col("sz"), lit(0L).as("gen"))
       .repartition(col("db"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("db").parquet(s"$idx/docsets")
+    // generation 0 (the dir-delete above erased any prior history) —
+    // the counter behind [[neardupLookupAsOf]]
+    IndexPolicy.writeGen(spark, idx, 0L)
   }
 
   /** Check a document delta in against the at-rest index: emit every
@@ -537,6 +543,7 @@ object Dedup {
                      capBucket: Int = Int.MaxValue): DataFrame = {
     val (pairs, sigs) =
       lookupWithSigs(spark, idx, newDocs, minJ, n, k, bands, capBucket)
+    val g = IndexPolicy.bumpGen(spark, idx)
     // the two admit appends are independent (disjoint subdirs, both
     // reading the checkpointed sigs) — run them as concurrent jobs so
     // the delta pays one write's wall-clock, not two
@@ -546,14 +553,14 @@ object Dedup {
     val wb = Future {
       bandedOf(sigs, k, bands)
         .select(col("band"), pbOf(col("bucket")).as("pb"),
-          col("doc_id"), col("bucket"))
+          col("doc_id"), col("bucket"), lit(g).as("gen"))
         .repartition(col("band"), col("pb"))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .partitionBy("band", "pb").parquet(s"$idx/buckets")
     }
     val wd = Future {
       sigs.select(dbOf(col("doc_id")).as("db"),
-          col("doc_id"), col("dset"), col("sz"))
+          col("doc_id"), col("dset"), col("sz"), lit(g).as("gen"))
         .repartition(col("db"))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .partitionBy("db").parquet(s"$idx/docsets")
@@ -565,6 +572,7 @@ object Dedup {
     val rb = scala.util.Try(Await.result(wb, Duration.Inf))
     val rd = scala.util.Try(Await.result(wd, Duration.Inf))
     rb.get; rd.get
+    IndexPolicy.writeGen(spark, idx, g)
     pairs.orderBy("a", "b")
   }
 
@@ -581,12 +589,37 @@ object Dedup {
     lookupWithSigs(spark, idx, newDocs, minJ, n, k, bands, capBucket)._1
       .orderBy("a", "b")
 
+  /** [[neardupLookup]] AS OF mutation generation `gen` — flag the
+    * delta against the index state after its first `gen` mutations
+    * (gen 0 = the fresh build): admitted rows and tombstones above
+    * the pinned generation don't exist from that generation's point
+    * of view. The reproducibility pin for a re-run ingest gate (the
+    * [[Similarity.ivfQueryIndexAsOf]] analogue); [[neardupCompact]]
+    * folds history away and resets the timeline. Indexes predating
+    * generation tracking fail fast.
+    */
+  def neardupLookupAsOf(spark: SparkSession, idx: String,
+                        newDocs: DataFrame, gen: Long,
+                        minJ: Double = 0.2, n: Int = 3, k: Int = 16,
+                        bands: Int = 4,
+                        capBucket: Int = Int.MaxValue): DataFrame = {
+    val cur = IndexPolicy.genOf(spark, idx)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$idx predates generation tracking (no meta) — rebuild to " +
+          "enable as-of reads"))
+    require(gen >= 0L && gen <= cur,
+      s"as-of generation $gen outside [0, $cur] for $idx")
+    lookupWithSigs(spark, idx, newDocs, minJ, n, k, bands, capBucket,
+      asOf = Some(gen))._1.orderBy("a", "b")
+  }
+
   private def lookupWithSigs(spark: SparkSession, idx: String,
                              newDocs: DataFrame, minJ: Double, n: Int,
-                             k: Int, bands: Int,
-                             capBucket: Int): (DataFrame, DataFrame) = {
+                             k: Int, bands: Int, capBucket: Int,
+                             asOf: Option[Long] = None)
+      : (DataFrame, DataFrame) = {
     val (pairs, sigs, _) =
-      lookupPlan(spark, idx, newDocs, minJ, n, k, bands, capBucket)
+      lookupPlan(spark, idx, newDocs, minJ, n, k, bands, capBucket, asOf)
     // eager snapshot BEFORE any admit mutates the index — a returned
     // plan must never see the delta's own appended postings
     (pairs.localCheckpoint(), sigs)
@@ -602,7 +635,8 @@ object Dedup {
   private[graft] def lookupPlan(spark: SparkSession, idx: String,
                                 newDocs: DataFrame, minJ: Double, n: Int,
                                 k: Int, bands: Int,
-                                capBucket: Int)
+                                capBucket: Int,
+                                asOf: Option[Long] = None)
       : (DataFrame, DataFrame, DataFrame) = {
     val sigs = md5DocSig(newDocs, n, k).localCheckpoint()
     val dBand = bandedOf(sigs, k, bands)
@@ -611,14 +645,21 @@ object Dedup {
     // delta's hash buckets' directories are ever opened
     val pbs = dBand.select(pbOf(col("bucket")).as("pb")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val rawBand = spark.read.schema(bucketsSchema).parquet(s"$idx/buckets")
+    val prunedBand = spark.read.schema(bucketsSchema).parquet(s"$idx/buckets")
       .filter(if (pbs.isEmpty) lit(false)
               else col("pb").isin(pbs.toIndexedSeq: _*))
+    // as-of: rows and tombstones ABOVE the pinned generation don't
+    // exist yet from that generation's point of view
+    val rawBand = asOf.fold(prunedBand)(g =>
+      prunedBand.filter(col("gen") <= g))
     // tombstoned (removed) docs stop matching immediately: the dead-id
     // set is removal-sized and broadcasts into an anti-join over the
     // postings scan — no index file rewrite until neardupCompact
-    val iBand = liveTombstones(spark, idx).fold(rawBand)(dead =>
-      rawBand.join(broadcast(dead), Seq("doc_id"), "left_anti"))
+    val iBand = liveTombstones(spark, idx)
+      .map(d => asOf.fold(d)(g => d.filter(col("gen") <= g)))
+      .fold(rawBand)(dead =>
+        rawBand.join(broadcast(dead.select(col("doc_id"))),
+          Seq("doc_id"), "left_anti"))
     val hits = iBand
       .join(broadcast(dBand.select(col("band"), col("bucket"),
         col("doc_id").as("d"))), Seq("band", "bucket"))
@@ -661,6 +702,7 @@ object Dedup {
     val allSets = spark.read.schema(docsetsSchema).parquet(s"$idx/docsets")
       .filter(if (dbs.isEmpty) lit(false)
               else col("db").isin(dbs.toIndexedSeq: _*))
+      .filter(asOf.map(g => col("gen") <= g).getOrElse(lit(true)))
       .select(col("doc_id"), col("dset"), col("sz"), lit(0).as("ord"))
       .unionByName(sigs.select(col("doc_id"), col("dset"), col("sz"),
         lit(1).as("ord")))
@@ -703,17 +745,21 @@ object Dedup {
     * layout change (check-in results identical before and after).
     */
   def neardupRemove(spark: SparkSession, idx: String,
-                    docIds: DataFrame): Unit =
+                    docIds: DataFrame): Unit = {
+    val g = IndexPolicy.bumpGen(spark, idx)
     docIds.select(col("doc_id")).distinct()
+      .select(col("doc_id"), lit(g).as("gen"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$idx/tombstones")
+    IndexPolicy.writeGen(spark, idx, g)
+  }
 
   private def liveTombstones(spark: SparkSession,
                              idx: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$idx/tombstones")
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
       None
-    else Some(spark.read.schema("doc_id bigint").parquet(s"$idx/tombstones"))
+    else Some(spark.read.schema(ndTombSchema).parquet(s"$idx/tombstones"))
   }
 
   /** Fold-trigger policy (r13 stretch item 8): the near-dup index is
@@ -743,12 +789,14 @@ object Dedup {
     val fs = new Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val b = spark.read.schema(bucketsSchema).parquet(s"$idx/buckets")
-      .join(broadcast(dead), Seq("doc_id"), "left_anti")
-      .select(col("band"), col("pb"), col("doc_id"), col("bucket"))
+      .join(broadcast(dead.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      .select(col("band"), col("pb"), col("doc_id"), col("bucket"),
+        lit(0L).as("gen"))
       .localCheckpoint()
     val d = spark.read.schema(docsetsSchema).parquet(s"$idx/docsets")
-      .join(broadcast(dead), Seq("doc_id"), "left_anti")
-      .select(col("db"), col("doc_id"), col("dset"), col("sz"))
+      .join(broadcast(dead.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      .select(col("db"), col("doc_id"), col("dset"), col("sz"),
+        lit(0L).as("gen"))
       .localCheckpoint()
     b.repartition(col("band"), col("pb"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -757,6 +805,9 @@ object Dedup {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("db").parquet(s"$idx/docsets")
     fs.delete(new Path(s"$idx/tombstones"), true)
+    // the fold resets the as-of timeline (the ivf-retrain analogue):
+    // rewritten rows are generation 0 again
+    IndexPolicy.writeGen(spark, idx, 0L)
   }
 
   /** Registry fixture for the check-in (the bm25 lifecycle pattern):
@@ -791,6 +842,41 @@ object Dedup {
     neardupCheckIn(spark, idx,
       docs.filter(pmod(col("doc_id"), lit(4)) === 1), minJ)
   }
+
+  /** Registry row for [[neardupLookupAsOf]]: a copy of the pristine
+    * base index absorbs two mutations — gen 1 CHECKS IN the held-out
+    * quarter (doc_id ≡ 1 mod 4, admitted), gen 2 REMOVES the base
+    * docs with doc_id ≡ 0 (mod 8) — then a probe delta of re-tagged
+    * COPIES (originals with doc_id % 8 ≤ 1, ids +1000000) is looked
+    * up AS OF generation 0. The copies of removed docs must still be
+    * flagged (their tombstones don't exist at gen 0 — a misapplied
+    * tombstone loses those pairs) and the copies of gen-1-admitted
+    * docs must NOT flag against their originals (not yet indexed at
+    * gen 0 — a leaked admit row adds J=1 pairs). The oracle replays
+    * the batch md5 family over base ∪ probe copies restricted to
+    * probe pairs. Mutated fixture built once per JVM per corpus dir;
+    * the row times the generation-pinned lookup.
+    */
+  def neardupLookupAsOfRow(spark: SparkSession, dir: String,
+                           minJ: Double = 0.2): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val idx = asofIdxCache.computeIfAbsent(dir, _ => {
+      val p = s"/tmp/graft_neardup_asof_${scratchToken}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      TextAnalysis.copyIndex(spark, pristineBase(spark, dir, docs), p)
+      neardupCheckIn(spark, p,
+        docs.filter(pmod(col("doc_id"), lit(4)) === 1), minJ).count()
+      neardupRemove(spark, p,
+        docs.filter(pmod(col("doc_id"), lit(8)) === 0).select(col("doc_id")))
+      p
+    })
+    val probe = docs.filter(pmod(col("doc_id"), lit(8)) <= 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    neardupLookupAsOf(spark, idx, probe, gen = 0L, minJ)
+  }
+
+  private val asofIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Removal twin of [[neardupUpsert]]: before the check-in, the base
     * docs with doc_id ≡ 0 (mod 8) are REMOVED via [[neardupRemove]]

@@ -1,12 +1,47 @@
 package graft.operators
 
-/** The tombstone-fraction fold policy shared by the near-dup and IVF
-  * index families ([[Dedup.neardupFoldDue]], [[Similarity.ivfFoldDue]]
-  * — one predicate so the policy arithmetic cannot drift between
-  * them; bm25's segment-count budget is a genuinely different knob
-  * and stays in [[TextAnalysis]]).
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.lit
+
+/** Policy and bookkeeping shared by the index families: the
+  * tombstone-fraction fold predicate ([[Dedup.neardupFoldDue]],
+  * [[Similarity.ivfFoldDue]] — one predicate so the policy arithmetic
+  * cannot drift; bm25's segment-count budget is a genuinely different
+  * knob and stays in [[TextAnalysis]]) and the mutation-generation
+  * counter behind the as-of reads (near-dup and IVF tag every
+  * mutation; bm25's generations are its segment ordinals and need no
+  * counter).
   */
 private[operators] object IndexPolicy {
+
+  /** Current mutation generation of an index (0 = freshly built;
+    * every mutation bumps it). One-row parquet at `idx/meta`,
+    * single-writer like every index mutation here. None = the index
+    * predates generation tracking (or the dir is not an index).
+    */
+  def genOf(spark: SparkSession, idx: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$idx/meta")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      None
+    else Some(spark.read.schema("gen bigint").parquet(s"$idx/meta")
+      .head().getLong(0))
+  }
+
+  def writeGen(spark: SparkSession, idx: String, g: Long): Unit =
+    spark.range(1).select(lit(g).as("gen"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$idx/meta")
+
+  /** The generation the NEXT mutation should tag its rows with; the
+    * mutation writes it back via [[writeGen]] once its rows landed.
+    */
+  def bumpGen(spark: SparkSession, idx: String): Long =
+    genOf(spark, idx) match {
+      case Some(g) => g + 1L
+      case None => throw new IllegalArgumentException(
+        s"$idx predates generation tracking (no meta) — rebuild the " +
+          "index to enable mutations and as-of reads")
+    }
 
   /** DUE once live tombstones exceed `maxFrac` of stored rows.
     * `total` is by-name: the dead == 0 fast path (the common,

@@ -856,32 +856,14 @@ object Similarity {
     "vec_id bigint, embedding array<float>, cell bigint, gen bigint"
   private val ivfTombSchema = "vec_id bigint, gen bigint"
 
-  /** Current mutation generation of an IVF index (0 = freshly built;
-    * every append or remove bumps it — the counter behind
-    * [[ivfQueryIndexAsOf]]). One-row parquet, single-writer like
-    * every index mutation here. None = the index predates generation
-    * tracking (or the dir is not an index).
-    */
-  private def ivfGen(spark: SparkSession, idx: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$idx/meta")
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-      None
-    else Some(spark.read.schema("gen bigint").parquet(s"$idx/meta")
-      .head().getLong(0))
-  }
-
+  // mutation-generation counter shared with the near-dup family —
+  // the bookkeeping behind [[ivfQueryIndexAsOf]]
+  private def ivfGen(spark: SparkSession, idx: String): Option[Long] =
+    IndexPolicy.genOf(spark, idx)
   private def ivfWriteGen(spark: SparkSession, idx: String, g: Long): Unit =
-    spark.range(1).select(lit(g).as("gen"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$idx/meta")
-
+    IndexPolicy.writeGen(spark, idx, g)
   private def ivfBumpGen(spark: SparkSession, idx: String): Long =
-    ivfGen(spark, idx) match {
-      case Some(g) => g + 1L
-      case None => throw new IllegalArgumentException(
-        s"$idx predates generation tracking (no meta) — retrain " +
-          "(ivfWriteIndexVecs) to enable mutations and as-of reads")
-    }
+    IndexPolicy.bumpGen(spark, idx)
 
   def ivfWriteIndexVecs(spark: SparkSession, vecs: DataFrame, out: String,
                         k: Int = 8, iters: Int = 2): Unit = {

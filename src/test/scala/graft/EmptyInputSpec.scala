@@ -87,7 +87,8 @@ class EmptyInputSpec extends SparkSpec {
       "ingest_pipeline2"  -> ((s, d) => Curation.ingestPipeline2(s, d)),
       "fold_trigger"      -> ((s, d) => Curation.foldTriggerContract(s, d)),
       "bm25_serve_asof"   -> ((s, d) => TextAnalysis.bm25ServeAsOfTopK(s, d)),
-      "ivf_serve_asof"    -> ((s, d) => Similarity.ivfServeAsOf(s, d)))
+      "ivf_serve_asof"    -> ((s, d) => Similarity.ivfServeAsOf(s, d)),
+      "dedup_lookup_asof" -> ((s, d) => Dedup.neardupLookupAsOfRow(s, d)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()

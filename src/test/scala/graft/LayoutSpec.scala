@@ -442,6 +442,55 @@ class LayoutSpec extends SparkSpec {
       Similarity.ivfAppendVectors(spark, idx, all.limit(1)))
   }
 
+  test("near-dup as-of lookup: every mutation generation replays its historical pairs; compact resets the timeline") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-neardup-asof").toString
+    val idx = s"$root/idx"
+    // gen 0: docs 1-2; gen 1 checks in doc 3 (dup of 1) + novel doc
+    // 4; gen 2 removes doc 1. The probe duplicates docs 1 and 4.
+    Dedup.neardupWriteIndex(spark, Seq(
+      (1L, "a b c d e"), (2L, "x y z w v")).toDF("doc_id", "text"), idx)
+    val probe = Seq((9L, "a b c d e"), (8L, "q r s t u"))
+      .toDF("doc_id", "text").localCheckpoint()
+    def asOf(g: Long) =
+      Dedup.neardupLookupAsOf(spark, idx, probe, g)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def live() = Dedup.neardupLookup(spark, idx, probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(live() == Set((1L, 9L)))
+    Dedup.neardupCheckIn(spark, idx, Seq(
+      (3L, "a b c d e"), (4L, "q r s t u")).toDF("doc_id", "text")).count()
+    assert(live() == Set((1L, 9L), (3L, 9L), (4L, 8L)))
+    Dedup.neardupRemove(spark, idx, Seq(1L).toDF("doc_id"))
+    assert(live() == Set((3L, 9L), (4L, 8L)))
+    // each pinned generation replays its historical pairs from the
+    // SAME at-rest index that has moved on since
+    assert(asOf(0) == Set((1L, 9L)), "as-of 0 != pre-mutation pairs")
+    assert(asOf(1) == Set((1L, 9L), (3L, 9L), (4L, 8L)),
+      "as-of 1 != post-admit pairs")
+    assert(asOf(2) == live(), "as-of 2 != live pairs")
+    // generation bounds fail fast
+    intercept[IllegalArgumentException](asOf(3))
+    intercept[IllegalArgumentException](asOf(-1))
+    // compact folds the tombstone in and resets the timeline: doc 1
+    // is physically gone, history is no longer addressable
+    Dedup.neardupCompact(spark, idx)
+    intercept[IllegalArgumentException](asOf(1))
+    assert(asOf(0) == Set((3L, 9L), (4L, 8L)),
+      "post-compact gen 0 != folded state")
+    // a pre-generation-tracking index (no meta) fails fast
+    def wipe(d: java.io.File): Unit = {
+      if (d.isDirectory) d.listFiles().foreach(wipe)
+      d.delete()
+    }
+    wipe(new java.io.File(s"$idx/meta"))
+    intercept[IllegalArgumentException](asOf(0))
+    intercept[IllegalArgumentException](
+      Dedup.neardupRemove(spark, idx, Seq(2L).toDF("doc_id")))
+  }
+
   test("near-dup check-in: index never rewritten, pairs found across check-ins") {
     import graft.operators.Dedup
     import spark.implicits._
