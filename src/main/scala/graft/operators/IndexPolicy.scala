@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.lit
 
 /** Policy and bookkeeping shared by the index families: the
   * tombstone-fraction fold predicate ([[Dedup.neardupFoldDue]],
@@ -15,22 +14,33 @@ import org.apache.spark.sql.functions.lit
 private[operators] object IndexPolicy {
 
   /** Current mutation generation of an index (0 = freshly built;
-    * every mutation bumps it). One-row parquet at `idx/meta`,
-    * single-writer like every index mutation here. None = the index
+    * every mutation bumps it). A plain one-line text file at
+    * `idx/meta` — raw FileSystem I/O, NOT a Spark job: the counter
+    * rides every mutation, and two driver jobs for one long would be
+    * measurable fixture-scale overhead on the check-in family.
+    * Single-writer like every index mutation here. None = the index
     * predates generation tracking (or the dir is not an index).
     */
   def genOf(spark: SparkSession, idx: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(s"$idx/meta")
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-      None
-    else Some(spark.read.schema("gen bigint").parquet(s"$idx/meta")
-      .head().getLong(0))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0L, buf) finally in.close()
+      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        .trim.toLong)
+    }
   }
 
-  def writeGen(spark: SparkSession, idx: String, g: Long): Unit =
-    spark.range(1).select(lit(g).as("gen"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$idx/meta")
+  def writeGen(spark: SparkSession, idx: String, g: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$idx/meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(g.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** The generation the NEXT mutation should tag its rows with; the
     * mutation writes it back via [[writeGen]] once its rows landed.
