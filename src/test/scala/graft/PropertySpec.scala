@@ -155,6 +155,43 @@ class PropertySpec extends SparkSpec {
     assert(totalSuppressed > 0, "removal never suppressed a pair — vacuous")
   }
 
+  test("near-dup as-of: every generation == reference over that generation's corpus, on random corpora") {
+    import graft.operators.Dedup
+    var moved = 0
+    samples(neardupCorpusGen, 4).zipWithIndex.foreach { case (texts, ci) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val (delta, base) = docs.partition(_._1 % 3 == 0)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-prop-ndasof").toString + "/idx"
+      Dedup.neardupWriteIndex(spark, base.toDF("doc_id", "text"), idx)  // gen 0
+      Dedup.neardupCheckIn(spark, idx,
+        delta.toDF("doc_id", "text")).count()                           // gen 1
+      val removed = base.map(_._1).filter(_ % 2 == 0)
+      Dedup.neardupRemove(spark, idx, removed.toDF("doc_id"))           // gen 2
+      // probe with near-copies of every original: each pinned
+      // generation must flag exactly what the reference computes over
+      // THAT generation's corpus
+      val probes = docs.map { case (id, t) => (id + 1000L, t) }
+      val pids = probes.map(_._1).toSet
+      def asOf(g: Long) = Dedup
+        .neardupLookupAsOf(spark, idx, probes.toDF("doc_id", "text"), g)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want0 = referencePairs(base ++ probes, pids)
+      val want1 = referencePairs(base ++ delta ++ probes, pids)
+      val want2 = referencePairs(
+        base.filterNot(d => removed.contains(d._1)) ++ delta ++ probes, pids)
+      assert(asOf(0) == want0, s"corpus $ci gen 0: texts=$texts")
+      assert(asOf(1) == want1, s"corpus $ci gen 1: texts=$texts")
+      assert(asOf(2) == want2, s"corpus $ci gen 2: texts=$texts")
+      val live = Dedup.neardupLookup(spark, idx, probes.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(asOf(2) == live, s"corpus $ci: newest as-of != live lookup")
+      if (want0 != want1 || want1 != want2) moved += 1
+    }
+    assert(moved > 0,
+      "no corpus's pairs changed across generations — vacuous property")
+  }
+
   // capped twin of [[referencePairs]]: index-side candidates only
   // from buckets whose INDEX posting count is <= cap (the
   // neardupCheckIn capBucket contract); delta-delta pairs uncapped
