@@ -431,8 +431,13 @@ object Curation {
        else Seq(Future(bm25Section()), Future(ndSection()))) ++
       (if (vecsEmpty) Seq.empty else Seq(Future(ivfSection())))
     // await ALL sections before any rethrow — failing fast would
-    // leave sibling sections still mutating their fixture copies
+    // leave sibling sections still mutating their fixture copies;
+    // sibling failures ride along as suppressed exceptions
     val tried = sections.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    tried.collect { case scala.util.Failure(e) => e } match {
+      case Seq() =>
+      case first +: rest => rest.foreach(first.addSuppressed); throw first
+    }
     val rows = tried.flatMap(_.get)
     rows.toDF("metric", "ok").orderBy("metric")
   }

@@ -571,8 +571,11 @@ object Dedup {
     // in-flight sibling write
     val rb = scala.util.Try(Await.result(wb, Duration.Inf))
     val rd = scala.util.Try(Await.result(wd, Duration.Inf))
-    rb.get; rd.get
-    IndexPolicy.writeGen(spark, idx, g)
+    (rb, rd) match {
+      case (scala.util.Failure(e1), scala.util.Failure(e2)) =>
+        e1.addSuppressed(e2); throw e1
+      case _ => rb.get; rd.get
+    }
     pairs.orderBy("a", "b")
   }
 
@@ -751,7 +754,6 @@ object Dedup {
       .select(col("doc_id"), lit(g).as("gen"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$idx/tombstones")
-    IndexPolicy.writeGen(spark, idx, g)
   }
 
   private def liveTombstones(spark: SparkSession,

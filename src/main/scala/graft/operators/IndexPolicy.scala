@@ -34,20 +34,36 @@ private[operators] object IndexPolicy {
     }
   }
 
+  /** Temp-write + checked rename (the bm25 dir-swap discipline): an
+    * in-place truncate would destroy the counter on a crash
+    * mid-write. A crash between the delete and the rename leaves no
+    * meta — genOf returns None and everything fails FAST instead of
+    * reading a torn value.
+    */
   def writeGen(spark: SparkSession, idx: String, g: Long): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$idx/meta")
+    val tmp = new org.apache.hadoop.fs.Path(s"$idx/.meta_tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val out = fs.create(tmp, true)
     try out.write(g.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    require(!fs.exists(p) || fs.delete(p, false),
+      s"writeGen: could not clear $p")
+    require(fs.rename(tmp, p), s"writeGen: rename $tmp -> $p failed")
   }
 
-  /** The generation the NEXT mutation should tag its rows with; the
-    * mutation writes it back via [[writeGen]] once its rows landed.
+  /** Allocate the generation the next mutation tags its rows with —
+    * and COMMIT it to meta before any row lands. Meta-first ordering
+    * means a crashed mutation leaves at worst a partial (or empty)
+    * generation pinned at its OWN number; commit-after-rows would let
+    * the next mutation re-allocate the number and silently merge the
+    * orphan rows into an unrelated generation.
     */
   def bumpGen(spark: SparkSession, idx: String): Long =
     genOf(spark, idx) match {
-      case Some(g) => g + 1L
+      case Some(g) =>
+        writeGen(spark, idx, g + 1L)
+        g + 1L
       case None => throw new IllegalArgumentException(
         s"$idx predates generation tracking (no meta) — rebuild the " +
           "index to enable mutations and as-of reads")

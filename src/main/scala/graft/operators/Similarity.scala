@@ -856,15 +856,6 @@ object Similarity {
     "vec_id bigint, embedding array<float>, cell bigint, gen bigint"
   private val ivfTombSchema = "vec_id bigint, gen bigint"
 
-  // mutation-generation counter shared with the near-dup family —
-  // the bookkeeping behind [[ivfQueryIndexAsOf]]
-  private def ivfGen(spark: SparkSession, idx: String): Option[Long] =
-    IndexPolicy.genOf(spark, idx)
-  private def ivfWriteGen(spark: SparkSession, idx: String, g: Long): Unit =
-    IndexPolicy.writeGen(spark, idx, g)
-  private def ivfBumpGen(spark: SparkSession, idx: String): Long =
-    IndexPolicy.bumpGen(spark, idx)
-
   def ivfWriteIndexVecs(spark: SparkSession, vecs: DataFrame, out: String,
                         k: Int = 8, iters: Int = 2): Unit = {
     // a retrain must yield a FRESH index: Overwrite replaces
@@ -892,7 +883,7 @@ object Similarity {
     // generation 0: the dir-delete above already erased any prior
     // history — a retrain resets the as-of timeline by design (the
     // bm25Compact analogue)
-    ivfWriteGen(spark, out, 0L)
+    IndexPolicy.writeGen(spark, out, 0L)
   }
 
   /** O(delta) vector upsert into the at-rest IVF index — the FAISS
@@ -911,7 +902,7 @@ object Similarity {
     */
   def ivfAppendVectors(spark: SparkSession, idx: String,
                        vecs: DataFrame): Unit = {
-    val g = ivfBumpGen(spark, idx)
+    val g = IndexPolicy.bumpGen(spark, idx)
     val cents = spark.read.schema(centroidsSchema).parquet(s"$idx/centroids")
     val vq = vecs.select(col("vec_id"), col("embedding"),
       transform(col("embedding"),
@@ -928,7 +919,6 @@ object Similarity {
         col("embedding"), lit(g).as("gen"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("cell").parquet(s"$idx/lists")
-    ivfWriteGen(spark, idx, g)
   }
 
   /** REMOVE vectors from the at-rest IVF index — the FAISS
@@ -942,12 +932,11 @@ object Similarity {
     * retrain cadence.
     */
   def ivfRemove(spark: SparkSession, idx: String, ids: DataFrame): Unit = {
-    val g = ivfBumpGen(spark, idx)
+    val g = IndexPolicy.bumpGen(spark, idx)
     ids.select(col("vec_id")).distinct()
       .select(col("vec_id"), lit(g).as("gen"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$idx/tombstones")
-    ivfWriteGen(spark, idx, g)
   }
 
   private def ivfTombstones(spark: SparkSession,
@@ -1007,7 +996,8 @@ object Similarity {
   def ivfQueryIndexAsOf(spark: SparkSession, dir: String, idx: String,
                         gen: Long, nQueries: Int = 8, kNN: Int = 5,
                         nProbe: Int = 2): DataFrame = {
-    val cur = ivfGen(spark, idx).getOrElse(throw new IllegalArgumentException(
+    val cur = IndexPolicy.genOf(spark, idx)
+      .getOrElse(throw new IllegalArgumentException(
       s"$idx predates generation tracking (no meta) — retrain to " +
         "enable as-of reads"))
     require(gen >= 0L && gen <= cur,

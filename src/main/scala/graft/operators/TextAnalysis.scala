@@ -606,12 +606,8 @@ object TextAnalysis {
     */
   def bm25QueryIndexAsOf(spark: SparkSession, idx: String, gen: Int,
                          terms: Seq[String], k: Int,
-                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val nSegs = segmentDirs(spark, idx).size
-    require(gen >= 0 && gen <= nSegs,
-      s"as-of generation $gen outside [0, $nSegs] for $idx")
+                         k1: Double = 1.2, b: Double = 0.75): DataFrame =
     bm25QueryAt(spark, idx, terms, k, k1, b, gen = Some(gen))
-  }
 
   private def bm25QueryAt(spark: SparkSession, idx: String,
                           terms: Seq[String], k: Int,
@@ -625,23 +621,28 @@ object TextAnalysis {
     val live = terms.filter(_.nonEmpty)
     val buckets = live.map(_.take(1)).distinct
     val tks = live.map(tkOf).distinct
-    val post = postingsView(spark, idx, buckets, tks, terms, gen).drop("ord")
-    val tdf = termsView(spark, idx, buckets, tks, terms, gen)
+    // the segments directory is listed ONCE per serve (an RPC on an
+    // object store) and threaded through the views; the as-of path
+    // validates its bounds and takes its prefix here
+    val allSegs = segmentDirs(spark, idx)
+    gen.foreach(g => require(g >= 0 && g <= allSegs.size,
+      s"as-of generation $g outside [0, ${allSegs.size}] for $idx"))
+    val segs = gen.fold(allSegs)(allSegs.take)
+    val post =
+      postingsView(spark, idx, buckets, tks, terms, Some(segs)).drop("ord")
+    val tdf = termsView(spark, idx, buckets, tks, terms, Some(segs))
     // stats at gen g = the PRE-append snapshot of the first EXCLUDED
     // segment; the newest gen (and the no-gen serve) reads the live
     // stats the appends kept exact
     val statsPath = gen match {
-      case Some(g) =>
-        val segs = segmentDirs(spark, idx)
-        if (g < segs.size) {
-          val p = new org.apache.hadoop.fs.Path(s"${segs(g)}/stats_before")
-          require(p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .exists(p),
-            s"${segs(g)} predates as-of support (no stats_before " +
-              "snapshot) — compact or rebuild the index")
-          s"${segs(g)}/stats_before"
-        } else s"$idx/stats"
-      case None => s"$idx/stats"
+      case Some(g) if g < allSegs.size =>
+        val p = new org.apache.hadoop.fs.Path(s"${allSegs(g)}/stats_before")
+        require(p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(p),
+          s"${allSegs(g)} predates as-of support (no stats_before " +
+            "snapshot) — compact or rebuild the index")
+        s"${allSegs(g)}/stats_before"
+      case _ => s"$idx/stats"
     }
     val stats = spark.read.schema("n_docs bigint, avgdl double")
       .parquet(statsPath)
@@ -687,21 +688,21 @@ object TextAnalysis {
   private def postingsView(spark: SparkSession, idx: String,
                            buckets: Seq[String], tks: Seq[Int],
                            terms: Seq[String],
-                           upTo: Option[Int] = None): DataFrame =
+                           segsIn: Option[Seq[String]] = None): DataFrame =
     postingsViewWhere(spark, idx, df => {
       val b = df.filter(col("tb").isin(buckets: _*))
       val t = if (tks.isEmpty) b else b.filter(col("tk").isin(tks: _*))
       if (terms.isEmpty) t else t.filter(col("term").isin(terms: _*))
-    }, upTo)
+    }, segsIn)
 
   private def postingsViewWhere(spark: SparkSession, idx: String,
                                 pruned: DataFrame => DataFrame,
-                                upTo: Option[Int] = None): DataFrame = {
+                                segsIn: Option[Seq[String]] = None)
+      : DataFrame = {
     def readPost(p: String, ord: Long): DataFrame =
       pruned(spark.read.schema(postingsSchema).parquet(s"$p/postings"))
         .withColumn("ord", lit(ord))
-    val allSegs = segmentDirs(spark, idx)
-    val segs = upTo.fold(allSegs)(allSegs.take)
+    val segs = segsIn.getOrElse(segmentDirs(spark, idx))
     val all = (readPost(idx, 0L) +: segs.zipWithIndex.map { case (s, i) =>
       readPost(s, i + 1L) }).reduce(_ unionByName _)
     if (segs.isEmpty) all
@@ -724,7 +725,7 @@ object TextAnalysis {
   private def termsView(spark: SparkSession, idx: String,
                         buckets: Seq[String], tks: Seq[Int],
                         terms: Seq[String],
-                        upTo: Option[Int] = None): DataFrame = {
+                        segsIn: Option[Seq[String]] = None): DataFrame = {
     def readTerms(p: String): DataFrame = {
       val b = spark.read.schema(termsSchema)
         .parquet(s"$p/terms").filter(col("tb").isin(buckets: _*))
@@ -732,8 +733,7 @@ object TextAnalysis {
       (if (terms.isEmpty) t else t.filter(col("term").isin(terms: _*)))
         .select(col("term"), col("df"))
     }
-    val allSegs = segmentDirs(spark, idx)
-    val segs = upTo.fold(allSegs)(allSegs.take)
+    val segs = segsIn.getOrElse(segmentDirs(spark, idx))
     val all = (readTerms(idx) +: segs.map(readTerms)).reduce(_ unionByName _)
     if (segs.isEmpty) all
     else all.groupBy(col("term")).agg(sum(col("df")).as("df"))

@@ -12,6 +12,14 @@ class LayoutSpec extends SparkSpec {
 
   private val partDir = "/tmp/graft_test_docs_by_lang"
 
+  /** Recursive delete for the as-of fail-fast cases (legacy-index
+    * simulation: remove a stats_before snapshot or a meta counter).
+    */
+  private def wipe(d: java.io.File): Unit = {
+    if (d.isDirectory) d.listFiles().foreach(wipe)
+    d.delete()
+  }
+
   test("partitionBy write + lang filter prunes partitions, same rows") {
     Layout.writePartitionedDocs(spark, sf, partDir)
     val sliced = Layout.langSlice(spark, partDir, "en")
@@ -292,10 +300,6 @@ class LayoutSpec extends SparkSpec {
     // a segment without the stats snapshot (pre-feature index) fails
     // fast instead of serving wrong stats
     val legacy = new java.io.File(s"$idx/segments/seg-00001/stats_before")
-    def wipe(d: java.io.File): Unit = {
-      if (d.isDirectory) d.listFiles().foreach(wipe)
-      d.delete()
-    }
     wipe(legacy)
     intercept[IllegalArgumentException](asOf(0))
     // compact folds segments into the base: history is gone BY DESIGN
@@ -432,10 +436,6 @@ class LayoutSpec extends SparkSpec {
     assert(asOf(0) == serve0, "post-retrain gen 0 != fresh-build serve")
     // a pre-generation-tracking index (no meta) fails fast instead of
     // serving an unpinnable ranking
-    def wipe(d: java.io.File): Unit = {
-      if (d.isDirectory) d.listFiles().foreach(wipe)
-      d.delete()
-    }
     wipe(new java.io.File(s"$idx/meta"))
     intercept[IllegalArgumentException](asOf(0))
     intercept[IllegalArgumentException](
@@ -481,10 +481,6 @@ class LayoutSpec extends SparkSpec {
     assert(asOf(0) == Set((3L, 9L), (4L, 8L)),
       "post-compact gen 0 != folded state")
     // a pre-generation-tracking index (no meta) fails fast
-    def wipe(d: java.io.File): Unit = {
-      if (d.isDirectory) d.listFiles().foreach(wipe)
-      d.delete()
-    }
     wipe(new java.io.File(s"$idx/meta"))
     intercept[IllegalArgumentException](asOf(0))
     intercept[IllegalArgumentException](
