@@ -39,7 +39,7 @@ object SparkEntry {
     "ivf_retrain_topk", "ivf_serve_asof",
     "dedup_checkin", "dedup_checkin_removed", "dedup_checkin_capped",
     "dedup_lookup_asof",
-    "ingest_pipeline", "ingest_pipeline2", "fold_trigger",
+    "ingest_pipeline", "ingest_pipeline2", "fold_trigger", "index_health",
     // r13: edges via driver-orchestrated distributed rank selection
     "histogram_equidepth")
 
@@ -233,6 +233,7 @@ object SparkEntry {
     // quiet on pristine, fires over budget, clears after the fold,
     // fold preserves/restores semantics (raw margins to stderr)
     "fold_trigger" -> ((s, d) => Curation.foldTriggerContract(s, d)),
+    "index_health" -> ((s, d) => Curation.indexHealth(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashPairsMd5(s, d)),
     "dedup_blocks"  -> ((s, d) => Dedup.blockDedup(s, d)),
@@ -2514,6 +2515,45 @@ object SparkEntry {
         |FROM inter JOIN dsz za ON za.doc_id = a JOIN dsz zb ON zb.doc_id = b
         |WHERE round(i / CAST(za.sz + zb.sz - i AS DOUBLE), 6) >= 0.2
         |ORDER BY a, b""".stripMargin,
+    // index-estate health card: every count replays from the corpus
+    // (the fixture mutation sets are fixed pmod slices) and the
+    // fold-due flags derive from those counts — wrong count or wrong
+    // flag, the hash breaks. bm25_n_docs counts docs with >=1 alpha
+    // token (the tokenizer's postings predicate); nd_docsets counts
+    // docs with >=3 whitespace tokens (the shingler's predicate)
+    "index_health" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE doc_id < 500 AND doc_id % 10 < 3),
+        |v AS (SELECT vec_id FROM embeddings
+        |      WHERE vec_id < 200 AND vec_id % 10 < 3),
+        |alpha AS (SELECT doc_id FROM d WHERE len(list_filter(
+        |  string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) >= 1),
+        |sig AS (SELECT doc_id FROM d WHERE len(list_filter(
+        |  string_split_regex(text, '\s+'), x -> x <> '')) >= 3),
+        |c AS (SELECT
+        |  (SELECT count(*) FROM alpha) AS alpha_n,
+        |  (SELECT count(*) FROM alpha WHERE doc_id % 7 = 1) AS alpha_app,
+        |  (SELECT count(*) FROM sig) AS sig_n,
+        |  (SELECT count(*) FROM sig WHERE doc_id % 7 = 2) AS sig_app,
+        |  (SELECT count(*) FROM d WHERE doc_id % 5 = 0) AS nd_tomb,
+        |  (SELECT count(*) FROM v) AS v_n,
+        |  (SELECT count(*) FROM v WHERE vec_id % 9 = 5) AS v_app,
+        |  (SELECT count(*) FROM v WHERE vec_id % 5 = 0) AS v_tomb)
+        |SELECT metric, value FROM (
+        |  SELECT 'bm25_segments' AS metric, CAST(1 AS BIGINT) AS value FROM c
+        |  UNION ALL SELECT 'bm25_n_docs', alpha_n + alpha_app FROM c
+        |  UNION ALL SELECT 'bm25_fold_due', CAST(1 AS BIGINT) FROM c
+        |  UNION ALL SELECT 'nd_docsets', sig_n + sig_app FROM c
+        |  UNION ALL SELECT 'nd_tombstones', nd_tomb FROM c
+        |  UNION ALL SELECT 'nd_gen', CAST(2 AS BIGINT) FROM c
+        |  UNION ALL SELECT 'nd_fold_due',
+        |    CASE WHEN nd_tomb * 10 > sig_n + sig_app THEN 1 ELSE 0 END FROM c
+        |  UNION ALL SELECT 'ivf_lists', v_n + v_app FROM c
+        |  UNION ALL SELECT 'ivf_tombstones', v_tomb FROM c
+        |  UNION ALL SELECT 'ivf_gen', CAST(2 AS BIGINT) FROM c
+        |  UNION ALL SELECT 'ivf_fold_due',
+        |    CASE WHEN v_tomb * 10 > v_n + v_app THEN 1 ELSE 0 END FROM c)
+        |ORDER BY metric""".stripMargin,
     // as-of (generation-pinned) lookup: the index has absorbed the
     // quarter check-in (gen 1) and the doc_id%8=0 removals (gen 2)
     // since, but a probe of re-tagged copies looked up AS OF

@@ -304,9 +304,15 @@ object Curation {
     * many threads; these fixture jobs don't saturate local[32]) —
     * row wall-clock is the slowest family, not the sum of three.
     */
-  def foldTriggerContract(spark: SparkSession, dir: String)
-      : DataFrame = {
-    import spark.implicits._
+  /** The fixed-size fixture slices and pristine per-JVM bases shared
+    * by [[foldTriggerContract]] and [[indexHealth]]: (docs, vecs,
+    * docsEmpty, vecsEmpty, bmBase, ndBase, ivfBase). An absent
+    * MODALITY builds no bases and its families emit no rows;
+    * emptiness is invocation-invariant, so probed once per JVM per
+    * corpus dir.
+    */
+  private def foldFixture(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Boolean, Boolean, String, String, String) = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
@@ -314,25 +320,32 @@ object Curation {
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
       .filter(col("vec_id") < 200 && pmod(col("vec_id"), lit(10)) < 3)
-    // an absent MODALITY has no indexes to police — its families emit
-    // no rows (a fully empty corpus emits none at all, like every
-    // contract fixture; EmptyInputSpec representative). Emptiness is
-    // invocation-invariant, so probed once per JVM per corpus dir.
     val (docsEmpty, vecsEmpty) = foldEmptyCache.computeIfAbsent(dir, _ =>
       (docs.isEmpty, vecs.isEmpty))
+    val (bm, nd, iv) =
+      if (docsEmpty && vecsEmpty) ("", "", "")
+      else foldBaseCache.computeIfAbsent(dir, _ => {
+        val bm = s"/tmp/graft_fold_bmbase_${ingestToken}_$tag"
+        val nd = s"/tmp/graft_fold_ndbase_${ingestToken}_$tag"
+        if (!docsEmpty) {
+          TextAnalysis.bm25WriteIndexDocs(spark, docs, bm)
+          Dedup.neardupWriteIndex(spark, docs, nd)
+        }
+        val iv = s"/tmp/graft_fold_ivfbase_${ingestToken}_$tag"
+        if (!vecsEmpty) Similarity.ivfWriteIndexVecs(spark, vecs, iv)
+        (bm, nd, iv)
+      })
+    (docs, vecs, docsEmpty, vecsEmpty, bm, nd, iv)
+  }
+
+  def foldTriggerContract(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (docs, vecs, docsEmpty, vecsEmpty, bmBase, ndBase, ivfBase) =
+      foldFixture(spark, dir)
     if (docsEmpty && vecsEmpty)
       return Seq.empty[(String, Boolean)].toDF("metric", "ok")
-    val (bmBase, ndBase, ivfBase) = foldBaseCache.computeIfAbsent(dir, _ => {
-      val bm = s"/tmp/graft_fold_bmbase_${ingestToken}_$tag"
-      val nd = s"/tmp/graft_fold_ndbase_${ingestToken}_$tag"
-      if (!docsEmpty) {
-        TextAnalysis.bm25WriteIndexDocs(spark, docs, bm)
-        Dedup.neardupWriteIndex(spark, docs, nd)
-      }
-      val iv = s"/tmp/graft_fold_ivfbase_${ingestToken}_$tag"
-      if (!vecsEmpty) Similarity.ivfWriteIndexVecs(spark, vecs, iv)
-      (bm, nd, iv)
-    })
     def timedServe[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
@@ -441,6 +454,65 @@ object Curation {
     val rows = tried.flatMap(_.get)
     rows.toDF("metric", "ok").orderBy("metric")
   }
+
+  /** Index-estate health card — the observability twin of
+    * [[foldTriggerContract]]: the COUNTS the fold policies read
+    * (stored rows, live tombstones, segment count, mutation
+    * generation) plus the fold-due flags derived from them, over a
+    * deterministically mutated estate of all three families (bm25:
+    * one segment appended; near-dup: one check-in + one removal;
+    * IVF: one append + one removal — the mutation sets are fixed
+    * pmod slices, so every count replays in SQL and a wrong count or
+    * a wrong flag breaks the oracle hash). Absent modalities emit no
+    * rows. Mutated estate built once per JVM per corpus dir; warm
+    * invocations read parquet footers + three 1-row metas.
+    */
+  def indexHealth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (docs, vecs, docsEmpty, vecsEmpty, bmBase, ndBase, ivfBase) =
+      foldFixture(spark, dir)
+    if (docsEmpty && vecsEmpty)
+      return Seq.empty[(String, Long)].toDF("metric", "value")
+    val (bm, nd, iv) = healthCache.computeIfAbsent(dir, _ => {
+      val bm = s"/tmp/graft_health_bm_${ingestToken}_$tag"
+      val nd = s"/tmp/graft_health_nd_${ingestToken}_$tag"
+      if (!docsEmpty) {
+        TextAnalysis.copyIndex(spark, bmBase, bm)
+        TextAnalysis.bm25AppendSegment(spark, bm,
+          docs.filter(pmod(col("doc_id"), lit(7)) === 1)
+            .select((col("doc_id") + 10000L).as("doc_id"), col("text")),
+          docs.limit(0))
+        TextAnalysis.copyIndex(spark, ndBase, nd)
+        Dedup.neardupCheckIn(spark, nd,
+          docs.filter(pmod(col("doc_id"), lit(7)) === 2)
+            .select((col("doc_id") + 20000L).as("doc_id"), col("text")))
+          .count()
+        Dedup.neardupRemove(spark, nd,
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0).select(col("doc_id")))
+      }
+      val iv = s"/tmp/graft_health_ivf_${ingestToken}_$tag"
+      if (!vecsEmpty) {
+        TextAnalysis.copyIndex(spark, ivfBase, iv)
+        Similarity.ivfAppendVectors(spark, iv,
+          vecs.filter(pmod(col("vec_id"), lit(9)) === 5)
+            .select((col("vec_id") + 1000000L).as("vec_id"),
+              col("embedding")))
+        Similarity.ivfRemove(spark, iv,
+          vecs.filter(pmod(col("vec_id"), lit(5)) === 0).select(col("vec_id")))
+      }
+      (bm, nd, iv)
+    })
+    val rows =
+      (if (docsEmpty) Seq.empty
+       else TextAnalysis.bm25Health(spark, bm) ++
+         Dedup.neardupHealth(spark, nd)) ++
+      (if (vecsEmpty) Seq.empty else Similarity.ivfHealth(spark, iv))
+    rows.toDF("metric", "value").orderBy("metric")
+  }
+
+  private val healthCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
 
   private val foldEmptyCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Boolean)]()

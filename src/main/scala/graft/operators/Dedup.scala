@@ -778,6 +778,25 @@ object Dedup {
       spark.read.schema(docsetsSchema).parquet(s"$idx/docsets").count(),
       maxFrac)
 
+  /** Footer-count health of a near-dup index — what an operator (or
+    * [[Curation.indexHealth]]) reads before deciding to fold: stored
+    * docsets rows, live tombstones, the mutation generation, and the
+    * fold-due flag the policy derives from them. Footer row-counts +
+    * one meta read; no data pages.
+    */
+  def neardupHealth(spark: SparkSession, idx: String,
+                    maxFrac: Double = 0.1): Seq[(String, Long)] = {
+    val rows = spark.read.schema(docsetsSchema)
+      .parquet(s"$idx/docsets").count()
+    val dead = liveTombstones(spark, idx).map(_.count()).getOrElse(0L)
+    Seq(
+      "nd_docsets" -> rows,
+      "nd_tombstones" -> dead,
+      "nd_gen" -> IndexPolicy.genOf(spark, idx).getOrElse(-1L),
+      "nd_fold_due" ->
+        (if (IndexPolicy.tombstoneFoldDue(dead, rows, maxFrac)) 1L else 0L))
+  }
+
   /** Physically drop tombstoned docs: rewrite `buckets` and
     * `docsets` without them (corpus-order, the rebuild-shaped
     * amortization — exactly like [[TextAnalysis.bm25Compact]]), then

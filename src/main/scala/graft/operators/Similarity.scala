@@ -962,6 +962,23 @@ object Similarity {
       spark.read.schema(listsSchema).parquet(s"$idx/lists").count(),
       maxFrac)
 
+  /** Footer-count health of an IVF index (the
+    * [[graft.operators.Dedup.neardupHealth]] twin): stored list
+    * rows, live tombstones, the mutation generation, and the
+    * fold-due flag the retrain policy derives from them.
+    */
+  def ivfHealth(spark: SparkSession, idx: String,
+                maxFrac: Double = 0.1): Seq[(String, Long)] = {
+    val rows = spark.read.schema(listsSchema).parquet(s"$idx/lists").count()
+    val dead = ivfTombstones(spark, idx).map(_.count()).getOrElse(0L)
+    Seq(
+      "ivf_lists" -> rows,
+      "ivf_tombstones" -> dead,
+      "ivf_gen" -> IndexPolicy.genOf(spark, idx).getOrElse(-1L),
+      "ivf_fold_due" ->
+        (if (IndexPolicy.tombstoneFoldDue(dead, rows, maxFrac)) 1L else 0L))
+  }
+
   /** Serve top-k from the at-rest index: route each query to its
     * nProbe nearest centroids (exact integer math — bit-identical to
     * the oracle's routing), then scan ONLY those cells' directories.

@@ -1032,6 +1032,23 @@ object TextAnalysis {
                   maxSegments: Int = 3): Boolean =
     segmentDirs(spark, idx).size > maxSegments
 
+  /** Health of a bm25 index (the [[graft.operators.Dedup
+    * .neardupHealth]] twin): segment count, the exact corpus doc
+    * count the stats table carries, and the fold-due flag the
+    * compaction policy derives. One directory listing + a 1-row
+    * stats read.
+    */
+  def bm25Health(spark: SparkSession, idx: String,
+                 maxSegments: Int = 0): Seq[(String, Long)] = {
+    val segs = segmentDirs(spark, idx).size.toLong
+    val nDocs = spark.read.schema("n_docs bigint, avgdl double")
+      .parquet(s"$idx/stats").head().getLong(0)
+    Seq(
+      "bm25_segments" -> segs,
+      "bm25_n_docs" -> nDocs,
+      "bm25_fold_due" -> (if (segs > maxSegments) 1L else 0L))
+  }
+
   /** Fold every segment into the base index: rewrite exactly the
     * letters the segments touched (their postings' letters plus the
     * letters of tombstoned docs' terms, which the signed df deltas

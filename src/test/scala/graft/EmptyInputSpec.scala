@@ -88,7 +88,8 @@ class EmptyInputSpec extends SparkSpec {
       "fold_trigger"      -> ((s, d) => Curation.foldTriggerContract(s, d)),
       "bm25_serve_asof"   -> ((s, d) => TextAnalysis.bm25ServeAsOfTopK(s, d)),
       "ivf_serve_asof"    -> ((s, d) => Similarity.ivfServeAsOf(s, d)),
-      "dedup_lookup_asof" -> ((s, d) => Dedup.neardupLookupAsOfRow(s, d)))
+      "dedup_lookup_asof" -> ((s, d) => Dedup.neardupLookupAsOfRow(s, d)),
+      "index_health"      -> ((s, d) => Curation.indexHealth(s, d)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()
@@ -211,6 +212,11 @@ class EmptyInputSpec extends SparkSpec {
       s"docs-only corpus emitted non-text rows: ${textOnly.map(_._1)}")
     assert(textOnly.size == 9 && textOnly.forall(_._2),
       s"docs-only families not all green: $textOnly")
+    val healthTextOnly = Curation.indexHealth(spark, mixedDir(true))
+      .collect().map(_.getString(0))
+    assert(healthTextOnly.nonEmpty && healthTextOnly.forall(m =>
+      m.startsWith("bm25_") || m.startsWith("nd_")),
+      s"docs-only health emitted non-text rows: ${healthTextOnly.toSeq}")
     val vecOnly = Curation.foldTriggerContract(spark, mixedDir(false))
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toSeq
     assert(vecOnly.map(_._1).forall(_.startsWith("ivf_")),
