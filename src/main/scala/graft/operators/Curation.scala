@@ -505,7 +505,10 @@ object Curation {
     })
     val rows =
       (if (docsEmpty) Seq.empty
-       else TextAnalysis.bm25Health(spark, bm) ++
+       else TextAnalysis.bm25Health(spark, bm, maxSegments = 0) ++
+         // the card pins a deliberately STRICT segment budget (0) so
+         // the one-segment estate demonstrably fires the flag; the
+         // policy default lives in TextAnalysis.defaultMaxSegments
          Dedup.neardupHealth(spark, nd)) ++
       (if (vecsEmpty) Seq.empty else Similarity.ivfHealth(spark, iv))
     rows.toDF("metric", "value").orderBy("metric")

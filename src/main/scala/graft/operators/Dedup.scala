@@ -456,6 +456,19 @@ object Dedup {
   // they only shape directories, results are layout-invariant)
   private val nPb = 8
   private val nDb = 8
+  /** The layout stamp written at build and validated by every reader
+    * and mutation (r15 ADVICE, medium): an index written under
+    * different hash constants would otherwise be silently misread —
+    * a delta's pb computed mod 8 misses rows stored under pb 8..15,
+    * partial results, no error. The query-family params (n/k/bands)
+    * are stamped too: a lookup shingling differently than the build
+    * compares incomparable signatures.
+    */
+  private def ndLayout(n: Int, k: Int, bands: Int): Seq[(String, Long)] =
+    Seq("v" -> 1L, "nPb" -> nPb.toLong, "nDb" -> nDb.toLong,
+      "n" -> n.toLong, "k" -> k.toLong, "bands" -> bands.toLong)
+  private val ndLayoutBase: Seq[(String, Long)] =
+    Seq("v" -> 1L, "nPb" -> nPb.toLong, "nDb" -> nDb.toLong)
   private def pbOf(bucket: org.apache.spark.sql.Column) =
     pmod(xxhash64(bucket), lit(nPb)).cast("int")
   private def dbOf(docId: org.apache.spark.sql.Column) =
@@ -490,6 +503,11 @@ object Dedup {
     // generation 0 (the dir-delete above erased any prior history) —
     // the counter behind [[neardupLookupAsOf]]
     IndexPolicy.writeGen(spark, idx, 0L)
+    IndexPolicy.commitGen(spark, idx, 0L)
+    // layout stamp LAST: it doubles as the build-commit marker — a
+    // build that crashed above left no stamp and every reader fails
+    // fast instead of consuming a partial index
+    IndexPolicy.writeLayout(spark, idx, ndLayout(n, k, bands))
   }
 
   /** Check a document delta in against the at-rest index: emit every
@@ -576,6 +594,11 @@ object Dedup {
         e1.addSuppressed(e2); throw e1
       case _ => rb.get; rd.get
     }
+    // both appends landed — COMMIT the generation (r15 ADVICE): a
+    // crash before this line leaves committed at g-1, so readers
+    // treat the partial generation as never having happened instead
+    // of silently dropping pairs whose docsets rows are missing
+    IndexPolicy.commitGen(spark, idx, g)
     pairs.orderBy("a", "b")
   }
 
@@ -606,7 +629,9 @@ object Dedup {
                         minJ: Double = 0.2, n: Int = 3, k: Int = 16,
                         bands: Int = 4,
                         capBucket: Int = Int.MaxValue): DataFrame = {
-    val cur = IndexPolicy.genOf(spark, idx)
+    // bound by the COMMITTED generation: an uncommitted (crashed)
+    // mutation is not a state anyone can pin
+    val cur = IndexPolicy.committedOf(spark, idx)
       .getOrElse(throw new IllegalArgumentException(
         s"$idx predates generation tracking (no meta) — rebuild to " +
           "enable as-of reads"))
@@ -641,6 +666,16 @@ object Dedup {
                                 capBucket: Int,
                                 asOf: Option[Long] = None)
       : (DataFrame, DataFrame, DataFrame) = {
+    IndexPolicy.failIfTorn(spark, idx)
+    IndexPolicy.checkLayout(spark, idx, ndLayout(n, k, bands))
+    // read ceiling: the pinned as-of generation, further capped at the
+    // last COMMITTED generation when a crashed mutation left meta
+    // ahead of its rows (r15 ADVICE) — a torn check-in must read as
+    // "never happened", not as buckets rows missing their docsets
+    // twins. Healthy indexes (the always case) get NO extra filter on
+    // the live path.
+    val ceil = (asOf.toSeq ++ IndexPolicy.tornCeiling(spark, idx).toSeq)
+      .reduceOption(_ min _)
     val sigs = md5DocSig(newDocs, n, k).localCheckpoint()
     val dBand = bandedOf(sigs, k, bands)
     // the delta's pb hash buckets (≤ nPb values) become a literal
@@ -651,15 +686,15 @@ object Dedup {
     val prunedBand = spark.read.schema(bucketsSchema).parquet(s"$idx/buckets")
       .filter(if (pbs.isEmpty) lit(false)
               else col("pb").isin(pbs.toIndexedSeq: _*))
-    // as-of: rows and tombstones ABOVE the pinned generation don't
-    // exist yet from that generation's point of view
-    val rawBand = asOf.fold(prunedBand)(g =>
+    // as-of / torn-commit: rows and tombstones ABOVE the ceiling
+    // don't exist from this read's point of view
+    val rawBand = ceil.fold(prunedBand)(g =>
       prunedBand.filter(col("gen") <= g))
     // tombstoned (removed) docs stop matching immediately: the dead-id
     // set is removal-sized and broadcasts into an anti-join over the
     // postings scan — no index file rewrite until neardupCompact
     val iBand = liveTombstones(spark, idx)
-      .map(d => asOf.fold(d)(g => d.filter(col("gen") <= g)))
+      .map(d => ceil.fold(d)(g => d.filter(col("gen") <= g)))
       .fold(rawBand)(dead =>
         rawBand.join(broadcast(dead.select(col("doc_id"))),
           Seq("doc_id"), "left_anti"))
@@ -705,7 +740,7 @@ object Dedup {
     val allSets = spark.read.schema(docsetsSchema).parquet(s"$idx/docsets")
       .filter(if (dbs.isEmpty) lit(false)
               else col("db").isin(dbs.toIndexedSeq: _*))
-      .filter(asOf.map(g => col("gen") <= g).getOrElse(lit(true)))
+      .filter(ceil.map(g => col("gen") <= g).getOrElse(lit(true)))
       .select(col("doc_id"), col("dset"), col("sz"), lit(0).as("ord"))
       .unionByName(sigs.select(col("doc_id"), col("dset"), col("sz"),
         lit(1).as("ord")))
@@ -749,11 +784,14 @@ object Dedup {
     */
   def neardupRemove(spark: SparkSession, idx: String,
                     docIds: DataFrame): Unit = {
+    IndexPolicy.failIfTorn(spark, idx)
+    IndexPolicy.checkLayout(spark, idx, ndLayoutBase)
     val g = IndexPolicy.bumpGen(spark, idx)
     docIds.select(col("doc_id")).distinct()
       .select(col("doc_id"), lit(g).as("gen"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$idx/tombstones")
+    IndexPolicy.commitGen(spark, idx, g)
   }
 
   private def liveTombstones(spark: SparkSession,
@@ -772,11 +810,17 @@ object Dedup {
     * (no data pages read); predicate shared via [[IndexPolicy]].
     */
   def neardupFoldDue(spark: SparkSession, idx: String,
-                     maxFrac: Double = 0.1): Boolean =
+                     maxFrac: Double = 0.1): Boolean = {
+    IndexPolicy.failIfTorn(spark, idx)
+    val ceil = IndexPolicy.tornCeiling(spark, idx)
+    def capped(df: DataFrame): DataFrame =
+      ceil.fold(df)(g => df.filter(col("gen") <= g))
     IndexPolicy.tombstoneFoldDue(
-      liveTombstones(spark, idx).map(_.count()).getOrElse(0L),
-      spark.read.schema(docsetsSchema).parquet(s"$idx/docsets").count(),
+      liveTombstones(spark, idx).map(d => capped(d).count()).getOrElse(0L),
+      capped(spark.read.schema(docsetsSchema).parquet(s"$idx/docsets"))
+        .count(),
       maxFrac)
+  }
 
   /** Footer-count health of a near-dup index — what an operator (or
     * [[Curation.indexHealth]]) reads before deciding to fold: stored
@@ -786,13 +830,19 @@ object Dedup {
     */
   def neardupHealth(spark: SparkSession, idx: String,
                     maxFrac: Double = 0.1): Seq[(String, Long)] = {
-    val rows = spark.read.schema(docsetsSchema)
-      .parquet(s"$idx/docsets").count()
-    val dead = liveTombstones(spark, idx).map(_.count()).getOrElse(0L)
+    IndexPolicy.failIfTorn(spark, idx)
+    val ceil = IndexPolicy.tornCeiling(spark, idx)
+    def capped(df: DataFrame): DataFrame =
+      ceil.fold(df)(g => df.filter(col("gen") <= g))
+    val rows = capped(spark.read.schema(docsetsSchema)
+      .parquet(s"$idx/docsets")).count()
+    val dead = liveTombstones(spark, idx)
+      .map(d => capped(d).count()).getOrElse(0L)
     Seq(
       "nd_docsets" -> rows,
       "nd_tombstones" -> dead,
-      "nd_gen" -> IndexPolicy.genOf(spark, idx).getOrElse(-1L),
+      // the COMMITTED generation — what a reader can actually pin
+      "nd_gen" -> IndexPolicy.committedOf(spark, idx).getOrElse(-1L),
       "nd_fold_due" ->
         (if (IndexPolicy.tombstoneFoldDue(dead, rows, maxFrac)) 1L else 0L))
   }
@@ -800,35 +850,62 @@ object Dedup {
   /** Physically drop tombstoned docs: rewrite `buckets` and
     * `docsets` without them (corpus-order, the rebuild-shaped
     * amortization — exactly like [[TextAnalysis.bm25Compact]]), then
-    * delete the tombstones table. The rewrite materializes before
-    * replacing the dirs it read from (the dynamic-overwrite
-    * discipline from the bm25 refresh).
+    * delete the tombstones table. The rewrite lands in TEMP dirs (the
+    * write is the materialization — the r15 bm25 refresh discipline)
+    * and the swap runs under the mutation sentinel, so a crash
+    * mid-swap fails every subsequent read fast instead of serving one
+    * new table beside one old one. Also the REPAIR path for a torn
+    * index: uncommitted-generation rows (a crashed check-in's
+    * orphans) are dropped by the same ceiling the readers apply, and
+    * both counters reset to 0.
     */
   def neardupCompact(spark: SparkSession, idx: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val dead = liveTombstones(spark, idx).getOrElse(return)
+    IndexPolicy.failIfTorn(spark, idx)
+    IndexPolicy.checkLayout(spark, idx, ndLayoutBase)
+    val ceil = IndexPolicy.tornCeiling(spark, idx)
+    def committedRows(df: DataFrame): DataFrame =
+      ceil.fold(df)(g => df.filter(col("gen") <= g))
+    val dead = liveTombstones(spark, idx).map(committedRows) match {
+      case Some(d) => d
+      case None if ceil.isEmpty => return // nothing to fold, nothing to repair
+      case None => // torn but tombstone-free: still rewrite to repair
+        spark.range(0).select(col("id").as("doc_id"), lit(0L).as("gen"))
+    }
     val fs = new Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val b = spark.read.schema(bucketsSchema).parquet(s"$idx/buckets")
+    val tmpB = s"$idx/_fold_buckets"
+    val tmpD = s"$idx/_fold_docsets"
+    committedRows(spark.read.schema(bucketsSchema).parquet(s"$idx/buckets"))
       .join(broadcast(dead.select(col("doc_id"))), Seq("doc_id"), "left_anti")
       .select(col("band"), col("pb"), col("doc_id"), col("bucket"),
         lit(0L).as("gen"))
-      .localCheckpoint()
-    val d = spark.read.schema(docsetsSchema).parquet(s"$idx/docsets")
+      .repartition(col("band"), col("pb"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("band", "pb").parquet(tmpB)
+    committedRows(spark.read.schema(docsetsSchema).parquet(s"$idx/docsets"))
       .join(broadcast(dead.select(col("doc_id"))), Seq("doc_id"), "left_anti")
       .select(col("db"), col("doc_id"), col("dset"), col("sz"),
         lit(0L).as("gen"))
-      .localCheckpoint()
-    b.repartition(col("band"), col("pb"))
+      .repartition(col("db"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("band", "pb").parquet(s"$idx/buckets")
-    d.repartition(col("db"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("db").parquet(s"$idx/docsets")
-    fs.delete(new Path(s"$idx/tombstones"), true)
-    // the fold resets the as-of timeline (the ivf-retrain analogue):
-    // rewritten rows are generation 0 again
-    IndexPolicy.writeGen(spark, idx, 0L)
+      .partitionBy("db").parquet(tmpD)
+    IndexPolicy.withMutationSentinel(spark, idx) {
+      def swap(tmp: String, dst: String): Unit = {
+        val to = new Path(dst)
+        require(!fs.exists(to) || fs.delete(to, true),
+          s"compact: could not clear $to")
+        require(fs.rename(new Path(tmp), to),
+          s"compact: rename $tmp -> $to failed")
+      }
+      swap(tmpB, s"$idx/buckets")
+      swap(tmpD, s"$idx/docsets")
+      fs.delete(new Path(s"$idx/tombstones"), true)
+      // the fold resets the as-of timeline (the ivf-retrain analogue):
+      // rewritten rows are generation 0 again
+      IndexPolicy.writeGen(spark, idx, 0L)
+      IndexPolicy.commitGen(spark, idx, 0L)
+    }
   }
 
   /** Registry fixture for the check-in (the bm25 lifecycle pattern):

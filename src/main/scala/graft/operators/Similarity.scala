@@ -855,6 +855,16 @@ object Similarity {
   private val listsSchema =
     "vec_id bigint, embedding array<float>, cell bigint, gen bigint"
   private val ivfTombSchema = "vec_id bigint, gen bigint"
+  /** Layout stamp, written LAST at build (r15 ADVICE): IVF reads
+    * don't depend on directory-hash constants (routing reads the
+    * centroids table), so the stamp pins the format VERSION and
+    * doubles as the build-commit marker — a retrain that crashed
+    * mid-write left no stamp and every read fails fast instead of
+    * serving a partial cell set. `cells` is recorded for operators.
+    */
+  private def ivfLayout(cells: Int): Seq[(String, Long)] =
+    Seq("v" -> 1L, "cells" -> cells.toLong)
+  private val ivfLayoutBase: Seq[(String, Long)] = Seq("v" -> 1L)
 
   def ivfWriteIndexVecs(spark: SparkSession, vecs: DataFrame, out: String,
                         k: Int = 8, iters: Int = 2): Unit = {
@@ -884,6 +894,8 @@ object Similarity {
     // history — a retrain resets the as-of timeline by design (the
     // bm25Compact analogue)
     IndexPolicy.writeGen(spark, out, 0L)
+    IndexPolicy.commitGen(spark, out, 0L)
+    IndexPolicy.writeLayout(spark, out, ivfLayout(k))
   }
 
   /** O(delta) vector upsert into the at-rest IVF index — the FAISS
@@ -902,6 +914,7 @@ object Similarity {
     */
   def ivfAppendVectors(spark: SparkSession, idx: String,
                        vecs: DataFrame): Unit = {
+    IndexPolicy.checkLayout(spark, idx, ivfLayoutBase)
     val g = IndexPolicy.bumpGen(spark, idx)
     val cents = spark.read.schema(centroidsSchema).parquet(s"$idx/centroids")
     val vq = vecs.select(col("vec_id"), col("embedding"),
@@ -919,6 +932,7 @@ object Similarity {
         col("embedding"), lit(g).as("gen"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("cell").parquet(s"$idx/lists")
+    IndexPolicy.commitGen(spark, idx, g)
   }
 
   /** REMOVE vectors from the at-rest IVF index — the FAISS
@@ -932,11 +946,13 @@ object Similarity {
     * retrain cadence.
     */
   def ivfRemove(spark: SparkSession, idx: String, ids: DataFrame): Unit = {
+    IndexPolicy.checkLayout(spark, idx, ivfLayoutBase)
     val g = IndexPolicy.bumpGen(spark, idx)
     ids.select(col("vec_id")).distinct()
       .select(col("vec_id"), lit(g).as("gen"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$idx/tombstones")
+    IndexPolicy.commitGen(spark, idx, g)
   }
 
   private def ivfTombstones(spark: SparkSession,
@@ -956,11 +972,15 @@ object Similarity {
     * [[IndexPolicy]].
     */
   def ivfFoldDue(spark: SparkSession, idx: String,
-                 maxFrac: Double = 0.1): Boolean =
+                 maxFrac: Double = 0.1): Boolean = {
+    val ceil = IndexPolicy.tornCeiling(spark, idx)
+    def capped(df: DataFrame): DataFrame =
+      ceil.fold(df)(g => df.filter(col("gen") <= g))
     IndexPolicy.tombstoneFoldDue(
-      ivfTombstones(spark, idx).map(_.count()).getOrElse(0L),
-      spark.read.schema(listsSchema).parquet(s"$idx/lists").count(),
+      ivfTombstones(spark, idx).map(d => capped(d).count()).getOrElse(0L),
+      capped(spark.read.schema(listsSchema).parquet(s"$idx/lists")).count(),
       maxFrac)
+  }
 
   /** Footer-count health of an IVF index (the
     * [[graft.operators.Dedup.neardupHealth]] twin): stored list
@@ -969,12 +989,18 @@ object Similarity {
     */
   def ivfHealth(spark: SparkSession, idx: String,
                 maxFrac: Double = 0.1): Seq[(String, Long)] = {
-    val rows = spark.read.schema(listsSchema).parquet(s"$idx/lists").count()
-    val dead = ivfTombstones(spark, idx).map(_.count()).getOrElse(0L)
+    val ceil = IndexPolicy.tornCeiling(spark, idx)
+    def capped(df: DataFrame): DataFrame =
+      ceil.fold(df)(g => df.filter(col("gen") <= g))
+    val rows = capped(spark.read.schema(listsSchema)
+      .parquet(s"$idx/lists")).count()
+    val dead = ivfTombstones(spark, idx).map(d => capped(d).count())
+      .getOrElse(0L)
     Seq(
       "ivf_lists" -> rows,
       "ivf_tombstones" -> dead,
-      "ivf_gen" -> IndexPolicy.genOf(spark, idx).getOrElse(-1L),
+      // the COMMITTED generation — what a reader can actually pin
+      "ivf_gen" -> IndexPolicy.committedOf(spark, idx).getOrElse(-1L),
       "ivf_fold_due" ->
         (if (IndexPolicy.tombstoneFoldDue(dead, rows, maxFrac)) 1L else 0L))
   }
@@ -1013,7 +1039,9 @@ object Similarity {
   def ivfQueryIndexAsOf(spark: SparkSession, dir: String, idx: String,
                         gen: Long, nQueries: Int = 8, kNN: Int = 5,
                         nProbe: Int = 2): DataFrame = {
-    val cur = IndexPolicy.genOf(spark, idx)
+    // bound by the COMMITTED generation: an uncommitted (crashed)
+    // mutation is not a state anyone can pin
+    val cur = IndexPolicy.committedOf(spark, idx)
       .getOrElse(throw new IllegalArgumentException(
       s"$idx predates generation tracking (no meta) — retrain to " +
         "enable as-of reads"))
@@ -1033,6 +1061,12 @@ object Similarity {
                                  kNN: Int, nProbe: Int,
                                  asOf: Option[Long] = None): DataFrame = {
     import spark.implicits._
+    IndexPolicy.checkLayout(spark, idx, ivfLayoutBase)
+    // read ceiling: the pinned as-of generation, capped at the last
+    // COMMITTED generation when a crashed mutation left meta ahead of
+    // its rows — healthy indexes get no extra filter on the live path
+    val ceil = (asOf.toSeq ++ IndexPolicy.tornCeiling(spark, idx).toSeq)
+      .reduceOption(_ min _)
     graft.functions.GraftFunctions.register(spark)
     val ndot = graft.functions.GraftFunctions.dot _
     val cents = spark.read.schema(centroidsSchema).parquet(s"$idx/centroids")
@@ -1063,12 +1097,12 @@ object Similarity {
     val prunedLists = spark.read.schema(listsSchema).parquet(s"$idx/lists")
       .filter(if (probedCells.isEmpty) lit(false)
               else col("cell").isin(probedCells.toIndexedSeq: _*))
-    // as-of: list rows and tombstones ABOVE the pinned generation
-    // don't exist yet from that generation's point of view
-    val rawLists = asOf.fold(prunedLists)(g =>
+    // as-of / torn-commit: list rows and tombstones ABOVE the ceiling
+    // don't exist from this read's point of view
+    val rawLists = ceil.fold(prunedLists)(g =>
       prunedLists.filter(col("gen") <= g))
     val dead = ivfTombstones(spark, idx)
-      .map(d => asOf.fold(d)(g => d.filter(col("gen") <= g)))
+      .map(d => ceil.fold(d)(g => d.filter(col("gen") <= g)))
     val lists = dead.fold(rawLists)(d =>
       rawLists.join(broadcast(d.select(col("vec_id"))),
         Seq("vec_id"), "left_anti"))

@@ -515,6 +515,14 @@ object TextAnalysis {
     "term string, doc_id bigint, tf bigint, dl bigint, tb string, tk int"
   private val termsSchema = "term string, df bigint, tb string, tk int"
   private[graft] val nTk = 4
+  /** Layout stamp (r15 ADVICE, medium): an index written under a
+    * different nTk is silently misread — old postings carry tk values
+    * a new reader's IN-filter never matches. Written LAST at build so
+    * it doubles as the build-commit marker; validated by every serve
+    * and mutation.
+    */
+  private val bmLayout: Seq[(String, Long)] =
+    Seq("v" -> 1L, "nTk" -> nTk.toLong)
   private def tkCol(term: org.apache.spark.sql.Column) =
     pmod(conv(substring(md5(term), 1, 1), 16, 10).cast("int"), lit(nTk))
   /** Driver-side twin of [[tkCol]] (identical md5 high-nibble math)
@@ -579,6 +587,7 @@ object TextAnalysis {
         coalesce(col("sum_dl"), lit(0L)).as("sum_dl"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$out/stats")
+    IndexPolicy.writeLayout(spark, out, bmLayout)
   }
 
   /** Serve BM25 top-k from the at-rest index: static routing (query
@@ -613,6 +622,8 @@ object TextAnalysis {
                           terms: Seq[String], k: Int,
                           k1: Double, b: Double,
                           gen: Option[Int]): DataFrame = {
+    IndexPolicy.failIfTorn(spark, idx)
+    IndexPolicy.checkLayout(spark, idx, bmLayout)
     // explicit schemas: an index built over an EMPTY corpus has no
     // part files, and schema inference (not the read) is what throws
     // there — with the schema stated, the serve degrades to 0 rows.
@@ -656,10 +667,14 @@ object TextAnalysis {
       .limit(k)
   }
 
-  /** Name-ordered segment dirs under `idx/segments` (empty when the
-    * index has never been appended to — the base-only fast path).
-    * Segment NAMES define recency: seg-00002's tombstones kill
-    * seg-00001's and the base's postings, never its own.
+  /** Name-ordered COMMITTED segment dirs under `idx/segments` (empty
+    * when the index has never been appended to — the base-only fast
+    * path). Segment NAMES define recency: seg-00002's tombstones kill
+    * seg-00001's and the base's postings, never its own. A dir
+    * without the `_committed` marker is a crashed append's orphan —
+    * invisible to every read, reclaimed by the next append's
+    * Overwrite. The marker probes cost one exists() each, bounded by
+    * the segment budget.
     */
   private def segmentDirs(spark: SparkSession, idx: String): Seq[String] = {
     import org.apache.hadoop.fs.Path
@@ -667,6 +682,7 @@ object TextAnalysis {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).filter(_.isDirectory)
+      .filter(d => fs.exists(new Path(d.getPath, "_committed")))
       .map(_.getPath.toString).sorted.toSeq
   }
 
@@ -849,6 +865,8 @@ object TextAnalysis {
     */
   def bm25RefreshIndex(spark: SparkSession, idx: String,
                        newDocs: DataFrame, oldDocs: DataFrame): Unit = {
+    IndexPolicy.failIfTorn(spark, idx)
+    IndexPolicy.checkLayout(spark, idx, bmLayout)
     val newTf = postingsOf(newDocs).localCheckpoint()
     val oldTf = postingsOf(oldDocs).localCheckpoint()
     val touched = newTf.select(col("tb"), col("tk"))
@@ -860,10 +878,32 @@ object TextAnalysis {
     val oldPost = spark.read.schema(postingsSchema)
       .parquet(s"$idx/postings")
       .filter(pairPred(touched)) // exact (tb, tk) PartitionFilters
+    // adjusted stats are computed into the TEMP area before any
+    // rename (they read the live stats) and swap in the SAME sentinel
+    // window as the postings (r15 verdict #1: stats committing after
+    // the bucket swaps left a crash window where new postings served
+    // against stale n_docs/sum_dl — silently breaking the
+    // bit-identical-to-rebuild guarantee)
+    val tmpStats = s"$idx/_rw_stats"
+    writeAdjustedStats(spark, idx, newTf, oldTf, tmpStats)
     rewritePostings(spark, idx, touched,
       oldPost.join(broadcast(deadIds), Seq("doc_id"), "left_anti")
-        .unionByName(newTf))
-    adjustStats(spark, idx, newTf, oldTf)
+        .unionByName(newTf),
+      inSentinel = () => swapDir(spark, tmpStats, s"$idx/stats"))
+  }
+
+  /** Checked delete-then-rename of one directory — the unit step of
+    * every swap here (atomic on HDFS/local rename semantics; see the
+    * [[IndexPolicy]] object-store note).
+    */
+  private def swapDir(spark: SparkSession, tmp: String, dst: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val to = new Path(dst)
+    val fs = to.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(to) || fs.delete(to, true),
+      s"swapDir: could not clear $to")
+    require(fs.rename(new Path(tmp), to),
+      s"swapDir: rename $tmp -> $to failed")
   }
 
   /** Replace the touched (tb, tk) buckets of `idx/postings` and
@@ -881,7 +921,8 @@ object TextAnalysis {
     */
   private def rewritePostings(spark: SparkSession, idx: String,
                               touched: Seq[(String, Int)],
-                              merged: DataFrame): Unit = {
+                              merged: DataFrame,
+                              inSentinel: () => Unit = () => ()): Unit = {
     import org.apache.hadoop.fs.Path
     val token = java.util.UUID.randomUUID().toString.take(8)
     val tmpP = s"$idx/_rw_${token}_postings"
@@ -922,18 +963,32 @@ object TextAnalysis {
       }
       fs.delete(new Path(tmp), true)
     }
-    swap(tmpP, s"$idx/postings")
-    swap(tmpT, s"$idx/terms")
+    // the SWAP PHASE (renames only — all heavy writes are in the
+    // temps above) runs under the mutation sentinel: a crash between
+    // bucket renames previously left some buckets new and some old
+    // with no marker to detect it (r15 verdict #1) — now every read
+    // and mutation fails fast until the index is restored. Callers
+    // with more commit steps in the same window (the refresh's stats
+    // swap, the compact's segment delete) pass them via `inSentinel`.
+    IndexPolicy.withMutationSentinel(spark, idx) {
+      swap(tmpP, s"$idx/postings")
+      swap(tmpT, s"$idx/terms")
+      inSentinel()
+    }
   }
 
   /** Exact-integer corpus-scalar adjustment shared by the in-place
     * refresh and the segment append: n_docs and sum_dl shift by the
     * delta's distinct documents-with-postings, and avgdl is re-derived
     * by the same division the full build performs — so every path to
-    * a given corpus state yields bit-identical stats.
+    * a given corpus state yields bit-identical stats. Written to
+    * `out` (a temp path) — the caller swaps it over `idx/stats`
+    * inside its sentinel window, so stats and postings commit
+    * together.
     */
-  private def adjustStats(spark: SparkSession, idx: String,
-                          newTf: DataFrame, oldTf: DataFrame): Unit = {
+  private def writeAdjustedStats(spark: SparkSession, idx: String,
+                                 newTf: DataFrame, oldTf: DataFrame,
+                                 out: String): Unit = {
     val base = spark.read.schema("n_docs bigint, avgdl double, sum_dl bigint")
       .parquet(s"$idx/stats").head()
     // a pre-sum_dl stats file (null sum_dl with docs present) cannot
@@ -962,7 +1017,7 @@ object TextAnalysis {
         avgdl2.as("avgdl"),
         lit(s2).as("sum_dl"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$idx/stats")
+      .parquet(out)
   }
 
   /** STRICTLY delta-sized ingest — the Lucene segment model: instead
@@ -983,6 +1038,11 @@ object TextAnalysis {
     */
   def bm25AppendSegment(spark: SparkSession, idx: String,
                         newDocs: DataFrame, oldDocs: DataFrame): Option[String] = {
+    IndexPolicy.failIfTorn(spark, idx)
+    IndexPolicy.checkLayout(spark, idx, bmLayout)
+    // naming by COMMITTED count: an orphan dir from a crashed append
+    // (no _committed marker, invisible to reads) gets the same name
+    // and is reclaimed by the Overwrite writes below
     val seg = f"$idx/segments/seg-${segmentDirs(spark, idx).size + 1}%05d"
     val newTf = postingsOf(newDocs).localCheckpoint()
     val oldTf = postingsOf(oldDocs).localCheckpoint()
@@ -1012,13 +1072,25 @@ object TextAnalysis {
     // PRE-append stats snapshot (1 row): makes the index readable
     // AS OF any generation — serve-time stats at gen g come from
     // segment g+1's snapshot (or the live stats for the newest gen).
-    // adjustStats mutates the live stats in place, so without this
+    // the stats swap replaces the live stats wholesale, so without this
     // the historical (n_docs, avgdl) would be unrecoverable.
     spark.read.schema("n_docs bigint, avgdl double, sum_dl bigint")
       .parquet(s"$idx/stats")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$seg/stats_before")
-    adjustStats(spark, idx, newTf, oldTf)
+    // everything above was invisible (the segment has no _committed
+    // marker yet); the adjusted stats land in a temp dir, and the two
+    // visibility steps — stats swap, segment commit marker — run
+    // under the sentinel so a crash between them fails reads fast
+    // instead of serving a segment/stats tear in either direction
+    val tmpStats = s"$idx/_append_stats"
+    writeAdjustedStats(spark, idx, newTf, oldTf, tmpStats)
+    IndexPolicy.withMutationSentinel(spark, idx) {
+      swapDir(spark, tmpStats, s"$idx/stats")
+      val marker = new org.apache.hadoop.fs.Path(s"$seg/_committed")
+      marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(marker, false).close()
+    }
     Some(seg)
   }
 
@@ -1028,8 +1100,15 @@ object TextAnalysis {
     * serve, so the budget bounds serve-plan width. Pure directory
     * listing; no data is read.
     */
+  /** ONE default segment budget for both public entry points of the
+    * policy (r15 ADVICE: bm25Health defaulting to 0 while bm25FoldDue
+    * defaulted to 3 made the health card report fold_due=1 for an
+    * index the policy itself considered under budget).
+    */
+  private[operators] val defaultMaxSegments = 3
+
   def bm25FoldDue(spark: SparkSession, idx: String,
-                  maxSegments: Int = 3): Boolean =
+                  maxSegments: Int = defaultMaxSegments): Boolean =
     segmentDirs(spark, idx).size > maxSegments
 
   /** Health of a bm25 index (the [[graft.operators.Dedup
@@ -1039,7 +1118,8 @@ object TextAnalysis {
     * stats read.
     */
   def bm25Health(spark: SparkSession, idx: String,
-                 maxSegments: Int = 0): Seq[(String, Long)] = {
+                 maxSegments: Int = defaultMaxSegments): Seq[(String, Long)] = {
+    IndexPolicy.failIfTorn(spark, idx)
     val segs = segmentDirs(spark, idx).size.toLong
     val nDocs = spark.read.schema("n_docs bigint, avgdl double")
       .parquet(s"$idx/stats").head().getLong(0)
@@ -1060,6 +1140,8 @@ object TextAnalysis {
     */
   def bm25Compact(spark: SparkSession, idx: String): Unit = {
     import org.apache.hadoop.fs.Path
+    IndexPolicy.failIfTorn(spark, idx)
+    IndexPolicy.checkLayout(spark, idx, bmLayout)
     val segs = segmentDirs(spark, idx)
     if (segs.isEmpty) return
     val touched = segs.map { s =>
@@ -1069,12 +1151,22 @@ object TextAnalysis {
           .parquet(s"$s/terms").select(col("tb"), col("tk")))
     }.reduce(_ unionByName _)
       .distinct().collect().map(r => (r.getString(0), r.getInt(1))).sorted
+    // the segments delete joins the bucket swaps INSIDE the sentinel:
+    // a crash between them would leave folded postings AND live
+    // segments — every visible posting double-counted — with nothing
+    // to detect it
+    val deleteSegs = () => {
+      val p = new Path(s"$idx/segments")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(!fs.exists(p) || fs.delete(p, true),
+        s"compact: could not delete $p")
+    }
     if (touched.nonEmpty)
       rewritePostings(spark, idx, touched,
         postingsViewWhere(spark, idx, _.filter(pairPred(touched)))
-          .drop("ord"))
-    val p = new Path(s"$idx/segments")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          .drop("ord"),
+        inSentinel = deleteSegs)
+    else IndexPolicy.withMutationSentinel(spark, idx)(deleteSegs())
   }
 
   /** Registry fixture for the refresh: build the index over the v1
@@ -1128,13 +1220,29 @@ object TextAnalysis {
     * (Shared with the other lifecycle fixtures — [[Dedup]]'s at-rest
     * near-dup index uses the same pristine-base-copy pattern.)
     */
-  private[operators] def copyIndex(spark: SparkSession, src: String,
-                                   dst: String): Unit = {
-    // FIXTURE helper (local FS only — a deployment clones an index
-    // with distcp): plain-nio parallel copy. Hadoop's FileUtil.copy
-    // pays per-file checksum/stream setup — measured ~1 s for the
+  private[graft] def copyIndex(spark: SparkSession, src: String,
+                               dst: String): Unit = {
+    // FIXTURE helper (a deployment clones an index with distcp): the
+    // fast path is a plain-nio parallel copy — Hadoop's FileUtil.copy
+    // pays per-file checksum/stream setup, measured ~1 s for the
     // ~80-file bucketed near-dup index vs ~0.07 s raw, and every
-    // lifecycle registry row pays it once per invocation.
+    // lifecycle registry row pays it once per invocation. nio only
+    // resolves BARE ABSOLUTE LOCAL paths, so anything carrying a URI
+    // scheme (hdfs://, file:) or relative routes through
+    // FileUtil.copy instead of mis-resolving at runtime (r15 ADVICE).
+    def isBareLocal(s: String) =
+      s.startsWith("/") && !s.matches("[A-Za-z][A-Za-z0-9+.\\-]*:.*")
+    if (!isBareLocal(src) || !isBareLocal(dst)) {
+      import org.apache.hadoop.fs.{FileUtil, Path}
+      val conf = spark.sparkContext.hadoopConfiguration
+      val sp = new Path(src); val dp = new Path(dst)
+      val dfs = dp.getFileSystem(conf)
+      require(!dfs.exists(dp) || dfs.delete(dp, true),
+        s"copyIndex: could not clear $dp")
+      require(FileUtil.copy(sp.getFileSystem(conf), sp, dfs, dp,
+        false, conf), s"copyIndex: $src -> $dst failed")
+      return
+    }
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     import scala.collection.parallel.CollectionConverters._

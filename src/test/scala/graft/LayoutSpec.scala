@@ -601,6 +601,191 @@ class LayoutSpec extends SparkSpec {
     pruned("docsets", "db")
   }
 
+  test("layout stamp: mismatched or missing params fail every read fast; stamp is the build-commit marker") {
+    import graft.operators.{Dedup, TextAnalysis}
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft-layout-stamp").toString
+    val nd = s"$root/nd"; val bm = s"$root/bm"
+    val docs = Seq((1L, "a b c d e"), (2L, "x y z w v"))
+      .toDF("doc_id", "text")
+    Dedup.neardupWriteIndex(spark, docs, nd)
+    TextAnalysis.bm25WriteIndexDocs(spark, docs, bm)
+    val probe = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+    // healthy reads work
+    assert(Dedup.neardupLookup(spark, nd, probe).collect().nonEmpty)
+    assert(TextAnalysis.bm25QueryIndex(spark, bm, Seq("a"), 5)
+      .collect().nonEmpty)
+    // a lookup whose banding params differ from the build's compares
+    // incomparable signatures — fail fast, not silently-wrong pairs
+    val eBands = intercept[IllegalArgumentException](
+      Dedup.neardupLookup(spark, nd, probe, bands = 2))
+    assert(eBands.getMessage.contains("layout mismatch on 'bands'"))
+    // an index stamped under different hash constants is misread —
+    // simulate by rewriting the stamp the way an old binary wrote it
+    Files.write(Paths.get(s"$nd/layout"),
+      "v=1,nPb=16,nDb=8,n=3,k=16,bands=4".getBytes)
+    Files.deleteIfExists(Paths.get(s"$nd/.layout.crc")) // raw rewrite: drop the Hadoop checksum sidecar
+    val eNPb = intercept[IllegalArgumentException](
+      Dedup.neardupLookup(spark, nd, probe))
+    assert(eNPb.getMessage.contains("layout mismatch on 'nPb'"))
+    intercept[IllegalArgumentException](Dedup.neardupRemove(spark, nd,
+      Seq(1L).toDF("doc_id")))
+    // missing stamp = crashed build or pre-stamping index: every
+    // reader and mutation fails fast instead of consuming a partial
+    // index (the stamp is written LAST at build)
+    wipe(new java.io.File(s"$bm/layout"))
+    val eGone = intercept[IllegalArgumentException](
+      TextAnalysis.bm25QueryIndex(spark, bm, Seq("a"), 5))
+    assert(eGone.getMessage.contains("no layout stamp"))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bm25RefreshIndex(spark, bm, docs.limit(0), docs.limit(0)))
+    // rebuild restores service
+    TextAnalysis.bm25WriteIndexDocs(spark, docs, bm)
+    assert(TextAnalysis.bm25QueryIndex(spark, bm, Seq("a"), 5)
+      .collect().nonEmpty)
+  }
+
+  test("mutation sentinel: a crash inside a swap window fails reads and mutations fast; completed mutations leave no trace") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft-sentinel").toString
+    val bm = s"$root/bm"
+    val v1 = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    TextAnalysis.bm25WriteIndexDocs(spark, v1, bm)
+    // a COMPLETED refresh leaves a clean index: no sentinel, no temp
+    // dirs, stats swapped in the same window as the postings
+    TextAnalysis.bm25RefreshIndex(spark, bm,
+      Seq((3L, "alpha eta theta")).toDF("doc_id", "text"), v1.limit(0))
+    val leftovers = new java.io.File(bm).listFiles().map(_.getName)
+      .filter(n => n.startsWith("_rw_") || n == "_mutation_inprogress" ||
+        n == "_append_stats")
+    assert(leftovers.isEmpty, s"refresh left temp state: ${leftovers.toSeq}")
+    val served = TextAnalysis.bm25QueryIndex(spark, bm, Seq("alpha"), 5)
+      .collect().toSeq
+    assert(served.map(_.getLong(0)).toSet == Set(1L, 3L))
+    // simulate a crash BETWEEN bucket renames: the sentinel is still
+    // in place — every read and mutation must fail fast instead of
+    // serving a half-swapped index
+    Files.createFile(Paths.get(s"$bm/_mutation_inprogress"))
+    def torn(body: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](body)
+      assert(e.getMessage.contains("interrupted structural mutation"),
+        e.getMessage)
+    }
+    torn(TextAnalysis.bm25QueryIndex(spark, bm, Seq("alpha"), 5).collect())
+    torn(TextAnalysis.bm25RefreshIndex(spark, bm, v1.limit(0), v1.limit(0)))
+    torn(TextAnalysis.bm25AppendSegment(spark, bm, v1.limit(0), v1.limit(0)))
+    torn(TextAnalysis.bm25Compact(spark, bm))
+    torn(TextAnalysis.bm25Health(spark, bm))
+    // operator restores/rebuilds: clearing the sentinel (here: the
+    // state was never actually torn) restores service
+    wipe(new java.io.File(s"$bm/_mutation_inprogress"))
+    assert(TextAnalysis.bm25QueryIndex(spark, bm, Seq("alpha"), 5)
+      .collect().toSeq == served)
+  }
+
+  test("segment commit marker: an uncommitted (crashed-append) segment is invisible to serves and health") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft-seg-commit").toString
+    val bm = s"$root/bm"
+    val v1 = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    TextAnalysis.bm25WriteIndexDocs(spark, v1, bm)
+    TextAnalysis.bm25AppendSegment(spark, bm,
+      Seq((3L, "alpha eta theta")).toDF("doc_id", "text"), v1.limit(0))
+    val served = TextAnalysis.bm25QueryIndex(spark, bm, Seq("alpha"), 5)
+      .collect().toSeq
+    assert(served.map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(TextAnalysis.bm25Health(spark, bm).toMap
+      .apply("bm25_segments") == 1L)
+    // an orphan segment dir (append crashed before its _committed
+    // marker) must not change what the index serves or reports
+    Files.createDirectories(Paths.get(s"$bm/segments/seg-00099"))
+    assert(TextAnalysis.bm25QueryIndex(spark, bm, Seq("alpha"), 5)
+      .collect().toSeq == served)
+    assert(TextAnalysis.bm25Health(spark, bm).toMap
+      .apply("bm25_segments") == 1L)
+  }
+
+  test("torn generation commit: readers ignore uncommitted rows, mutations refuse, compact repairs") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft-torn-gen").toString
+    val idx = s"$root/idx"
+    Dedup.neardupWriteIndex(spark, Seq(
+      (1L, "a b c d e"), (2L, "x y z w v")).toDF("doc_id", "text"), idx)
+    val probe = Seq((9L, "a b c d e"), (8L, "q r s t u"))
+      .toDF("doc_id", "text").localCheckpoint()
+    def live() = Dedup.neardupLookup(spark, idx, probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(live() == Set((1L, 9L)))
+    // gen 1 check-in admits doc 4 (a near-dup of probe doc 8)
+    Dedup.neardupCheckIn(spark, idx,
+      Seq((4L, "q r s t u")).toDF("doc_id", "text")).count()
+    assert(live() == Set((1L, 9L), (4L, 8L)))
+    // simulate the check-in having CRASHED between its two appends:
+    // roll the committed counter back to 0 while meta stays at 1 and
+    // the gen-1 rows are on disk — readers must treat gen 1 as never
+    // having happened instead of serving its partial rows
+    Files.write(Paths.get(s"$idx/meta_committed"), "0".getBytes)
+    Files.deleteIfExists(Paths.get(s"$idx/.meta_committed.crc")) // raw rewrite: drop the Hadoop checksum sidecar
+    assert(live() == Set((1L, 9L)),
+      "uncommitted generation leaked into a lookup")
+    assert(Dedup.neardupHealth(spark, idx).toMap.apply("nd_gen") == 0L)
+    // mutations refuse a torn index: committing past the orphan would
+    // resurrect its partial rows
+    val e = intercept[IllegalStateException](
+      Dedup.neardupRemove(spark, idx, Seq(2L).toDF("doc_id")))
+    assert(e.getMessage.contains("never committed"))
+    // compact is the repair: it rewrites only committed rows and
+    // resets the timeline — the orphan's rows are physically dropped
+    Dedup.neardupCompact(spark, idx)
+    assert(live() == Set((1L, 9L)), "repair changed committed state")
+    Dedup.neardupRemove(spark, idx, Seq(1L).toDF("doc_id")) // mutable again
+    assert(live() == Set.empty)
+  }
+
+  test("counter crash recovery: a fully-written .meta_tmp is recovered when meta is missing") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Files.createTempDirectory("graft-meta-tmp").toString
+    val idx = s"$root/idx"
+    Dedup.neardupWriteIndex(spark, Seq(
+      (1L, "a b c d e")).toDF("doc_id", "text"), idx)
+    // simulate a crash between writeCounter's delete and rename: the
+    // tmp is complete, the live file is gone
+    Files.move(Paths.get(s"$idx/meta"), Paths.get(s"$idx/.meta_tmp"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val probe = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+    // the as-of read recovers the counter instead of prescribing a
+    // rebuild of a healthy index
+    assert(Dedup.neardupLookupAsOf(spark, idx, probe, gen = 0L)
+      .collect().nonEmpty)
+    assert(Files.exists(Paths.get(s"$idx/meta")), "recovery did not reinstate meta")
+  }
+
+  test("copyIndex routes URI-schemed paths through the generic FileSystem copy") {
+    import graft.operators.{Dedup, TextAnalysis}
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft-copy-uri").toString
+    val src = s"$root/src"; val dst = s"$root/dst"
+    Dedup.neardupWriteIndex(spark, Seq(
+      (1L, "a b c d e")).toDF("doc_id", "text"), src)
+    // a file:-schemed source previously mis-resolved via Paths.get —
+    // it must now copy correctly through Hadoop's FileUtil
+    TextAnalysis.copyIndex(spark, s"file:$src", dst)
+    val probe = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+    assert(Dedup.neardupLookup(spark, dst, probe).collect().nonEmpty)
+  }
+
   test("bucketed tables join + aggregate with zero Exchange") {
     Layout.writeBucketedOrderTables(spark, sf)
     val df = Layout.bucketedOrderTotals(spark)
