@@ -40,6 +40,7 @@ object SparkEntry {
     "dedup_checkin", "dedup_checkin_removed", "dedup_checkin_capped",
     "dedup_lookup_asof",
     "ingest_pipeline", "ingest_pipeline2", "fold_trigger", "index_health",
+    "maintain_estate",
     // r13: edges via driver-orchestrated distributed rank selection
     "histogram_equidepth")
 
@@ -234,6 +235,7 @@ object SparkEntry {
     // fold preserves/restores semantics (raw margins to stderr)
     "fold_trigger" -> ((s, d) => Curation.foldTriggerContract(s, d)),
     "index_health" -> ((s, d) => Curation.indexHealth(s, d)),
+    "maintain_estate" -> ((s, d) => Curation.maintainEstate(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashPairsMd5(s, d)),
     "dedup_blocks"  -> ((s, d) => Dedup.blockDedup(s, d)),
@@ -3363,6 +3365,20 @@ object SparkEntry {
       """SELECT 'append_mean_recall_ge_0_5' AS metric, TRUE AS ok
         |UNION ALL
         |SELECT 'append_within_slack_of_retrain' AS metric, TRUE AS ok
+        |ORDER BY metric""".stripMargin,
+    // estate maintenance: read each family's health card, execute
+    // EXACTLY the policy-due folds (nd compact + ivf retrain; bm25 is
+    // under its default segment budget and must stay untouched),
+    // re-read — quiet-after, lookup preservation, and a fresh-build
+    // match for the retrain are all pinned TRUE
+    "maintain_estate" ->
+      """SELECT unnest([
+        |  'est_bm25_not_due_before', 'est_bm25_untouched_by_maintenance',
+        |  'est_ivf_due_before', 'est_ivf_fold_matches_fresh_build',
+        |  'est_ivf_quiet_after',
+        |  'est_nd_due_before', 'est_nd_lookup_preserved',
+        |  'est_nd_quiet_after']) AS metric,
+        |  TRUE AS ok
         |ORDER BY metric""".stripMargin,
     "fold_trigger" ->
       """SELECT unnest([

@@ -514,6 +514,146 @@ object Curation {
     rows.toDF("metric", "value").orderBy("metric")
   }
 
+  /** Estate MAINTENANCE composite (r15 verdict, top next item) — the
+    * operation a real pipeline runs nightly, composed end-to-end from
+    * the proven pieces: given a mutated 3-family estate (the
+    * [[indexHealth]] mutation set — bm25: one appended segment;
+    * near-dup: one check-in + one removal wave; IVF: one removal
+    * wave), READ each family's health card, execute EXACTLY the folds
+    * the card's fold-due flags demand (never hard-coded — if a flag
+    * misfires, the wrong fold runs and the contract rows break), and
+    * re-read. Pins, per family:
+    *   - the due flags BEFORE maintenance (bm25 under the default
+    *     segment budget is NOT due; near-dup and IVF tombstone
+    *     fractions are over budget);
+    *   - bm25 is UNTOUCHED by the pass (segment count and served
+    *     ranking identical before/after — only due folds ran);
+    *   - near-dup and IVF are QUIET after their folds;
+    *   - the near-dup fold preserves lookups bit-for-bit;
+    *   - the IVF retrain (over the live = stored − removed set)
+    *     serves bit-identically to a FRESH build over that set —
+    *     the fold really rebuilt, not just cleared the flag.
+    * Mutated estate templates are built once per JVM per corpus dir;
+    * each invocation copies them (maintenance folds its own copies).
+    * The three family sections mutate disjoint dirs and run
+    * concurrently (the [[foldTriggerContract]] pattern) — row
+    * wall-clock is the slowest family. Absent modalities emit no
+    * rows (oracle relies on both fixture tables being present, like
+    * index_health).
+    */
+  def maintainEstate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (docs, vecs, docsEmpty, vecsEmpty, bmBase, ndBase, ivfBase) =
+      foldFixture(spark, dir)
+    if (docsEmpty && vecsEmpty)
+      return Seq.empty[(String, Boolean)].toDF("metric", "ok")
+    // pre-mutated templates, built once per JVM per corpus dir
+    val (bmT, ndT, ivT) = estateBaseCache.computeIfAbsent(dir, _ => {
+      val bmT = s"/tmp/graft_estate_bmt_${ingestToken}_$tag"
+      val ndT = s"/tmp/graft_estate_ndt_${ingestToken}_$tag"
+      if (!docsEmpty) {
+        TextAnalysis.copyIndex(spark, bmBase, bmT)
+        TextAnalysis.bm25AppendSegment(spark, bmT,
+          docs.filter(pmod(col("doc_id"), lit(7)) === 1)
+            .select((col("doc_id") + 10000L).as("doc_id"), col("text")),
+          docs.limit(0))
+        TextAnalysis.copyIndex(spark, ndBase, ndT)
+        Dedup.neardupCheckIn(spark, ndT,
+          docs.filter(pmod(col("doc_id"), lit(7)) === 2)
+            .select((col("doc_id") + 20000L).as("doc_id"), col("text")))
+          .count()
+        Dedup.neardupRemove(spark, ndT,
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0).select(col("doc_id")))
+      }
+      val ivT = s"/tmp/graft_estate_ivt_${ingestToken}_$tag"
+      if (!vecsEmpty) {
+        TextAnalysis.copyIndex(spark, ivfBase, ivT)
+        Similarity.ivfRemove(spark, ivT,
+          vecs.filter(pmod(col("vec_id"), lit(5)) === 0).select(col("vec_id")))
+      }
+      (bmT, ndT, ivT)
+    })
+    def bmSection(): Seq[(String, Boolean)] = {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+      val bm = s"/tmp/graft_estate_bm_${ingestToken}_$tag"
+      TextAnalysis.copyIndex(spark, bmT, bm)
+      val terms = Seq("data", "model", "system")
+      val h0 = TextAnalysis.bm25Health(spark, bm).toMap // default budget
+      rows += ("est_bm25_not_due_before" -> (h0("bm25_fold_due") == 0L))
+      val s0 = TextAnalysis.bm25QueryIndex(spark, bm, terms, 20)
+        .collect().toSeq
+      if (h0("bm25_fold_due") == 1L) TextAnalysis.bm25Compact(spark, bm)
+      val h1 = TextAnalysis.bm25Health(spark, bm).toMap
+      val s1 = TextAnalysis.bm25QueryIndex(spark, bm, terms, 20)
+        .collect().toSeq
+      rows += ("est_bm25_untouched_by_maintenance" ->
+        (h1("bm25_segments") == h0("bm25_segments") && s1 == s0))
+      rows.toSeq
+    }
+    def ndSection(): Seq[(String, Boolean)] = {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+      val nd = s"/tmp/graft_estate_nd_${ingestToken}_$tag"
+      TextAnalysis.copyIndex(spark, ndT, nd)
+      val probe = docs.filter(pmod(col("doc_id"), lit(9)) === 4)
+        .select((col("doc_id") + 30000L).as("doc_id"), col("text"))
+        .localCheckpoint()
+      val h0 = Dedup.neardupHealth(spark, nd).toMap
+      rows += ("est_nd_due_before" -> (h0("nd_fold_due") == 1L))
+      val l0 = Dedup.neardupLookup(spark, nd, probe).collect().toSeq
+      if (h0("nd_fold_due") == 1L) Dedup.neardupCompact(spark, nd)
+      val h1 = Dedup.neardupHealth(spark, nd).toMap
+      rows += ("est_nd_quiet_after" -> (h1("nd_fold_due") == 0L))
+      val l1 = Dedup.neardupLookup(spark, nd, probe).collect().toSeq
+      rows += ("est_nd_lookup_preserved" -> (l1 == l0))
+      rows.toSeq
+    }
+    def ivfSection(): Seq[(String, Boolean)] = {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+      val iv = s"/tmp/graft_estate_ivf_${ingestToken}_$tag"
+      TextAnalysis.copyIndex(spark, ivT, iv)
+      val live = vecs.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val h0 = Similarity.ivfHealth(spark, iv).toMap
+      rows += ("est_ivf_due_before" -> (h0("ivf_fold_due") == 1L))
+      // the retrain fold rebuilds over the LIVE vector set
+      if (h0("ivf_fold_due") == 1L)
+        Similarity.ivfWriteIndexVecs(spark, live, iv)
+      val h1 = Similarity.ivfHealth(spark, iv).toMap
+      rows += ("est_ivf_quiet_after" -> (h1("ivf_fold_due") == 0L))
+      // fresh-build reference over the same live set, built + served
+      // once per JVM per corpus dir: the fold really REBUILT (same
+      // deterministic Lloyd ⇒ bit-identical centroids ⇒ identical
+      // serve), not merely cleared the flag
+      val ref = estateIvfRefCache.computeIfAbsent(dir, _ => {
+        val p = s"/tmp/graft_estate_ivfref_${ingestToken}_$tag"
+        Similarity.ivfWriteIndexVecs(spark, live, p)
+        Similarity.ivfQueryIndex(spark, dir, p).collect().toSeq
+      })
+      val served = Similarity.ivfQueryIndex(spark, dir, iv).collect().toSeq
+      rows += ("est_ivf_fold_matches_fresh_build" -> (served == ref))
+      rows.toSeq
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val sections =
+      (if (docsEmpty) Seq.empty
+       else Seq(Future(bmSection()), Future(ndSection()))) ++
+      (if (vecsEmpty) Seq.empty else Seq(Future(ivfSection())))
+    val tried = sections.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    tried.collect { case scala.util.Failure(e) => e } match {
+      case Seq() =>
+      case first +: rest => rest.foreach(first.addSuppressed); throw first
+    }
+    tried.flatMap(_.get).toDF("metric", "ok").orderBy("metric")
+  }
+
+  private val estateBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+  private val estateIvfRefCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[org.apache.spark.sql.Row]]()
+
   private val healthCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
 

@@ -89,7 +89,9 @@ class EmptyInputSpec extends SparkSpec {
       "bm25_serve_asof"   -> ((s, d) => TextAnalysis.bm25ServeAsOfTopK(s, d)),
       "ivf_serve_asof"    -> ((s, d) => Similarity.ivfServeAsOf(s, d)),
       "dedup_lookup_asof" -> ((s, d) => Dedup.neardupLookupAsOfRow(s, d)),
-      "index_health"      -> ((s, d) => Curation.indexHealth(s, d)))
+      "index_health"      -> ((s, d) => Curation.indexHealth(s, d)),
+      // r16 additions
+      "maintain_estate"   -> ((s, d) => Curation.maintainEstate(s, d)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()
@@ -223,5 +225,21 @@ class EmptyInputSpec extends SparkSpec {
       s"embeddings-only corpus emitted non-ivf rows: ${vecOnly.map(_._1)}")
     assert(vecOnly.size == 5 && vecOnly.forall(_._2),
       s"embeddings-only family not all green: $vecOnly")
+    // maintenance has the same per-modality shape: a docs-only corpus
+    // maintains the two text families, an embeddings-only corpus only
+    // the vector family — all rows green either way
+    val maintTextOnly = Curation.maintainEstate(spark, mixedDir(true))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toSeq
+    assert(maintTextOnly.map(_._1).forall(m =>
+      m.startsWith("est_bm25_") || m.startsWith("est_nd_")),
+      s"docs-only maintenance emitted non-text rows: ${maintTextOnly.map(_._1)}")
+    assert(maintTextOnly.size == 5 && maintTextOnly.forall(_._2),
+      s"docs-only maintenance not all green: $maintTextOnly")
+    val maintVecOnly = Curation.maintainEstate(spark, mixedDir(false))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toSeq
+    assert(maintVecOnly.map(_._1).forall(_.startsWith("est_ivf_")),
+      s"embeddings-only maintenance emitted non-ivf rows: ${maintVecOnly.map(_._1)}")
+    assert(maintVecOnly.size == 3 && maintVecOnly.forall(_._2),
+      s"embeddings-only maintenance not all green: $maintVecOnly")
   }
 }
