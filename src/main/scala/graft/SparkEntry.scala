@@ -40,7 +40,7 @@ object SparkEntry {
     "dedup_checkin", "dedup_checkin_removed", "dedup_checkin_capped",
     "dedup_lookup_asof",
     "ingest_pipeline", "ingest_pipeline2", "fold_trigger", "index_health",
-    "maintain_estate",
+    "maintain_estate", "manifest_pinned", "manifest_replay",
     // r13: edges via driver-orchestrated distributed rank selection
     "histogram_equidepth")
 
@@ -236,6 +236,8 @@ object SparkEntry {
     "fold_trigger" -> ((s, d) => Curation.foldTriggerContract(s, d)),
     "index_health" -> ((s, d) => Curation.indexHealth(s, d)),
     "maintain_estate" -> ((s, d) => Curation.maintainEstate(s, d)),
+    "manifest_pinned" -> ((s, d) => Curation.manifestPinned(s, d)),
+    "manifest_replay" -> ((s, d) => Curation.manifestReplay(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashPairsMd5(s, d)),
     "dedup_blocks"  -> ((s, d) => Dedup.blockDedup(s, d)),
@@ -3365,6 +3367,57 @@ object SparkEntry {
       """SELECT 'append_mean_recall_ge_0_5' AS metric, TRUE AS ok
         |UNION ALL
         |SELECT 'append_within_slack_of_retrain' AS metric, TRUE AS ok
+        |ORDER BY metric""".stripMargin,
+    // the shard manifest plus one index_gen row per family recording
+    // the generation retrieval ran against — gens read from the live
+    // estate (bm25: 1 segment; neardup: check-in + removal = 2; ivf:
+    // removal = 1), pinned here as literals so timeline drift breaks
+    // the hash
+    "manifest_pinned" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents),
+        |gated AS (SELECT * FROM toks WHERE n_tok >= 20),
+        |kept AS (
+        |  SELECT min(doc_id) AS doc_id, arg_min(n_tok, doc_id) AS n_tok
+        |  FROM gated GROUP BY md5(text)),
+        |tr AS (
+        |  SELECT doc_id, n_tok FROM kept
+        |  WHERE substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'),
+        |sh AS (
+        |  SELECT doc_id, n_tok,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(substring(
+        |        md5('shuffle:ep1:' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) % 16 AS shard
+        |  FROM tr),
+        |m AS (
+        |  SELECT CAST(shard AS BIGINT) AS shard,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |    CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |    CAST(max(doc_id) AS BIGINT) AS last_doc
+        |  FROM sh GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 'shard' AS kind, CAST(shard AS VARCHAR) AS key, n_docs,
+        |    total_tokens, first_doc, last_doc, CAST(NULL AS BIGINT) AS gen
+        |  FROM m
+        |  UNION ALL SELECT 'index_gen', 'bm25', NULL, NULL, NULL, NULL, 1
+        |  UNION ALL SELECT 'index_gen', 'neardup', NULL, NULL, NULL, NULL, 2
+        |  UNION ALL SELECT 'index_gen', 'ivf', NULL, NULL, NULL, NULL, 1)
+        |ORDER BY kind, key""".stripMargin,
+    // replay at the manifest's pinned generations after further
+    // mutations: live serves have provably drifted, as-of serves are
+    // bit-identical to the at-manifest captures
+    "manifest_replay" ->
+      """SELECT unnest([
+        |  'mr_bm25_asof_matches', 'mr_bm25_live_differs',
+        |  'mr_ivf_asof_matches', 'mr_ivf_live_differs',
+        |  'mr_nd_asof_matches', 'mr_nd_live_differs']) AS metric,
+        |  TRUE AS ok
         |ORDER BY metric""".stripMargin,
     // estate maintenance: read each family's health card, execute
     // EXACTLY the policy-due folds (nd compact + ivf retrain; bm25 is

@@ -544,36 +544,11 @@ object Curation {
   def maintainEstate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val (docs, vecs, docsEmpty, vecsEmpty, bmBase, ndBase, ivfBase) =
+    val (docs, vecs, docsEmpty, vecsEmpty, _, _, _) =
       foldFixture(spark, dir)
     if (docsEmpty && vecsEmpty)
       return Seq.empty[(String, Boolean)].toDF("metric", "ok")
-    // pre-mutated templates, built once per JVM per corpus dir
-    val (bmT, ndT, ivT) = estateBaseCache.computeIfAbsent(dir, _ => {
-      val bmT = s"/tmp/graft_estate_bmt_${ingestToken}_$tag"
-      val ndT = s"/tmp/graft_estate_ndt_${ingestToken}_$tag"
-      if (!docsEmpty) {
-        TextAnalysis.copyIndex(spark, bmBase, bmT)
-        TextAnalysis.bm25AppendSegment(spark, bmT,
-          docs.filter(pmod(col("doc_id"), lit(7)) === 1)
-            .select((col("doc_id") + 10000L).as("doc_id"), col("text")),
-          docs.limit(0))
-        TextAnalysis.copyIndex(spark, ndBase, ndT)
-        Dedup.neardupCheckIn(spark, ndT,
-          docs.filter(pmod(col("doc_id"), lit(7)) === 2)
-            .select((col("doc_id") + 20000L).as("doc_id"), col("text")))
-          .count()
-        Dedup.neardupRemove(spark, ndT,
-          docs.filter(pmod(col("doc_id"), lit(5)) === 0).select(col("doc_id")))
-      }
-      val ivT = s"/tmp/graft_estate_ivt_${ingestToken}_$tag"
-      if (!vecsEmpty) {
-        TextAnalysis.copyIndex(spark, ivfBase, ivT)
-        Similarity.ivfRemove(spark, ivT,
-          vecs.filter(pmod(col("vec_id"), lit(5)) === 0).select(col("vec_id")))
-      }
-      (bmT, ndT, ivT)
-    })
+    val (bmT, ndT, ivT) = estateTemplates(spark, dir)
     def bmSection(): Seq[(String, Boolean)] = {
       val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
       val bm = s"/tmp/graft_estate_bm_${ingestToken}_$tag"
@@ -649,10 +624,215 @@ object Curation {
     tried.flatMap(_.get).toDF("metric", "ok").orderBy("metric")
   }
 
+  /** The mutated estate TEMPLATES shared by [[maintainEstate]] and
+    * the manifest rows, built once per JVM per corpus dir and then
+    * kept pristine (consumers copy before folding): bm25 with one
+    * appended segment (generation 1), near-dup after one check-in +
+    * one removal wave (generation 2), IVF after one removal wave
+    * (generation 1) — the [[indexHealth]] mutation set, except IVF
+    * skips the append so the retrain-vs-fresh-build comparison has a
+    * deterministic live set.
+    */
+  private def estateTemplates(spark: SparkSession,
+                              dir: String): (String, String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (docs, vecs, docsEmpty, vecsEmpty, bmBase, ndBase, ivfBase) =
+      foldFixture(spark, dir)
+    estateBaseCache.computeIfAbsent(dir, _ => {
+      val bmT = s"/tmp/graft_estate_bmt_${ingestToken}_$tag"
+      val ndT = s"/tmp/graft_estate_ndt_${ingestToken}_$tag"
+      if (!docsEmpty) {
+        TextAnalysis.copyIndex(spark, bmBase, bmT)
+        TextAnalysis.bm25AppendSegment(spark, bmT,
+          docs.filter(pmod(col("doc_id"), lit(7)) === 1)
+            .select((col("doc_id") + 10000L).as("doc_id"), col("text")),
+          docs.limit(0))
+        TextAnalysis.copyIndex(spark, ndBase, ndT)
+        Dedup.neardupCheckIn(spark, ndT,
+          docs.filter(pmod(col("doc_id"), lit(7)) === 2)
+            .select((col("doc_id") + 20000L).as("doc_id"), col("text")))
+          .count()
+        Dedup.neardupRemove(spark, ndT,
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0).select(col("doc_id")))
+      }
+      val ivT = s"/tmp/graft_estate_ivt_${ingestToken}_$tag"
+      if (!vecsEmpty) {
+        TextAnalysis.copyIndex(spark, ivfBase, ivT)
+        Similarity.ivfRemove(spark, ivT,
+          vecs.filter(pmod(col("vec_id"), lit(5)) === 0).select(col("vec_id")))
+      }
+      (bmT, ndT, ivT)
+    })
+  }
+
   private val estateBaseCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
   private val estateIvfRefCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[org.apache.spark.sql.Row]]()
+
+  /** The MANIFEST estate: copies of the [[estateTemplates]] whose
+    * generations a training-run manifest pins, with the at-manifest
+    * serves captured, then mutated FURTHER — so the replay row can
+    * prove the pinned generations still reproduce the captured
+    * retrieval bit-for-bit while the live serves have provably moved
+    * on. The further mutations guarantee live drift by construction:
+    * the bm25 append shifts n_docs (every BM25 score changes), the
+    * near-dup removal kills the originals of captured probe pairs,
+    * and the IVF append is exact query duplicates (guaranteed rank-1
+    * leaks — the r15 as-of fixture trick). Built once per JVM per
+    * corpus dir.
+    */
+  private case class ManifestEstate(
+      bm: String, nd: String, iv: String,
+      bmGen: Long, ndGen: Long, ivGen: Long,
+      bmServe: Seq[org.apache.spark.sql.Row],
+      ndPairs: Seq[org.apache.spark.sql.Row],
+      ivServe: Seq[org.apache.spark.sql.Row])
+
+  private val manifestTerms = Seq("data", "model", "system")
+
+  private def manifestProbe(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(9)) === 4)
+      .select((col("doc_id") + 30000L).as("doc_id"), col("text"))
+
+  private def manifestEstate(spark: SparkSession,
+                             dir: String): ManifestEstate = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (docs, vecs, docsEmpty, vecsEmpty, _, _, _) = foldFixture(spark, dir)
+    val (bmT, ndT, ivT) = estateTemplates(spark, dir)
+    manifestEstateCache.computeIfAbsent(dir, _ => {
+      val bm = s"/tmp/graft_manifest_bm_${ingestToken}_$tag"
+      val nd = s"/tmp/graft_manifest_nd_${ingestToken}_$tag"
+      val iv = s"/tmp/graft_manifest_ivf_${ingestToken}_$tag"
+      var (bmGen, ndGen, ivGen) = (-1L, -1L, -1L)
+      var bmServe, ndPairs, ivServe = Seq.empty[org.apache.spark.sql.Row]
+      if (!docsEmpty) {
+        TextAnalysis.copyIndex(spark, bmT, bm)
+        TextAnalysis.copyIndex(spark, ndT, nd)
+        // the pinned generations are READ FROM THE ESTATE (the oracle
+        // pins their literal values — a drifted timeline breaks the
+        // manifest hash)
+        bmGen = TextAnalysis.bm25Health(spark, bm).toMap.apply("bm25_segments")
+        ndGen = Dedup.neardupHealth(spark, nd).toMap.apply("nd_gen")
+        bmServe = TextAnalysis.bm25QueryIndex(spark, bm, manifestTerms, 20)
+          .collect().toSeq
+        ndPairs = Dedup.neardupLookup(spark, nd,
+          manifestProbe(docs).localCheckpoint()).collect().toSeq
+        // further mutations: any append shifts n_docs → every BM25
+        // score changes; removing the probed originals kills captured
+        // pairs
+        TextAnalysis.bm25AppendSegment(spark, bm,
+          docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+            .select((col("doc_id") + 50000L).as("doc_id"), col("text")),
+          docs.limit(0))
+        Dedup.neardupRemove(spark, nd,
+          docs.filter(pmod(col("doc_id"), lit(9)) === 4).select(col("doc_id")))
+      }
+      if (!vecsEmpty) {
+        TextAnalysis.copyIndex(spark, ivT, iv)
+        ivGen = Similarity.ivfHealth(spark, iv).toMap.apply("ivf_gen")
+        ivServe = Similarity.ivfQueryIndex(spark, dir, iv).collect().toSeq
+        // exact duplicates of the query vectors: guaranteed rank-1
+        // leaks in the live serve
+        Similarity.ivfAppendVectors(spark, iv,
+          vecs.filter(col("vec_id") < 8)
+            .select((col("vec_id") + 2000000L).as("vec_id"),
+              col("embedding")))
+      }
+      ManifestEstate(bm, nd, iv, bmGen, ndGen, ivGen,
+        bmServe, ndPairs, ivServe)
+    })
+  }
+
+  private val manifestEstateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ManifestEstate]()
+
+  /** [[trainManifest]] extended with the index estate's generations
+    * (r15 verdict missing #2): the shard manifest a dataloader
+    * consumes PLUS one `index_gen` row per family recording the
+    * generation retrieval ran against — the artifact the as-of trio
+    * was built for. The generations are read from the live estate,
+    * and the oracle pins their values, so a drifted timeline (an
+    * extra mutation, a lost commit) breaks the hash. A later re-run
+    * replays retrieval at exactly these generations —
+    * [[manifestReplay]] proves that stays bit-identical after the
+    * estate moves on.
+    */
+  def manifestPinned(spark: SparkSession, dir: String,
+                     nShards: Int = 16, seed: String = "ep1"): DataFrame = {
+    import spark.implicits._
+    val (_, _, docsEmpty, vecsEmpty, _, _, _) = foldFixture(spark, dir)
+    val shards = trainManifest(spark, dir, nShards, seed)
+      .select(lit("shard").as("kind"), col("shard").cast("string").as("key"),
+        col("n_docs"), col("total_tokens"), col("first_doc"),
+        col("last_doc"), lit(null).cast("long").as("gen"))
+    if (docsEmpty && vecsEmpty) return shards.orderBy("kind", "key")
+    val est = manifestEstate(spark, dir)
+    val gens =
+      (if (docsEmpty) Seq.empty
+       else Seq("bm25" -> est.bmGen, "neardup" -> est.ndGen)) ++
+      (if (vecsEmpty) Seq.empty else Seq("ivf" -> est.ivGen))
+    val genRows = gens.toDF("key", "gen")
+      .select(lit("index_gen").as("kind"), col("key"),
+        lit(null).cast("long").as("n_docs"),
+        lit(null).cast("long").as("total_tokens"),
+        lit(null).cast("long").as("first_doc"),
+        lit(null).cast("long").as("last_doc"), col("gen"))
+    shards.unionByName(genRows).orderBy("kind", "key")
+  }
+
+  /** The replay the pinned manifest exists for: after the estate has
+    * absorbed FURTHER mutations (which provably change every live
+    * serve — see [[manifestEstate]]), retrieval AS OF the manifest's
+    * recorded generations must be bit-identical to what was served at
+    * manifest time. Two booleans per family, both pinned TRUE: the
+    * live serve has drifted (the pin is non-vacuous) and the as-of
+    * serve matches the capture (the pin works).
+    */
+  def manifestReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (docs, _, docsEmpty, vecsEmpty, _, _, _) = foldFixture(spark, dir)
+    if (docsEmpty && vecsEmpty)
+      return Seq.empty[(String, Boolean)].toDF("metric", "ok")
+    val est = manifestEstate(spark, dir)
+    def bmSection(): Seq[(String, Boolean)] = {
+      val live = TextAnalysis.bm25QueryIndex(spark, est.bm, manifestTerms, 20)
+        .collect().toSeq
+      val asof = TextAnalysis.bm25QueryIndexAsOf(spark, est.bm,
+        est.bmGen.toInt, manifestTerms, 20).collect().toSeq
+      Seq("mr_bm25_live_differs" -> (live != est.bmServe),
+        "mr_bm25_asof_matches" -> (asof == est.bmServe))
+    }
+    def ndSection(): Seq[(String, Boolean)] = {
+      val probe = manifestProbe(docs).localCheckpoint()
+      val live = Dedup.neardupLookup(spark, est.nd, probe).collect().toSeq
+      val asof = Dedup.neardupLookupAsOf(spark, est.nd, probe, est.ndGen)
+        .collect().toSeq
+      Seq("mr_nd_live_differs" -> (live != est.ndPairs),
+        "mr_nd_asof_matches" -> (asof == est.ndPairs))
+    }
+    def ivfSection(): Seq[(String, Boolean)] = {
+      val live = Similarity.ivfQueryIndex(spark, dir, est.iv)
+        .collect().toSeq
+      val asof = Similarity.ivfQueryIndexAsOf(spark, dir, est.iv, est.ivGen)
+        .collect().toSeq
+      Seq("mr_ivf_live_differs" -> (live != est.ivServe),
+        "mr_ivf_asof_matches" -> (asof == est.ivServe))
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val sections =
+      (if (docsEmpty) Seq.empty
+       else Seq(Future(bmSection()), Future(ndSection()))) ++
+      (if (vecsEmpty) Seq.empty else Seq(Future(ivfSection())))
+    val tried = sections.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    tried.collect { case scala.util.Failure(e) => e } match {
+      case Seq() =>
+      case first +: rest => rest.foreach(first.addSuppressed); throw first
+    }
+    tried.flatMap(_.get).toDF("metric", "ok").orderBy("metric")
+  }
 
   private val healthCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()

@@ -91,7 +91,9 @@ class EmptyInputSpec extends SparkSpec {
       "dedup_lookup_asof" -> ((s, d) => Dedup.neardupLookupAsOfRow(s, d)),
       "index_health"      -> ((s, d) => Curation.indexHealth(s, d)),
       // r16 additions
-      "maintain_estate"   -> ((s, d) => Curation.maintainEstate(s, d)))
+      "maintain_estate"   -> ((s, d) => Curation.maintainEstate(s, d)),
+      "manifest_pinned"   -> ((s, d) => Curation.manifestPinned(s, d)),
+      "manifest_replay"   -> ((s, d) => Curation.manifestReplay(s, d)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()
@@ -241,5 +243,16 @@ class EmptyInputSpec extends SparkSpec {
       s"embeddings-only maintenance emitted non-ivf rows: ${maintVecOnly.map(_._1)}")
     assert(maintVecOnly.size == 3 && maintVecOnly.forall(_._2),
       s"embeddings-only maintenance not all green: $maintVecOnly")
+    // the pinned manifest records gens only for the present families;
+    // the replay proves only those families' pins
+    val pinVecOnly = Curation.manifestPinned(spark, mixedDir(false))
+      .collect().filter(_.getString(0) == "index_gen").map(_.getString(1))
+    assert(pinVecOnly.toSeq == Seq("ivf"),
+      s"embeddings-only manifest pinned wrong families: ${pinVecOnly.toSeq}")
+    val replayVecOnly = Curation.manifestReplay(spark, mixedDir(false))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toSeq
+    assert(replayVecOnly.map(_._1).forall(_.startsWith("mr_ivf_")) &&
+      replayVecOnly.size == 2 && replayVecOnly.forall(_._2),
+      s"embeddings-only replay wrong: $replayVecOnly")
   }
 }
