@@ -34,6 +34,7 @@ object SparkEntry {
     "emb_pca", "domain_classifier",
     "bm25_index_topk", "bm25_serve_topk", "bm25_refresh",
     "bm25_upsert_topk", "bm25_compact", "bm25_serve_asof",
+    "bm25_serve_asof_mid",
     "ivf_serve_topk",
     "ivf_append_topk", "ivf_append_recall", "ivf_serve_removed",
     "ivf_retrain_topk", "ivf_serve_asof",
@@ -41,6 +42,7 @@ object SparkEntry {
     "dedup_lookup_asof",
     "ingest_pipeline", "ingest_pipeline2", "fold_trigger", "index_health",
     "maintain_estate", "manifest_pinned", "manifest_replay",
+    "mm_ivf_lifecycle",
     // r13: edges via driver-orchestrated distributed rank selection
     "histogram_equidepth")
 
@@ -202,6 +204,7 @@ object SparkEntry {
     "bm25_refresh"    -> ((s, d) => TextAnalysis.bm25Refresh(s, d)),
     "bm25_upsert_topk" -> ((s, d) => TextAnalysis.bm25UpsertTopK(s, d)),
     "bm25_serve_asof"  -> ((s, d) => TextAnalysis.bm25ServeAsOfTopK(s, d)),
+    "bm25_serve_asof_mid" -> ((s, d) => TextAnalysis.bm25ServeAsOfMidTopK(s, d)),
     "bm25_compact"    -> ((s, d) => TextAnalysis.bm25CompactTopK(s, d)),
     "ppl_buckets"     -> ((s, d) => TextAnalysis.pplBuckets(s, d)),
     "emb_outliers"    -> ((s, d) => Similarity.embOutliers(s, d)),
@@ -287,6 +290,7 @@ object SparkEntry {
     // perceptual dedup over REAL decoded PNG bytes; integer-exact
     // average hash, so the oracle replays decode→hash→bands→verify
     "mm_phash_dedup" -> ((s, d) => Multimodal.phashDedup(s, d)),
+    "mm_ivf_lifecycle" -> ((s, d) => Multimodal.mmIvfLifecycle(s, d)),
     // ---- sequence packing (custom LogicalPlan+SparkPlan; no SQL
     //      oracle: greedy packing is a sequential recurrence —
     //      PackingSpec pins budget/density/determinism invariants) ----
@@ -2103,6 +2107,34 @@ object SparkEntry {
     // the index has absorbed the v1→v2 delta since (the segment's
     // postings/df-deltas/tombstones are excluded and the stats come
     // from the segment's pre-append snapshot)
+    // MID-timeline as-of: a 2-segment index (v1→v2 delta, then a
+    // drift append) served AS OF generation 1 — exactly the v2
+    // corpus, so the oracle is the direct BM25 over v2 (the
+    // bm25_upsert_topk replay): the pin reconstructs an interior
+    // timeline point from base + segment 1 + segment 2's pre-append
+    // stats snapshot
+    "bm25_serve_asof_mid" ->
+      """WITH v2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 30 <> 7),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |           t -> t <> '')) AS term
+        |  FROM v2),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfc GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT unnest(['data', 'model', 'system']) AS term),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc JOIN q USING (term) GROUP BY 1),
+        |s AS (
+        |  SELECT t.doc_id,
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (t.tf * 2.2) /
+        |      (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+        |  FROM tfc t JOIN q USING (term) JOIN dfc USING (term)
+        |  JOIN dl ON dl.doc_id = t.doc_id, stats)
+        |SELECT doc_id, round(sum(s), 6) AS score,
+        |       CAST(count(*) AS BIGINT) AS n_terms
+        |FROM s GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "bm25_serve_asof" ->
       """WITH v1 AS (
         |  SELECT doc_id,
@@ -3367,6 +3399,18 @@ object SparkEntry {
       """SELECT 'append_mean_recall_ge_0_5' AS metric, TRUE AS ok
         |UNION ALL
         |SELECT 'append_within_slack_of_retrain' AS metric, TRUE AS ok
+        |ORDER BY metric""".stripMargin,
+    // decoded image-feature vectors through the full IVF lifecycle:
+    // the real-PNG-decode histograms match the generating formula,
+    // IVF serve reaches the recall floor vs brute force, append/remove
+    // are exactly counted, and takedown restores the pristine serve
+    // bit-for-bit — all tie-immune booleans pinned TRUE
+    "mm_ivf_lifecycle" ->
+      """SELECT unnest([
+        |  'mm_ivf_append_counted', 'mm_ivf_recall_ge_0_6',
+        |  'mm_ivf_remove_counted', 'mm_ivf_remove_restores_serve',
+        |  'mm_vectors_match_formula']) AS metric,
+        |  TRUE AS ok
         |ORDER BY metric""".stripMargin,
     // the shard manifest plus one index_gen row per family recording
     // the generation retrieval ran against — gens read from the live

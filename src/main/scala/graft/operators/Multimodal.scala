@@ -523,4 +523,191 @@ object Multimodal {
       .select(col("media_id"), col("n_samples"), col("n_frames"),
         col("sum_sq"), col("peak"), col("n_silent"))
       .orderBy("media_id")
+
+  // ---- multimodal meets the index estate (r15 verdict stretch #8):
+  // decoded image-feature vectors through the IVF lifecycle ----
+
+  /** One 16-bin grayscale-histogram feature vector per decoded PNG,
+    * L1-normalized to Array[Float] — REAL features (javax.imageio
+    * parses the actual container bytes), in exactly the (vec_id,
+    * embedding) shape the IVF index ingests. PNG-only: lossless, so
+    * the analytic twin inside [[mmIvfLifecycle]] recomputes the same
+    * histogram from the generating formula without touching any
+    * payload, pinning the decode. NOTE these vectors genuinely
+    * collide: ids 1280 apart share (w, h) AND gray offset, so their
+    * histograms are bit-identical — every lifecycle assertion below
+    * is chosen to be tie-immune.
+    */
+  case class ImageVec(vec_id: Long, embedding: Array[Float])
+
+  def imageVectors(spark: SparkSession, dir: String): Dataset[ImageVec] = {
+    import spark.implicits._
+    imageTable(spark, dir)
+      .filter(col("media_type") === "image/png").as[ImageRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val bins = new Array[Long](16)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              bins((img.getRGB(x, y) & 0xff) >> 4) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toFloat
+          ImageVec(r.media_id, bins.map(_ / n))
+        }
+      }
+  }
+
+  /** Decoded per-bin histogram COUNTS (vec_id, bin, cnt > 0) — the
+    * pre-normalization integers the formula twin matches EXACTLY
+    * (the normalized [[imageVectors]] floats are these counts over
+    * one float division).
+    */
+  private def decodedBins(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageTable(spark, dir)
+      .filter(col("media_type") === "image/png").as[ImageRecord]
+      .flatMap { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val bins = new Array[Long](16)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            bins((img.getRGB(x, y) & 0xff) >> 4) += 1
+            x += 1
+          }
+          y += 1
+        }
+        bins.zipWithIndex.collect {
+          case (c, b) if c > 0 => (r.media_id, b, c)
+        }
+      }
+      .toDF("vec_id", "bin", "cnt")
+  }
+
+  /** The IVF lifecycle over the decoded image vectors — proof the
+    * index machinery is modality-agnostic end-to-end. Contract rows,
+    * each TIE-IMMUNE (exact histogram collisions are real, see
+    * [[imageVectors]]):
+    *   - mm_vectors_match_formula: the REAL decode's normalized
+    *     histograms equal the analytic formula's, for every PNG
+    *     (both sides as exact per-bin pixel counts);
+    *   - mm_ivf_recall_ge_0_6: IVF top-5 over the image vectors
+    *     reaches mean recall ≥ 0.6 vs the brute-force exact top-5
+    *     (same scoring expression, same tie-break, nProbe=4 of 8);
+    *   - mm_ivf_append_counted: appending 8 vectors grows the stored
+    *     list rows by exactly 8 and bumps the generation to 1;
+    *   - mm_ivf_remove_counted: removing them writes exactly 8
+    *     tombstones at generation 2;
+    *   - mm_ivf_remove_restores_serve: the post-remove serve is
+    *     bit-identical to the pristine serve (append + takedown of
+    *     the same ids is a no-op to readers).
+    * Pristine index, queries, brute-force baseline, and the
+    * formula-match boolean are built once per JVM per corpus dir;
+    * each invocation copies the index and runs the
+    * append→remove→serve cycle. Absent image corpus emits no rows.
+    */
+  def mmIvfLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (mmEmptyCache.computeIfAbsent(dir, _ =>
+        Tables.documents(spark, dir).limit(1).isEmpty))
+      return Seq.empty[(String, Boolean)].toDF("metric", "ok")
+    val (base, queries, baseServe, recallOk, formulaOk) =
+      mmIvfBaseCache.computeIfAbsent(dir, _ => {
+        val vecs = imageVectors(spark, dir).toDF()
+          .select(col("vec_id"), col("embedding"))
+        val p = s"/tmp/graft_mmivf_base_${mmToken}_$tag"
+        Similarity.ivfWriteIndexVecs(spark, vecs, p)
+        val queries = vecs.filter(col("vec_id") < 16).localCheckpoint()
+        val served = Similarity
+          .ivfQueryIndexVecs(spark, p, queries, kNN = 5, nProbe = 4)
+          .localCheckpoint()
+        val servedRows = served.collect().toSeq
+        // brute-force exact top-5: the serve's own scoring expression
+        // and tie-break, no cell pruning
+        graft.functions.GraftFunctions.register(spark)
+        val ndot = graft.functions.GraftFunctions.dot _
+        val wk = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+        val exact = vecs
+          .join(broadcast(queries.select(col("vec_id").as("qid"),
+            col("embedding").as("qv"))), expr("true"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("cid"),
+            (ndot(col("qv"), col("embedding")) /
+              (sqrt(ndot(col("qv"), col("qv"))) *
+                sqrt(ndot(col("embedding"), col("embedding"))))).as("sim"))
+          .withColumn("rnk", row_number().over(wk)).filter(col("rnk") <= 5)
+          .select(col("qid"), col("cid"))
+        val hits = served.select(col("qid"), col("cid"))
+          .intersect(exact).groupBy(col("qid")).count()
+        val recalls = queries.select(col("vec_id").as("qid"))
+          .join(hits, Seq("qid"), "left")
+          .select(coalesce(col("count"), lit(0L)).cast("double") / 5.0)
+          .collect().map(_.getDouble(0))
+        val meanRecall = recalls.sum / recalls.length
+        System.err.println(f"[mm_ivf] mean recall $meanRecall%.3f over " +
+          f"${recalls.length} queries")
+        // formula twin: exact per-bin counts from the generating
+        // formula, no payload touched — both directions must agree
+        val grid = Tables.documents(spark, dir)
+          .filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id").as("vec_id"),
+            (lit(8) + pmod(col("doc_id") * 7, lit(40))).as("w"),
+            (lit(8) + pmod(col("doc_id") * 13, lit(40))).as("h"))
+          .select(col("vec_id"), col("w"),
+            explode(sequence(lit(0L), col("w") * col("h") - 1)).as("i"))
+          .select(col("vec_id"), col("w"),
+            pmod(col("vec_id") * 31 + pmod(col("i"), col("w")) * 17 +
+              floor(col("i") / col("w")) * 29, lit(256)).as("g"))
+          .select(col("vec_id"),
+            floor(col("g") / 16).cast("int").as("bin"))
+          .groupBy(col("vec_id"), col("bin")).agg(count(lit(1)).as("cnt"))
+        val decoded = decodedBins(spark, dir)
+        val formulaOk =
+          decoded.except(grid).isEmpty && grid.except(decoded).isEmpty
+        (p, queries, servedRows, meanRecall >= 0.6, formulaOk)
+      })
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    rows += ("mm_vectors_match_formula" -> formulaOk)
+    rows += ("mm_ivf_recall_ge_0_6" -> recallOk)
+    val idx = s"/tmp/graft_mmivf_run_${mmToken}_$tag"
+    TextAnalysis.copyIndex(spark, base, idx)
+    val h0 = Similarity.ivfHealth(spark, idx).toMap
+    Similarity.ivfAppendVectors(spark, idx,
+      queries.select((col("vec_id") + 3000000L).as("vec_id"),
+        col("embedding")))
+    val h1 = Similarity.ivfHealth(spark, idx).toMap
+    rows += ("mm_ivf_append_counted" ->
+      (h1("ivf_lists") == h0("ivf_lists") + 8L && h1("ivf_gen") == 1L))
+    Similarity.ivfRemove(spark, idx,
+      queries.select((col("vec_id") + 3000000L).as("vec_id")))
+    val h2 = Similarity.ivfHealth(spark, idx).toMap
+    rows += ("mm_ivf_remove_counted" ->
+      (h2("ivf_tombstones") == 8L && h2("ivf_gen") == 2L))
+    val servedAfter = Similarity
+      .ivfQueryIndexVecs(spark, idx, queries, kNN = 5, nProbe = 4)
+      .collect().toSeq
+    rows += ("mm_ivf_remove_restores_serve" -> (servedAfter == baseServe))
+    rows.toSeq.toDF("metric", "ok").orderBy("metric")
+  }
+
+  private lazy val mmToken =
+    java.util.UUID.randomUUID().toString.take(8)
+  private val mmEmptyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val mmIvfBaseCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, DataFrame, Seq[org.apache.spark.sql.Row],
+      Boolean, Boolean)]()
 }

@@ -1059,7 +1059,19 @@ object Similarity {
                                  idx: String,
                                  qpred: org.apache.spark.sql.Column,
                                  kNN: Int, nProbe: Int,
-                                 asOf: Option[Long] = None): DataFrame = {
+                                 asOf: Option[Long] = None): DataFrame =
+    ivfQueryIndexVecs(spark, idx,
+      Tables.embeddings(spark, dir).filter(qpred), kNN, nProbe, asOf)
+
+  /** The serve core over an ARBITRARY query set (vec_id, embedding) —
+    * the same routing/pruning/scoring regardless of which table the
+    * queries came from; [[graft.operators.Multimodal]] routes decoded
+    * image-feature vectors through it, proving the index machinery is
+    * modality-agnostic.
+    */
+  def ivfQueryIndexVecs(spark: SparkSession, idx: String,
+                        queries: DataFrame, kNN: Int = 5, nProbe: Int = 2,
+                        asOf: Option[Long] = None): DataFrame = {
     import spark.implicits._
     IndexPolicy.checkLayout(spark, idx, ivfLayoutBase)
     // read ceiling: the pinned as-of generation, capped at the last
@@ -1070,8 +1082,7 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val ndot = graft.functions.GraftFunctions.dot _
     val cents = spark.read.schema(centroidsSchema).parquet(s"$idx/centroids")
-    val q = Tables.embeddings(spark, dir)
-      .filter(qpred)
+    val q = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         transform(col("embedding"),
           x => round(x.cast("double") * 1024).cast("long")).as("qq"))

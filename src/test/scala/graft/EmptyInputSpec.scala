@@ -93,7 +93,9 @@ class EmptyInputSpec extends SparkSpec {
       // r16 additions
       "maintain_estate"   -> ((s, d) => Curation.maintainEstate(s, d)),
       "manifest_pinned"   -> ((s, d) => Curation.manifestPinned(s, d)),
-      "manifest_replay"   -> ((s, d) => Curation.manifestReplay(s, d)))
+      "manifest_replay"   -> ((s, d) => Curation.manifestReplay(s, d)),
+      "bm25_serve_asof_mid" -> ((s, d) => TextAnalysis.bm25ServeAsOfMidTopK(s, d)),
+      "mm_ivf_lifecycle"  -> ((s, d) => Multimodal.mmIvfLifecycle(s, d)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()
