@@ -281,6 +281,69 @@ object Curation {
   private val ingest2Cache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
+  /** Fixed-delta probe of the two-round ingest funnel (r15 verdict
+    * missing #4, the CheckinProbe pattern applied to
+    * [[ingestPipeline2]]): build the v1 indexes over THIS corpus
+    * (timed separately — that cost is corpus-sized by definition),
+    * then run both funnel rounds with every delta capped to
+    * pre-retag doc_id < `cap`. Passing the 1× corpus's doc_id domain
+    * on a ScaleUp-derived N× dir applies the SAME-sized delta to an
+    * N×-grown estate — flat round wall-clock across N is the funnel's
+    * own scale proof (each stage was already measured flat alone).
+    * Timings to stdout; a measurement harness, not a registry row.
+    */
+  def ingestProbe(spark: SparkSession, dir: String, cap: Long,
+                  terms: Seq[String] = Seq("data", "model", "system"),
+                  k: Int = 20, minJ: Double = 0.2): Unit = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"INGESTPROBE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val (v1, v2) = TextAnalysis.snapshotFixture(spark, dir)
+    val nd = s"/tmp/graft_ingestprobe_nd_$tag"
+    val bm = s"/tmp/graft_ingestprobe_bm_$tag"
+    timed("build nd(v1)")(Dedup.neardupWriteIndex(spark, v1, nd))
+    timed("build bm25(v1)")(TextAnalysis.bm25WriteIndexDocs(spark, v1, bm))
+    val (newD, oldD) = TextAnalysis.snapshotDelta(v1, v2)
+    val newDc = newD.filter(col("doc_id") < cap).localCheckpoint()
+    val oldDc = oldD.filter(col("doc_id") < cap).localCheckpoint()
+    val added1 = newDc.filter(pmod(col("doc_id"), lit(30)) === 0)
+    println(s"INGESTPROBE delta sizes: new=${newDc.count()} " +
+      s"old=${oldDc.count()} added1=${added1.count()} (cap=$cap)")
+    val tAll = System.nanoTime()
+    val pairs1 = timed("round1 nd lookup")(
+      Dedup.neardupLookup(spark, nd, added1, minJ))
+    val rejected1 = pairs1.select(
+      when(pmod(col("b"), lit(30)) === 0, col("b"))
+        .otherwise(col("a")).as("doc_id")).distinct()
+    timed("round1 nd checkin")(Dedup.neardupCheckIn(spark, nd,
+      added1.join(rejected1, Seq("doc_id"), "left_anti"), minJ).count())
+    timed("round1 bm refresh")(TextAnalysis.bm25RefreshIndex(spark, bm,
+      newDc.join(rejected1, Seq("doc_id"), "left_anti"), oldDc))
+    val copies = v2.filter(pmod(col("doc_id"), lit(15)) === 0)
+      .filter(col("doc_id") < cap)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val novel = v2.filter(pmod(col("doc_id"), lit(40)) === 3)
+      .filter(col("doc_id") < cap)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        concat_ws(" ",
+          reverse(graft.functions.TextFns.wsTokens(col("text")))).as("text"))
+    val added2 = copies.unionByName(novel).localCheckpoint()
+    val pairs2 = timed("round2 nd lookup")(
+      Dedup.neardupLookup(spark, nd, added2, minJ))
+    val rejected2 = pairs2.select(col("b").as("doc_id")).distinct()
+    val admitted2 = added2.join(rejected2, Seq("doc_id"), "left_anti")
+    timed("round2 bm refresh")(TextAnalysis.bm25RefreshIndex(spark, bm,
+      admitted2, v2.limit(0)))
+    val rows = timed("serve bm25 topk")(
+      TextAnalysis.bm25QueryIndex(spark, bm, terms, k).collect().length)
+    println(f"INGESTPROBE funnel total: ${(System.nanoTime() - tAll) / 1e9}%.2f s" +
+      s" served=$rows")
+  }
+
   /** Fold-trigger CONTRACT across all three index families (r13
     * stretch item 8): the lifecycles can fold (bm25Compact /
     * neardupCompact / IVF retrain) and the fold is proven CORRECT

@@ -954,6 +954,12 @@ object TextAnalysis {
     * opened (LayoutSpec pins byte-identity); a touched bucket the
     * merge emptied is simply deleted (and its letter dir when that
     * leaves it empty). Single-writer, like every index mutation here.
+    *
+    * COMMIT CONTRACT: the swap relies on atomic single-object rename
+    * (HDFS/local). On an S3-style object store — where "rename" is
+    * copy+delete — this protocol must be re-based on a
+    * manifest-pointer commit; see the [[IndexPolicy]] design note for
+    * the full statement of the requirement and the port.
     */
   private def rewritePostings(spark: SparkSession, idx: String,
                               touched: Seq[(String, Int)],
