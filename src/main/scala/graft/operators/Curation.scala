@@ -245,9 +245,7 @@ object Curation {
       // pairs1 is already an eager localCheckpoint (neardupLookup
       // returns one), so this tiny projection needs no snapshot of
       // its own — both anti-joins below re-read that materialization
-      val rejected1 = pairs1.select(
-        when(pmod(col("b"), lit(30)) === 0, col("b"))
-          .otherwise(col("a")).as("doc_id")).distinct()
+      val rejected1 = funnelReject1(pairs1)
       // survivors enter the near-dup index — round 2's reference set
       Dedup.neardupCheckIn(spark, nd,
         added1.join(rejected1, Seq("doc_id"), "left_anti"), minJ)
@@ -258,13 +256,7 @@ object Curation {
         newD.join(rejected1, Seq("doc_id"), "left_anti"), oldD)
       (nd, bm)
     })
-    val copies = v2.filter(pmod(col("doc_id"), lit(15)) === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-    val novel = v2.filter(pmod(col("doc_id"), lit(40)) === 3)
-      .select((col("doc_id") + 2000000L).as("doc_id"),
-        concat_ws(" ",
-          reverse(graft.functions.TextFns.wsTokens(col("text")))).as("text"))
-    val added2 = copies.unionByName(novel)
+    val added2 = funnelRound2(v2, copyOff = 1000000L, novelOff = 2000000L)
     val pairs2 = Dedup.neardupLookup(spark, ndIdx, added2, minJ)
     // every pair's b is the round-2 member (their ids exceed all
     // corpus ids), covering index-vs-added and added-vs-added
@@ -280,6 +272,33 @@ object Curation {
 
   private val ingest2Cache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Round-1 gate rule of the two-round funnel, shared by
+    * [[ingestPipeline2]] and [[ingestProbe]] (the probe must measure
+    * the registry row's exact logic): of each flagged pair, reject
+    * the round-1 member — the delta ids are ≡ 0 mod 30 and appear on
+    * either side of the canonical (a < b) pair.
+    */
+  private def funnelReject1(pairs1: DataFrame): DataFrame =
+    pairs1.select(
+      when(pmod(col("b"), lit(30)) === 0, col("b"))
+        .otherwise(col("a")).as("doc_id")).distinct()
+
+  /** Round-2 delta of the two-round funnel (shared for the same
+    * reason): exact copies of v2 docs ≡ 0 mod 15 (re-tagged) and
+    * token-reversed "novel" texts of docs ≡ 3 mod 40.
+    */
+  private def funnelRound2(v2: DataFrame, copyOff: Long, novelOff: Long,
+                           cap: Long = Long.MaxValue): DataFrame = {
+    val capped = v2.filter(col("doc_id") < cap)
+    val copies = capped.filter(pmod(col("doc_id"), lit(15)) === 0)
+      .select((col("doc_id") + copyOff).as("doc_id"), col("text"))
+    val novel = capped.filter(pmod(col("doc_id"), lit(40)) === 3)
+      .select((col("doc_id") + novelOff).as("doc_id"),
+        concat_ws(" ",
+          reverse(graft.functions.TextFns.wsTokens(col("text")))).as("text"))
+    copies.unionByName(novel)
+  }
 
   /** Fixed-delta probe of the two-round ingest funnel (r15 verdict
     * missing #4, the CheckinProbe pattern applied to
@@ -316,22 +335,17 @@ object Curation {
     val tAll = System.nanoTime()
     val pairs1 = timed("round1 nd lookup")(
       Dedup.neardupLookup(spark, nd, added1, minJ))
-    val rejected1 = pairs1.select(
-      when(pmod(col("b"), lit(30)) === 0, col("b"))
-        .otherwise(col("a")).as("doc_id")).distinct()
+    val rejected1 = funnelReject1(pairs1)
     timed("round1 nd checkin")(Dedup.neardupCheckIn(spark, nd,
       added1.join(rejected1, Seq("doc_id"), "left_anti"), minJ).count())
     timed("round1 bm refresh")(TextAnalysis.bm25RefreshIndex(spark, bm,
       newDc.join(rejected1, Seq("doc_id"), "left_anti"), oldDc))
-    val copies = v2.filter(pmod(col("doc_id"), lit(15)) === 0)
-      .filter(col("doc_id") < cap)
-      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
-    val novel = v2.filter(pmod(col("doc_id"), lit(40)) === 3)
-      .filter(col("doc_id") < cap)
-      .select((col("doc_id") + 20000000L).as("doc_id"),
-        concat_ws(" ",
-          reverse(graft.functions.TextFns.wsTokens(col("text")))).as("text"))
-    val added2 = copies.unionByName(novel).localCheckpoint()
+    // the SAME round-2 deltas the registry row builds (shared
+    // builders, so the probe cannot desynchronize from the funnel it
+    // measures); retag offsets differ only to keep the probe's ids
+    // disjoint from any concurrently-built pipeline fixtures
+    val added2 = funnelRound2(v2, copyOff = 10000000L,
+      novelOff = 20000000L, cap = cap).localCheckpoint()
     val pairs2 = timed("round2 nd lookup")(
       Dedup.neardupLookup(spark, nd, added2, minJ))
     val rejected2 = pairs2.select(col("b").as("doc_id")).distinct()

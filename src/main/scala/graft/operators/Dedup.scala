@@ -891,15 +891,8 @@ object Dedup {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("db").parquet(tmpD)
     IndexPolicy.withMutationSentinel(spark, idx) {
-      def swap(tmp: String, dst: String): Unit = {
-        val to = new Path(dst)
-        require(!fs.exists(to) || fs.delete(to, true),
-          s"compact: could not clear $to")
-        require(fs.rename(new Path(tmp), to),
-          s"compact: rename $tmp -> $to failed")
-      }
-      swap(tmpB, s"$idx/buckets")
-      swap(tmpD, s"$idx/docsets")
+      IndexPolicy.swapDir(spark, tmpB, s"$idx/buckets")
+      IndexPolicy.swapDir(spark, tmpD, s"$idx/docsets")
       fs.delete(new Path(s"$idx/tombstones"), true)
       // the fold resets the as-of timeline (the ivf-retrain analogue):
       // rewritten rows are generation 0 again

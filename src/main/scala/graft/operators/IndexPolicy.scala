@@ -29,51 +29,83 @@ private[operators] object IndexPolicy {
   // generation counters
   // ---------------------------------------------------------------
 
-  /** Read one of the single-line long counters (`meta`,
-    * `meta_committed`). Raw FileSystem I/O, NOT a Spark job: the
-    * counters ride every mutation, and two driver jobs for one long
-    * would be measurable fixture-scale overhead on the check-in
-    * family. If the main file is missing but a fully-written
-    * `.{name}_tmp` exists, the interrupted [[writeCounter]] is
-    * FINISHED here (the tmp is complete — it is closed before the
-    * delete-then-rename starts), so a crash between the delete and
-    * the rename no longer loses the counter (r15 ADVICE).
+  /** ONE atomic small-file protocol for every piece of index
+    * bookkeeping (the generation counters AND the layout stamp —
+    * r16 review: two parallel copies of temp-write+rename drifted on
+    * crash recovery). Raw FileSystem I/O, NOT a Spark job: these ride
+    * every mutation, and two driver jobs per small file would be
+    * measurable fixture-scale overhead on the check-in family.
+    *
+    * READ recovery: if the main file is missing but a fully-written
+    * `.{name}_tmp` exists (a crash hit [[writeAtomicFile]] between
+    * its delete and rename — the tmp is complete, it is closed before
+    * either starts), the VALUE is recovered from the tmp and the
+    * reinstating rename is best-effort only: a read must never fail
+    * because a concurrent reader won the rename race or the index
+    * lives on a read-only snapshot.
     */
-  private def readCounter(spark: SparkSession, idx: String,
-                          name: String): Option[Long] = {
+  private def readAtomicFile(spark: SparkSession, idx: String,
+                             name: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(s"$idx/$name")
     val tmp = new org.apache.hadoop.fs.Path(s"$idx/.${name}_tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def readAll(q: org.apache.hadoop.fs.Path): Long = {
+    def readAll(q: org.apache.hadoop.fs.Path): String = {
       val buf = new Array[Byte](fs.getFileStatus(q).getLen.toInt)
       val in = fs.open(q)
       try in.readFully(0L, buf) finally in.close()
-      new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim
     }
     if (fs.exists(p)) Some(readAll(p))
-    else if (fs.exists(tmp)) { // crashed mid-writeCounter: recover
-      val g = readAll(tmp)
-      require(fs.rename(tmp, p), s"recover: rename $tmp -> $p failed")
-      Some(g)
+    else if (fs.exists(tmp)) {
+      val v =
+        try readAll(tmp)
+        catch { // lost a recovery race: the winner reinstated p
+          case e: java.io.IOException if fs.exists(p) => readAll(p)
+        }
+      try fs.rename(tmp, p) catch { case _: java.io.IOException => }
+      Some(v)
     } else None
   }
 
   /** Temp-write + checked rename (the bm25 dir-swap discipline): an
-    * in-place truncate would destroy the counter on a crash
-    * mid-write; a crash between the delete and the rename is repaired
-    * by [[readCounter]]'s tmp-recovery on the next read.
+    * in-place truncate would destroy the file on a crash mid-write;
+    * a crash between the delete and the rename is repaired by
+    * [[readAtomicFile]]'s tmp-recovery on the next read.
     */
-  private def writeCounter(spark: SparkSession, idx: String,
-                           name: String, g: Long): Unit = {
+  private def writeAtomicFile(spark: SparkSession, idx: String,
+                              name: String, content: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$idx/$name")
     val tmp = new org.apache.hadoop.fs.Path(s"$idx/.${name}_tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(tmp, true)
-    try out.write(g.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     require(!fs.exists(p) || fs.delete(p, false),
-      s"writeCounter: could not clear $p")
-    require(fs.rename(tmp, p), s"writeCounter: rename $tmp -> $p failed")
+      s"writeAtomicFile: could not clear $p")
+    require(fs.rename(tmp, p), s"writeAtomicFile: rename $tmp -> $p failed")
+  }
+
+  private def readCounter(spark: SparkSession, idx: String,
+                          name: String): Option[Long] =
+    readAtomicFile(spark, idx, name).map(_.toLong)
+
+  private def writeCounter(spark: SparkSession, idx: String,
+                           name: String, g: Long): Unit =
+    writeAtomicFile(spark, idx, name, g.toString)
+
+  /** Checked delete-then-rename of one directory — the unit step of
+    * every swap window here (atomic on HDFS/local rename semantics;
+    * see the object-store note above). ONE implementation (r16
+    * review: three copies of this step would each need the
+    * manifest-pointer port).
+    */
+  def swapDir(spark: SparkSession, tmp: String, dst: String): Unit = {
+    val to = new org.apache.hadoop.fs.Path(dst)
+    val fs = to.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(to) || fs.delete(to, true),
+      s"swapDir: could not clear $to")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), to),
+      s"swapDir: rename $tmp -> $to failed")
   }
 
   /** Current ALLOCATED mutation generation of an index (0 = freshly
@@ -153,41 +185,25 @@ private[operators] object IndexPolicy {
   // partial index.
   // ---------------------------------------------------------------
 
-  private def layoutLine(params: Seq[(String, Long)]): String =
-    params.map { case (k, v) => s"$k=$v" }.mkString(",")
-
   def writeLayout(spark: SparkSession, idx: String,
-                  params: Seq[(String, Long)]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$idx/layout")
-    val tmp = new org.apache.hadoop.fs.Path(s"$idx/.layout_tmp")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(tmp, true)
-    try out.write(layoutLine(params)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    require(!fs.exists(p) || fs.delete(p, false),
-      s"writeLayout: could not clear $p")
-    require(fs.rename(tmp, p), s"writeLayout: rename $tmp -> $p failed")
-  }
+                  params: Seq[(String, Long)]): Unit =
+    writeAtomicFile(spark, idx, "layout",
+      params.map { case (k, v) => s"$k=$v" }.mkString(","))
 
   /** Validate the params this reader depends on against the build's
     * stamp — SUBSET semantics, so an operator that only uses the
     * directory-hash constants (compact, remove) needn't know the
-    * query-family params (n/k/bands) to validate its own.
+    * query-family params (n/k/bands) to validate its own. Shares
+    * [[readAtomicFile]], so a build interrupted between the stamp's
+    * delete and rename recovers instead of prescribing a rebuild.
     */
   def checkLayout(spark: SparkSession, idx: String,
                   expected: Seq[(String, Long)]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$idx/layout")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
+    val line = readAtomicFile(spark, idx, "layout").getOrElse(
       throw new IllegalArgumentException(
         s"$idx has no layout stamp — either the build crashed before " +
-          "completing or the index predates layout stamping: rebuild it")
-    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-    val in = fs.open(p)
-    try in.readFully(0L, buf) finally in.close()
-    val found = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-      .trim.split(",").map(_.split("=", 2))
+          "completing or the index predates layout stamping: rebuild it"))
+    val found = line.split(",").map(_.split("=", 2))
       .collect { case Array(k, v) => k -> v.toLong }.toMap
     expected.foreach { case (k, v) =>
       require(found.get(k).contains(v),

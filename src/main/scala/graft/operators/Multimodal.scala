@@ -540,58 +540,52 @@ object Multimodal {
     */
   case class ImageVec(vec_id: Long, embedding: Array[Float])
 
+  /** THE decode: real javax.imageio parse of the container bytes →
+    * 16-bin grayscale pixel counts. One implementation feeds both the
+    * indexed vectors and the formula-match contract (r16 review: two
+    * copy-pasted loops meant the contract pinned a twin, not the
+    * vectors actually indexed).
+    */
+  private def decodeHistogram(payload: Array[Byte]): Array[Long] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val bins = new Array[Long](16)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        bins((img.getRGB(x, y) & 0xff) >> 4) += 1
+        x += 1
+      }
+      y += 1
+    }
+    bins
+  }
+
   def imageVectors(spark: SparkSession, dir: String): Dataset[ImageVec] = {
     import spark.implicits._
     imageTable(spark, dir)
       .filter(col("media_type") === "image/png").as[ImageRecord]
-      .mapPartitions { it =>
-        it.map { r =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.payload))
-          val (w, h) = (img.getWidth, img.getHeight)
-          val bins = new Array[Long](16)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              bins((img.getRGB(x, y) & 0xff) >> 4) += 1
-              x += 1
-            }
-            y += 1
-          }
-          val n = (w.toLong * h).toFloat
-          ImageVec(r.media_id, bins.map(_ / n))
-        }
-      }
+      .mapPartitions(_.map { r =>
+        val bins = decodeHistogram(r.payload)
+        val n = bins.sum.toFloat
+        ImageVec(r.media_id, bins.map(_ / n))
+      })
   }
 
   /** Decoded per-bin histogram COUNTS (vec_id, bin, cnt > 0) — the
     * pre-normalization integers the formula twin matches EXACTLY
-    * (the normalized [[imageVectors]] floats are these counts over
-    * one float division).
+    * (the normalized [[imageVectors]] floats are these same
+    * [[decodeHistogram]] counts over one float division).
     */
   private def decodedBins(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     imageTable(spark, dir)
       .filter(col("media_type") === "image/png").as[ImageRecord]
-      .flatMap { r =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.payload))
-        val (w, h) = (img.getWidth, img.getHeight)
-        val bins = new Array[Long](16)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            bins((img.getRGB(x, y) & 0xff) >> 4) += 1
-            x += 1
-          }
-          y += 1
-        }
-        bins.zipWithIndex.collect {
-          case (c, b) if c > 0 => (r.media_id, b, c)
-        }
-      }
+      .flatMap(r => decodeHistogram(r.payload).zipWithIndex.collect {
+        case (c, b) if c > 0 => (r.media_id, b, c)
+      })
       .toDF("vec_id", "bin", "cnt")
   }
 
@@ -684,18 +678,22 @@ object Multimodal {
     rows += ("mm_ivf_recall_ge_0_6" -> recallOk)
     val idx = s"/tmp/graft_mmivf_run_${mmToken}_$tag"
     TextAnalysis.copyIndex(spark, base, idx)
+    // the count contract derives from the actual query-set size (it
+    // is 8 on the shipped fixtures, but the booleans must not couple
+    // to the id domain starting at 0)
+    val nQ = queries.count()
     val h0 = Similarity.ivfHealth(spark, idx).toMap
     Similarity.ivfAppendVectors(spark, idx,
       queries.select((col("vec_id") + 3000000L).as("vec_id"),
         col("embedding")))
     val h1 = Similarity.ivfHealth(spark, idx).toMap
     rows += ("mm_ivf_append_counted" ->
-      (h1("ivf_lists") == h0("ivf_lists") + 8L && h1("ivf_gen") == 1L))
+      (h1("ivf_lists") == h0("ivf_lists") + nQ && h1("ivf_gen") == 1L))
     Similarity.ivfRemove(spark, idx,
       queries.select((col("vec_id") + 3000000L).as("vec_id")))
     val h2 = Similarity.ivfHealth(spark, idx).toMap
     rows += ("mm_ivf_remove_counted" ->
-      (h2("ivf_tombstones") == 8L && h2("ivf_gen") == 2L))
+      (h2("ivf_tombstones") == nQ && h2("ivf_gen") == 2L))
     val servedAfter = Similarity
       .ivfQueryIndexVecs(spark, idx, queries, kNN = 5, nProbe = 4)
       .collect().toSeq

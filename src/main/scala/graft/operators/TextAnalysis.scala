@@ -928,19 +928,8 @@ object TextAnalysis {
       inSentinel = () => swapDir(spark, tmpStats, s"$idx/stats"))
   }
 
-  /** Checked delete-then-rename of one directory — the unit step of
-    * every swap here (atomic on HDFS/local rename semantics; see the
-    * [[IndexPolicy]] object-store note).
-    */
-  private def swapDir(spark: SparkSession, tmp: String, dst: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val to = new Path(dst)
-    val fs = to.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!fs.exists(to) || fs.delete(to, true),
-      s"swapDir: could not clear $to")
-    require(fs.rename(new Path(tmp), to),
-      s"swapDir: rename $tmp -> $to failed")
-  }
+  private def swapDir(spark: SparkSession, tmp: String, dst: String): Unit =
+    IndexPolicy.swapDir(spark, tmp, dst)
 
   /** Replace the touched (tb, tk) buckets of `idx/postings` and
     * `idx/terms` with `merged`'s content via TEMP-WRITE + DIR-SWAP:

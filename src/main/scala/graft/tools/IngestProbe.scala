@@ -13,6 +13,8 @@ import graft.Sessions
   */
 object IngestProbe {
   def main(args: Array[String]): Unit = {
+    require(args.length == 1 || args.length == 2,
+      "usage: IngestProbe <sfDir> [deltaCap]")
     val dir = args.head
     val cap = if (args.length > 1) args(1).toLong else Long.MaxValue
     val spark = Sessions.local("graft-ingest-probe")

@@ -64,7 +64,10 @@ object ScaleUp {
   private val docPerturb: DataFrame => DataFrame = d =>
     d.withColumn("text",
       when(col("__rep") === 0, col("text")).otherwise {
-        val keyed = transform(split(col("text"), "\\s+"), (t, i) =>
+        // wsTokens (not a raw split): leading whitespace would inject
+        // an empty pseudo-token into the shuffle
+        val keyed = transform(
+          graft.functions.TextFns.wsTokens(col("text")), (t, i) =>
           struct(
             xxhash64(concat_ws(":", col("__rep"), col("doc_id"),
               i.cast("string"), t)).as("k"),
