@@ -617,7 +617,7 @@ object Multimodal {
     if (mmEmptyCache.computeIfAbsent(dir, _ =>
         Tables.documents(spark, dir).limit(1).isEmpty))
       return Seq.empty[(String, Boolean)].toDF("metric", "ok")
-    val (base, queries, baseServe, recallOk, formulaOk) =
+    val (base, qData, baseServe, recallOk, formulaOk) =
       mmIvfBaseCache.computeIfAbsent(dir, _ => {
         val vecs = imageVectors(spark, dir).toDF()
           .select(col("vec_id"), col("embedding"))
@@ -671,8 +671,15 @@ object Multimodal {
         val decoded = decodedBins(spark, dir)
         val formulaOk =
           decoded.except(grid).isEmpty && grid.except(decoded).isEmpty
-        (p, queries, servedRows, meanRecall >= 0.6, formulaOk)
+        // the cached queries are plain DATA, not a live checkpointed
+        // DataFrame: a bench harness that unpersists all RDDs between
+        // queries would otherwise kill the cached blocks and every
+        // later invocation would read a dead checkpoint
+        val qData = queries.collect().toSeq
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        (p, qData, servedRows, meanRecall >= 0.6, formulaOk)
       })
+    val queries = qData.toDF("vec_id", "embedding")
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
     rows += ("mm_vectors_match_formula" -> formulaOk)
     rows += ("mm_ivf_recall_ge_0_6" -> recallOk)
@@ -706,6 +713,6 @@ object Multimodal {
   private val mmEmptyCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   private val mmIvfBaseCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, DataFrame, Seq[org.apache.spark.sql.Row],
+    String, (String, Seq[(Long, Seq[Float])], Seq[org.apache.spark.sql.Row],
       Boolean, Boolean)]()
 }
