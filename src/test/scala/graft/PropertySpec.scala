@@ -192,6 +192,61 @@ class PropertySpec extends SparkSpec {
       "no corpus's pairs changed across generations — vacuous property")
   }
 
+  test("near-dup torn commit: lookups == reference over the committed prefix, compact repairs, on random corpora") {
+    import graft.operators.Dedup
+    import java.nio.file.{Files, Paths}
+    var suppressed = 0
+    samples(neardupCorpusGen, 4).zipWithIndex.foreach { case (texts, ci) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val (delta, base) = docs.partition(_._1 % 3 == 0)
+      val idx = Files.createTempDirectory("graft-prop-ndtorn").toString + "/idx"
+      Dedup.neardupWriteIndex(spark, base.toDF("doc_id", "text"), idx) // gen 0
+      Dedup.neardupCheckIn(spark, idx,
+        delta.toDF("doc_id", "text")).count()                          // gen 1
+      val removed = base.map(_._1).filter(_ % 2 == 0)
+      Dedup.neardupRemove(spark, idx, removed.toDF("doc_id"))          // gen 2
+      val probes = docs.map { case (id, t) => (id + 1000L, t) }
+      val pids = probes.map(_._1).toSet
+      def live() = Dedup
+        .neardupLookup(spark, idx, probes.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // roll the committed counter back to a corpus-dependent interior
+      // generation — as if the NEXT mutation's rows half-landed and its
+      // commit never happened: readers must see exactly the committed
+      // prefix, with the later generations' on-disk rows invisible
+      val g = ci % 2 // 0 or 1, both interior
+      Files.write(Paths.get(s"$idx/meta_committed"), g.toString.getBytes)
+      Files.deleteIfExists(Paths.get(s"$idx/.meta_committed.crc"))
+      val want = Seq(
+        referencePairs(base ++ probes, pids),
+        referencePairs(base ++ delta ++ probes, pids))(g)
+      val wantLive = referencePairs(
+        base.filterNot(d => removed.contains(d._1)) ++ delta ++ probes, pids)
+      assert(live() == want,
+        s"corpus $ci torn@$g: got=${live()} want=$want texts=$texts")
+      if (want != wantLive) suppressed += 1
+      // mutating a torn index would let a later commit resurrect the
+      // orphan rows — it must refuse
+      intercept[IllegalStateException](
+        Dedup.neardupRemove(spark, idx, Seq(1L).toDF("doc_id")))
+      // compact is the repair: rewrites ONLY the committed prefix
+      // (minus its live tombstones), resets the timeline, and the
+      // index is mutable again
+      Dedup.neardupCompact(spark, idx)
+      assert(live() == want, s"corpus $ci post-repair: got=${live()} want=$want")
+      Dedup.neardupRemove(spark, idx,
+        base.map(_._1).filter(_ % 2 == 1).toDF("doc_id"))
+      val wantAfter = Seq(
+        referencePairs(base.filterNot(_._1 % 2 == 1) ++ probes, pids),
+        referencePairs(base.filterNot(_._1 % 2 == 1) ++ delta ++ probes,
+          pids))(g)
+      assert(live() == wantAfter,
+        s"corpus $ci post-repair mutation: got=${live()} want=$wantAfter")
+    }
+    assert(suppressed > 0,
+      "rollback never hid a later generation's pairs — vacuous property")
+  }
+
   // capped twin of [[referencePairs]]: index-side candidates only
   // from buckets whose INDEX posting count is <= cap (the
   // neardupCheckIn capBucket contract); delta-delta pairs uncapped
