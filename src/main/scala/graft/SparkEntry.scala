@@ -37,9 +37,9 @@ object SparkEntry {
     "bm25_serve_asof_mid",
     "ivf_serve_topk",
     "ivf_append_topk", "ivf_append_recall", "ivf_serve_removed",
-    "ivf_retrain_topk", "ivf_serve_asof",
+    "ivf_retrain_topk", "ivf_serve_asof", "ivf_serve_asof_mid",
     "dedup_checkin", "dedup_checkin_removed", "dedup_checkin_capped",
-    "dedup_lookup_asof",
+    "dedup_lookup_asof", "dedup_lookup_asof_mid",
     "ingest_pipeline", "ingest_pipeline2", "fold_trigger", "index_health",
     "maintain_estate", "manifest_pinned", "manifest_replay",
     "mm_ivf_lifecycle",
@@ -227,6 +227,7 @@ object SparkEntry {
     // delta in against the indexed 3/4 without re-signaturing it
     "dedup_checkin" -> ((s, d) => Dedup.neardupUpsert(s, d)),
     "dedup_lookup_asof" -> ((s, d) => Dedup.neardupLookupAsOfRow(s, d)),
+    "dedup_lookup_asof_mid" -> ((s, d) => Dedup.neardupLookupAsOfMidRow(s, d)),
     "dedup_checkin_removed" -> ((s, d) => Dedup.neardupUpsertRemoved(s, d)),
     "dedup_checkin_capped" -> ((s, d) => Dedup.neardupUpsertCapped(s, d)),
     // eager composite: delta diff -> near-dup gate (dry-run lookup)
@@ -270,6 +271,7 @@ object SparkEntry {
     "ivf_index_topk" -> ((s, d) => Similarity.ivfIndexTopK(s, d)),
     "ivf_serve_topk" -> ((s, d) => Similarity.ivfServeTopK(s, d)),
     "ivf_serve_asof" -> ((s, d) => Similarity.ivfServeAsOf(s, d)),
+    "ivf_serve_asof_mid" -> ((s, d) => Similarity.ivfServeAsOfMid(s, d)),
     "ivf_append_topk" -> ((s, d) => Similarity.ivfAppendTopK(s, d)),
     "ivf_append_recall" -> ((s, d) => Similarity.ivfAppendRecall(s, d)),
     "ivf_serve_removed" -> ((s, d) => Similarity.ivfServeRemoved(s, d)),
@@ -2595,6 +2597,45 @@ object SparkEntry {
     // since, but a probe of re-tagged copies looked up AS OF
     // generation 0 must flag exactly what a lookup against the
     // PRISTINE base index (doc_id % 4 <> 1, no removals) would
+    "dedup_lookup_asof_mid" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 8 <= 1),
+        |toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM corpus),
+        |sh AS (SELECT DISTINCT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |   for i in range(1, len(t) - 1)]) AS shingle FROM toks WHERE len(t) >= 3),
+        |hh AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(substring(md5(shingle), 1, 12), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) AS h1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(substring(md5(shingle), 13, 12), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) AS h2
+        |  FROM sh),
+        |dsz AS (SELECT doc_id, count(DISTINCT h1) AS sz FROM hh GROUP BY doc_id),
+        |mh AS (SELECT doc_id, i, min((h1 + i * h2) & 281474976710655) AS h
+        |  FROM hh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+        |bk AS (SELECT doc_id, i // 4 AS band,
+        |    md5(string_agg(CAST(h AS VARCHAR), '|' ORDER BY i)) AS bucket
+        |  FROM mh GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x JOIN bk y
+        |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        |  WHERE x.doc_id >= 1000000 OR y.doc_id >= 1000000),
+        |inter AS (SELECT c.a, c.b, count(DISTINCT sa.h1) AS i FROM cand c
+        |  JOIN hh sa ON sa.doc_id = c.a
+        |  JOIN hh sb ON sb.doc_id = c.b AND sb.h1 = sa.h1
+        |  GROUP BY c.a, c.b)
+        |SELECT a, b, round(i / CAST(za.sz + zb.sz - i AS DOUBLE), 6) AS jaccard
+        |FROM inter JOIN dsz za ON za.doc_id = a JOIN dsz zb ON zb.doc_id = b
+        |WHERE round(i / CAST(za.sz + zb.sz - i AS DOUBLE), 6) >= 0.2
+        |ORDER BY a, b""".stripMargin,
+    // mid-timeline twin: AS OF generation 1 — the quarter is admitted,
+    // the removals do not exist yet, so the reference corpus is ALL
+    // documents ∪ the probe copies (an interior timeline point,
+    // driver-hashed)
     "dedup_lookup_asof" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 1
@@ -3154,6 +3195,70 @@ object SparkEntry {
     // append of query-duplicates (gen 1) and the serve-intersecting
     // removal set (gen 2) since, but read AS OF generation 0 it must
     // reproduce the pristine full-corpus serve exactly
+    "ivf_serve_asof_mid" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS vq
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cell, vq AS cv FROM e WHERE vec_id < 8),
+        |s1 AS (
+        |  SELECT e.vec_id, e.vq, c.cell,
+        |    list_inner_product(e.vq, c.cv) /
+        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
+        |  FROM e, c0 c),
+        |a1 AS (SELECT vec_id, vq, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, cell ASC) AS rn FROM s1)
+        |  WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cell, list(s ORDER BY i) AS cv FROM (
+        |    SELECT cell, i, CAST(sum(vq[i]) AS BIGINT) AS s
+        |    FROM a1, generate_series(1, 64) t(i)
+        |    GROUP BY cell, i)
+        |  GROUP BY cell),
+        |s2 AS (
+        |  SELECT e.vec_id, c.cell,
+        |    list_inner_product(e.vq, c.cv) /
+        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS sim
+        |  FROM e, c1 c),
+        |a2 AS (SELECT vec_id, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, cell ASC) AS rn FROM s2)
+        |  WHERE rn = 1),
+        |qp AS (
+        |  SELECT e.vec_id AS qid, c.cell,
+        |    list_inner_product(e.vq, c.cv) /
+        |      (sqrt(list_inner_product(e.vq, e.vq)) *
+        |       sqrt(list_inner_product(c.cv, c.cv))) AS s
+        |  FROM e, c1 c WHERE e.vec_id < 8),
+        |pr AS (SELECT qid, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY s DESC, cell ASC) AS rn FROM qp)
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT pr.qid, a.vec_id AS cid
+        |  FROM pr JOIN a2 a ON a.cell = pr.cell WHERE a.vec_id <> pr.qid
+        |  UNION ALL
+        |  SELECT pr.qid, a.vec_id + 1000000 AS cid
+        |  FROM pr JOIN a2 a ON a.cell = pr.cell WHERE a.vec_id < 8),
+        |sc AS (
+        |  SELECT c.qid, c.cid, list_cosine_similarity(eq.v, ec.v) AS sim
+        |  FROM cand c JOIN e eq ON eq.vec_id = c.qid
+        |  JOIN e ec ON ec.vec_id =
+        |    CASE WHEN c.cid >= 1000000 THEN c.cid - 1000000 ELSE c.cid END),
+        |r AS (SELECT qid, cid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+        |  FROM sc)
+        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, round(sim, 6) AS sim
+        |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // mid-timeline twin: AS OF generation 1 — the query-duplicate
+    // appends are visible (rank-1 leaks by construction: each dup sits
+    // in its original's trained cell with cosine 1), the gen-2
+    // removals are not; the dup rows route exactly where the frozen
+    // codebook put them (a2's own assignment, +1000000 ids)
     "ivf_serve_asof" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

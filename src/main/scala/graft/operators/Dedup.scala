@@ -949,7 +949,24 @@ object Dedup {
     * the row times the generation-pinned lookup.
     */
   def neardupLookupAsOfRow(spark: SparkSession, dir: String,
-                           minJ: Double = 0.2): DataFrame = {
+                           minJ: Double = 0.2): DataFrame =
+    asOfFixtureLookup(spark, dir, gen = 0L, minJ)
+
+  /** MID-timeline twin (r16, the bm25_serve_asof_mid analogue for
+    * this family): the SAME mutated fixture pinned AS OF generation
+    * 1 — after the quarter's admit, before the removals. The probe
+    * copies must flag against both the base and the gen-1-admitted
+    * docs, and the gen-2 tombstones must not exist yet — so the
+    * oracle replays the family over ALL documents ∪ probe copies.
+    * An interior point of the timeline, driver-hashed (previously
+    * only spec-checked).
+    */
+  def neardupLookupAsOfMidRow(spark: SparkSession, dir: String,
+                              minJ: Double = 0.2): DataFrame =
+    asOfFixtureLookup(spark, dir, gen = 1L, minJ)
+
+  private def asOfFixtureLookup(spark: SparkSession, dir: String,
+                                gen: Long, minJ: Double): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val idx = asofIdxCache.computeIfAbsent(dir, _ => {
       val p = s"/tmp/graft_neardup_asof_${scratchToken}_" +
@@ -963,7 +980,7 @@ object Dedup {
     })
     val probe = docs.filter(pmod(col("doc_id"), lit(8)) <= 1)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-    neardupLookupAsOf(spark, idx, probe, gen = 0L, minJ)
+    neardupLookupAsOf(spark, idx, probe, gen, minJ)
   }
 
   private val asofIdxCache =

@@ -1212,8 +1212,27 @@ object Similarity {
     */
   def ivfServeAsOf(spark: SparkSession, dir: String,
                    nQueries: Int = 8, kNN: Int = 5,
-                   nProbe: Int = 2): DataFrame = {
-    val idx = asofIdxCache.computeIfAbsent(dir, _ => {
+                   nProbe: Int = 2): DataFrame =
+    ivfQueryIndexAsOf(spark, dir, asOfFixtureIdx(spark, dir, nQueries),
+      gen = 0L, nQueries, kNN, nProbe)
+
+  /** MID-timeline twin (r16, the bm25_serve_asof_mid analogue for
+    * this family): the SAME mutated fixture served AS OF generation
+    * 1 — the query-duplicate appends exist (each query's rank-1 is
+    * its own duplicate, guaranteed), the gen-2 removals do not. An
+    * interior point of the timeline, driver-hashed (previously only
+    * spec-checked); the oracle replays the full build + the append's
+    * frozen-centroid assignment + the serve.
+    */
+  def ivfServeAsOfMid(spark: SparkSession, dir: String,
+                      nQueries: Int = 8, kNN: Int = 5,
+                      nProbe: Int = 2): DataFrame =
+    ivfQueryIndexAsOf(spark, dir, asOfFixtureIdx(spark, dir, nQueries),
+      gen = 1L, nQueries, kNN, nProbe)
+
+  private def asOfFixtureIdx(spark: SparkSession, dir: String,
+                             nQueries: Int): String =
+    asofIdxCache.computeIfAbsent(dir, _ => {
       val p = s"/tmp/graft_ivf_asof_${scratchToken}_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       graft.operators.TextAnalysis.copyIndex(spark, serveIdx(spark, dir), p)
@@ -1226,8 +1245,6 @@ object Similarity {
         all.filter(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id")))
       p
     })
-    ivfQueryIndexAsOf(spark, dir, idx, gen = 0L, nQueries, kNN, nProbe)
-  }
 
   private val asofIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -95,6 +95,8 @@ class EmptyInputSpec extends SparkSpec {
       "manifest_pinned"   -> ((s, d) => Curation.manifestPinned(s, d)),
       "manifest_replay"   -> ((s, d) => Curation.manifestReplay(s, d)),
       "bm25_serve_asof_mid" -> ((s, d) => TextAnalysis.bm25ServeAsOfMidTopK(s, d)),
+      "dedup_lookup_asof_mid" -> ((s, d) => Dedup.neardupLookupAsOfMidRow(s, d)),
+      "ivf_serve_asof_mid" -> ((s, d) => Similarity.ivfServeAsOfMid(s, d)),
       "mm_ivf_lifecycle"  -> ((s, d) => Multimodal.mmIvfLifecycle(s, d)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
