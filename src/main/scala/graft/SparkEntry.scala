@@ -42,7 +42,8 @@ object SparkEntry {
     "dedup_lookup_asof", "dedup_lookup_asof_mid",
     "ingest_pipeline", "ingest_pipeline2", "fold_trigger", "index_health",
     "maintain_estate", "manifest_pinned", "manifest_replay",
-    "mm_ivf_lifecycle",
+    "recovery_drill", "train_read",
+    "mm_ivf_lifecycle", "audio_ivf_lifecycle",
     // r13: edges via driver-orchestrated distributed rank selection
     "histogram_equidepth")
 
@@ -242,6 +243,8 @@ object SparkEntry {
     "maintain_estate" -> ((s, d) => Curation.maintainEstate(s, d)),
     "manifest_pinned" -> ((s, d) => Curation.manifestPinned(s, d)),
     "manifest_replay" -> ((s, d) => Curation.manifestReplay(s, d)),
+    "recovery_drill" -> ((s, d) => Curation.recoveryDrill(s, d)),
+    "train_read" -> ((s, d) => Curation.trainRead(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashPairsMd5(s, d)),
     "dedup_blocks"  -> ((s, d) => Dedup.blockDedup(s, d)),
@@ -293,6 +296,7 @@ object SparkEntry {
     // average hash, so the oracle replays decode→hash→bands→verify
     "mm_phash_dedup" -> ((s, d) => Multimodal.phashDedup(s, d)),
     "mm_ivf_lifecycle" -> ((s, d) => Multimodal.mmIvfLifecycle(s, d)),
+    "audio_ivf_lifecycle" -> ((s, d) => Multimodal.audioIvfLifecycle(s, d)),
     // ---- sequence packing (custom LogicalPlan+SparkPlan; no SQL
     //      oracle: greedy packing is a sequential recurrence —
     //      PackingSpec pins budget/density/determinism invariants) ----
@@ -3517,6 +3521,15 @@ object SparkEntry {
         |  'mm_vectors_match_formula']) AS metric,
         |  TRUE AS ok
         |ORDER BY metric""".stripMargin,
+    // the audio twin: real-WAV-decode amplitude histograms match the
+    // PCM generator formula, and the same IVF lifecycle pins hold
+    "audio_ivf_lifecycle" ->
+      """SELECT unnest([
+        |  'au_ivf_append_counted', 'au_ivf_recall_ge_0_6',
+        |  'au_ivf_remove_counted', 'au_ivf_remove_restores_serve',
+        |  'au_vectors_match_formula']) AS metric,
+        |  TRUE AS ok
+        |ORDER BY metric""".stripMargin,
     // the shard manifest plus one index_gen row per family recording
     // the generation retrieval ran against — gens read from the live
     // estate (bm25: 1 segment; neardup: check-in + removal = 2; ivf:
@@ -3558,6 +3571,35 @@ object SparkEntry {
         |  UNION ALL SELECT 'index_gen', 'neardup', NULL, NULL, NULL, NULL, 2
         |  UNION ALL SELECT 'index_gen', 'ivf', NULL, NULL, NULL, NULL, 1)
         |ORDER BY kind, key""".stripMargin,
+    // the consumer side: one boolean per shard the artifact names
+    // (the shard set is oracle-derived via the same CTE, so an extra
+    // or missing shard breaks the row set) + one reproduced-retrieval
+    // boolean per family, all pinned TRUE
+    "train_read" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents),
+        |gated AS (SELECT * FROM toks WHERE n_tok >= 20),
+        |kept AS (
+        |  SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+        |tr AS (
+        |  SELECT doc_id FROM kept
+        |  WHERE substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'),
+        |sh AS (
+        |  SELECT DISTINCT
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(substring(
+        |        md5('shuffle:ep1:' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) % 16 AS shard
+        |  FROM tr)
+        |SELECT metric, TRUE AS ok FROM (
+        |  SELECT 'tr_shard_' || CAST(shard AS VARCHAR) AS metric FROM sh
+        |  UNION ALL SELECT unnest(['tr_bm25_reproduced',
+        |    'tr_nd_reproduced', 'tr_ivf_reproduced']))
+        |ORDER BY metric""".stripMargin,
     // replay at the manifest's pinned generations after further
     // mutations: live serves have provably drifted, as-of serves are
     // bit-identical to the at-manifest captures
@@ -3580,6 +3622,22 @@ object SparkEntry {
         |  'est_ivf_quiet_after',
         |  'est_nd_due_before', 'est_nd_lookup_preserved',
         |  'est_nd_quiet_after']) AS metric,
+        |  TRUE AS ok
+        |ORDER BY metric""".stripMargin,
+    // recovery drill: inject the exact on-disk state a crashed
+    // mutation leaves under the pointer-commit protocol, pin torn
+    // reads (committed prefix serves, mutations refuse), run each
+    // family's repair, pin the post-repair serve bit-identical
+    "recovery_drill" ->
+      """SELECT unnest([
+        |  'rd_bm25_crash_invisible', 'rd_bm25_serve_preserved',
+        |  'rd_bm25_sweep_reclaims',
+        |  'rd_ivf_mutable_after_repair', 'rd_ivf_mutation_real',
+        |  'rd_ivf_repair_restores', 'rd_ivf_torn_refuses_mutation',
+        |  'rd_ivf_torn_serves_committed',
+        |  'rd_nd_mutable_after_repair', 'rd_nd_mutation_real',
+        |  'rd_nd_repair_restores', 'rd_nd_torn_refuses_mutation',
+        |  'rd_nd_torn_serves_committed']) AS metric,
         |  TRUE AS ok
         |ORDER BY metric""".stripMargin,
     "fold_trigger" ->

@@ -444,7 +444,7 @@ object Curation {
         !TextAnalysis.bm25FoldDue(spark, bm, maxSegments = 0))
       timedServe("bm append")(TextAnalysis.bm25AppendSegment(spark, bm,
         docs.filter(pmod(col("doc_id"), lit(7)) === 1)
-          .select((col("doc_id") + 10000L).as("doc_id"), col("text")),
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
         docs.limit(0)))
       rows += ("bm25_quiet_under_budget" ->
         !TextAnalysis.bm25FoldDue(spark, bm, maxSegments = 1))
@@ -472,7 +472,7 @@ object Curation {
       rows += ("nd_fires_over_tombstone_budget" ->
         Dedup.neardupFoldDue(spark, nd, maxFrac = 0.1))
       val probe = docs.filter(pmod(col("doc_id"), lit(9)) === 4)
-        .select((col("doc_id") + 30000L).as("doc_id"), col("text"))
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
         .localCheckpoint()
       val ndBefore = timedServe("nd lookup pre-fold")(
         Dedup.neardupLookup(spark, nd, probe).collect().toSeq)
@@ -558,12 +558,12 @@ object Curation {
         TextAnalysis.copyIndex(spark, bmBase, bm)
         TextAnalysis.bm25AppendSegment(spark, bm,
           docs.filter(pmod(col("doc_id"), lit(7)) === 1)
-            .select((col("doc_id") + 10000L).as("doc_id"), col("text")),
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
           docs.limit(0))
         TextAnalysis.copyIndex(spark, ndBase, nd)
         Dedup.neardupCheckIn(spark, nd,
           docs.filter(pmod(col("doc_id"), lit(7)) === 2)
-            .select((col("doc_id") + 20000L).as("doc_id"), col("text")))
+            .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
           .count()
         Dedup.neardupRemove(spark, nd,
           docs.filter(pmod(col("doc_id"), lit(5)) === 0).select(col("doc_id")))
@@ -635,7 +635,11 @@ object Curation {
       rows += ("est_bm25_not_due_before" -> (h0("bm25_fold_due") == 0L))
       val s0 = TextAnalysis.bm25QueryIndex(spark, bm, terms, 20)
         .collect().toSeq
-      if (h0("bm25_fold_due") == 1L) TextAnalysis.bm25Compact(spark, bm)
+      // only-due-folds: the template holds ONE segment, under the
+      // default budget, so no fold runs here BY CONSTRUCTION — the
+      // not-due pin above fails the row if the fixture or the budget
+      // ever drifts (r16 review: a conditional compact branch here
+      // could only execute when that pin had already failed)
       val h1 = TextAnalysis.bm25Health(spark, bm).toMap
       val s1 = TextAnalysis.bm25QueryIndex(spark, bm, terms, 20)
         .collect().toSeq
@@ -648,7 +652,7 @@ object Curation {
       val nd = s"/tmp/graft_estate_nd_${ingestToken}_$tag"
       TextAnalysis.copyIndex(spark, ndT, nd)
       val probe = docs.filter(pmod(col("doc_id"), lit(9)) === 4)
-        .select((col("doc_id") + 30000L).as("doc_id"), col("text"))
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
         .localCheckpoint()
       val h0 = Dedup.neardupHealth(spark, nd).toMap
       rows += ("est_nd_due_before" -> (h0("nd_fold_due") == 1L))
@@ -677,11 +681,7 @@ object Curation {
       // once per JVM per corpus dir: the fold really REBUILT (same
       // deterministic Lloyd ⇒ bit-identical centroids ⇒ identical
       // serve), not merely cleared the flag
-      val ref = estateIvfRefCache.computeIfAbsent(dir, _ => {
-        val p = s"/tmp/graft_estate_ivfref_${ingestToken}_$tag"
-        Similarity.ivfWriteIndexVecs(spark, live, p)
-        Similarity.ivfQueryIndex(spark, dir, p).collect().toSeq
-      })
+      val ref = estateIvfRef(spark, dir, live)
       val served = Similarity.ivfQueryIndex(spark, dir, iv).collect().toSeq
       rows += ("est_ivf_fold_matches_fresh_build" -> (served == ref))
       rows.toSeq
@@ -718,16 +718,20 @@ object Curation {
     estateBaseCache.computeIfAbsent(dir, _ => {
       val bmT = s"/tmp/graft_estate_bmt_${ingestToken}_$tag"
       val ndT = s"/tmp/graft_estate_ndt_${ingestToken}_$tag"
+      // 1000000-stride offsets per re-tag wave (r16 ADVICE): each
+      // wave's ids must be disjoint from any corpus doc_id domain
+      // (ScaleUp corpora reach ~1e5) and from every other wave, or
+      // the contracts silently assert over merged-id states
       if (!docsEmpty) {
         TextAnalysis.copyIndex(spark, bmBase, bmT)
         TextAnalysis.bm25AppendSegment(spark, bmT,
           docs.filter(pmod(col("doc_id"), lit(7)) === 1)
-            .select((col("doc_id") + 10000L).as("doc_id"), col("text")),
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
           docs.limit(0))
         TextAnalysis.copyIndex(spark, ndBase, ndT)
         Dedup.neardupCheckIn(spark, ndT,
           docs.filter(pmod(col("doc_id"), lit(7)) === 2)
-            .select((col("doc_id") + 20000L).as("doc_id"), col("text")))
+            .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
           .count()
         Dedup.neardupRemove(spark, ndT,
           docs.filter(pmod(col("doc_id"), lit(5)) === 0).select(col("doc_id")))
@@ -746,6 +750,164 @@ object Curation {
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
   private val estateIvfRefCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[org.apache.spark.sql.Row]]()
+
+  /** Fresh-build IVF reference over the estate's LIVE vector set
+    * (stored − removed), built + served once per JVM per corpus dir —
+    * the bit-identical target both [[maintainEstate]]'s fold and
+    * [[recoveryDrill]]'s repair must hit (deterministic Lloyd ⇒ same
+    * centroids ⇒ same serve).
+    */
+  private def estateIvfRef(spark: SparkSession, dir: String,
+                           live: DataFrame): Seq[org.apache.spark.sql.Row] =
+    estateIvfRefCache.computeIfAbsent(dir, _ => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val p = s"/tmp/graft_estate_ivfref_${ingestToken}_$tag"
+      Similarity.ivfWriteIndexVecs(spark, live, p)
+      Similarity.ivfQueryIndex(spark, dir, p).collect().toSeq
+    })
+
+  /** RECOVERY DRILL (r16 verdict #3): per family, on copies of the
+    * mutated estate templates — inject exactly the on-disk state a
+    * crashed mutation leaves under the pointer-commit protocol, pin
+    * how readers behave on it, run the family's repair, and pin that
+    * serving is bit-identical to the pre-tear capture. Composes the
+    * durability layer into the driver-hashed acceptance surface the
+    * way maintain_estate composed the fold policy.
+    *
+    * Injections (single-writer crash simulations):
+    *  - near-dup / IVF (in-place appends): a REAL mutation lands its
+    *    rows, then the manifest's committed watermark rolls back one
+    *    generation — the state a crash between the rows and the
+    *    commit swing leaves. Pins: the mutation really changed the
+    *    serve (non-vacuous), torn reads serve the committed prefix
+    *    and never throw, further mutations refuse (the resurrection
+    *    guard), the family's fold repairs (compact / retrain), the
+    *    post-repair serve matches the pre-tear capture (IVF: the
+    *    fresh-build-over-live reference), and the index is mutable
+    *    again with the replayed mutation reproducing its effect.
+    *  - bm25 (every mutation is epoch-write + swing, no in-place
+    *    rows): a crashed rewrite leaves only UNREFERENCED epoch and
+    *    segment dirs. Pins: serves are bit-identical through the
+    *    planted garbage, the next mutation's sweep physically
+    *    reclaims it, and the serve is unchanged after (the fold is a
+    *    pure layout change).
+    * Fixture copies per invocation; the three family sections mutate
+    * disjoint dirs and run concurrently. Absent modalities emit no
+    * rows.
+    */
+  def recoveryDrill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (docs, vecs, docsEmpty, vecsEmpty, _, _, _) = foldFixture(spark, dir)
+    if (docsEmpty && vecsEmpty)
+      return Seq.empty[(String, Boolean)].toDF("metric", "ok")
+    val (bmT, ndT, ivT) = estateTemplates(spark, dir)
+    def rollbackCommitted(idx: String): Unit = {
+      val m = IndexPolicy.manifestOf(spark, idx)
+      IndexPolicy.publish(spark, idx, m +
+        ("gen_committed" -> (IndexPolicy.genOf(m) - 1L).toString))
+    }
+    def refused(body: => Unit): Boolean =
+      try { body; false } catch { case _: IllegalStateException => true }
+    def bmSection(): Seq[(String, Boolean)] = {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+      val bm = s"/tmp/graft_drill_bm_${ingestToken}_$tag"
+      TextAnalysis.copyIndex(spark, bmT, bm)
+      val terms = Seq("data", "model", "system")
+      def serve() =
+        TextAnalysis.bm25QueryIndex(spark, bm, terms, 20).collect().toSeq
+      val s0 = serve()
+      // crash garbage: an epoch dir and a segment dir no manifest
+      // references — what a refresh/append that died before its
+      // pointer swing leaves behind
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(bm)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val orphanEp = new Path(
+        s"${IndexPolicy.epochDir(bm, IndexPolicy.newEpoch())}/postings/tb=a/tk=0")
+      fs.mkdirs(orphanEp)
+      fs.create(new Path(orphanEp, "part-garbage.parquet"), true).close()
+      val orphanSeg = new Path(s"$bm/segments/seg-00099")
+      fs.mkdirs(orphanSeg)
+      rows += ("rd_bm25_crash_invisible" -> (serve() == s0))
+      // the fold is the next mutation: its sweep reclaims the garbage
+      // and compaction is a pure layout change
+      TextAnalysis.bm25Compact(spark, bm)
+      rows += ("rd_bm25_sweep_reclaims" ->
+        (!fs.exists(orphanEp.getParent.getParent.getParent) &&
+          !fs.exists(orphanSeg)))
+      rows += ("rd_bm25_serve_preserved" -> (serve() == s0))
+      rows.toSeq
+    }
+    def ndSection(): Seq[(String, Boolean)] = {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+      val nd = s"/tmp/graft_drill_nd_${ingestToken}_$tag"
+      TextAnalysis.copyIndex(spark, ndT, nd)
+      val probe = manifestProbe(docs).localCheckpoint()
+      def lookup() =
+        Dedup.neardupLookup(spark, nd, probe).collect().toSeq
+      val l0 = lookup()
+      // the "crashed" mutation: removing the probes' originals — it
+      // provably changes the lookup, so a leaked torn row would break
+      // the pins in both directions
+      val kill = docs.filter(pmod(col("doc_id"), lit(9)) === 4)
+        .select(col("doc_id"))
+      Dedup.neardupRemove(spark, nd, kill)
+      val l1 = lookup()
+      rows += ("rd_nd_mutation_real" -> (l1 != l0))
+      rollbackCommitted(nd)
+      rows += ("rd_nd_torn_serves_committed" -> (lookup() == l0))
+      rows += ("rd_nd_torn_refuses_mutation" ->
+        refused(Dedup.neardupRemove(spark, nd, kill)))
+      Dedup.neardupCompact(spark, nd) // the repair
+      rows += ("rd_nd_repair_restores" -> (lookup() == l0))
+      Dedup.neardupRemove(spark, nd, kill) // mutable again
+      rows += ("rd_nd_mutable_after_repair" -> (lookup() == l1))
+      rows.toSeq
+    }
+    def ivfSection(): Seq[(String, Boolean)] = {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+      val iv = s"/tmp/graft_drill_ivf_${ingestToken}_$tag"
+      TextAnalysis.copyIndex(spark, ivT, iv)
+      def serve() =
+        Similarity.ivfQueryIndex(spark, dir, iv).collect().toSeq
+      val s0 = serve()
+      // the "crashed" mutation: exact duplicates of the query vectors
+      // — guaranteed rank-1 leaks if a torn row ever serves
+      val dups = vecs.filter(col("vec_id") < 8)
+        .select((col("vec_id") + 4000000L).as("vec_id"), col("embedding"))
+      Similarity.ivfAppendVectors(spark, iv, dups)
+      val s1 = serve()
+      rows += ("rd_ivf_mutation_real" -> (s1 != s0))
+      rollbackCommitted(iv)
+      rows += ("rd_ivf_torn_serves_committed" -> (serve() == s0))
+      rows += ("rd_ivf_torn_refuses_mutation" ->
+        refused(Similarity.ivfAppendVectors(spark, iv, dups)))
+      // the repair is the family's fold: retrain over the live set
+      val live = vecs.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.ivfWriteIndexVecs(spark, live, iv)
+      rows += ("rd_ivf_repair_restores" ->
+        (serve() == estateIvfRef(spark, dir, live)))
+      Similarity.ivfAppendVectors(spark, iv, dups) // mutable again
+      rows += ("rd_ivf_mutable_after_repair" ->
+        (serve() != estateIvfRef(spark, dir, live)))
+      rows.toSeq
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val sections =
+      (if (docsEmpty) Seq.empty
+       else Seq(Future(bmSection()), Future(ndSection()))) ++
+      (if (vecsEmpty) Seq.empty else Seq(Future(ivfSection())))
+    val tried = sections.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    tried.collect { case scala.util.Failure(e) => e } match {
+      case Seq() =>
+      case first +: rest => rest.foreach(first.addSuppressed); throw first
+    }
+    tried.flatMap(_.get).toDF("metric", "ok").orderBy("metric")
+  }
 
   /** The MANIFEST estate: copies of the [[estateTemplates]] whose
     * generations a training-run manifest pins, with the at-manifest
@@ -770,7 +932,7 @@ object Curation {
 
   private def manifestProbe(docs: DataFrame): DataFrame =
     docs.filter(pmod(col("doc_id"), lit(9)) === 4)
-      .select((col("doc_id") + 30000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
 
   private def manifestEstate(spark: SparkSession,
                              dir: String): ManifestEstate = {
@@ -800,7 +962,7 @@ object Curation {
         // pairs
         TextAnalysis.bm25AppendSegment(spark, bm,
           docs.filter(pmod(col("doc_id"), lit(7)) === 3)
-            .select((col("doc_id") + 50000L).as("doc_id"), col("text")),
+            .select((col("doc_id") + 5000000L).as("doc_id"), col("text")),
           docs.limit(0))
         Dedup.neardupRemove(spark, nd,
           docs.filter(pmod(col("doc_id"), lit(9)) === 4).select(col("doc_id")))
@@ -823,6 +985,77 @@ object Curation {
 
   private val manifestEstateCache =
     new java.util.concurrent.ConcurrentHashMap[String, ManifestEstate]()
+
+  /** TRAIN-READ composite (r16 verdict stretch #6): the dataloader-
+    * shaped CONSUMER of [[manifestPinned]], driven entirely by the
+    * AT-REST manifest artifact — never by the producer's in-memory
+    * state. Once per JVM per corpus dir the pinned manifest is
+    * written to parquet (the artifact a training run ships alongside
+    * its checkpoints); each invocation reads it back and:
+    *  1. re-derives every shard's document set (the same gate →
+    *     exact-dedup → split → shard math the producer ran) and
+    *     verifies each shard's (n_docs, total_tokens, first/last_doc)
+    *     against the artifact — one boolean per shard, keyed by the
+    *     UNION of artifact and recomputed shard ids, so an extra or
+    *     missing shard breaks the row set, not just a value;
+    *  2. drives all three retrieval families AS OF the artifact's
+    *     index_gen rows (literal longs read from parquet) and pins
+    *     each serve bit-identical to the at-manifest capture — the
+    *     estate has provably drifted since ([[manifestEstate]]'s
+    *     further mutations), so reproduction comes from the pins.
+    * This proves the reproducibility artifact end-to-end from the
+    * consumer side: shards re-readable, retrieval replayable.
+    */
+  def trainRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (docs, _, docsEmpty, vecsEmpty, _, _, _) = foldFixture(spark, dir)
+    if (docsEmpty && vecsEmpty)
+      return Seq.empty[(String, Boolean)].toDF("metric", "ok")
+    val est = manifestEstate(spark, dir)
+    val art = trainReadArtifactCache.computeIfAbsent(dir, _ => {
+      val p = s"/tmp/graft_trainread_${ingestToken}_$tag"
+      manifestPinned(spark, dir).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+      p
+    })
+    val man = spark.read.schema(
+      "kind string, key string, n_docs bigint, total_tokens bigint, " +
+        "first_doc bigint, last_doc bigint, gen bigint").parquet(art)
+    // bounded collects: ≤ nShards shard rows + 3 gen rows
+    val shardRows: Seq[(String, Boolean)] =
+      if (docsEmpty) Seq.empty
+      else {
+        val fromArt = man.filter(col("kind") === "shard")
+          .collect().map(r => r.getString(1) ->
+            (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+        val rec = trainManifest(spark, dir).collect().map(r =>
+          r.getLong(0).toString ->
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+        (fromArt.keySet ++ rec.keySet).toSeq.sorted.map(k =>
+          s"tr_shard_$k" -> (fromArt.get(k) == rec.get(k)))
+      }
+    val gens = man.filter(col("kind") === "index_gen")
+      .collect().map(r => r.getString(1) -> r.getLong(6)).toMap
+    val famRows = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    if (!docsEmpty) {
+      famRows += ("tr_bm25_reproduced" ->
+        (TextAnalysis.bm25QueryIndexAsOf(spark, est.bm, gens("bm25").toInt,
+          manifestTerms, 20).collect().toSeq == est.bmServe))
+      val probe = manifestProbe(docs).localCheckpoint()
+      famRows += ("tr_nd_reproduced" ->
+        (Dedup.neardupLookupAsOf(spark, est.nd, probe, gens("neardup"))
+          .collect().toSeq == est.ndPairs))
+    }
+    if (!vecsEmpty)
+      famRows += ("tr_ivf_reproduced" ->
+        (Similarity.ivfQueryIndexAsOf(spark, dir, est.iv, gens("ivf"))
+          .collect().toSeq == est.ivServe))
+    (shardRows ++ famRows).toDF("metric", "ok").orderBy("metric")
+  }
+
+  private val trainReadArtifactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** [[trainManifest]] extended with the index estate's generations
     * (r15 verdict missing #2): the shard manifest a dataloader

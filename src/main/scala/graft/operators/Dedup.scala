@@ -481,10 +481,32 @@ object Dedup {
     * index dir first (the bm25WriteIndexDocs discipline: rebuild
     * means rebuild).
     */
+  /** Resolved physical dir of an index table (buckets / docsets /
+    * tombstones) under the committed manifest — package-private so the
+    * layout specs can assert byte-identity of immutable files.
+    */
+  private[graft] def resolvedTable(spark: SparkSession, idx: String,
+                                   name: String): Option[String] = {
+    val m = IndexPolicy.manifestOf(spark, idx)
+    val key = if (name == "tombstones") "tombstones" else "data"
+    m.get(key).map(tok => s"${IndexPolicy.epochDir(idx, tok)}/$name")
+  }
+
   def neardupWriteIndex(spark: SparkSession, docs: DataFrame, idx: String,
                         n: Int = 3, k: Int = 16, bands: Int = 4): Unit = {
-    val p = new org.apache.hadoop.fs.Path(idx)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    // rebuild means rebuild: the fresh manifest references only the
+    // new epoch (no tombstones key, timeline reset); over a LIVE index
+    // the old epoch keeps serving until the pointer swings, and a dir
+    // with no manifest (fresh path / legacy content) is cleared
+    IndexPolicy.readManifest(spark, idx) match {
+      case Some(m) => IndexPolicy.sweep(spark, idx, m)
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+    }
+    val tok = IndexPolicy.newEpoch()
+    val ed = IndexPolicy.epochDir(idx, tok)
     val sigs = md5DocSig(docs, n, k).localCheckpoint()
     // repartition on the partition columns before the partitioned
     // write: each task then holds whole (band, pb) groups, so the
@@ -494,20 +516,20 @@ object Dedup {
         col("doc_id"), col("bucket"), lit(0L).as("gen"))
       .repartition(col("band"), col("pb"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("band", "pb").parquet(s"$idx/buckets")
+      .partitionBy("band", "pb").parquet(s"$ed/buckets")
     sigs.select(dbOf(col("doc_id")).as("db"),
         col("doc_id"), col("dset"), col("sz"), lit(0L).as("gen"))
       .repartition(col("db"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("db").parquet(s"$idx/docsets")
-    // generation 0 (the dir-delete above erased any prior history) —
-    // the counter behind [[neardupLookupAsOf]]
-    IndexPolicy.writeGen(spark, idx, 0L)
-    IndexPolicy.commitGen(spark, idx, 0L)
-    // layout stamp LAST: it doubles as the build-commit marker — a
-    // build that crashed above left no stamp and every reader fails
-    // fast instead of consuming a partial index
-    IndexPolicy.writeLayout(spark, idx, ndLayout(n, k, bands))
+      .partitionBy("db").parquet(s"$ed/docsets")
+    // the pointer swing — the build commit (a build that crashed above
+    // left no manifest, and every reader fails fast instead of
+    // consuming a partial index); generation 0 is the timeline origin
+    // behind [[neardupLookupAsOf]]
+    IndexPolicy.publish(spark, idx, Map(
+      IndexPolicy.layoutEntry(ndLayout(n, k, bands)),
+      "gen" -> "0", "gen_committed" -> "0",
+      "data" -> tok))
   }
 
   /** Check a document delta in against the at-rest index: emit every
@@ -559,9 +581,12 @@ object Dedup {
                      minJ: Double = 0.2, n: Int = 3, k: Int = 16,
                      bands: Int = 4,
                      capBucket: Int = Int.MaxValue): DataFrame = {
+    val m = IndexPolicy.manifestOf(spark, idx)
+    IndexPolicy.sweep(spark, idx, m)
     val (pairs, sigs) =
       lookupWithSigs(spark, idx, newDocs, minJ, n, k, bands, capBucket)
-    val g = IndexPolicy.bumpGen(spark, idx)
+    val (g, m1) = IndexPolicy.allocGen(spark, idx, m)
+    val ed = IndexPolicy.epochDir(idx, m("data"))
     // the two admit appends are independent (disjoint subdirs, both
     // reading the checkpointed sigs) — run them as concurrent jobs so
     // the delta pays one write's wall-clock, not two
@@ -574,14 +599,14 @@ object Dedup {
           col("doc_id"), col("bucket"), lit(g).as("gen"))
         .repartition(col("band"), col("pb"))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .partitionBy("band", "pb").parquet(s"$idx/buckets")
+        .partitionBy("band", "pb").parquet(s"$ed/buckets")
     }
     val wd = Future {
       sigs.select(dbOf(col("doc_id")).as("db"),
           col("doc_id"), col("dset"), col("sz"), lit(g).as("gen"))
         .repartition(col("db"))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .partitionBy("db").parquet(s"$idx/docsets")
+        .partitionBy("db").parquet(s"$ed/docsets")
     }
     // await BOTH before any rethrow — failing fast on wb while wd is
     // still appending would hand the caller (whose recovery is
@@ -598,7 +623,7 @@ object Dedup {
     // crash before this line leaves committed at g-1, so readers
     // treat the partial generation as never having happened instead
     // of silently dropping pairs whose docsets rows are missing
-    IndexPolicy.commitGen(spark, idx, g)
+    IndexPolicy.commitGen(spark, idx, m1, g)
     pairs.orderBy("a", "b")
   }
 
@@ -631,10 +656,7 @@ object Dedup {
                         capBucket: Int = Int.MaxValue): DataFrame = {
     // bound by the COMMITTED generation: an uncommitted (crashed)
     // mutation is not a state anyone can pin
-    val cur = IndexPolicy.committedOf(spark, idx)
-      .getOrElse(throw new IllegalArgumentException(
-        s"$idx predates generation tracking (no meta) — rebuild to " +
-          "enable as-of reads"))
+    val cur = IndexPolicy.committedOf(IndexPolicy.manifestOf(spark, idx))
     require(gen >= 0L && gen <= cur,
       s"as-of generation $gen outside [0, $cur] for $idx")
     lookupWithSigs(spark, idx, newDocs, minJ, n, k, bands, capBucket,
@@ -666,15 +688,19 @@ object Dedup {
                                 capBucket: Int,
                                 asOf: Option[Long] = None)
       : (DataFrame, DataFrame, DataFrame) = {
-    IndexPolicy.failIfTorn(spark, idx)
-    IndexPolicy.checkLayout(spark, idx, ndLayout(n, k, bands))
+    // the manifest resolves ONCE: every read below targets immutable
+    // epoch dirs it names, so a mutation that commits mid-lookup
+    // cannot break this plan (r16 #1 — no fail-fast window)
+    val m = IndexPolicy.manifestOf(spark, idx)
+    IndexPolicy.checkLayout(m, idx, ndLayout(n, k, bands))
+    val ed = IndexPolicy.epochDir(idx, m("data"))
     // read ceiling: the pinned as-of generation, further capped at the
-    // last COMMITTED generation when a crashed mutation left meta
-    // ahead of its rows (r15 ADVICE) — a torn check-in must read as
-    // "never happened", not as buckets rows missing their docsets
-    // twins. Healthy indexes (the always case) get NO extra filter on
-    // the live path.
-    val ceil = (asOf.toSeq ++ IndexPolicy.tornCeiling(spark, idx).toSeq)
+    // last COMMITTED generation when a crashed mutation left the
+    // allocated watermark ahead of its rows (r15 ADVICE) — a torn
+    // check-in must read as "never happened", not as buckets rows
+    // missing their docsets twins. Healthy indexes (the always case)
+    // get NO extra filter on the live path.
+    val ceil = (asOf.toSeq ++ IndexPolicy.tornCeiling(m).toSeq)
       .reduceOption(_ min _)
     val sigs = md5DocSig(newDocs, n, k).localCheckpoint()
     val dBand = bandedOf(sigs, k, bands)
@@ -683,7 +709,7 @@ object Dedup {
     // delta's hash buckets' directories are ever opened
     val pbs = dBand.select(pbOf(col("bucket")).as("pb")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val prunedBand = spark.read.schema(bucketsSchema).parquet(s"$idx/buckets")
+    val prunedBand = spark.read.schema(bucketsSchema).parquet(s"$ed/buckets")
       .filter(if (pbs.isEmpty) lit(false)
               else col("pb").isin(pbs.toIndexedSeq: _*))
     // as-of / torn-commit: rows and tombstones ABOVE the ceiling
@@ -693,7 +719,7 @@ object Dedup {
     // tombstoned (removed) docs stop matching immediately: the dead-id
     // set is removal-sized and broadcasts into an anti-join over the
     // postings scan — no index file rewrite until neardupCompact
-    val iBand = liveTombstones(spark, idx)
+    val iBand = liveTombstones(spark, idx, m)
       .map(d => ceil.fold(d)(g => d.filter(col("gen") <= g)))
       .fold(rawBand)(dead =>
         rawBand.join(broadcast(dead.select(col("doc_id"))),
@@ -737,7 +763,7 @@ object Dedup {
     val dbs = cand.select(explode(array(col("a"), col("b"))).as("i"))
       .select(dbOf(col("i")).as("db")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val allSets = spark.read.schema(docsetsSchema).parquet(s"$idx/docsets")
+    val allSets = spark.read.schema(docsetsSchema).parquet(s"$ed/docsets")
       .filter(if (dbs.isEmpty) lit(false)
               else col("db").isin(dbs.toIndexedSeq: _*))
       .filter(ceil.map(g => col("gen") <= g).getOrElse(lit(true)))
@@ -784,23 +810,29 @@ object Dedup {
     */
   def neardupRemove(spark: SparkSession, idx: String,
                     docIds: DataFrame): Unit = {
-    IndexPolicy.failIfTorn(spark, idx)
-    IndexPolicy.checkLayout(spark, idx, ndLayoutBase)
-    val g = IndexPolicy.bumpGen(spark, idx)
+    val m = IndexPolicy.manifestOf(spark, idx)
+    IndexPolicy.checkLayout(m, idx, ndLayoutBase)
+    IndexPolicy.sweep(spark, idx, m)
+    val (g, m1) = IndexPolicy.allocGen(spark, idx, m)
+    // first removal mints the tombstones epoch; the key lands only in
+    // the COMMIT swing, so a crash after the write leaves the dir
+    // unreferenced (swept later) instead of half-visible
+    val (tok, extra) = m1.get("tombstones") match {
+      case Some(t) => (t, Map.empty[String, String])
+      case None =>
+        val t = IndexPolicy.newEpoch(); (t, Map("tombstones" -> t))
+    }
     docIds.select(col("doc_id")).distinct()
       .select(col("doc_id"), lit(g).as("gen"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"$idx/tombstones")
-    IndexPolicy.commitGen(spark, idx, g)
+      .parquet(s"${IndexPolicy.epochDir(idx, tok)}/tombstones")
+    IndexPolicy.commitGen(spark, idx, m1, g, extra)
   }
 
-  private def liveTombstones(spark: SparkSession,
-                             idx: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$idx/tombstones")
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-      None
-    else Some(spark.read.schema(ndTombSchema).parquet(s"$idx/tombstones"))
-  }
+  private def liveTombstones(spark: SparkSession, idx: String,
+                             m: IndexPolicy.Manifest): Option[DataFrame] =
+    m.get("tombstones").map(tok => spark.read.schema(ndTombSchema)
+      .parquet(s"${IndexPolicy.epochDir(idx, tok)}/tombstones"))
 
   /** Fold-trigger policy (r13 stretch item 8): the near-dup index is
     * DUE for [[neardupCompact]] once live tombstones exceed
@@ -811,13 +843,15 @@ object Dedup {
     */
   def neardupFoldDue(spark: SparkSession, idx: String,
                      maxFrac: Double = 0.1): Boolean = {
-    IndexPolicy.failIfTorn(spark, idx)
-    val ceil = IndexPolicy.tornCeiling(spark, idx)
+    val m = IndexPolicy.manifestOf(spark, idx)
+    val ceil = IndexPolicy.tornCeiling(m)
     def capped(df: DataFrame): DataFrame =
       ceil.fold(df)(g => df.filter(col("gen") <= g))
     IndexPolicy.tombstoneFoldDue(
-      liveTombstones(spark, idx).map(d => capped(d).count()).getOrElse(0L),
-      capped(spark.read.schema(docsetsSchema).parquet(s"$idx/docsets"))
+      liveTombstones(spark, idx, m).map(d => capped(d).count())
+        .getOrElse(0L),
+      capped(spark.read.schema(docsetsSchema)
+        .parquet(s"${IndexPolicy.epochDir(idx, m("data"))}/docsets"))
         .count(),
       maxFrac)
   }
@@ -830,75 +864,70 @@ object Dedup {
     */
   def neardupHealth(spark: SparkSession, idx: String,
                     maxFrac: Double = 0.1): Seq[(String, Long)] = {
-    IndexPolicy.failIfTorn(spark, idx)
-    val ceil = IndexPolicy.tornCeiling(spark, idx)
+    val m = IndexPolicy.manifestOf(spark, idx)
+    val ceil = IndexPolicy.tornCeiling(m)
     def capped(df: DataFrame): DataFrame =
       ceil.fold(df)(g => df.filter(col("gen") <= g))
     val rows = capped(spark.read.schema(docsetsSchema)
-      .parquet(s"$idx/docsets")).count()
-    val dead = liveTombstones(spark, idx)
+      .parquet(s"${IndexPolicy.epochDir(idx, m("data"))}/docsets")).count()
+    val dead = liveTombstones(spark, idx, m)
       .map(d => capped(d).count()).getOrElse(0L)
     Seq(
       "nd_docsets" -> rows,
       "nd_tombstones" -> dead,
       // the COMMITTED generation — what a reader can actually pin
-      "nd_gen" -> IndexPolicy.committedOf(spark, idx).getOrElse(-1L),
+      "nd_gen" -> IndexPolicy.committedOf(m),
       "nd_fold_due" ->
         (if (IndexPolicy.tombstoneFoldDue(dead, rows, maxFrac)) 1L else 0L))
   }
 
   /** Physically drop tombstoned docs: rewrite `buckets` and
     * `docsets` without them (corpus-order, the rebuild-shaped
-    * amortization — exactly like [[TextAnalysis.bm25Compact]]), then
-    * delete the tombstones table. The rewrite lands in TEMP dirs (the
-    * write is the materialization — the r15 bm25 refresh discipline)
-    * and the swap runs under the mutation sentinel, so a crash
-    * mid-swap fails every subsequent read fast instead of serving one
-    * new table beside one old one. Also the REPAIR path for a torn
-    * index: uncommitted-generation rows (a crashed check-in's
-    * orphans) are dropped by the same ceiling the readers apply, and
-    * both counters reset to 0.
+    * amortization — exactly like [[TextAnalysis.bm25Compact]]) into a
+    * FRESH epoch, then commit everything — new epoch, tombstones
+    * dropped, timeline reset to generation 0 — in one pointer swing.
+    * Readers racing the fold keep serving the old epoch (it is never
+    * touched; the next mutation's sweep reclaims it). Also the REPAIR
+    * path for a torn index: uncommitted-generation rows (a crashed
+    * check-in's orphans) are dropped by the same ceiling the readers
+    * apply, and both watermarks reset to 0.
     */
   def neardupCompact(spark: SparkSession, idx: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    IndexPolicy.failIfTorn(spark, idx)
-    IndexPolicy.checkLayout(spark, idx, ndLayoutBase)
-    val ceil = IndexPolicy.tornCeiling(spark, idx)
+    val m = IndexPolicy.manifestOf(spark, idx)
+    IndexPolicy.checkLayout(m, idx, ndLayoutBase)
+    IndexPolicy.sweep(spark, idx, m)
+    val ceil = IndexPolicy.tornCeiling(m)
     def committedRows(df: DataFrame): DataFrame =
       ceil.fold(df)(g => df.filter(col("gen") <= g))
-    val dead = liveTombstones(spark, idx).map(committedRows) match {
+    val dead = liveTombstones(spark, idx, m).map(committedRows) match {
       case Some(d) => d
       case None if ceil.isEmpty => return // nothing to fold, nothing to repair
       case None => // torn but tombstone-free: still rewrite to repair
         spark.range(0).select(col("id").as("doc_id"), lit(0L).as("gen"))
     }
-    val fs = new Path(idx)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmpB = s"$idx/_fold_buckets"
-    val tmpD = s"$idx/_fold_docsets"
-    committedRows(spark.read.schema(bucketsSchema).parquet(s"$idx/buckets"))
+    val ed = IndexPolicy.epochDir(idx, m("data"))
+    val tok = IndexPolicy.newEpoch()
+    val ed2 = IndexPolicy.epochDir(idx, tok)
+    committedRows(spark.read.schema(bucketsSchema).parquet(s"$ed/buckets"))
       .join(broadcast(dead.select(col("doc_id"))), Seq("doc_id"), "left_anti")
       .select(col("band"), col("pb"), col("doc_id"), col("bucket"),
         lit(0L).as("gen"))
       .repartition(col("band"), col("pb"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("band", "pb").parquet(tmpB)
-    committedRows(spark.read.schema(docsetsSchema).parquet(s"$idx/docsets"))
+      .partitionBy("band", "pb").parquet(s"$ed2/buckets")
+    committedRows(spark.read.schema(docsetsSchema).parquet(s"$ed/docsets"))
       .join(broadcast(dead.select(col("doc_id"))), Seq("doc_id"), "left_anti")
       .select(col("db"), col("doc_id"), col("dset"), col("sz"),
         lit(0L).as("gen"))
       .repartition(col("db"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("db").parquet(tmpD)
-    IndexPolicy.withMutationSentinel(spark, idx) {
-      IndexPolicy.swapDir(spark, tmpB, s"$idx/buckets")
-      IndexPolicy.swapDir(spark, tmpD, s"$idx/docsets")
-      fs.delete(new Path(s"$idx/tombstones"), true)
-      // the fold resets the as-of timeline (the ivf-retrain analogue):
-      // rewritten rows are generation 0 again
-      IndexPolicy.writeGen(spark, idx, 0L)
-      IndexPolicy.commitGen(spark, idx, 0L)
-    }
+      .partitionBy("db").parquet(s"$ed2/docsets")
+    // ONE swing commits the fold: the new epoch replaces the old, the
+    // tombstones key vanishes, and the as-of timeline resets (the
+    // ivf-retrain analogue) — rewritten rows are generation 0 again
+    IndexPolicy.publish(spark, idx,
+      m - "tombstones" ++ Map(
+        "gen" -> "0", "gen_committed" -> "0", "data" -> tok))
   }
 
   /** Registry fixture for the check-in (the bm25 lifecycle pattern):

@@ -6,37 +6,50 @@ import org.apache.spark.sql.SparkSession
   * tombstone-fraction fold predicate ([[Dedup.neardupFoldDue]],
   * [[Similarity.ivfFoldDue]] — one predicate so the policy arithmetic
   * cannot drift; bm25's segment-count budget is a genuinely different
-  * knob and stays in [[TextAnalysis]]), the mutation-generation
-  * counters behind the as-of reads, the layout stamp every reader
-  * validates, and the in-progress sentinel that makes multi-rename
-  * swap windows fail fast after a crash.
+  * knob and stays in [[TextAnalysis]]) and the POINTER-COMMIT protocol
+  * every index mutation publishes through.
   *
-  * ==Commit-protocol FS contract== (r15 verdict "what's wrong" #2):
-  * every commit here — counter temp-write + rename, layout stamp,
-  * the bm25 dir-swap — relies on ATOMIC SINGLE-OBJECT RENAME, which
-  * HDFS and local filesystems provide and S3-style object stores do
-  * NOT (their "rename" is copy+delete and can be observed half-done).
-  * On an object store these protocols must be re-based on a
-  * manifest-pointer commit (write immutable data under unique names,
-  * then atomically swing one small pointer object / table-format
-  * manifest, the Iceberg/Delta model). The sentinel + layout-last
-  * ordering below is exactly the discipline that port would keep;
-  * only the final pointer swing changes.
+  * ==Pointer-commit protocol== (r16 verdict #1 — the port of the old
+  * rename-swap design note): each index root holds exactly ONE small
+  * mutable object, the manifest file `current`. Everything else is
+  * IMMUTABLE once referenced: rewrites (build, refresh, compact,
+  * retrain) write their output under fresh uniquely-named epoch dirs
+  * (`idx/ep/e-<token>/...`), appends add rows/files to dirs the
+  * manifest already references (made visible only by the generation
+  * watermark the manifest carries), and the single commit step of any
+  * mutation is an atomic replace of `current`. Consequences:
+  *
+  *  - READERS NEVER FAIL during healthy mutations: a serve resolves
+  *    the manifest once and reads the immutable dirs it names; a
+  *    mutation that commits mid-serve cannot touch those dirs. A crash
+  *    mid-mutation leaves a stale pointer — the last committed
+  *    generation keeps serving (no sentinel, no fail-fast window).
+  *  - OBJECT-STORE SAFE: the only atomicity requirement is replacing
+  *    one small object. On HDFS/local that is the temp-write+rename of
+  *    [[writeAtomicFile]]; on S3-style stores it maps to a single
+  *    conditional PUT (or a catalog swap — the Iceberg/Delta model).
+  *    No multi-object rename window exists anywhere.
+  *  - GC is decoupled from commit: dirs a crashed or superseded
+  *    mutation left behind are unreferenced by the current manifest
+  *    and reclaimed by [[sweep]] at the START of the next mutation
+  *    (single-writer), giving in-flight readers of the previous
+  *    manifest a full mutation interval of grace; a production
+  *    deployment widens that to a time-based expiry (the Iceberg
+  *    expire-snapshots discipline).
+  *
+  * The manifest carries the layout stamp (validated by every read — an
+  * index written under different directory-hash constants would be
+  * silently misread), the mutation-generation watermarks behind
+  * in-place appends and as-of reads, the per-table epoch pointers, and
+  * (bm25) the bucket→epoch map and committed segment list.
   */
-private[operators] object IndexPolicy {
+private[graft] object IndexPolicy {
 
   // ---------------------------------------------------------------
-  // generation counters
+  // atomic small-file I/O — the ONE mutable object per index
   // ---------------------------------------------------------------
 
-  /** ONE atomic small-file protocol for every piece of index
-    * bookkeeping (the generation counters AND the layout stamp —
-    * r16 review: two parallel copies of temp-write+rename drifted on
-    * crash recovery). Raw FileSystem I/O, NOT a Spark job: these ride
-    * every mutation, and two driver jobs per small file would be
-    * measurable fixture-scale overhead on the check-in family.
-    *
-    * READ recovery: if the main file is missing but a fully-written
+  /** READ recovery: if the main file is missing but a fully-written
     * `.{name}_tmp` exists (a crash hit [[writeAtomicFile]] between
     * its delete and rename — the tmp is complete, it is closed before
     * either starts), the VALUE is recovered from the tmp and the
@@ -67,10 +80,11 @@ private[operators] object IndexPolicy {
     } else None
   }
 
-  /** Temp-write + checked rename (the bm25 dir-swap discipline): an
-    * in-place truncate would destroy the file on a crash mid-write;
-    * a crash between the delete and the rename is repaired by
-    * [[readAtomicFile]]'s tmp-recovery on the next read.
+  /** Temp-write + checked rename: an in-place truncate would destroy
+    * the file on a crash mid-write; a crash between the delete and the
+    * rename is repaired by [[readAtomicFile]]'s tmp-recovery on the
+    * next read. Either way a reader sees a COMPLETE old or new value —
+    * this is the pointer swing every mutation commits through.
     */
   private def writeAtomicFile(spark: SparkSession, idx: String,
                               name: String, content: String): Unit = {
@@ -85,124 +99,108 @@ private[operators] object IndexPolicy {
     require(fs.rename(tmp, p), s"writeAtomicFile: rename $tmp -> $p failed")
   }
 
-  private def readCounter(spark: SparkSession, idx: String,
-                          name: String): Option[Long] =
-    readAtomicFile(spark, idx, name).map(_.toLong)
+  // ---------------------------------------------------------------
+  // the manifest
+  // ---------------------------------------------------------------
 
-  private def writeCounter(spark: SparkSession, idx: String,
-                           name: String, g: Long): Unit =
-    writeAtomicFile(spark, idx, name, g.toString)
-
-  /** Checked delete-then-rename of one directory — the unit step of
-    * every swap window here (atomic on HDFS/local rename semantics;
-    * see the object-store note above). ONE implementation (r16
-    * review: three copies of this step would each need the
-    * manifest-pointer port).
+  /** Flat key→value map, serialized one `k=v` line per key (values may
+    * contain '=' — parsing splits on the first only). Raw FS I/O, NOT
+    * a Spark job: it rides every read and mutation.
     */
-  def swapDir(spark: SparkSession, tmp: String, dst: String): Unit = {
-    val to = new org.apache.hadoop.fs.Path(dst)
-    val fs = to.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!fs.exists(to) || fs.delete(to, true),
-      s"swapDir: could not clear $to")
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), to),
-      s"swapDir: rename $tmp -> $to failed")
+  type Manifest = Map[String, String]
+
+  private val ManifestName = "current"
+
+  private[graft] def readManifest(spark: SparkSession,
+                                  idx: String): Option[Manifest] =
+    readAtomicFile(spark, idx, ManifestName).map(_.split("\n")
+      .map(_.trim).filter(_.nonEmpty).map(_.split("=", 2))
+      .collect { case Array(k, v) => k -> v }.toMap)
+
+  /** The committed state of an index — fails only when the dir has no
+    * manifest at all (a build that crashed before its publish, or a
+    * dir that is not an index): there is no committed state to serve.
+    */
+  def manifestOf(spark: SparkSession, idx: String): Manifest =
+    readManifest(spark, idx).getOrElse(
+      throw new IllegalArgumentException(
+        s"$idx has no manifest — either the build crashed before " +
+          "committing or the dir is not an index: (re)build it"))
+
+  /** THE pointer swing — the single atomic commit step of every index
+    * mutation. Everything the new manifest references must already be
+    * fully written; everything it stops referencing becomes garbage
+    * for the next mutation's [[sweep]].
+    */
+  private[graft] def publish(spark: SparkSession, idx: String,
+                             m: Manifest): Unit =
+    writeAtomicFile(spark, idx, ManifestName,
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n"))
+
+  // ---------------------------------------------------------------
+  // epochs — immutable generation-addressed data dirs
+  // ---------------------------------------------------------------
+
+  private val EpochPat = "e-[0-9a-f]{12}".r
+
+  def newEpoch(): String =
+    "e-" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
+  def epochDir(idx: String, tok: String): String = s"$idx/ep/$tok"
+
+  /** Reclaim dirs no longer reachable from the committed manifest:
+    * epoch dirs whose token appears nowhere in it (a crashed
+    * mutation's partial output, or a superseded rewrite's old data)
+    * and — when the family keeps a `segments` list — segment dirs the
+    * list no longer names. Called at the START of each mutation under
+    * the single-writer assumption; see the class note for the reader
+    * grace-period argument.
+    */
+  def sweep(spark: SparkSession, idx: String, m: Manifest): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val serialized = m.toSeq.map { case (k, v) => s"$k=$v" }.mkString("\n")
+    val refs = EpochPat.findAllIn(serialized).toSet
+    val ep = new Path(s"$idx/ep")
+    if (fs.exists(ep)) fs.listStatus(ep).foreach { st =>
+      if (!refs.contains(st.getPath.getName))
+        require(fs.delete(st.getPath, true),
+          s"sweep: could not delete ${st.getPath}")
+    }
+    val segRefs = m.get("segments")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val segRoot = new Path(s"$idx/segments")
+    if (fs.exists(segRoot)) fs.listStatus(segRoot).foreach { st =>
+      if (!segRefs.contains(st.getPath.getName))
+        require(fs.delete(st.getPath, true),
+          s"sweep: could not delete ${st.getPath}")
+    }
   }
 
-  /** Current ALLOCATED mutation generation of an index (0 = freshly
-    * built; every mutation bumps it before writing any row). None =
-    * the index predates generation tracking (or the dir is not an
-    * index). Single-writer like every index mutation here.
-    */
-  def genOf(spark: SparkSession, idx: String): Option[Long] =
-    readCounter(spark, idx, "meta")
-
-  def writeGen(spark: SparkSession, idx: String, g: Long): Unit =
-    writeCounter(spark, idx, "meta", g)
-
-  /** Highest generation whose mutation FULLY landed: a mutation
-    * allocates via [[bumpGen]] (meta-first — a crashed mutation can
-    * never merge its orphan rows into a later generation), writes its
-    * rows, then calls [[commitGen]]. Readers treat rows above the
-    * committed generation as nonexistent (r15 ADVICE: a check-in that
-    * crashed between its two appends must not serve a torn
-    * generation — e.g. buckets rows whose docsets rows are missing).
-    * An index with `meta` but no `meta_committed` predates committed
-    * tracking; its mutations were all synchronous successes (the
-    * caller saw every failure), so committed == allocated there.
-    */
-  def committedOf(spark: SparkSession, idx: String): Option[Long] =
-    genOf(spark, idx).map(g =>
-      readCounter(spark, idx, "meta_committed").getOrElse(g))
-
-  def commitGen(spark: SparkSession, idx: String, g: Long): Unit =
-    writeCounter(spark, idx, "meta_committed", g)
-
-  /** Read ceiling for a torn index: Some(committed) iff some
-    * allocated generation never committed — readers cap visible rows
-    * there, so a torn mutation reads as "never happened" instead of
-    * serving partial state. None (the healthy, common case) adds no
-    * filter to any live read path.
-    */
-  def tornCeiling(spark: SparkSession, idx: String): Option[Long] =
-    for {
-      g <- genOf(spark, idx)
-      c <- committedOf(spark, idx) if c < g
-    } yield c
-
-  /** Allocate the generation the next mutation tags its rows with —
-    * and COMMIT it to meta before any row lands (see [[committedOf]]
-    * for why meta-first). REFUSES a torn index: allowing a new
-    * mutation to commit past an uncommitted generation would raise
-    * the committed watermark over the orphan's rows and resurrect
-    * them — the repair for a crashed mutation is the family's fold
-    * (compact/retrain), which rewrites only committed rows and
-    * resets both counters.
-    */
-  def bumpGen(spark: SparkSession, idx: String): Long =
-    genOf(spark, idx) match {
-      case Some(g) =>
-        committedOf(spark, idx).filter(_ < g).foreach(c =>
-          throw new IllegalStateException(
-            s"$idx generations ${c + 1}..$g never committed (crashed " +
-              "mutation left partial rows) — fold/compact the index " +
-              "to repair before mutating"))
-        writeGen(spark, idx, g + 1L)
-        g + 1L
-      case None => throw new IllegalArgumentException(
-        s"$idx predates generation tracking (no meta) — rebuild the " +
-          "index to enable mutations and as-of reads")
-    }
-
   // ---------------------------------------------------------------
-  // layout stamp — written LAST at build time, validated on EVERY
-  // read and mutation (r15 ADVICE, the medium finding): an index
-  // written under different directory-hash constants (nPb/nDb/nTk)
-  // would otherwise be silently MISREAD — a delta's pb computed mod 8
-  // misses rows stored under pb 8..15, partial results, no error.
-  // Because the stamp is the final build step it doubles as the
-  // build-COMMIT marker: a build that crashed mid-write left no
-  // layout file, and every reader fails fast instead of consuming a
-  // partial index.
+  // layout stamp — carried IN the manifest: an index written under
+  // different directory-hash constants (nPb/nDb/nTk) would otherwise
+  // be silently MISREAD (a delta's pb computed mod 8 misses rows
+  // stored under pb 8..15 — partial results, no error). Because the
+  // manifest is published LAST at build, its presence doubles as the
+  // build-commit marker.
   // ---------------------------------------------------------------
 
-  def writeLayout(spark: SparkSession, idx: String,
-                  params: Seq[(String, Long)]): Unit =
-    writeAtomicFile(spark, idx, "layout",
-      params.map { case (k, v) => s"$k=$v" }.mkString(","))
+  def layoutEntry(params: Seq[(String, Long)]): (String, String) =
+    "layout" -> params.map { case (k, v) => s"$k=$v" }.mkString(",")
 
   /** Validate the params this reader depends on against the build's
     * stamp — SUBSET semantics, so an operator that only uses the
     * directory-hash constants (compact, remove) needn't know the
-    * query-family params (n/k/bands) to validate its own. Shares
-    * [[readAtomicFile]], so a build interrupted between the stamp's
-    * delete and rename recovers instead of prescribing a rebuild.
+    * query-family params (n/k/bands) to validate its own.
     */
-  def checkLayout(spark: SparkSession, idx: String,
+  def checkLayout(m: Manifest, idx: String,
                   expected: Seq[(String, Long)]): Unit = {
-    val line = readAtomicFile(spark, idx, "layout").getOrElse(
+    val line = m.getOrElse("layout",
       throw new IllegalArgumentException(
-        s"$idx has no layout stamp — either the build crashed before " +
-          "completing or the index predates layout stamping: rebuild it"))
+        s"$idx manifest has no layout stamp — rebuild the index"))
     val found = line.split(",").map(_.split("=", 2))
       .collect { case Array(k, v) => k -> v.toLong }.toMap
     expected.foreach { case (k, v) =>
@@ -215,42 +213,57 @@ private[operators] object IndexPolicy {
   }
 
   // ---------------------------------------------------------------
-  // mutation sentinel — the crash guard for NON-ATOMIC swap windows
-  // (the bm25 refresh/compact dir swaps, the near-dup compact
-  // rewrite): created immediately before the first destructive
-  // rename, deleted after the last one. A crash inside the window
-  // leaves the sentinel in place and every read or mutation fails
-  // FAST instead of serving a half-swapped index. Deliberately NOT
-  // deleted on exception — a failed swap is exactly the torn state
-  // the sentinel exists to flag.
+  // generation watermarks (near-dup / IVF in-place appends) — both
+  // counters live IN the manifest, so a compact's epoch swap and its
+  // timeline reset commit in the same pointer swing.
   // ---------------------------------------------------------------
 
-  private def sentinel(idx: String) =
-    new org.apache.hadoop.fs.Path(s"$idx/_mutation_inprogress")
+  def genOf(m: Manifest): Long = m.get("gen").map(_.toLong).getOrElse(0L)
 
-  def failIfTorn(spark: SparkSession, idx: String): Unit = {
-    val p = sentinel(idx)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!fs.exists(p),
-      s"$idx has an interrupted structural mutation (sentinel $p " +
-        "present) — the index may be half-swapped; restore from the " +
-        "previous copy or rebuild before serving")
-  }
+  def committedOf(m: Manifest): Long =
+    m.get("gen_committed").map(_.toLong).getOrElse(genOf(m))
 
-  /** Run `body` (the rename-only swap phase — all heavy writes must
-    * already be in temp dirs) under the sentinel.
+  /** Read ceiling for a torn index: Some(committed) iff some allocated
+    * generation never committed — readers cap visible rows there, so a
+    * torn mutation reads as "never happened" instead of serving
+    * partial state (e.g. buckets rows whose docsets twins are
+    * missing). None (the healthy, common case) adds no filter to any
+    * live read path.
     */
-  def withMutationSentinel(spark: SparkSession, idx: String)
-                          (body: => Unit): Unit = {
-    val p = sentinel(idx)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!fs.exists(p),
-      s"$idx already has an interrupted mutation ($p) — refusing to " +
-        "mutate a possibly half-swapped index")
-    fs.create(p, false).close()
-    body
-    require(fs.delete(p, false), s"could not clear sentinel $p")
+  def tornCeiling(m: Manifest): Option[Long] = {
+    val g = genOf(m); val c = committedOf(m)
+    if (c < g) Some(c) else None
   }
+
+  /** Allocate the generation the next mutation tags its rows with —
+    * published to the manifest BEFORE any row lands, so a crashed
+    * mutation's orphan rows can never share a tag with (and merge
+    * into) a later mutation's. REFUSES a torn index: committing past
+    * an uncommitted generation would raise the watermark over the
+    * orphan's rows and resurrect them — the repair is the family's
+    * fold (compact/retrain), which rewrites only committed rows and
+    * resets both watermarks.
+    */
+  def allocGen(spark: SparkSession, idx: String,
+               m: Manifest): (Long, Manifest) = {
+    val g = genOf(m)
+    tornCeiling(m).foreach(c =>
+      throw new IllegalStateException(
+        s"$idx generations ${c + 1}..$g never committed (crashed " +
+          "mutation left partial rows) — fold/compact the index " +
+          "to repair before mutating"))
+    val m2 = m + ("gen" -> (g + 1L).toString)
+    publish(spark, idx, m2)
+    (g + 1L, m2)
+  }
+
+  /** Commit generation `g` (and any manifest changes the mutation
+    * carries — a freshly-minted tombstones epoch, a new stats epoch)
+    * in ONE pointer swing.
+    */
+  def commitGen(spark: SparkSession, idx: String, m: Manifest, g: Long,
+                extra: Manifest = Map.empty): Unit =
+    publish(spark, idx, m ++ extra + ("gen_committed" -> g.toString))
 
   /** DUE once live tombstones exceed `maxFrac` of stored rows.
     * `total` is by-name: the dead == 0 fast path (the common,

@@ -866,18 +866,36 @@ object Similarity {
     Seq("v" -> 1L, "cells" -> cells.toLong)
   private val ivfLayoutBase: Seq[(String, Long)] = Seq("v" -> 1L)
 
+  /** Resolved physical dir of an index table (lists / centroids /
+    * tombstones) under the committed manifest — package-private so the
+    * layout specs can assert byte-identity of immutable files.
+    */
+  private[graft] def resolvedTable(spark: SparkSession, idx: String,
+                                   name: String): Option[String] = {
+    val m = IndexPolicy.manifestOf(spark, idx)
+    val key = if (name == "tombstones") "tombstones" else "data"
+    m.get(key).map(tok => s"${IndexPolicy.epochDir(idx, tok)}/$name")
+  }
+
   def ivfWriteIndexVecs(spark: SparkSession, vecs: DataFrame, out: String,
                         k: Int = 8, iters: Int = 2): Unit = {
-    // a retrain must yield a FRESH index: Overwrite replaces
-    // lists/centroids, but a tombstones table written by [[ivfRemove]]
-    // at this path would survive and keep legitimately re-indexed
-    // vec_ids hidden from every serve (the r13 bm25/neardup
-    // rebuild-means-rebuild discipline, applied to IVF) — delete the
-    // whole index dir first. Also drops stale append-era list files
-    // in cells the retrain no longer uses.
+    // a retrain must yield a FRESH index — rebuild means rebuild: the
+    // new manifest references only the new epoch and carries NO
+    // tombstones key, so ids removed from the old generation serve
+    // again once legitimately re-indexed, and stale append-era list
+    // files are unreferenced garbage. Over a LIVE index the old epoch
+    // keeps serving until the pointer swings (no outage — the old
+    // delete-then-rebuild left readers failing for the whole retrain);
+    // a dir with no manifest (fresh path / legacy content) is cleared.
     val outPath = new org.apache.hadoop.fs.Path(out)
-    outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(outPath, true)
+    IndexPolicy.readManifest(spark, out) match {
+      case Some(m) => IndexPolicy.sweep(spark, out, m)
+      case None => outPath
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(outPath, true)
+    }
+    val tok = IndexPolicy.newEpoch()
+    val ed = IndexPolicy.epochDir(out, tok)
     val (assigned, cents) = lloydOn(vecs
       .select(col("vec_id"), transform(col("embedding"),
         x => round(x.cast("double") * 1024).cast("long")).as("vq")),
@@ -887,15 +905,16 @@ object Similarity {
       .select(col("cell"), col("vec_id"), col("embedding"),
         lit(0L).as("gen"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("cell").parquet(s"$out/lists")
+      .partitionBy("cell").parquet(s"$ed/lists")
     cents.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$out/centroids")
-    // generation 0: the dir-delete above already erased any prior
-    // history — a retrain resets the as-of timeline by design (the
-    // bm25Compact analogue)
-    IndexPolicy.writeGen(spark, out, 0L)
-    IndexPolicy.commitGen(spark, out, 0L)
-    IndexPolicy.writeLayout(spark, out, ivfLayout(k))
+      .parquet(s"$ed/centroids")
+    // the pointer swing — the build/retrain commit: generation 0 (a
+    // retrain resets the as-of timeline by design, the bm25Compact
+    // analogue)
+    IndexPolicy.publish(spark, out, Map(
+      IndexPolicy.layoutEntry(ivfLayout(k)),
+      "gen" -> "0", "gen_committed" -> "0",
+      "data" -> tok))
   }
 
   /** O(delta) vector upsert into the at-rest IVF index — the FAISS
@@ -914,9 +933,12 @@ object Similarity {
     */
   def ivfAppendVectors(spark: SparkSession, idx: String,
                        vecs: DataFrame): Unit = {
-    IndexPolicy.checkLayout(spark, idx, ivfLayoutBase)
-    val g = IndexPolicy.bumpGen(spark, idx)
-    val cents = spark.read.schema(centroidsSchema).parquet(s"$idx/centroids")
+    val m = IndexPolicy.manifestOf(spark, idx)
+    IndexPolicy.checkLayout(m, idx, ivfLayoutBase)
+    IndexPolicy.sweep(spark, idx, m)
+    val (g, m1) = IndexPolicy.allocGen(spark, idx, m)
+    val ed = IndexPolicy.epochDir(idx, m("data"))
+    val cents = spark.read.schema(centroidsSchema).parquet(s"$ed/centroids")
     val vq = vecs.select(col("vec_id"), col("embedding"),
       transform(col("embedding"),
         x => round(x.cast("double") * 1024).cast("long")).as("vq"))
@@ -931,8 +953,8 @@ object Similarity {
       .select(negate(col("m.negc")).as("cell"), col("vec_id"),
         col("embedding"), lit(g).as("gen"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("cell").parquet(s"$idx/lists")
-    IndexPolicy.commitGen(spark, idx, g)
+      .partitionBy("cell").parquet(s"$ed/lists")
+    IndexPolicy.commitGen(spark, idx, m1, g)
   }
 
   /** REMOVE vectors from the at-rest IVF index — the FAISS
@@ -946,22 +968,29 @@ object Similarity {
     * retrain cadence.
     */
   def ivfRemove(spark: SparkSession, idx: String, ids: DataFrame): Unit = {
-    IndexPolicy.checkLayout(spark, idx, ivfLayoutBase)
-    val g = IndexPolicy.bumpGen(spark, idx)
+    val m = IndexPolicy.manifestOf(spark, idx)
+    IndexPolicy.checkLayout(m, idx, ivfLayoutBase)
+    IndexPolicy.sweep(spark, idx, m)
+    val (g, m1) = IndexPolicy.allocGen(spark, idx, m)
+    // first removal mints the tombstones epoch; the key lands only in
+    // the COMMIT swing, so a crash after the write leaves the dir
+    // unreferenced (swept later) instead of half-visible
+    val (tok, extra) = m1.get("tombstones") match {
+      case Some(t) => (t, Map.empty[String, String])
+      case None =>
+        val t = IndexPolicy.newEpoch(); (t, Map("tombstones" -> t))
+    }
     ids.select(col("vec_id")).distinct()
       .select(col("vec_id"), lit(g).as("gen"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"$idx/tombstones")
-    IndexPolicy.commitGen(spark, idx, g)
+      .parquet(s"${IndexPolicy.epochDir(idx, tok)}/tombstones")
+    IndexPolicy.commitGen(spark, idx, m1, g, extra)
   }
 
-  private def ivfTombstones(spark: SparkSession,
-                            idx: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$idx/tombstones")
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-      None
-    else Some(spark.read.schema(ivfTombSchema).parquet(s"$idx/tombstones"))
-  }
+  private def ivfTombstones(spark: SparkSession, idx: String,
+                            m: IndexPolicy.Manifest): Option[DataFrame] =
+    m.get("tombstones").map(tok => spark.read.schema(ivfTombSchema)
+      .parquet(s"${IndexPolicy.epochDir(idx, tok)}/tombstones"))
 
   /** Fold-trigger policy (r13 stretch item 8): the IVF index is DUE
     * for a retrain ([[ivfWriteIndexVecs]] at the same path — the
@@ -973,12 +1002,14 @@ object Similarity {
     */
   def ivfFoldDue(spark: SparkSession, idx: String,
                  maxFrac: Double = 0.1): Boolean = {
-    val ceil = IndexPolicy.tornCeiling(spark, idx)
+    val m = IndexPolicy.manifestOf(spark, idx)
+    val ceil = IndexPolicy.tornCeiling(m)
     def capped(df: DataFrame): DataFrame =
       ceil.fold(df)(g => df.filter(col("gen") <= g))
     IndexPolicy.tombstoneFoldDue(
-      ivfTombstones(spark, idx).map(d => capped(d).count()).getOrElse(0L),
-      capped(spark.read.schema(listsSchema).parquet(s"$idx/lists")).count(),
+      ivfTombstones(spark, idx, m).map(d => capped(d).count()).getOrElse(0L),
+      capped(spark.read.schema(listsSchema)
+        .parquet(s"${IndexPolicy.epochDir(idx, m("data"))}/lists")).count(),
       maxFrac)
   }
 
@@ -989,18 +1020,19 @@ object Similarity {
     */
   def ivfHealth(spark: SparkSession, idx: String,
                 maxFrac: Double = 0.1): Seq[(String, Long)] = {
-    val ceil = IndexPolicy.tornCeiling(spark, idx)
+    val m = IndexPolicy.manifestOf(spark, idx)
+    val ceil = IndexPolicy.tornCeiling(m)
     def capped(df: DataFrame): DataFrame =
       ceil.fold(df)(g => df.filter(col("gen") <= g))
     val rows = capped(spark.read.schema(listsSchema)
-      .parquet(s"$idx/lists")).count()
-    val dead = ivfTombstones(spark, idx).map(d => capped(d).count())
+      .parquet(s"${IndexPolicy.epochDir(idx, m("data"))}/lists")).count()
+    val dead = ivfTombstones(spark, idx, m).map(d => capped(d).count())
       .getOrElse(0L)
     Seq(
       "ivf_lists" -> rows,
       "ivf_tombstones" -> dead,
       // the COMMITTED generation — what a reader can actually pin
-      "ivf_gen" -> IndexPolicy.committedOf(spark, idx).getOrElse(-1L),
+      "ivf_gen" -> IndexPolicy.committedOf(m),
       "ivf_fold_due" ->
         (if (IndexPolicy.tombstoneFoldDue(dead, rows, maxFrac)) 1L else 0L))
   }
@@ -1041,10 +1073,7 @@ object Similarity {
                         nProbe: Int = 2): DataFrame = {
     // bound by the COMMITTED generation: an uncommitted (crashed)
     // mutation is not a state anyone can pin
-    val cur = IndexPolicy.committedOf(spark, idx)
-      .getOrElse(throw new IllegalArgumentException(
-      s"$idx predates generation tracking (no meta) — retrain to " +
-        "enable as-of reads"))
+    val cur = IndexPolicy.committedOf(IndexPolicy.manifestOf(spark, idx))
     require(gen >= 0L && gen <= cur,
       s"as-of generation $gen outside [0, $cur] for $idx")
     ivfQueryIndexWhere(spark, dir, idx, col("vec_id") < nQueries, kNN,
@@ -1073,15 +1102,22 @@ object Similarity {
                         queries: DataFrame, kNN: Int = 5, nProbe: Int = 2,
                         asOf: Option[Long] = None): DataFrame = {
     import spark.implicits._
-    IndexPolicy.checkLayout(spark, idx, ivfLayoutBase)
+    // the manifest resolves ONCE: everything this serve reads below is
+    // an immutable epoch dir it names — a mutation that commits while
+    // the serve is running cannot touch those dirs, so the serve
+    // returns the pre-swing generation instead of failing (r16 #1)
+    val m = IndexPolicy.manifestOf(spark, idx)
+    IndexPolicy.checkLayout(m, idx, ivfLayoutBase)
+    val ed = IndexPolicy.epochDir(idx, m("data"))
     // read ceiling: the pinned as-of generation, capped at the last
-    // COMMITTED generation when a crashed mutation left meta ahead of
-    // its rows — healthy indexes get no extra filter on the live path
-    val ceil = (asOf.toSeq ++ IndexPolicy.tornCeiling(spark, idx).toSeq)
+    // COMMITTED generation when a crashed mutation left the allocated
+    // watermark ahead of its rows — healthy indexes get no extra
+    // filter on the live path
+    val ceil = (asOf.toSeq ++ IndexPolicy.tornCeiling(m).toSeq)
       .reduceOption(_ min _)
     graft.functions.GraftFunctions.register(spark)
     val ndot = graft.functions.GraftFunctions.dot _
-    val cents = spark.read.schema(centroidsSchema).parquet(s"$idx/centroids")
+    val cents = spark.read.schema(centroidsSchema).parquet(s"$ed/centroids")
     val q = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         transform(col("embedding"),
@@ -1105,14 +1141,14 @@ object Similarity {
     // tombstoned (removed) vectors drop before scoring — the dead-id
     // set is removal-sized and broadcasts into an anti-join over the
     // pruned list scan; no list file is ever rewritten
-    val prunedLists = spark.read.schema(listsSchema).parquet(s"$idx/lists")
+    val prunedLists = spark.read.schema(listsSchema).parquet(s"$ed/lists")
       .filter(if (probedCells.isEmpty) lit(false)
               else col("cell").isin(probedCells.toIndexedSeq: _*))
     // as-of / torn-commit: list rows and tombstones ABOVE the ceiling
     // don't exist from this read's point of view
     val rawLists = ceil.fold(prunedLists)(g =>
       prunedLists.filter(col("gen") <= g))
-    val dead = ivfTombstones(spark, idx)
+    val dead = ivfTombstones(spark, idx, m)
       .map(d => ceil.fold(d)(g => d.filter(col("gen") <= g)))
     val lists = dead.fold(rawLists)(d =>
       rawLists.join(broadcast(d.select(col("vec_id"))),

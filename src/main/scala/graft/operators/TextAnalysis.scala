@@ -534,6 +534,96 @@ object TextAnalysis {
     math.floorMod((d(0) >> 4) & 0xf, nTk)
   }
 
+  // ---------------------------------------------------------------
+  // manifest plumbing (the pointer-commit protocol, r16 #1): the
+  // bm25 manifest carries `map` — the (tb, tk) → epoch-token bucket
+  // map, the Iceberg-manifest analogue that makes bucket-granular
+  // rewrites possible WITHOUT copying untouched buckets: a refresh
+  // writes only the delta vocabulary's buckets into a fresh epoch and
+  // remaps exactly those entries — `stats` (the corpus-scalars epoch)
+  // and `segments` (the ordered committed segment names). At 100 TB
+  // the map is one line per existing bucket (26·nTk entries) — a
+  // few-hundred-KB pointer object, read once per serve, which also
+  // REPLACES the directory listing a hive-discovery scan would pay.
+  // ---------------------------------------------------------------
+
+  private def parseMap(m: IndexPolicy.Manifest): Map[(String, Int), String] =
+    m.get("map").filter(_.nonEmpty).fold(Map.empty[(String, Int), String])(
+      _.split(";").map { e =>
+        val Array(bk, tok) = e.split(":", 2)
+        val Array(b, k) = bk.split("/", 2)
+        (b, k.toInt) -> tok
+      }.toMap)
+
+  private def serMap(bm: Map[(String, Int), String]): String =
+    bm.toSeq.sortBy { case ((b, k), _) => (b, k) }
+      .map { case ((b, k), tok) => s"$b/$k:$tok" }.mkString(";")
+
+  private def segNamesOf(m: IndexPolicy.Manifest): Seq[String] =
+    m.get("segments").fold(Seq.empty[String])(
+      _.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+
+  private def statsPathOf(idx: String, m: IndexPolicy.Manifest): String =
+    s"${IndexPolicy.epochDir(idx, m("stats"))}/stats"
+
+  /** The (tb, tk) bucket dirs a partitioned write produced — one
+    * bounded driver listing (≤ 26·nTk entries) that seeds the bucket
+    * map; never called on corpus-sized trees.
+    */
+  private def listBucketDirs(spark: SparkSession,
+                             path: String): Seq[(String, Int)] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else for {
+      tb <- fs.listStatus(p).toSeq
+      if tb.isDirectory && tb.getPath.getName.startsWith("tb=")
+      tk <- fs.listStatus(tb.getPath).toSeq
+      if tk.isDirectory && tk.getPath.getName.startsWith("tk=")
+    } yield (tb.getPath.getName.stripPrefix("tb="),
+      tk.getPath.getName.stripPrefix("tk=").toInt)
+  }
+
+  /** Read the base table `sub` (postings | terms) restricted to
+    * `pairs`: each bucket resolves to its epoch via the manifest map,
+    * buckets group by epoch, and each group is ONE multi-path pruned
+    * read (basePath keeps tb/tk as partition columns). Routing is
+    * driver-side map lookup — no FileSystem listing, no partition
+    * discovery; unmapped buckets simply don't exist. Group count is
+    * bounded by rewrites-since-fold, itself bounded by the fold
+    * policy.
+    */
+  private def readBuckets(spark: SparkSession, idx: String,
+                          bmap: Map[(String, Int), String],
+                          schema: String, sub: String,
+                          pairs: Seq[(String, Int)]): DataFrame = {
+    val want = pairs.distinct.filter(bmap.contains)
+    val parts = want.groupBy(bmap).toSeq.sortBy(_._1)
+      .map { case (tok, bs) =>
+        val base = s"${IndexPolicy.epochDir(idx, tok)}/$sub"
+        val paths = bs.sorted.map { case (b, k) => s"$base/tb=$b/tk=$k" }
+        spark.read.option("basePath", base).schema(schema)
+          .parquet(paths: _*)
+      }
+    parts.reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schema)))
+  }
+
+  /** Resolved physical dirs for the layout specs: (tb, tk) → the
+    * bucket's current epoch dir under `sub`, and the live stats dir.
+    */
+  private[graft] def physicalBuckets(spark: SparkSession, idx: String,
+                                     sub: String): Map[(String, Int), String] =
+    parseMap(IndexPolicy.manifestOf(spark, idx)).map { case ((b, k), tok) =>
+      (b, k) -> s"${IndexPolicy.epochDir(idx, tok)}/$sub/tb=$b/tk=$k"
+    }
+
+  private[graft] def resolvedStats(spark: SparkSession, idx: String): String =
+    statsPathOf(idx, IndexPolicy.manifestOf(spark, idx))
+
   /** (doc_id, term, tf, dl, tb, tk) postings of a document set — the
     * one tokenize pass both the full build and the incremental
     * refresh run over their inputs.
@@ -552,14 +642,21 @@ object TextAnalysis {
 
   def bm25WriteIndexDocs(spark: SparkSession, docs: DataFrame,
                          out: String): Unit = {
-    // a full build must yield a BASE-ONLY index: Overwrite replaces
-    // postings/terms/stats but a segments/ dir from a prior append at
-    // this path would survive and poison every subsequent serve with
-    // stale tombstones and double-counted df deltas (r12 ADVICE) —
-    // delete the whole index dir so rebuild means rebuild
-    val outPath = new org.apache.hadoop.fs.Path(out)
-    outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(outPath, true)
+    // a full build must yield a BASE-ONLY index — rebuild means
+    // rebuild: the fresh manifest carries no `segments` key, so a
+    // prior append's segments (with their tombstones and df deltas)
+    // stop existing at the swing (r12 ADVICE, pointer-model form).
+    // Over a LIVE index the old epochs keep serving until then; a dir
+    // with no manifest (fresh path / legacy content) is cleared.
+    IndexPolicy.readManifest(spark, out) match {
+      case Some(m) => IndexPolicy.sweep(spark, out, m)
+      case None =>
+        val outPath = new org.apache.hadoop.fs.Path(out)
+        outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(outPath, true)
+    }
+    val tok = IndexPolicy.newEpoch()
+    val ed = IndexPolicy.epochDir(out, tok)
     // the corpus is tokenized ONCE: the postings land first, and the
     // derived tables (term dictionary, corpus stats) are computed by
     // reading the just-written postings back — they already carry
@@ -568,13 +665,13 @@ object TextAnalysis {
       .select(col("tb"), col("tk"), col("term"), col("doc_id"),
         col("tf"), col("dl"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("tb", "tk").parquet(s"$out/postings")
-    val posted = spark.read.schema(postingsSchema).parquet(s"$out/postings")
+      .partitionBy("tb", "tk").parquet(s"$ed/postings")
+    val posted = spark.read.schema(postingsSchema).parquet(s"$ed/postings")
     posted.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .select(substring(col("term"), 1, 1).as("tb"),
         tkCol(col("term")).as("tk"), col("term"), col("df"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("tb", "tk").parquet(s"$out/terms")
+      .partitionBy("tb", "tk").parquet(s"$ed/terms")
     // r12: stats carry the exact integer token total alongside the
     // derived mean, and avgdl is DEFINED as sum_dl/n_docs (one
     // double division of exact longs) so a refresh that adjusts the
@@ -586,8 +683,15 @@ object TextAnalysis {
         (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"),
         coalesce(col("sum_dl"), lit(0L)).as("sum_dl"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$out/stats")
-    IndexPolicy.writeLayout(spark, out, bmLayout)
+      .parquet(s"$ed/stats")
+    // the pointer swing — the build commit (a build that crashed
+    // above left no manifest / the old one, never a partial index)
+    val bmap = listBucketDirs(spark, s"$ed/postings")
+      .map(_ -> tok).toMap
+    IndexPolicy.publish(spark, out, Map(
+      IndexPolicy.layoutEntry(bmLayout),
+      "map" -> serMap(bmap),
+      "stats" -> tok))
   }
 
   /** Serve BM25 top-k from the at-rest index: static routing (query
@@ -622,38 +726,46 @@ object TextAnalysis {
                           terms: Seq[String], k: Int,
                           k1: Double, b: Double,
                           gen: Option[Int]): DataFrame = {
-    IndexPolicy.failIfTorn(spark, idx)
-    IndexPolicy.checkLayout(spark, idx, bmLayout)
+    // the manifest resolves ONCE: everything this serve reads below —
+    // bucket epochs, segments, stats — is an immutable dir it names,
+    // so a refresh/append/compact that commits mid-serve cannot touch
+    // them and the serve returns the pre-swing generation instead of
+    // failing (r16 #1). It also replaces the segment-dir listing and
+    // per-segment commit-marker probes with zero extra RPCs.
+    val m = IndexPolicy.manifestOf(spark, idx)
+    IndexPolicy.checkLayout(m, idx, bmLayout)
     // explicit schemas: an index built over an EMPTY corpus has no
     // part files, and schema inference (not the read) is what throws
     // there — with the schema stated, the serve degrades to 0 rows.
     // take(1) tolerates empty-string terms (they match no postings,
     // same as the direct path).
     val live = terms.filter(_.nonEmpty)
-    val buckets = live.map(_.take(1)).distinct
-    val tks = live.map(tkOf).distinct
-    // the segments directory is listed ONCE per serve (an RPC on an
-    // object store) and threaded through the views; the as-of path
-    // validates its bounds and takes its prefix here
-    val allSegs = segmentDirs(spark, idx)
-    gen.foreach(g => require(g >= 0 && g <= allSegs.size,
-      s"as-of generation $g outside [0, ${allSegs.size}] for $idx"))
-    val segs = gen.fold(allSegs)(allSegs.take)
+    // EXACT bucket routing: a term's postings and dictionary row live
+    // entirely in (first letter, tkOf(term)) — finer than the old
+    // letter-set × tk-set cross product
+    val pairs = live.map(t => (t.take(1), tkOf(t))).distinct.sorted
+    val bmap = parseMap(m)
+    val allSegNames = segNamesOf(m)
+    gen.foreach(g => require(g >= 0 && g <= allSegNames.size,
+      s"as-of generation $g outside [0, ${allSegNames.size}] for $idx"))
+    val segs = gen.fold(allSegNames)(allSegNames.take)
+      .map(n => s"$idx/segments/$n")
     val post =
-      postingsView(spark, idx, buckets, tks, terms, Some(segs)).drop("ord")
-    val tdf = termsView(spark, idx, buckets, tks, terms, Some(segs))
+      postingsView(spark, idx, bmap, pairs, live, segs).drop("ord")
+    val tdf = termsView(spark, idx, bmap, pairs, live, segs)
     // stats at gen g = the PRE-append snapshot of the first EXCLUDED
     // segment; the newest gen (and the no-gen serve) reads the live
     // stats the appends kept exact
     val statsPath = gen match {
-      case Some(g) if g < allSegs.size =>
-        val p = new org.apache.hadoop.fs.Path(s"${allSegs(g)}/stats_before")
+      case Some(g) if g < allSegNames.size =>
+        val sp = s"$idx/segments/${allSegNames(g)}/stats_before"
+        val p = new org.apache.hadoop.fs.Path(sp)
         require(p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .exists(p),
-          s"${allSegs(g)} predates as-of support (no stats_before " +
+          s"${allSegNames(g)} predates as-of support (no stats_before " +
             "snapshot) — compact or rebuild the index")
-        s"${allSegs(g)}/stats_before"
-      case _ => s"$idx/stats"
+        sp
+      case _ => statsPathOf(idx, m)
     }
     val stats = spark.read.schema("n_docs bigint, avgdl double")
       .parquet(statsPath)
@@ -667,25 +779,6 @@ object TextAnalysis {
       .limit(k)
   }
 
-  /** Name-ordered COMMITTED segment dirs under `idx/segments` (empty
-    * when the index has never been appended to — the base-only fast
-    * path). Segment NAMES define recency: seg-00002's tombstones kill
-    * seg-00001's and the base's postings, never its own. A dir
-    * without the `_committed` marker is a crashed append's orphan —
-    * invisible to every read, reclaimed by the next append's
-    * Overwrite. The marker probes cost one exists() each, bounded by
-    * the segment budget.
-    */
-  private def segmentDirs(spark: SparkSession, idx: String): Seq[String] = {
-    import org.apache.hadoop.fs.Path
-    val p = new Path(s"$idx/segments")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).filter(_.isDirectory)
-      .filter(d => fs.exists(new Path(d.getPath, "_committed")))
-      .map(_.getPath.toString).sorted.toSeq
-  }
-
   /** The VISIBLE postings of buckets (∩ terms when non-empty) across
     * base + segments: a posting survives unless a strictly-later
     * segment tombstones its doc (a changed document's new postings
@@ -693,34 +786,32 @@ object TextAnalysis {
     * keeps the new version while killing every older one). Both the
     * segment union and the tombstone set are delta-sized; tombstones
     * broadcast. Extra column `ord` (segment ordinal) for callers
-    * that care; base-only indexes take the no-join fast path.
-    * `tks` empty = no term-bucket pruning (the compact path passes
-    * exact (tb, tk) pair predicates via [[pairPred]] instead).
+    * that care; base-only indexes take the no-join fast path. The
+    * base resolves through the bucket map (exact paths, no listing);
+    * segments — small hive trees — keep [[pairPred]] partition
+    * filters. `terms` empty = no term pruning (the compact path).
     */
   private def pairPred(pairs: Seq[(String, Int)]) =
-    pairs.map { case (b, k) => col("tb") === b && col("tk") === k }
+    if (pairs.isEmpty) lit(false)
+    else pairs.map { case (b, k) => col("tb") === b && col("tk") === k }
       .reduce(_ || _)
 
-  private def postingsView(spark: SparkSession, idx: String,
-                           buckets: Seq[String], tks: Seq[Int],
-                           terms: Seq[String],
-                           segsIn: Option[Seq[String]] = None): DataFrame =
-    postingsViewWhere(spark, idx, df => {
-      val b = df.filter(col("tb").isin(buckets: _*))
-      val t = if (tks.isEmpty) b else b.filter(col("tk").isin(tks: _*))
-      if (terms.isEmpty) t else t.filter(col("term").isin(terms: _*))
-    }, segsIn)
+  private def termPred(df: DataFrame, terms: Seq[String]): DataFrame =
+    if (terms.isEmpty) df else df.filter(col("term").isin(terms: _*))
 
-  private def postingsViewWhere(spark: SparkSession, idx: String,
-                                pruned: DataFrame => DataFrame,
-                                segsIn: Option[Seq[String]] = None)
-      : DataFrame = {
-    def readPost(p: String, ord: Long): DataFrame =
-      pruned(spark.read.schema(postingsSchema).parquet(s"$p/postings"))
+  private def postingsView(spark: SparkSession, idx: String,
+                           bmap: Map[(String, Int), String],
+                           pairs: Seq[(String, Int)], terms: Seq[String],
+                           segs: Seq[String]): DataFrame = {
+    val base = termPred(
+      readBuckets(spark, idx, bmap, postingsSchema, "postings", pairs),
+      terms).withColumn("ord", lit(0L))
+    def readSeg(p: String, ord: Long): DataFrame =
+      termPred(spark.read.schema(postingsSchema).parquet(s"$p/postings")
+        .filter(pairPred(pairs)), terms)
         .withColumn("ord", lit(ord))
-    val segs = segsIn.getOrElse(segmentDirs(spark, idx))
-    val all = (readPost(idx, 0L) +: segs.zipWithIndex.map { case (s, i) =>
-      readPost(s, i + 1L) }).reduce(_ unionByName _)
+    val all = (base +: segs.zipWithIndex.map { case (s, i) =>
+      readSeg(s, i + 1L) }).reduce(_ unionByName _)
     if (segs.isEmpty) all
     else {
       val dead = segs.zipWithIndex.map { case (s, i) =>
@@ -739,18 +830,17 @@ object TextAnalysis {
     * −1 per tombstoned one) — summable without reading any postings.
     */
   private def termsView(spark: SparkSession, idx: String,
-                        buckets: Seq[String], tks: Seq[Int],
-                        terms: Seq[String],
-                        segsIn: Option[Seq[String]] = None): DataFrame = {
-    def readTerms(p: String): DataFrame = {
-      val b = spark.read.schema(termsSchema)
-        .parquet(s"$p/terms").filter(col("tb").isin(buckets: _*))
-      val t = if (tks.isEmpty) b else b.filter(col("tk").isin(tks: _*))
-      (if (terms.isEmpty) t else t.filter(col("term").isin(terms: _*)))
+                        bmap: Map[(String, Int), String],
+                        pairs: Seq[(String, Int)], terms: Seq[String],
+                        segs: Seq[String]): DataFrame = {
+    val base = termPred(
+      readBuckets(spark, idx, bmap, termsSchema, "terms", pairs), terms)
+      .select(col("term"), col("df"))
+    def readSeg(p: String): DataFrame =
+      termPred(spark.read.schema(termsSchema).parquet(s"$p/terms")
+        .filter(pairPred(pairs)), terms)
         .select(col("term"), col("df"))
-    }
-    val segs = segsIn.getOrElse(segmentDirs(spark, idx))
-    val all = (readTerms(idx) +: segs.map(readTerms)).reduce(_ unionByName _)
+    val all = (base +: segs.map(readSeg)).reduce(_ unionByName _)
     if (segs.isEmpty) all
     else all.groupBy(col("term")).agg(sum(col("df")).as("df"))
       .filter(col("df") > 0)
@@ -855,7 +945,7 @@ object TextAnalysis {
       val g = bm25AppendSegment(spark, p, newD, oldD).fold(0)(_ => 1)
       bm25AppendSegment(spark, p, // gen 2 = post-manifest drift
         v2.filter(pmod(col("doc_id"), lit(11)) === 5)
-          .select((col("doc_id") + 70000L).as("doc_id"), col("text")),
+          .select((col("doc_id") + 7000000L).as("doc_id"), col("text")),
         v2.limit(0))
       (p, g)
     })
@@ -901,8 +991,10 @@ object TextAnalysis {
     */
   def bm25RefreshIndex(spark: SparkSession, idx: String,
                        newDocs: DataFrame, oldDocs: DataFrame): Unit = {
-    IndexPolicy.failIfTorn(spark, idx)
-    IndexPolicy.checkLayout(spark, idx, bmLayout)
+    val m = IndexPolicy.manifestOf(spark, idx)
+    IndexPolicy.checkLayout(m, idx, bmLayout)
+    IndexPolicy.sweep(spark, idx, m)
+    val bmap = parseMap(m)
     val newTf = postingsOf(newDocs).localCheckpoint()
     val oldTf = postingsOf(oldDocs).localCheckpoint()
     val touched = newTf.select(col("tb"), col("tk"))
@@ -911,123 +1003,80 @@ object TextAnalysis {
       .sorted // ≤ |delta vocabulary|, and ≤ 26·nTk
     if (touched.isEmpty) return
     val deadIds = oldDocs.select(col("doc_id")).distinct()
-    val oldPost = spark.read.schema(postingsSchema)
-      .parquet(s"$idx/postings")
-      .filter(pairPred(touched)) // exact (tb, tk) PartitionFilters
-    // adjusted stats are computed into the TEMP area before any
-    // rename (they read the live stats) and swap in the SAME sentinel
-    // window as the postings (r15 verdict #1: stats committing after
-    // the bucket swaps left a crash window where new postings served
-    // against stale n_docs/sum_dl — silently breaking the
-    // bit-identical-to-rebuild guarantee)
-    val tmpStats = s"$idx/_rw_stats"
-    writeAdjustedStats(spark, idx, newTf, oldTf, tmpStats)
-    rewritePostings(spark, idx, touched,
+    val oldPost =
+      readBuckets(spark, idx, bmap, postingsSchema, "postings", touched)
+    val (tok, newMap) = writeBucketEpoch(spark, idx, touched,
       oldPost.join(broadcast(deadIds), Seq("doc_id"), "left_anti")
-        .unionByName(newTf),
-      inSentinel = () => swapDir(spark, tmpStats, s"$idx/stats"))
+        .unionByName(newTf), bmap)
+    // adjusted stats land in the SAME fresh epoch and commit in the
+    // SAME pointer swing as the remapped buckets (r15 verdict #1:
+    // stats committing separately left a window where new postings
+    // served against stale n_docs/sum_dl — under the pointer model
+    // the tear is structurally impossible)
+    writeAdjustedStats(spark, statsPathOf(idx, m), newTf, oldTf,
+      s"${IndexPolicy.epochDir(idx, tok)}/stats")
+    IndexPolicy.publish(spark, idx,
+      m + ("map" -> serMap(newMap)) + ("stats" -> tok))
   }
 
-  private def swapDir(spark: SparkSession, tmp: String, dst: String): Unit =
-    IndexPolicy.swapDir(spark, tmp, dst)
-
-  /** Replace the touched (tb, tk) buckets of `idx/postings` and
-    * `idx/terms` with `merged`'s content via TEMP-WRITE + DIR-SWAP:
-    * `merged` (whose plan reads the very partitions being replaced)
-    * streams straight into a temp table — no corpus-sized
-    * localCheckpoint materialization, the write IS the
-    * materialization — the touched dictionary buckets recompute from
-    * a read-back of the just-written temp bytes (never a second plan
-    * execution, never a corpus re-scan), and per-bucket directory
-    * renames swap both tables in. Untouched buckets' files are never
-    * opened (LayoutSpec pins byte-identity); a touched bucket the
-    * merge emptied is simply deleted (and its letter dir when that
-    * leaves it empty). Single-writer, like every index mutation here.
-    *
-    * COMMIT CONTRACT: the swap relies on atomic single-object rename
-    * (HDFS/local). On an S3-style object store — where "rename" is
-    * copy+delete — this protocol must be re-based on a
-    * manifest-pointer commit; see the [[IndexPolicy]] design note for
-    * the full statement of the requirement and the port.
+  /** Rewrite the `touched` (tb, tk) buckets with `merged`'s content
+    * into a FRESH epoch and return (epoch token, updated bucket map):
+    * touched buckets that produced data remap to the new epoch,
+    * touched buckets the merge emptied vanish from the map, untouched
+    * buckets keep their old epochs — their files are never opened
+    * (LayoutSpec pins byte-identity). `merged` streams straight into
+    * the epoch dir (the write IS the materialization — it reads OLD
+    * epochs and writes a NEW one, so no self-overwrite hazard); the
+    * touched dictionary buckets recompute from a read-back of the
+    * just-written bytes (never a second plan execution, never a
+    * corpus re-scan). NOTHING here is visible until the caller's
+    * pointer swing; a crash leaves an unreferenced epoch for the next
+    * mutation's sweep. Single-writer, like every index mutation here.
     */
-  private def rewritePostings(spark: SparkSession, idx: String,
-                              touched: Seq[(String, Int)],
-                              merged: DataFrame,
-                              inSentinel: () => Unit = () => ()): Unit = {
-    import org.apache.hadoop.fs.Path
-    val token = java.util.UUID.randomUUID().toString.take(8)
-    val tmpP = s"$idx/_rw_${token}_postings"
-    val tmpT = s"$idx/_rw_${token}_terms"
+  private def writeBucketEpoch(spark: SparkSession, idx: String,
+                               touched: Seq[(String, Int)],
+                               merged: DataFrame,
+                               bmap: Map[(String, Int), String])
+      : (String, Map[(String, Int), String]) = {
+    val tok = IndexPolicy.newEpoch()
+    val ed = IndexPolicy.epochDir(idx, tok)
     merged
       .select(col("tb"), col("tk"), col("term"), col("doc_id"),
         col("tf"), col("dl"))
       .repartition(col("tb"), col("tk"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("tb", "tk").parquet(tmpP)
-    spark.read.schema(postingsSchema).parquet(tmpP)
+      .partitionBy("tb", "tk").parquet(s"$ed/postings")
+    spark.read.schema(postingsSchema).parquet(s"$ed/postings")
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .select(substring(col("term"), 1, 1).as("tb"),
         tkCol(col("term")).as("tk"), col("term"), col("df"))
       .repartition(col("tb"), col("tk"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("tb", "tk").parquet(tmpT)
-    val fs = new Path(idx)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Hadoop FileSystem reports most rename/delete failures by
-    // returning false, not throwing — an unchecked rename here would
-    // silently lose a bucket AFTER its destination was deleted (the
-    // one failure mode the old commit-protocol overwrite couldn't
-    // produce), so every mutation is require()d.
-    def swap(tmp: String, dst: String): Unit = {
-      touched.foreach { case (b, k) =>
-        val to = new Path(s"$dst/tb=$b/tk=$k")
-        val from = new Path(s"$tmp/tb=$b/tk=$k")
-        require(!fs.exists(to) || fs.delete(to, true),
-          s"swap: could not clear $to")
-        if (fs.exists(from)) {
-          fs.mkdirs(to.getParent)
-          require(fs.rename(from, to), s"swap: rename $from -> $to failed")
-        }
-        val parent = to.getParent
-        if (fs.exists(parent) && fs.listStatus(parent).isEmpty)
-          fs.delete(parent, true)
-      }
-      fs.delete(new Path(tmp), true)
-    }
-    // the SWAP PHASE (renames only — all heavy writes are in the
-    // temps above) runs under the mutation sentinel: a crash between
-    // bucket renames previously left some buckets new and some old
-    // with no marker to detect it (r15 verdict #1) — now every read
-    // and mutation fails fast until the index is restored. Callers
-    // with more commit steps in the same window (the refresh's stats
-    // swap, the compact's segment delete) pass them via `inSentinel`.
-    IndexPolicy.withMutationSentinel(spark, idx) {
-      swap(tmpP, s"$idx/postings")
-      swap(tmpT, s"$idx/terms")
-      inSentinel()
-    }
+      .partitionBy("tb", "tk").parquet(s"$ed/terms")
+    val written = listBucketDirs(spark, s"$ed/postings")
+    (tok, bmap -- touched ++ written.map(_ -> tok))
   }
 
   /** Exact-integer corpus-scalar adjustment shared by the in-place
     * refresh and the segment append: n_docs and sum_dl shift by the
     * delta's distinct documents-with-postings, and avgdl is re-derived
     * by the same division the full build performs — so every path to
-    * a given corpus state yields bit-identical stats. Written to
-    * `out` (a temp path) — the caller swaps it over `idx/stats`
-    * inside its sentinel window, so stats and postings commit
-    * together.
+    * a given corpus state yields bit-identical stats. Reads the live
+    * stats at `statsPath`, writes to `out` (a fresh-epoch path) — the
+    * caller publishes both in ONE pointer swing, so stats and
+    * postings commit together.
     */
-  private def writeAdjustedStats(spark: SparkSession, idx: String,
+  private def writeAdjustedStats(spark: SparkSession, statsPath: String,
                                  newTf: DataFrame, oldTf: DataFrame,
                                  out: String): Unit = {
     val base = spark.read.schema("n_docs bigint, avgdl double, sum_dl bigint")
-      .parquet(s"$idx/stats").head()
+      .parquet(statsPath).head()
     // a pre-sum_dl stats file (null sum_dl with docs present) cannot
     // be adjusted — silently coercing to 0 would break the
     // bit-identical-to-rebuild guarantee with no error (r12 ADVICE):
     // fail fast and demand a rebuild instead
     require(base.getLong(0) == 0L || !base.isNullAt(2),
-      s"$idx/stats has n_docs=${base.getLong(0)} but no sum_dl — " +
+      s"$statsPath has n_docs=${base.getLong(0)} but no sum_dl — " +
         "index predates the exact-stats format; rebuild it before refreshing")
     def docStats(tf: DataFrame): (Long, Long) = {
       val r = tf.select(col("doc_id"), col("dl")).distinct()
@@ -1069,12 +1118,15 @@ object TextAnalysis {
     */
   def bm25AppendSegment(spark: SparkSession, idx: String,
                         newDocs: DataFrame, oldDocs: DataFrame): Option[String] = {
-    IndexPolicy.failIfTorn(spark, idx)
-    IndexPolicy.checkLayout(spark, idx, bmLayout)
-    // naming by COMMITTED count: an orphan dir from a crashed append
-    // (no _committed marker, invisible to reads) gets the same name
-    // and is reclaimed by the Overwrite writes below
-    val seg = f"$idx/segments/seg-${segmentDirs(spark, idx).size + 1}%05d"
+    val m = IndexPolicy.manifestOf(spark, idx)
+    IndexPolicy.checkLayout(m, idx, bmLayout)
+    // the sweep just reclaimed any orphan dir a crashed append left
+    // (it was never in the manifest's segment list), so naming by
+    // committed count cannot collide with live data
+    IndexPolicy.sweep(spark, idx, m)
+    val segNames = segNamesOf(m)
+    val segName = f"seg-${segNames.size + 1}%05d"
+    val seg = s"$idx/segments/$segName"
     val newTf = postingsOf(newDocs).localCheckpoint()
     val oldTf = postingsOf(oldDocs).localCheckpoint()
     // an empty delta must not mint a segment (r12 ADVICE): it would
@@ -1103,25 +1155,21 @@ object TextAnalysis {
     // PRE-append stats snapshot (1 row): makes the index readable
     // AS OF any generation — serve-time stats at gen g come from
     // segment g+1's snapshot (or the live stats for the newest gen).
-    // the stats swap replaces the live stats wholesale, so without this
-    // the historical (n_docs, avgdl) would be unrecoverable.
+    // the append swings the live stats pointer wholesale, so without
+    // this the historical (n_docs, avgdl) would be unrecoverable.
     spark.read.schema("n_docs bigint, avgdl double, sum_dl bigint")
-      .parquet(s"$idx/stats")
+      .parquet(statsPathOf(idx, m))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$seg/stats_before")
-    // everything above was invisible (the segment has no _committed
-    // marker yet); the adjusted stats land in a temp dir, and the two
-    // visibility steps — stats swap, segment commit marker — run
-    // under the sentinel so a crash between them fails reads fast
-    // instead of serving a segment/stats tear in either direction
-    val tmpStats = s"$idx/_append_stats"
-    writeAdjustedStats(spark, idx, newTf, oldTf, tmpStats)
-    IndexPolicy.withMutationSentinel(spark, idx) {
-      swapDir(spark, tmpStats, s"$idx/stats")
-      val marker = new org.apache.hadoop.fs.Path(s"$seg/_committed")
-      marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .create(marker, false).close()
-    }
+    // everything above is invisible (the manifest's segment list does
+    // not name the new dir); the adjusted stats land in a fresh
+    // epoch, and ONE pointer swing makes segment and stats visible
+    // together — a segment/stats tear is structurally impossible
+    val tok = IndexPolicy.newEpoch()
+    writeAdjustedStats(spark, statsPathOf(idx, m), newTf, oldTf,
+      s"${IndexPolicy.epochDir(idx, tok)}/stats")
+    IndexPolicy.publish(spark, idx, m + ("stats" -> tok) +
+      ("segments" -> (segNames :+ segName).mkString(",")))
     Some(seg)
   }
 
@@ -1140,7 +1188,7 @@ object TextAnalysis {
 
   def bm25FoldDue(spark: SparkSession, idx: String,
                   maxSegments: Int = defaultMaxSegments): Boolean =
-    segmentDirs(spark, idx).size > maxSegments
+    segNamesOf(IndexPolicy.manifestOf(spark, idx)).size > maxSegments
 
   /** Health of a bm25 index (the [[graft.operators.Dedup
     * .neardupHealth]] twin): segment count, the exact corpus doc
@@ -1150,10 +1198,10 @@ object TextAnalysis {
     */
   def bm25Health(spark: SparkSession, idx: String,
                  maxSegments: Int = defaultMaxSegments): Seq[(String, Long)] = {
-    IndexPolicy.failIfTorn(spark, idx)
-    val segs = segmentDirs(spark, idx).size.toLong
+    val m = IndexPolicy.manifestOf(spark, idx)
+    val segs = segNamesOf(m).size.toLong
     val nDocs = spark.read.schema("n_docs bigint, avgdl double")
-      .parquet(s"$idx/stats").head().getLong(0)
+      .parquet(statsPathOf(idx, m)).head().getLong(0)
     Seq(
       "bm25_segments" -> segs,
       "bm25_n_docs" -> nDocs,
@@ -1170,11 +1218,12 @@ object TextAnalysis {
     * after (LayoutSpec proves it).
     */
   def bm25Compact(spark: SparkSession, idx: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    IndexPolicy.failIfTorn(spark, idx)
-    IndexPolicy.checkLayout(spark, idx, bmLayout)
-    val segs = segmentDirs(spark, idx)
+    val m = IndexPolicy.manifestOf(spark, idx)
+    IndexPolicy.checkLayout(m, idx, bmLayout)
+    IndexPolicy.sweep(spark, idx, m)
+    val segs = segNamesOf(m).map(n => s"$idx/segments/$n")
     if (segs.isEmpty) return
+    val bmap = parseMap(m)
     val touched = segs.map { s =>
       spark.read.schema(postingsSchema).parquet(s"$s/postings")
         .select(col("tb"), col("tk"))
@@ -1182,22 +1231,18 @@ object TextAnalysis {
           .parquet(s"$s/terms").select(col("tb"), col("tk")))
     }.reduce(_ unionByName _)
       .distinct().collect().map(r => (r.getString(0), r.getInt(1))).sorted
-    // the segments delete joins the bucket swaps INSIDE the sentinel:
-    // a crash between them would leave folded postings AND live
-    // segments — every visible posting double-counted — with nothing
-    // to detect it
-    val deleteSegs = () => {
-      val p = new Path(s"$idx/segments")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      require(!fs.exists(p) || fs.delete(p, true),
-        s"compact: could not delete $p")
-    }
-    if (touched.nonEmpty)
-      rewritePostings(spark, idx, touched,
-        postingsViewWhere(spark, idx, _.filter(pairPred(touched)))
-          .drop("ord"),
-        inSentinel = deleteSegs)
-    else IndexPolicy.withMutationSentinel(spark, idx)(deleteSegs())
+    // ONE pointer swing drops the segment list and remaps the folded
+    // buckets together — the folded-postings-AND-live-segments double
+    // count a crash could once produce is structurally impossible;
+    // the unreferenced segment dirs and old bucket epochs are swept
+    // by the next mutation
+    if (touched.nonEmpty) {
+      val (_, newMap) = writeBucketEpoch(spark, idx, touched,
+        postingsView(spark, idx, bmap, touched, Seq.empty, segs)
+          .drop("ord"), bmap)
+      IndexPolicy.publish(spark, idx,
+        m - "segments" + ("map" -> serMap(newMap)))
+    } else IndexPolicy.publish(spark, idx, m - "segments")
   }
 
   /** Registry fixture for the refresh: build the index over the v1

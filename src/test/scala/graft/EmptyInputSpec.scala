@@ -97,7 +97,11 @@ class EmptyInputSpec extends SparkSpec {
       "bm25_serve_asof_mid" -> ((s, d) => TextAnalysis.bm25ServeAsOfMidTopK(s, d)),
       "dedup_lookup_asof_mid" -> ((s, d) => Dedup.neardupLookupAsOfMidRow(s, d)),
       "ivf_serve_asof_mid" -> ((s, d) => Similarity.ivfServeAsOfMid(s, d)),
-      "mm_ivf_lifecycle"  -> ((s, d) => Multimodal.mmIvfLifecycle(s, d)))
+      "mm_ivf_lifecycle"  -> ((s, d) => Multimodal.mmIvfLifecycle(s, d)),
+      // r17 additions
+      "recovery_drill"    -> ((s, d) => Curation.recoveryDrill(s, d)),
+      "train_read"        -> ((s, d) => Curation.trainRead(s, d)),
+      "audio_ivf_lifecycle" -> ((s, d) => Multimodal.audioIvfLifecycle(s, d)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()
@@ -258,5 +262,35 @@ class EmptyInputSpec extends SparkSpec {
     assert(replayVecOnly.map(_._1).forall(_.startsWith("mr_ivf_")) &&
       replayVecOnly.size == 2 && replayVecOnly.forall(_._2),
       s"embeddings-only replay wrong: $replayVecOnly")
+    // the recovery drill has the same per-modality shape
+    val drillTextOnly = Curation.recoveryDrill(spark, mixedDir(true))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toSeq
+    assert(drillTextOnly.map(_._1).forall(m =>
+      m.startsWith("rd_bm25_") || m.startsWith("rd_nd_")),
+      s"docs-only drill emitted non-text rows: ${drillTextOnly.map(_._1)}")
+    assert(drillTextOnly.size == 8 && drillTextOnly.forall(_._2),
+      s"docs-only drill not all green: $drillTextOnly")
+    val drillVecOnly = Curation.recoveryDrill(spark, mixedDir(false))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toSeq
+    assert(drillVecOnly.map(_._1).forall(_.startsWith("rd_ivf_")) &&
+      drillVecOnly.size == 5 && drillVecOnly.forall(_._2),
+      s"embeddings-only drill wrong: $drillVecOnly")
+    // the consumer row: docs-only corpus reads shards + the two text
+    // retrievals; embeddings-only reads only the ivf retrieval (no
+    // documents → no shards to verify)
+    val readTextOnly = Curation.trainRead(spark, mixedDir(true))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toSeq
+    assert(readTextOnly.map(_._1).forall(m =>
+      m.startsWith("tr_shard_") || m == "tr_bm25_reproduced" ||
+        m == "tr_nd_reproduced"),
+      s"docs-only train_read emitted ivf rows: ${readTextOnly.map(_._1)}")
+    assert(readTextOnly.exists(_._1.startsWith("tr_shard_")) &&
+      readTextOnly.forall(_._2),
+      s"docs-only train_read not all green: $readTextOnly")
+    val readVecOnly = Curation.trainRead(spark, mixedDir(false))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toSeq
+    assert(readVecOnly.map(_._1) == Seq("tr_ivf_reproduced") &&
+      readVecOnly.forall(_._2),
+      s"embeddings-only train_read wrong: $readVecOnly")
   }
 }

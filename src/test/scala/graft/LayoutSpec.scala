@@ -13,7 +13,7 @@ class LayoutSpec extends SparkSpec {
   private val partDir = "/tmp/graft_test_docs_by_lang"
 
   /** Recursive delete for the as-of fail-fast cases (legacy-index
-    * simulation: remove a stats_before snapshot or a meta counter).
+    * simulation: remove a stats_before snapshot or the manifest).
     */
   private def wipe(d: java.io.File): Unit = {
     if (d.isDirectory) d.listFiles().foreach(wipe)
@@ -43,11 +43,11 @@ class LayoutSpec extends SparkSpec {
     // the served ranking must equal the direct (index-free) query
     val direct = TextAnalysis.bm25TopK(spark, sf)
     assert(served.collect().toSeq == direct.collect().toSeq)
-    // REAL pruning proof (a bare 'PartitionFilters:' substring check
-    // is vacuous — every scan of a partitioned table prints it): the
-    // executed postings scan must have read strictly fewer files than
-    // the postings directory holds, and the filter must appear INSIDE
-    // the PartitionFilters bracket with the bucket IN-set
+    // REAL pruning proof: under the manifest's bucket map, routing is
+    // DRIVER-SIDE — the scan is handed exactly the query terms'
+    // (tb, tk) bucket dirs, so the executed postings scan must have
+    // read exactly those buckets' files and strictly fewer than the
+    // index holds (no listing, no partition-filter machinery needed)
     def scans(p: org.apache.spark.sql.execution.SparkPlan)
         : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -58,18 +58,21 @@ class LayoutSpec extends SparkSpec {
       case other => other.children.flatMap(scans)
     }
     val scan = scans(served.queryExecution.executedPlan)
-      .filter(_.toString.contains("postings")).head
+      .filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("postings"))).head
     val scanned = scan.metrics("numFiles").value
     def walkAll(d: java.io.File): Seq[java.io.File] =
       if (d.isDirectory) d.listFiles().toSeq.flatMap(walkAll) else Seq(d)
-    val total = walkAll(new java.io.File(s"$idx/postings"))
-      .count(_.getName.endsWith(".parquet"))
-    assert(scanned > 0 && scanned < total,
-      s"no file-level pruning: scanned $scanned of $total postings files")
-    val pf = "PartitionFilters: \\[[^\\]]*\\]".r
-      .findAllIn(served.queryExecution.executedPlan.toString).toList
-    assert(pf.exists(s => s.contains("tb") && s.contains("IN")),
-      s"bucket IN-set missing from PartitionFilters: $pf")
+    def pq(dir: String): Int =
+      walkAll(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+    val phys = TextAnalysis.physicalBuckets(spark, idx, "postings")
+    val total = phys.values.map(pq).sum
+    val want = Seq("data", "model", "system")
+      .map(t => (t.take(1), TextAnalysis.tkOf(t))).distinct
+      .map(phys).map(pq).sum
+    assert(scanned == want && scanned < total,
+      s"bucket routing off: scanned $scanned, routed-bucket files " +
+        s"$want, index total $total")
   }
 
   test("bm25 incremental refresh: only delta-touched letters rewrite, served == rebuild") {
@@ -88,14 +91,20 @@ class LayoutSpec extends SparkSpec {
       (3L, "apple dog dig"),
       (4L, "bear apple cherry dog")).toDF("doc_id", "text")
     TextAnalysis.bm25WriteIndexDocs(spark, base, idx)
+    // physical bucket dirs resolve through the manifest map (they
+    // carry epoch tokens): same absolute paths + mtimes == the bucket
+    // kept its old epoch and its files were never rewritten
     def files(sub: String): Map[String, Seq[(String, Long)]] = {
       def walk(d: java.io.File): Seq[java.io.File] =
         if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) else Seq(d)
-      new java.io.File(s"$idx/$sub").listFiles()
-        .filter(_.getName.startsWith("tb=")).map { d =>
-          d.getName -> walk(d).filter(_.getName.endsWith(".parquet"))
-            .map(f => (f.getAbsolutePath, f.lastModified)).sortBy(_._1)
-        }.toMap
+      TextAnalysis.physicalBuckets(spark, idx, sub).toSeq
+        .groupBy { case ((b, _), _) => s"tb=$b" }
+        .map { case (tb, ds) =>
+          tb -> ds.flatMap { case (_, d) =>
+            walk(new java.io.File(d)).filter(_.getName.endsWith(".parquet"))
+              .map(f => (f.getAbsolutePath, f.lastModified))
+          }.sortBy(_._1)
+        }
     }
     val postBefore = files("postings")
     val termsBefore = files("terms")
@@ -131,7 +140,7 @@ class LayoutSpec extends SparkSpec {
       TextAnalysis.bm25QueryIndex(spark, rebuilt, q, 10).collect().toSeq)
     val statsOf = (p: String) => spark.read
       .schema("n_docs bigint, avgdl double, sum_dl bigint")
-      .parquet(s"$p/stats").head()
+      .parquet(TextAnalysis.resolvedStats(spark, p)).head()
     assert(statsOf(idx) == statsOf(rebuilt))
   }
 
@@ -157,10 +166,10 @@ class LayoutSpec extends SparkSpec {
       (2L, s"$wb cherry"),
       (3L, s"$wa $wb dog")).toDF("doc_id", "text"), idx)
     def bucketFiles(sub: String, w: String): Seq[(String, Long)] = {
-      val d = new java.io.File(
-        s"$idx/$sub/tb=${w.take(1)}/tk=${TextAnalysis.tkOf(w)}")
+      val d = new java.io.File(TextAnalysis
+        .physicalBuckets(spark, idx, sub)((w.take(1), TextAnalysis.tkOf(w))))
       d.listFiles().filter(_.getName.endsWith(".parquet"))
-        .map(f => (f.getName, f.lastModified)).toSeq.sortBy(_._1)
+        .map(f => (f.getAbsolutePath, f.lastModified)).toSeq.sortBy(_._1)
     }
     val bBefore = bucketFiles("postings", wb)
     val tBefore = bucketFiles("terms", wb)
@@ -198,8 +207,9 @@ class LayoutSpec extends SparkSpec {
     def baseFiles(): Seq[(String, Long, Long)] = {
       def walk(d: java.io.File): Seq[java.io.File] =
         if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) else Seq(d)
-      (walk(new java.io.File(s"$idx/postings")) ++
-        walk(new java.io.File(s"$idx/terms")))
+      (TextAnalysis.physicalBuckets(spark, idx, "postings").values ++
+        TextAnalysis.physicalBuckets(spark, idx, "terms").values)
+        .flatMap(d => walk(new java.io.File(d))).toSeq
         .filter(_.getName.endsWith(".parquet"))
         .map(f => (f.getAbsolutePath, f.lastModified, f.length))
         .sortBy(_._1)
@@ -237,16 +247,29 @@ class LayoutSpec extends SparkSpec {
       finalDocs.filter(col("doc_id") =!= 5L)
         .unionByName(Seq((5L, "zulu cat")).toDF("doc_id", "text")), rebuilt2)
     assert(served(idx) == served(rebuilt2))
-    // compaction: pure layout change — same rankings, segments gone,
-    // the letter held only by tombstoned docs (q) deleted
+    // compaction: pure layout change — same rankings, segments gone
+    // from the committed manifest, the letter held only by tombstoned
+    // docs (q) gone from the bucket map
     TextAnalysis.bm25Compact(spark, idx)
-    assert(!new java.io.File(s"$idx/segments").exists)
-    assert(!new java.io.File(s"$idx/postings/tb=q").exists)
+    assert(TextAnalysis.bm25Health(spark, idx).toMap
+      .apply("bm25_segments") == 0L)
+    assert(!TextAnalysis.physicalBuckets(spark, idx, "postings").keys
+      .exists(_._1 == "q"), "stale q bucket survived the fold")
     assert(served(idx) == served(rebuilt2))
     val statsOf = (p: String) => spark.read
       .schema("n_docs bigint, avgdl double, sum_dl bigint")
-      .parquet(s"$p/stats").head()
+      .parquet(TextAnalysis.resolvedStats(spark, p)).head()
     assert(statsOf(idx) == statsOf(rebuilt2))
+    // the folded segments' dirs are unreferenced garbage until the
+    // NEXT mutation's sweep reclaims them (readers of the pre-fold
+    // manifest get a grace interval); an empty-delta append sweeps
+    // without minting a segment
+    assert(new java.io.File(s"$idx/segments").exists)
+    TextAnalysis.bm25AppendSegment(spark, idx,
+      base.limit(0), base.limit(0))
+    assert(!new java.io.File(s"$idx/segments/seg-00001").exists,
+      "sweep did not reclaim the folded segment dirs")
+    assert(served(idx) == served(rebuilt2))
   }
 
   test("bm25 as-of serve: every generation replays its historical ranking; compact folds history away") {
@@ -327,7 +350,8 @@ class LayoutSpec extends SparkSpec {
     // must be absent from the scanned partitions
     val scannedCells = served
       .queryExecution.executedPlan.collectLeaves().toString
-    val nCellDirs = new java.io.File(s"$idx/lists").listFiles()
+    val nCellDirs = new java.io.File(
+        Similarity.resolvedTable(spark, idx, "lists").get).listFiles()
       .count(_.getName.startsWith("cell="))
     assert(nCellDirs >= 2, s"index should have multiple cell dirs")
   }
@@ -344,7 +368,8 @@ class LayoutSpec extends SparkSpec {
     def listFiles(): Seq[(String, Long, Long)] = {
       def walk(d: java.io.File): Seq[java.io.File] =
         if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) else Seq(d)
-      walk(new java.io.File(s"$idx/lists"))
+      walk(new java.io.File(
+          Similarity.resolvedTable(spark, idx, "lists").get))
         .filter(_.getName.endsWith(".parquet"))
         .map(f => (f.getAbsolutePath, f.lastModified, f.length))
         .sortBy(_._1)
@@ -359,7 +384,8 @@ class LayoutSpec extends SparkSpec {
       "append rewrote existing list files")
     assert(after.size > before.size, "append added no files")
     // the index now holds every vector exactly once
-    val total = spark.read.parquet(s"$idx/lists").count()
+    val total = spark.read.parquet(
+      Similarity.resolvedTable(spark, idx, "lists").get).count()
     assert(total == base.count(), s"index holds $total of ${base.count()}")
   }
 
@@ -387,10 +413,18 @@ class LayoutSpec extends SparkSpec {
     // FULL retrain at the SAME path (the compaction analogue): the
     // stale tombstones must not outlive the rebuild — the removed
     // ids are legitimately re-indexed and must serve again (r13
-    // ADVICE medium)
+    // ADVICE medium). READ-WHILE-WRITE: a serve plan resolved before
+    // the retrain keeps answering from its (pre-swing) epoch — the
+    // old delete-then-rebuild made every read fail for the whole
+    // retrain window
+    val preSwing = Similarity.ivfQueryIndex(spark, sf, idx)
+    assert(preSwing.collect().toSeq == removedServe)
     Similarity.ivfWriteIndexVecs(spark, all, idx)
-    assert(!new java.io.File(s"$idx/tombstones").exists,
-      "retrain left stale tombstones behind")
+    assert(preSwing.collect().toSeq == removedServe,
+      "a reader racing a committed retrain must keep serving its " +
+        "resolved (pre-swing) generation")
+    assert(Similarity.resolvedTable(spark, idx, "tombstones").isEmpty,
+      "retrain left stale tombstones referenced")
     assert(Similarity.ivfQueryIndex(spark, sf, idx).collect().toSeq
       == fresh, "retrained serve differs from a fresh build's")
   }
@@ -430,13 +464,14 @@ class LayoutSpec extends SparkSpec {
     // generation bounds fail fast
     intercept[IllegalArgumentException](asOf(3))
     intercept[IllegalArgumentException](asOf(-1))
-    // retrain deletes the dir: the timeline resets to gen 0 by design
+    // retrain resets the timeline to gen 0 by design
     Similarity.ivfWriteIndexVecs(spark, all, idx)
     intercept[IllegalArgumentException](asOf(1))
     assert(asOf(0) == serve0, "post-retrain gen 0 != fresh-build serve")
-    // a pre-generation-tracking index (no meta) fails fast instead of
-    // serving an unpinnable ranking
-    wipe(new java.io.File(s"$idx/meta"))
+    // an index with no manifest (pre-pointer-commit, or a build that
+    // crashed before its publish) fails fast instead of serving an
+    // unpinnable ranking
+    wipe(new java.io.File(s"$idx/current"))
     intercept[IllegalArgumentException](asOf(0))
     intercept[IllegalArgumentException](
       Similarity.ivfAppendVectors(spark, idx, all.limit(1)))
@@ -480,8 +515,8 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException](asOf(1))
     assert(asOf(0) == Set((3L, 9L), (4L, 8L)),
       "post-compact gen 0 != folded state")
-    // a pre-generation-tracking index (no meta) fails fast
-    wipe(new java.io.File(s"$idx/meta"))
+    // an index with no manifest fails fast
+    wipe(new java.io.File(s"$idx/current"))
     intercept[IllegalArgumentException](asOf(0))
     intercept[IllegalArgumentException](
       Dedup.neardupRemove(spark, idx, Seq(2L).toDF("doc_id")))
@@ -501,8 +536,10 @@ class LayoutSpec extends SparkSpec {
     def files(): Seq[(String, Long, Long)] = {
       def walk(d: java.io.File): Seq[java.io.File] =
         if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) else Seq(d)
-      (walk(new java.io.File(s"$idx/buckets")) ++
-        walk(new java.io.File(s"$idx/docsets")))
+      (walk(new java.io.File(
+          Dedup.resolvedTable(spark, idx, "buckets").get)) ++
+        walk(new java.io.File(
+          Dedup.resolvedTable(spark, idx, "docsets").get)))
         .filter(_.getName.endsWith(".parquet"))
         .map(f => (f.getAbsolutePath, f.lastModified, f.length))
         .sortBy(_._1)
@@ -536,8 +573,8 @@ class LayoutSpec extends SparkSpec {
     // compact: physically drops doc 4, clears tombstones — a repeat
     // duplicate check finds the same pairs as the tombstone filter did
     Dedup.neardupCompact(spark, idx)
-    assert(!new java.io.File(s"$idx/tombstones").exists)
-    assert(spark.read.parquet(s"$idx/docsets")
+    assert(Dedup.resolvedTable(spark, idx, "tombstones").isEmpty)
+    assert(spark.read.parquet(Dedup.resolvedTable(spark, idx, "docsets").get)
       .filter(col("doc_id") === 4L).count() == 0, "compact kept dead docsets")
     val p4 = Dedup.neardupCheckIn(spark, idx, Seq(
       (8L, "q r s t u")).toDF("doc_id", "text")).collect()
@@ -577,7 +614,8 @@ class LayoutSpec extends SparkSpec {
     def totalFiles(sub: String): Int = {
       def walk(d: java.io.File): Seq[java.io.File] =
         if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) else Seq(d)
-      walk(new java.io.File(s"$idx/$sub")).count(_.getName.endsWith(".parquet"))
+      walk(new java.io.File(Dedup.resolvedTable(spark, idx, sub).get))
+        .count(_.getName.endsWith(".parquet"))
     }
     // a single doc emits 4 band buckets → at most 4 of the 4×nPb
     // (band, pb) directories are opened; its candidates' ids hash to
@@ -586,7 +624,9 @@ class LayoutSpec extends SparkSpec {
     val allScans = scans(pairs.queryExecution.executedPlan) ++
       scans(candLazy.queryExecution.executedPlan)
     def pruned(sub: String, partCol: String): Unit = {
-      val ss = allScans.filter(_.toString.contains(sub))
+      // match by rootPaths: toString truncates long epoch-dir paths
+      val ss = allScans.filter(_.relation.location.rootPaths
+        .exists(_.toString.contains(sub)))
       assert(ss.nonEmpty, s"no $sub scan in plan")
       val s = ss.head
       val scanned = s.metrics("numFiles").value
@@ -622,22 +662,23 @@ class LayoutSpec extends SparkSpec {
       Dedup.neardupLookup(spark, nd, probe, bands = 2))
     assert(eBands.getMessage.contains("layout mismatch on 'bands'"))
     // an index stamped under different hash constants is misread —
-    // simulate by rewriting the stamp the way an old binary wrote it
-    Files.write(Paths.get(s"$nd/layout"),
-      "v=1,nPb=16,nDb=8,n=3,k=16,bands=4".getBytes)
-    Files.deleteIfExists(Paths.get(s"$nd/.layout.crc")) // raw rewrite: drop the Hadoop checksum sidecar
+    // simulate by rewriting the manifest's stamp the way an old
+    // binary's build would have published it
+    import graft.operators.IndexPolicy
+    IndexPolicy.publish(spark, nd, IndexPolicy.manifestOf(spark, nd) +
+      ("layout" -> "v=1,nPb=16,nDb=8,n=3,k=16,bands=4"))
     val eNPb = intercept[IllegalArgumentException](
       Dedup.neardupLookup(spark, nd, probe))
     assert(eNPb.getMessage.contains("layout mismatch on 'nPb'"))
     intercept[IllegalArgumentException](Dedup.neardupRemove(spark, nd,
       Seq(1L).toDF("doc_id")))
-    // missing stamp = crashed build or pre-stamping index: every
-    // reader and mutation fails fast instead of consuming a partial
-    // index (the stamp is written LAST at build)
-    wipe(new java.io.File(s"$bm/layout"))
+    // missing manifest = crashed build or pre-pointer-commit index:
+    // every reader and mutation fails fast instead of consuming a
+    // partial index (the manifest is published LAST at build)
+    wipe(new java.io.File(s"$bm/current"))
     val eGone = intercept[IllegalArgumentException](
       TextAnalysis.bm25QueryIndex(spark, bm, Seq("a"), 5))
-    assert(eGone.getMessage.contains("no layout stamp"))
+    assert(eGone.getMessage.contains("no manifest"))
     intercept[IllegalArgumentException](
       TextAnalysis.bm25RefreshIndex(spark, bm, docs.limit(0), docs.limit(0)))
     // rebuild restores service
@@ -646,48 +687,59 @@ class LayoutSpec extends SparkSpec {
       .collect().nonEmpty)
   }
 
-  test("mutation sentinel: a crash inside a swap window fails reads and mutations fast; completed mutations leave no trace") {
-    import graft.operators.TextAnalysis
+  test("pointer commit: serves never fail through mutations; a crash leaves the last generation serving; sweep reclaims garbage") {
+    import graft.operators.{IndexPolicy, TextAnalysis}
     import spark.implicits._
     import java.nio.file.{Files, Paths}
-    val root = Files.createTempDirectory("graft-sentinel").toString
+    val root = Files.createTempDirectory("graft-pointer").toString
     val bm = s"$root/bm"
     val v1 = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
       .toDF("doc_id", "text")
     TextAnalysis.bm25WriteIndexDocs(spark, v1, bm)
-    // a COMPLETED refresh leaves a clean index: no sentinel, no temp
-    // dirs, stats swapped in the same window as the postings
+    // READ-WHILE-WRITE (the r16 verdict-#1 acceptance case): a serve
+    // plan resolved BEFORE a refresh keeps executing correctly AFTER
+    // the refresh commits — it reads the immutable pre-swing epochs,
+    // returns the PRE-swing ranking, and never throws. A fresh serve
+    // sees the post-swing state.
+    val preSwing = TextAnalysis.bm25QueryIndex(spark, bm, Seq("alpha"), 5)
+    val before = preSwing.collect().toSeq
+    assert(before.map(_.getLong(0)).toSet == Set(1L))
     TextAnalysis.bm25RefreshIndex(spark, bm,
       Seq((3L, "alpha eta theta")).toDF("doc_id", "text"), v1.limit(0))
-    val leftovers = new java.io.File(bm).listFiles().map(_.getName)
-      .filter(n => n.startsWith("_rw_") || n == "_mutation_inprogress" ||
-        n == "_append_stats")
-    assert(leftovers.isEmpty, s"refresh left temp state: ${leftovers.toSeq}")
+    assert(preSwing.collect().toSeq == before,
+      "a reader racing a committed refresh must keep serving its " +
+        "resolved (pre-swing) generation")
     val served = TextAnalysis.bm25QueryIndex(spark, bm, Seq("alpha"), 5)
       .collect().toSeq
     assert(served.map(_.getLong(0)).toSet == Set(1L, 3L))
-    // simulate a crash BETWEEN bucket renames: the sentinel is still
-    // in place — every read and mutation must fail fast instead of
-    // serving a half-swapped index
-    Files.createFile(Paths.get(s"$bm/_mutation_inprogress"))
-    def torn(body: => Any): Unit = {
-      val e = intercept[IllegalArgumentException](body)
-      assert(e.getMessage.contains("interrupted structural mutation"),
-        e.getMessage)
-    }
-    torn(TextAnalysis.bm25QueryIndex(spark, bm, Seq("alpha"), 5).collect())
-    torn(TextAnalysis.bm25RefreshIndex(spark, bm, v1.limit(0), v1.limit(0)))
-    torn(TextAnalysis.bm25AppendSegment(spark, bm, v1.limit(0), v1.limit(0)))
-    torn(TextAnalysis.bm25Compact(spark, bm))
-    torn(TextAnalysis.bm25Health(spark, bm))
-    // operator restores/rebuilds: clearing the sentinel (here: the
-    // state was never actually torn) restores service
-    wipe(new java.io.File(s"$bm/_mutation_inprogress"))
+    // CRASHED MUTATION: a refresh that died after its heavy epoch
+    // writes but before the pointer swing leaves only unreferenced
+    // dirs — every read serves the last committed generation,
+    // unaware; mutations still work (no torn window to repair)
+    val orphan = IndexPolicy.epochDir(bm, IndexPolicy.newEpoch())
+    Files.createDirectories(Paths.get(s"$orphan/postings/tb=a/tk=0"))
+    Files.write(Paths.get(s"$orphan/postings/tb=a/tk=0/part-gar.parquet"),
+      "not even parquet".getBytes)
+    assert(TextAnalysis.bm25QueryIndex(spark, bm, Seq("alpha"), 5)
+      .collect().toSeq == served, "crash garbage changed a serve")
+    // the NEXT mutation's sweep reclaims the orphan (single-writer;
+    // readers of the previous manifest get a mutation interval of
+    // grace — production GC widens this to a time-based expiry)
+    TextAnalysis.bm25AppendSegment(spark, bm, v1.limit(0), v1.limit(0))
+    assert(!Files.exists(Paths.get(orphan)),
+      "sweep did not reclaim the crashed mutation's epoch")
     assert(TextAnalysis.bm25QueryIndex(spark, bm, Seq("alpha"), 5)
       .collect().toSeq == served)
+    // superseded epochs (the pre-refresh generation) are likewise
+    // unreferenced after the swing and were reclaimed by the same
+    // sweep: exactly the LIVE epochs remain under ep/
+    val live = "e-[0-9a-f]{12}".r.findAllIn(
+      new String(Files.readAllBytes(Paths.get(s"$bm/current")))).toSet
+    val onDisk = new java.io.File(s"$bm/ep").listFiles().map(_.getName).toSet
+    assert(onDisk == live, s"ep/ holds $onDisk but manifest names $live")
   }
 
-  test("segment commit marker: an uncommitted (crashed-append) segment is invisible to serves and health") {
+  test("segment visibility: a segment dir the manifest does not list (crashed append) is invisible to serves and health") {
     import graft.operators.TextAnalysis
     import spark.implicits._
     import java.nio.file.{Files, Paths}
@@ -703,8 +755,9 @@ class LayoutSpec extends SparkSpec {
     assert(served.map(_.getLong(0)).toSet == Set(1L, 3L))
     assert(TextAnalysis.bm25Health(spark, bm).toMap
       .apply("bm25_segments") == 1L)
-    // an orphan segment dir (append crashed before its _committed
-    // marker) must not change what the index serves or reports
+    // an orphan segment dir (append crashed before its pointer swing,
+    // so the manifest's segment list never named it) must not change
+    // what the index serves or reports
     Files.createDirectories(Paths.get(s"$bm/segments/seg-00099"))
     assert(TextAnalysis.bm25QueryIndex(spark, bm, Seq("alpha"), 5)
       .collect().toSeq == served)
@@ -730,11 +783,14 @@ class LayoutSpec extends SparkSpec {
       Seq((4L, "q r s t u")).toDF("doc_id", "text")).count()
     assert(live() == Set((1L, 9L), (4L, 8L)))
     // simulate the check-in having CRASHED between its two appends:
-    // roll the committed counter back to 0 while meta stays at 1 and
-    // the gen-1 rows are on disk — readers must treat gen 1 as never
-    // having happened instead of serving its partial rows
-    Files.write(Paths.get(s"$idx/meta_committed"), "0".getBytes)
-    Files.deleteIfExists(Paths.get(s"$idx/.meta_committed.crc")) // raw rewrite: drop the Hadoop checksum sidecar
+    // roll the manifest's committed watermark back to 0 while the
+    // allocated one stays at 1 and the gen-1 rows are on disk —
+    // readers must treat gen 1 as never having happened instead of
+    // serving its partial rows (and must NOT fail: a torn index still
+    // serves its committed prefix under the pointer model)
+    import graft.operators.IndexPolicy
+    IndexPolicy.publish(spark, idx,
+      IndexPolicy.manifestOf(spark, idx) + ("gen_committed" -> "0"))
     assert(live() == Set((1L, 9L)),
       "uncommitted generation leaked into a lookup")
     assert(Dedup.neardupHealth(spark, idx).toMap.apply("nd_gen") == 0L)
@@ -751,24 +807,25 @@ class LayoutSpec extends SparkSpec {
     assert(live() == Set.empty)
   }
 
-  test("counter crash recovery: a fully-written .meta_tmp is recovered when meta is missing") {
+  test("pointer crash recovery: a fully-written .current_tmp is recovered when the manifest is missing") {
     import graft.operators.Dedup
     import spark.implicits._
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val root = Files.createTempDirectory("graft-meta-tmp").toString
+    val root = Files.createTempDirectory("graft-manifest-tmp").toString
     val idx = s"$root/idx"
     Dedup.neardupWriteIndex(spark, Seq(
       (1L, "a b c d e")).toDF("doc_id", "text"), idx)
-    // simulate a crash between writeCounter's delete and rename: the
-    // tmp is complete, the live file is gone
-    Files.move(Paths.get(s"$idx/meta"), Paths.get(s"$idx/.meta_tmp"),
+    // simulate a crash between the pointer swing's delete and rename:
+    // the tmp is complete, the live manifest is gone
+    Files.move(Paths.get(s"$idx/current"), Paths.get(s"$idx/.current_tmp"),
       StandardCopyOption.REPLACE_EXISTING)
     val probe = Seq((9L, "a b c d e")).toDF("doc_id", "text")
-    // the as-of read recovers the counter instead of prescribing a
-    // rebuild of a healthy index
+    // the read recovers the manifest instead of prescribing a rebuild
+    // of a healthy index
     assert(Dedup.neardupLookupAsOf(spark, idx, probe, gen = 0L)
       .collect().nonEmpty)
-    assert(Files.exists(Paths.get(s"$idx/meta")), "recovery did not reinstate meta")
+    assert(Files.exists(Paths.get(s"$idx/current")),
+      "recovery did not reinstate the manifest")
   }
 
   test("copyIndex routes URI-schemed paths through the generic FileSystem copy") {

@@ -215,8 +215,11 @@ class PropertySpec extends SparkSpec {
       // commit never happened: readers must see exactly the committed
       // prefix, with the later generations' on-disk rows invisible
       val g = ci % 2 // 0 or 1, both interior
-      Files.write(Paths.get(s"$idx/meta_committed"), g.toString.getBytes)
-      Files.deleteIfExists(Paths.get(s"$idx/.meta_committed.crc"))
+      // tamper through the manifest the way a crashed mutation's
+      // stale pointer would read: committed watermark behind allocated
+      graft.operators.IndexPolicy.publish(spark, idx,
+        graft.operators.IndexPolicy.manifestOf(spark, idx) +
+          ("gen_committed" -> g.toString))
       val want = Seq(
         referencePairs(base ++ probes, pids),
         referencePairs(base ++ delta ++ probes, pids))(g)
@@ -431,7 +434,8 @@ class PropertySpec extends SparkSpec {
       Similarity.ivfAppendVectors(spark, idx,
         delta.toDF("vec_id", "embedding"))
       // schema-inferred partition column comes back as int — cast
-      val got = spark.read.parquet(s"$idx/lists")
+      val got = spark.read.parquet(
+          graft.operators.Similarity.resolvedTable(spark, idx, "lists").get)
         .select(col("vec_id"), col("cell").cast("long"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       // reference: seeds = base ids < k; one update over base; final
