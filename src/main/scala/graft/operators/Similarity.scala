@@ -223,7 +223,7 @@ object Similarity {
     * linear. Array equality is exact bit equality on the stored
     * floats, which both engines evaluate identically.
     */
-  private def exactGroups(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def exactGroups(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val groups = Tables.embeddings(spark, dir)
       .groupBy(col("embedding")).agg(min(col("vec_id")).as("rep"))
     val members = Tables.embeddings(spark, dir)
@@ -249,7 +249,7 @@ object Similarity {
     * pair-shaped work is the in-join dot product, and the only
     * shuffled rows are the n_u·nProbe assignment rows themselves.
     */
-  private def cellAssignments(spark: SparkSession, groups: DataFrame,
+  private[graft] def cellAssignments(spark: SparkSession, groups: DataFrame,
                               nCells: Int, nProbe: Int,
                               routeAt: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -347,7 +347,7 @@ object Similarity {
     * aggregate per group — for which duplicates are harmless — so the
     * pair stream never needs to cross a shuffle.
     */
-  private def cellVerified(spark: SparkSession, groups: DataFrame,
+  private[graft] def cellVerified(spark: SparkSession, groups: DataFrame,
                            minSim: Double, nCells: Int, nProbe: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val ndot = graft.functions.GraftFunctions.dot _
