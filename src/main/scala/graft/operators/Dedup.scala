@@ -474,24 +474,19 @@ object Dedup {
   private def dbOf(docId: org.apache.spark.sql.Column) =
     pmod(xxhash64(docId), lit(nDb)).cast("int")
 
-  /** Build the near-dup index at rest: `buckets` — one slim
-    * (doc_id, bucket) posting per band, hive-partitioned by band —
-    * and `docsets` — the per-doc digest sets the exact verify reads.
-    * One hashing pass feeds both tables. A full build deletes the
-    * index dir first (the bm25WriteIndexDocs discipline: rebuild
-    * means rebuild).
-    */
   /** Resolved physical dir of an index table (buckets / docsets /
-    * tombstones) under the committed manifest — package-private so the
-    * layout specs can assert byte-identity of immutable files.
+    * tombstones) under the committed manifest — for the layout specs'
+    * byte-identity asserts; shared logic in [[IndexPolicy]].
     */
   private[graft] def resolvedTable(spark: SparkSession, idx: String,
-                                   name: String): Option[String] = {
-    val m = IndexPolicy.manifestOf(spark, idx)
-    val key = if (name == "tombstones") "tombstones" else "data"
-    m.get(key).map(tok => s"${IndexPolicy.epochDir(idx, tok)}/$name")
-  }
+                                   name: String): Option[String] =
+    IndexPolicy.resolvedTable(spark, idx, name)
 
+  /** Build the near-dup index at rest: `buckets` — one slim
+    * (doc_id, bucket) posting per band, hive-partitioned by (band,
+    * pb) — and `docsets` — the per-doc digest sets the exact verify
+    * reads. One hashing pass feeds both tables.
+    */
   def neardupWriteIndex(spark: SparkSession, docs: DataFrame, idx: String,
                         n: Int = 3, k: Int = 16, bands: Int = 4): Unit = {
     // rebuild means rebuild: the fresh manifest references only the
@@ -814,14 +809,7 @@ object Dedup {
     IndexPolicy.checkLayout(m, idx, ndLayoutBase)
     IndexPolicy.sweep(spark, idx, m)
     val (g, m1) = IndexPolicy.allocGen(spark, idx, m)
-    // first removal mints the tombstones epoch; the key lands only in
-    // the COMMIT swing, so a crash after the write leaves the dir
-    // unreferenced (swept later) instead of half-visible
-    val (tok, extra) = m1.get("tombstones") match {
-      case Some(t) => (t, Map.empty[String, String])
-      case None =>
-        val t = IndexPolicy.newEpoch(); (t, Map("tombstones" -> t))
-    }
+    val (tok, extra) = IndexPolicy.tombstoneEpoch(m1)
     docIds.select(col("doc_id")).distinct()
       .select(col("doc_id"), lit(g).as("gen"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)

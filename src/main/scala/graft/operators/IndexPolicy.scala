@@ -49,16 +49,43 @@ private[graft] object IndexPolicy {
   // atomic small-file I/O — the ONE mutable object per index
   // ---------------------------------------------------------------
 
-  /** READ recovery: if the main file is missing but a fully-written
-    * `.{name}_tmp` exists (a crash hit [[writeAtomicFile]] between
-    * its delete and rename — the tmp is complete, it is closed before
-    * either starts), the VALUE is recovered from the tmp and the
-    * reinstating rename is best-effort only: a read must never fail
-    * because a concurrent reader won the rename race or the index
-    * lives on a read-only snapshot.
+  /** Bare absolute local path (no URI scheme) — the replace-in-place
+    * primitive differs per store; see [[writeAtomicFile]].
+    */
+  private def isBareLocal(s: String): Boolean =
+    s.startsWith("/") && !s.matches("[A-Za-z][A-Za-z0-9+.\\-]*:.*")
+
+  /** READ of the one mutable object. Local filesystems (every fixture
+    * and test) go through raw nio so writes and reads agree on the
+    * no-checksum-sidecar representation of [[writeAtomicFile]]'s
+    * atomic replace. Recovery branch (non-local stores, or a manually
+    * restored dir): if the main file is missing but a fully-written
+    * `.{name}_tmp` exists, the VALUE is recovered from the tmp and
+    * the reinstating rename is best-effort only — a read must never
+    * fail because a concurrent reader won the rename race or the
+    * index lives on a read-only snapshot.
     */
   private def readAtomicFile(spark: SparkSession, idx: String,
                              name: String): Option[String] = {
+    if (isBareLocal(idx)) {
+      import java.nio.file.{Files, Paths}
+      val p = Paths.get(s"$idx/$name")
+      val tmp = Paths.get(s"$idx/.${name}_tmp")
+      // the replace is one atomic rename(2): the main file is the
+      // complete old or complete new value. A leftover COMPLETE tmp
+      // with no main file can only be a manual restore — recover it.
+      if (Files.exists(p))
+        return Some(new String(Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+      if (Files.exists(tmp)) {
+        val v = new String(Files.readAllBytes(tmp),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        try Files.move(tmp, p)
+        catch { case _: java.io.IOException => } // lost the race: fine
+        return Some(v)
+      }
+      return None
+    }
     val p = new org.apache.hadoop.fs.Path(s"$idx/$name")
     val tmp = new org.apache.hadoop.fs.Path(s"$idx/.${name}_tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -80,14 +107,34 @@ private[graft] object IndexPolicy {
     } else None
   }
 
-  /** Temp-write + checked rename: an in-place truncate would destroy
-    * the file on a crash mid-write; a crash between the delete and the
-    * rename is repaired by [[readAtomicFile]]'s tmp-recovery on the
-    * next read. Either way a reader sees a COMPLETE old or new value —
-    * this is the pointer swing every mutation commits through.
+  /** Temp-write + ATOMIC REPLACE — the pointer swing every mutation
+    * commits through. On a local filesystem the replace is one
+    * rename(2) with REPLACE_EXISTING + ATOMIC_MOVE (raw nio, so no
+    * Hadoop checksum sidecar can go stale): a concurrent reader sees
+    * the complete old or complete new value, NEVER an absence — the
+    * reads-never-fail contract holds for readers of the pointer
+    * itself, not just of the epoch dirs (r17 review: the previous
+    * delete-then-rename had a window where a racing read of `current`
+    * threw, and a reader's tmp recovery could abort a committed
+    * mutation). On HDFS the equivalent primitive is
+    * FileContext.rename(OVERWRITE) (atomic rename2); on an object
+    * store, one conditional PUT. The non-local fallback here keeps
+    * delete+rename with the reader-side tmp recovery closing the
+    * crash (not the race) window.
     */
   private def writeAtomicFile(spark: SparkSession, idx: String,
                               name: String, content: String): Unit = {
+    if (isBareLocal(idx)) {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      Files.createDirectories(Paths.get(idx))
+      val tmp = Paths.get(s"$idx/.${name}_tmp")
+      Files.write(tmp,
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, Paths.get(s"$idx/$name"),
+        StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+      return
+    }
     val p = new org.apache.hadoop.fs.Path(s"$idx/$name")
     val tmp = new org.apache.hadoop.fs.Path(s"$idx/.${name}_tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -153,18 +200,35 @@ private[graft] object IndexPolicy {
     * mutation's partial output, or a superseded rewrite's old data)
     * and — when the family keeps a `segments` list — segment dirs the
     * list no longer names. Called at the START of each mutation under
-    * the single-writer assumption; see the class note for the reader
-    * grace-period argument.
+    * the single-writer assumption.
+    *
+    * Reader-grace guarantee, stated precisely (r17 review): a reader
+    * that resolved manifest M keeps its dirs at least until the NEXT
+    * mutation after the one that dereferences them — and only
+    * REWRITES (refresh/compact/retrain) ever dereference; the
+    * high-frequency mutations (check-ins, appends, removals) add
+    * references without dropping any, so their sweeps reclaim only
+    * crash orphans. A serve can therefore lose files only if it is
+    * still scanning when a SECOND rewrite lands — and rewrites are the
+    * scheduled, periodic folds. Deployments whose serves may span two
+    * folds set `spark.graft.index.sweep.grace.ms`: unreferenced dirs
+    * younger than the window are kept (time-based expiry, the
+    * expire-snapshots discipline); the default 0 keeps fixture GC
+    * deterministic.
     */
   def sweep(spark: SparkSession, idx: String, m: Manifest): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val grace =
+      spark.conf.get("spark.graft.index.sweep.grace.ms", "0").toLong
+    val cutoff = System.currentTimeMillis() - grace
     val serialized = m.toSeq.map { case (k, v) => s"$k=$v" }.mkString("\n")
     val refs = EpochPat.findAllIn(serialized).toSet
     val ep = new Path(s"$idx/ep")
     if (fs.exists(ep)) fs.listStatus(ep).foreach { st =>
-      if (!refs.contains(st.getPath.getName))
+      if (!refs.contains(st.getPath.getName) &&
+          st.getModificationTime < cutoff)
         require(fs.delete(st.getPath, true),
           s"sweep: could not delete ${st.getPath}")
     }
@@ -173,11 +237,37 @@ private[graft] object IndexPolicy {
       .getOrElse(Set.empty[String])
     val segRoot = new Path(s"$idx/segments")
     if (fs.exists(segRoot)) fs.listStatus(segRoot).foreach { st =>
-      if (!segRefs.contains(st.getPath.getName))
+      if (!segRefs.contains(st.getPath.getName) &&
+          st.getModificationTime < cutoff)
         require(fs.delete(st.getPath, true),
           s"sweep: could not delete ${st.getPath}")
     }
   }
+
+  /** Resolved physical dir of an index table under the committed
+    * manifest — tombstones resolve through their own epoch key, every
+    * other table through the family's shared `data` epoch. ONE
+    * implementation (r17 review: Dedup and Similarity carried
+    * verbatim copies).
+    */
+  private[graft] def resolvedTable(spark: SparkSession, idx: String,
+                                   name: String): Option[String] = {
+    val m = manifestOf(spark, idx)
+    val key = if (name == "tombstones") "tombstones" else "data"
+    m.get(key).map(tok => s"${epochDir(idx, tok)}/$name")
+  }
+
+  /** The tombstones epoch for a removal: reuse the manifest's, or
+    * mint a fresh one whose key lands ONLY in the commit swing — a
+    * crash after the rows but before the commit leaves the dir
+    * unreferenced (swept later) instead of half-visible. ONE
+    * implementation of the mint-or-reuse subtlety (r17 review).
+    */
+  def tombstoneEpoch(m: Manifest): (String, Manifest) =
+    m.get("tombstones") match {
+      case Some(t) => (t, Map.empty[String, String])
+      case None => val t = newEpoch(); (t, Map("tombstones" -> t))
+    }
 
   // ---------------------------------------------------------------
   // layout stamp — carried IN the manifest: an index written under

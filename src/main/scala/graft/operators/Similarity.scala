@@ -867,15 +867,12 @@ object Similarity {
   private val ivfLayoutBase: Seq[(String, Long)] = Seq("v" -> 1L)
 
   /** Resolved physical dir of an index table (lists / centroids /
-    * tombstones) under the committed manifest — package-private so the
-    * layout specs can assert byte-identity of immutable files.
+    * tombstones) under the committed manifest — for the layout specs'
+    * byte-identity asserts; shared logic in [[IndexPolicy]].
     */
   private[graft] def resolvedTable(spark: SparkSession, idx: String,
-                                   name: String): Option[String] = {
-    val m = IndexPolicy.manifestOf(spark, idx)
-    val key = if (name == "tombstones") "tombstones" else "data"
-    m.get(key).map(tok => s"${IndexPolicy.epochDir(idx, tok)}/$name")
-  }
+                                   name: String): Option[String] =
+    IndexPolicy.resolvedTable(spark, idx, name)
 
   def ivfWriteIndexVecs(spark: SparkSession, vecs: DataFrame, out: String,
                         k: Int = 8, iters: Int = 2): Unit = {
@@ -972,14 +969,7 @@ object Similarity {
     IndexPolicy.checkLayout(m, idx, ivfLayoutBase)
     IndexPolicy.sweep(spark, idx, m)
     val (g, m1) = IndexPolicy.allocGen(spark, idx, m)
-    // first removal mints the tombstones epoch; the key lands only in
-    // the COMMIT swing, so a crash after the write leaves the dir
-    // unreferenced (swept later) instead of half-visible
-    val (tok, extra) = m1.get("tombstones") match {
-      case Some(t) => (t, Map.empty[String, String])
-      case None =>
-        val t = IndexPolicy.newEpoch(); (t, Map("tombstones" -> t))
-    }
+    val (tok, extra) = IndexPolicy.tombstoneEpoch(m1)
     ids.select(col("vec_id")).distinct()
       .select(col("vec_id"), lit(g).as("gen"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)

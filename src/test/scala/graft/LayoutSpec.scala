@@ -737,6 +737,21 @@ class LayoutSpec extends SparkSpec {
       new String(Files.readAllBytes(Paths.get(s"$bm/current")))).toSet
     val onDisk = new java.io.File(s"$bm/ep").listFiles().map(_.getName).toSet
     assert(onDisk == live, s"ep/ holds $onDisk but manifest names $live")
+    // TIME-BASED GRACE (deployments whose serves may span two rewrite
+    // mutations): with sweep.grace.ms set, a freshly-unreferenced dir
+    // SURVIVES the next mutation's sweep; with the default 0 it is
+    // reclaimed — the expire-snapshots knob, spec-pinned
+    val orphan2 = IndexPolicy.epochDir(bm, IndexPolicy.newEpoch())
+    Files.createDirectories(Paths.get(orphan2))
+    spark.conf.set("spark.graft.index.sweep.grace.ms", "3600000")
+    try {
+      TextAnalysis.bm25AppendSegment(spark, bm, v1.limit(0), v1.limit(0))
+      assert(Files.exists(Paths.get(orphan2)),
+        "grace window did not protect a young unreferenced dir")
+    } finally spark.conf.set("spark.graft.index.sweep.grace.ms", "0")
+    TextAnalysis.bm25AppendSegment(spark, bm, v1.limit(0), v1.limit(0))
+    assert(!Files.exists(Paths.get(orphan2)),
+      "zero-grace sweep did not reclaim the dir")
   }
 
   test("segment visibility: a segment dir the manifest does not list (crashed append) is invisible to serves and health") {
