@@ -754,6 +754,82 @@ class LayoutSpec extends SparkSpec {
       "zero-grace sweep did not reclaim the dir")
   }
 
+  test("concurrent serve loop racing live mutations: never throws, always serves a committed generation") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-race").toString
+    val bm = s"$root/bm"
+    val v1 = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    TextAnalysis.bm25WriteIndexDocs(spark, v1, bm)
+    // the mutation sequence the reader races: three appends and a
+    // compact, each committing a new generation; every snapshot the
+    // reader can legally observe is precomputed on a REFERENCE index
+    // that replays the same sequence ahead of time
+    val docsAt = Seq(
+      Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta")),
+      Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+        (3L, "alpha eta theta")),
+      Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+        (3L, "alpha eta theta"), (4L, "alpha iota")),
+      Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+        (3L, "alpha eta theta"), (4L, "alpha iota"), (5L, "alpha kappa")))
+    val q = Seq("alpha", "beta", "eta")
+    val refs = docsAt.zipWithIndex.map { case (docs, i) =>
+      val p = s"$root/ref$i"
+      TextAnalysis.bm25WriteIndexDocs(spark, docs.toDF("doc_id", "text"), p)
+      TextAnalysis.bm25QueryIndex(spark, p, q, 10).collect().toSeq
+    }
+    val legal = refs.toSet
+    // reader thread: serve in a tight loop while the writer mutates;
+    // each result must be SOME committed generation's ranking (old or
+    // new around each swing — never a mixture, never an exception)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val served = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val r = TextAnalysis.bm25QueryIndex(spark, bm, q, 10)
+            .collect().toSeq
+          served.incrementAndGet()
+          if (!legal.contains(r))
+            failures.add(s"non-committed state served: $r")
+        } catch {
+          case e: Throwable =>
+            failures.add(s"serve threw ${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(120))
+        }
+      }
+    })
+    reader.start()
+    // hot-reader deployment shape: the grace window keeps epochs a
+    // racing serve resolved alive across the mutation AFTER the one
+    // that dereferenced them (the compact below dereferences; the
+    // final append's sweep would otherwise reclaim mid-scan)
+    spark.conf.set("spark.graft.index.sweep.grace.ms", "3600000")
+    try {
+      // writer: three appends and a fold, live against the reader
+      TextAnalysis.bm25AppendSegment(spark, bm,
+        Seq((3L, "alpha eta theta")).toDF("doc_id", "text"), v1.limit(0))
+      TextAnalysis.bm25AppendSegment(spark, bm,
+        Seq((4L, "alpha iota")).toDF("doc_id", "text"), v1.limit(0))
+      TextAnalysis.bm25Compact(spark, bm)
+      TextAnalysis.bm25AppendSegment(spark, bm,
+        Seq((5L, "alpha kappa")).toDF("doc_id", "text"), v1.limit(0))
+    } finally {
+      stop.set(true)
+      reader.join(60000)
+      spark.conf.set("spark.graft.index.sweep.grace.ms", "0")
+    }
+    assert(failures.isEmpty, failures.toArray.mkString("\n"))
+    assert(served.get() >= 3, s"reader only completed ${served.get()} serves")
+    // and the settled state serves the newest generation
+    assert(TextAnalysis.bm25QueryIndex(spark, bm, q, 10).collect().toSeq ==
+      refs.last, "settled serve != newest generation")
+  }
+
   test("segment visibility: a segment dir the manifest does not list (crashed append) is invisible to serves and health") {
     import graft.operators.TextAnalysis
     import spark.implicits._
