@@ -192,6 +192,52 @@ class PropertySpec extends SparkSpec {
       "no corpus's pairs changed across generations — vacuous property")
   }
 
+  test("pointer commit: plans resolved at every generation keep serving that generation after the timeline moves on (random corpora)") {
+    import graft.operators.TextAnalysis
+    var moved = 0
+    samples(neardupCorpusGen, 3).zipWithIndex.foreach { case (texts, ci) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val idx = java.nio.file.Files
+        .createTempDirectory(s"graft-prop-ptr$ci").toString + "/idx"
+      val terms = Seq("alpha", "beta", "omega")
+      // timeline: build on wave 1, append wave 2, fold, append wave 3
+      val (w1, rest) = docs.partition(_._1 % 3 == 0)
+      val (w2, w3) = rest.partition(_._1 % 3 == 1)
+      val none = docs.toDF("doc_id", "text").limit(0)
+      TextAnalysis.bm25WriteIndexDocs(spark, w1.toDF("doc_id", "text"), idx)
+      // hot-reader deployment shape: the grace window keeps every
+      // resolved generation's epochs alive across later sweeps
+      spark.conf.set("spark.graft.index.sweep.grace.ms", "3600000")
+      try {
+        val plans = scala.collection.mutable.ArrayBuffer(
+          TextAnalysis.bm25QueryIndex(spark, idx, terms, 10))
+        val want = scala.collection.mutable.ArrayBuffer(
+          plans.last.collect().toSeq)
+        def step(body: => Unit): Unit = {
+          body
+          plans += TextAnalysis.bm25QueryIndex(spark, idx, terms, 10)
+          want += plans.last.collect().toSeq
+        }
+        step(TextAnalysis.bm25AppendSegment(spark, idx,
+          w2.toDF("doc_id", "text"), none))
+        step(TextAnalysis.bm25Compact(spark, idx))
+        step(TextAnalysis.bm25AppendSegment(spark, idx,
+          w3.toDF("doc_id", "text"), none))
+        // THE pointer property: every plan, resolved at its own
+        // generation, still evaluates to that generation bit-for-bit
+        // after all later mutations (rewrites included) have landed —
+        // immutable epochs + grace make historical resolutions stable
+        plans.zip(want).zipWithIndex.foreach { case ((p, w), gi) =>
+          assert(p.collect().toSeq == w,
+            s"corpus $ci: generation $gi's resolved plan drifted")
+        }
+        if (want.distinct.size > 1) moved += 1
+      } finally spark.conf.set("spark.graft.index.sweep.grace.ms", "0")
+    }
+    assert(moved > 0,
+      "no corpus's serve changed across the timeline — vacuous property")
+  }
+
   test("near-dup torn commit: lookups == reference over the committed prefix, compact repairs, on random corpora") {
     import graft.operators.Dedup
     import java.nio.file.{Files, Paths}
