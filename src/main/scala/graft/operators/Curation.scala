@@ -857,15 +857,19 @@ object Curation {
       // the pins in both directions
       val kill = docs.filter(pmod(col("doc_id"), lit(9)) === 4)
         .select(col("doc_id"))
-      val (l0, l1) = drillNdCapCache.computeIfAbsent(dir, _ => {
-        val pre = Dedup.neardupLookup(spark, ndT, probe).collect().toSeq
-        val sc = s"/tmp/graft_drill_ndcap_${ingestToken}_$tag"
-        TextAnalysis.copyIndex(spark, ndT, sc)
-        Dedup.neardupRemove(spark, sc, kill)
-        (pre, Dedup.neardupLookup(spark, sc, probe).collect().toSeq)
-      })
+      val l0 = drillNdCapCache.computeIfAbsent(dir, _ =>
+        Dedup.neardupLookup(spark, ndT, probe).collect().toSeq)
+      val preGen = IndexPolicy.committedOf(IndexPolicy.manifestOf(spark, nd))
       Dedup.neardupRemove(spark, nd, kill)
-      rows += ("rd_nd_mutation_real" -> (l1 != l0))
+      // post-mutation reference from the LIVE copy on the miss path
+      // (review: a scratch twin here made the pin self-referential);
+      // warm runs re-prove the live mutation COMMITTED via the
+      // watermark (one small-file read), and the mutable-after-repair
+      // pin below re-proves its effect with a fresh lookup
+      val l1 = drillNdL1Cache.computeIfAbsent(dir, _ => lookup())
+      rows += ("rd_nd_mutation_real" -> (l1 != l0 &&
+        IndexPolicy.committedOf(IndexPolicy.manifestOf(spark, nd))
+          == preGen + 1))
       rollbackCommitted(nd)
       rows += ("rd_nd_torn_serves_committed" -> (lookup() == l0))
       rows += ("rd_nd_torn_refuses_mutation" ->
@@ -886,15 +890,15 @@ object Curation {
       // — guaranteed rank-1 leaks if a torn row ever serves
       val dups = vecs.filter(col("vec_id") < 8)
         .select((col("vec_id") + 4000000L).as("vec_id"), col("embedding"))
-      val (s0, s1) = drillIvCapCache.computeIfAbsent(dir, _ => {
-        val pre = Similarity.ivfQueryIndex(spark, dir, ivT).collect().toSeq
-        val sc = s"/tmp/graft_drill_ivcap_${ingestToken}_$tag"
-        TextAnalysis.copyIndex(spark, ivT, sc)
-        Similarity.ivfAppendVectors(spark, sc, dups)
-        (pre, Similarity.ivfQueryIndex(spark, dir, sc).collect().toSeq)
-      })
+      val s0 = drillIvCapCache.computeIfAbsent(dir, _ =>
+        Similarity.ivfQueryIndex(spark, dir, ivT).collect().toSeq)
+      val preGen = IndexPolicy.committedOf(IndexPolicy.manifestOf(spark, iv))
       Similarity.ivfAppendVectors(spark, iv, dups)
-      rows += ("rd_ivf_mutation_real" -> (s1 != s0))
+      // live-copy capture + watermark re-proof: see the nd section
+      val s1 = drillIvS1Cache.computeIfAbsent(dir, _ => serve())
+      rows += ("rd_ivf_mutation_real" -> (s1 != s0 &&
+        IndexPolicy.committedOf(IndexPolicy.manifestOf(spark, iv))
+          == preGen + 1))
       rollbackCommitted(iv)
       rows += ("rd_ivf_torn_serves_committed" -> (serve() == s0))
       rows += ("rd_ivf_torn_refuses_mutation" ->
@@ -1077,9 +1081,13 @@ object Curation {
   private val drillBmCapCache = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[org.apache.spark.sql.Row]]()
   private val drillNdCapCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row])]()
+    String, Seq[org.apache.spark.sql.Row]]()
+  private val drillNdL1Cache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[org.apache.spark.sql.Row]]()
   private val drillIvCapCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row])]()
+    String, Seq[org.apache.spark.sql.Row]]()
+  private val drillIvS1Cache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[org.apache.spark.sql.Row]]()
 
   /** [[trainManifest]] extended with the index estate's generations
     * (r15 verdict missing #2): the shard manifest a dataloader
