@@ -1120,12 +1120,16 @@ object TextAnalysis {
                         newDocs: DataFrame, oldDocs: DataFrame): Option[String] = {
     val m = IndexPolicy.manifestOf(spark, idx)
     IndexPolicy.checkLayout(m, idx, bmLayout)
-    // the sweep just reclaimed any orphan dir a crashed append left
-    // (it was never in the manifest's segment list), so naming by
-    // committed count cannot collide with live data
     IndexPolicy.sweep(spark, idx, m)
     val segNames = segNamesOf(m)
-    val segName = f"seg-${segNames.size + 1}%05d"
+    // UNIQUE token, never an ordinal (r17 ADVICE): the committed list
+    // is empty after a compact, so ordinal naming reminted seg-00001
+    // and this write's Overwrite physically deleted the previous
+    // timeline's dir of that name — bypassing sweep and its grace
+    // window and yanking files from under an in-flight reader of the
+    // pre-compact manifest. Ordering comes from the manifest's
+    // `segments` list, so names carry no recency meaning.
+    val segName = "seg-" + IndexPolicy.newToken()
     val seg = s"$idx/segments/$segName"
     val newTf = postingsOf(newDocs).localCheckpoint()
     val oldTf = postingsOf(oldDocs).localCheckpoint()

@@ -223,7 +223,9 @@ class LayoutSpec extends SparkSpec {
     TextAnalysis.bm25AppendSegment(spark, idx, newD, oldD)
     // EVERY base file — all letters, postings and terms — untouched
     assert(baseFiles() == before, "segment append rewrote base files")
-    assert(new java.io.File(s"$idx/segments/seg-00001/postings").exists)
+    val seg1Name = graft.operators.IndexPolicy.manifestOf(spark, idx)
+      .apply("segments").split(",").head
+    assert(new java.io.File(s"$idx/segments/$seg1Name/postings").exists)
     // serving through the tombstone filter == a from-scratch rebuild
     val finalDocs = Seq(
       (1L, "apple banana cat dog"),
@@ -250,6 +252,8 @@ class LayoutSpec extends SparkSpec {
     // compaction: pure layout change — same rankings, segments gone
     // from the committed manifest, the letter held only by tombstoned
     // docs (q) gone from the bucket map
+    val foldedSegs = graft.operators.IndexPolicy.manifestOf(spark, idx)
+      .apply("segments").split(",").toSeq
     TextAnalysis.bm25Compact(spark, idx)
     assert(TextAnalysis.bm25Health(spark, idx).toMap
       .apply("bm25_segments") == 0L)
@@ -267,8 +271,9 @@ class LayoutSpec extends SparkSpec {
     assert(new java.io.File(s"$idx/segments").exists)
     TextAnalysis.bm25AppendSegment(spark, idx,
       base.limit(0), base.limit(0))
-    assert(!new java.io.File(s"$idx/segments/seg-00001").exists,
-      "sweep did not reclaim the folded segment dirs")
+    foldedSegs.foreach(n => assert(
+      !new java.io.File(s"$idx/segments/$n").exists,
+      s"sweep did not reclaim the folded segment dir $n"))
     assert(served(idx) == served(rebuilt2))
   }
 
@@ -322,7 +327,9 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException](asOf(-1))
     // a segment without the stats snapshot (pre-feature index) fails
     // fast instead of serving wrong stats
-    val legacy = new java.io.File(s"$idx/segments/seg-00001/stats_before")
+    val asofSeg1 = graft.operators.IndexPolicy.manifestOf(spark, idx)
+      .apply("segments").split(",").head
+    val legacy = new java.io.File(s"$idx/segments/$asofSeg1/stats_before")
     wipe(legacy)
     intercept[IllegalArgumentException](asOf(0))
     // compact folds segments into the base: history is gone BY DESIGN
@@ -832,6 +839,59 @@ class LayoutSpec extends SparkSpec {
     // and the settled state serves the newest generation
     assert(TextAnalysis.bm25QueryIndex(spark, bm, q, 10).collect().toSeq ==
       refs.last, "settled serve != newest generation")
+  }
+
+  test("post-compact append never reuses a segment name: the folded timeline's files survive the grace window") {
+    // r17 ADVICE (high): ordinal segment names reset after a compact,
+    // so the next append reminted seg-00001 and its Overwrite
+    // physically deleted the previous timeline's dir — bypassing sweep
+    // and the grace window. With unique tokens, the folded segment's
+    // files must ALL survive a post-compact append under grace, and a
+    // serve plan resolved on the pre-compact manifest must still
+    // execute (fresh plan, never collected before — so this cannot be
+    // satisfied by reused shuffle outputs).
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-segname").toString
+    val bm = s"$root/bm"
+    val v1 = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    TextAnalysis.bm25WriteIndexDocs(spark, v1, bm)
+    TextAnalysis.bm25AppendSegment(spark, bm,
+      Seq((3L, "alpha eta theta")).toDF("doc_id", "text"), v1.limit(0))
+    val segName = graft.operators.IndexPolicy.manifestOf(spark, bm)
+      .apply("segments").split(",").head
+    def segFiles(): Set[String] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) else Seq(d)
+      walk(new java.io.File(s"$bm/segments/$segName"))
+        .filter(_.isFile).map(_.getAbsolutePath).toSet
+    }
+    val before = segFiles()
+    assert(before.nonEmpty, "fixture segment wrote no files")
+    val q = Seq("alpha", "eta")
+    val preRanking = TextAnalysis.bm25QueryIndex(spark, bm, q, 10)
+      .collect().toSeq
+    // in-flight reader: plan resolved on the PRE-compact manifest,
+    // executed only after the compact and the post-compact append
+    val inflight = TextAnalysis.bm25QueryIndex(spark, bm, q, 10)
+    spark.conf.set("spark.graft.index.sweep.grace.ms", "3600000")
+    try {
+      TextAnalysis.bm25Compact(spark, bm)
+      TextAnalysis.bm25AppendSegment(spark, bm,
+        Seq((4L, "alpha iota")).toDF("doc_id", "text"), v1.limit(0))
+      val after = segFiles()
+      assert(before.subsetOf(after),
+        s"post-compact append destroyed ${(before -- after).size}/" +
+          s"${before.size} files of folded segment $segName")
+      assert(inflight.collect().toSeq == preRanking,
+        "pre-compact plan lost its files to the post-compact append")
+      // and the new segment is a different dir entirely
+      val newSeg = graft.operators.IndexPolicy.manifestOf(spark, bm)
+        .apply("segments").split(",").head
+      assert(newSeg != segName, "segment name was reused")
+    } finally spark.conf.set("spark.graft.index.sweep.grace.ms", "0")
   }
 
   test("segment visibility: a segment dir the manifest does not list (crashed append) is invisible to serves and health") {
