@@ -86,8 +86,28 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, _, Some(e)) => "\"" + k + "\":" + jsonStr(e) }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    // contention self-flagging (r17 verdict #6): a query whose two
+    // suite-level passes disagree by >1.5× was co-tenant-poisoned in
+    // one of them (min-of-2 already recovers the clean figure; the
+    // flag makes the poisoned record self-identify instead of needing
+    // forensic adjudication against a clean re-run). Two filters keep
+    // the list signal, not noise: a 0.3 s floor (sub-second jitter),
+    // and for PASS-1-heavy disparity only queries outside
+    // eagerQueries — the eager rows legitimately pay their one-time
+    // per-JVM fixture builds in pass 1 (the pass1/pass2 maps above
+    // still record that asymmetry verbatim). Pass-2-heavy disparity
+    // is unambiguous contention for every query.
+    val contended = results.collect {
+      case (k, _, t1, t2, None)
+        if math.max(t1, t2) > 0.3 &&
+          math.max(t1, t2) / math.max(math.min(t1, t2), 1e-9) > 1.5 &&
+          (t2 > t1 || !SparkEntry.eagerQueries.contains(k)) =>
+        "\"" + k + "\""
+    }
+    val contJson =
+      if (contended.isEmpty) "" else contended.mkString(""","contended":[""", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_suite_passes","queries":$qs,"pass1":$p1,"pass2":$p2$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_suite_passes","queries":$qs,"pass1":$p1,"pass2":$p2$errJson$contJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

@@ -43,6 +43,7 @@ object SparkEntry {
     "ingest_pipeline", "ingest_pipeline2", "fold_trigger", "index_health",
     "maintain_estate", "manifest_pinned", "manifest_replay",
     "recovery_drill", "train_read",
+    "bm25_snapshot_asof", "estate_crash_drill",
     "mm_ivf_lifecycle", "audio_ivf_lifecycle",
     // r13: edges via driver-orchestrated distributed rank selection
     "histogram_equidepth")
@@ -245,6 +246,8 @@ object SparkEntry {
     "manifest_replay" -> ((s, d) => Curation.manifestReplay(s, d)),
     "recovery_drill" -> ((s, d) => Curation.recoveryDrill(s, d)),
     "train_read" -> ((s, d) => Curation.trainRead(s, d)),
+    "bm25_snapshot_asof" -> ((s, d) => TextAnalysis.bm25SnapshotAsOf(s, d)),
+    "estate_crash_drill" -> ((s, d) => Curation.estateCrashDrill(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashPairsMd5(s, d)),
     "dedup_blocks"  -> ((s, d) => Dedup.blockDedup(s, d)),
@@ -3624,20 +3627,47 @@ object SparkEntry {
         |  'est_nd_quiet_after']) AS metric,
         |  TRUE AS ok
         |ORDER BY metric""".stripMargin,
-    // recovery drill: inject the exact on-disk state a crashed
-    // mutation leaves under the pointer-commit protocol, pin torn
-    // reads (committed prefix serves, mutations refuse), run each
-    // family's repair, pin the post-repair serve bit-identical
+    // recovery drill: kill a REAL mutation mid-flight per family (the
+    // fault-injection hooks), pin torn reads (committed prefix
+    // serves, mutations refuse), run each family's repair, pin the
+    // post-repair serve bit-identical and the replayed mutation
+    // landing
     "recovery_drill" ->
       """SELECT unnest([
-        |  'rd_bm25_crash_invisible', 'rd_bm25_serve_preserved',
-        |  'rd_bm25_sweep_reclaims',
+        |  'rd_bm25_crash_invisible', 'rd_bm25_crash_left_garbage',
+        |  'rd_bm25_crash_mid_flight', 'rd_bm25_replayed_mutation_lands',
+        |  'rd_bm25_serve_preserved', 'rd_bm25_sweep_reclaims',
+        |  'rd_ivf_crash_mid_flight',
         |  'rd_ivf_mutable_after_repair', 'rd_ivf_mutation_real',
         |  'rd_ivf_repair_restores', 'rd_ivf_torn_refuses_mutation',
         |  'rd_ivf_torn_serves_committed',
+        |  'rd_nd_crash_mid_flight',
         |  'rd_nd_mutable_after_repair', 'rd_nd_mutation_real',
         |  'rd_nd_repair_restores', 'rd_nd_torn_refuses_mutation',
         |  'rd_nd_torn_serves_committed']) AS metric,
+        |  TRUE AS ok
+        |ORDER BY metric""".stripMargin,
+    // snapshot time travel: a retained manifest snapshot replays its
+    // ranking bit-identically across a history-destroying rewrite;
+    // expiry lets the next sweep reclaim what only it referenced
+    "bm25_snapshot_asof" ->
+      """SELECT unnest([
+        |  'snap_expired_fails_fast', 'snap_expiry_reclaims_dirs',
+        |  'snap_live_moved_on', 'snap_retained_replays_after_rewrite',
+        |  'snap_rewrite_kills_inplace_asof']) AS metric,
+        |  TRUE AS ok
+        |ORDER BY metric""".stripMargin,
+    // mid-estate crash: a maintenance pass dying with one family's
+    // fold mid-flight (injected) leaves an estate the next plain pass
+    // converges — the composition of per-family crash safety
+    "estate_crash_drill" ->
+      """SELECT unnest([
+        |  'ecd_crash_left_garbage', 'ecd_ivf_due_before',
+        |  'ecd_nd_due_before', 'ecd_nd_lookup_intact_after_crash',
+        |  'ecd_nd_still_due_after_crash',
+        |  'ecd_pass1_ivf_folded', 'ecd_pass1_nd_crashed',
+        |  'ecd_pass2_ivf_untouched', 'ecd_pass2_lookup_preserved',
+        |  'ecd_pass2_nd_quiet', 'ecd_pass2_swept_garbage']) AS metric,
         |  TRUE AS ok
         |ORDER BY metric""".stripMargin,
     "fold_trigger" ->

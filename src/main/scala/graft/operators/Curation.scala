@@ -766,31 +766,36 @@ object Curation {
       Similarity.ivfQueryIndex(spark, dir, p).collect().toSeq
     })
 
-  /** RECOVERY DRILL (r16 verdict #3): per family, on copies of the
-    * mutated estate templates — inject exactly the on-disk state a
-    * crashed mutation leaves under the pointer-commit protocol, pin
-    * how readers behave on it, run the family's repair, and pin that
-    * serving is bit-identical to the pre-tear capture. Composes the
-    * durability layer into the driver-hashed acceptance surface the
-    * way maintain_estate composed the fold policy.
+  /** RECOVERY DRILL (r16 verdict #3; crash production rewired through
+    * the r17-verdict-#5 fault-injection hooks): per family, on copies
+    * of the mutated estate templates — kill a REAL mutation mid-flight
+    * at the protocol's dangerous point (rows/epochs written, pointer
+    * never swung), pin how readers behave on the wreckage, run the
+    * family's repair, and pin that serving is bit-identical to the
+    * pre-crash capture. Composes the durability layer into the
+    * driver-hashed acceptance surface the way maintain_estate composed
+    * the fold policy.
     *
-    * Injections (single-writer crash simulations):
-    *  - near-dup / IVF (in-place appends): a REAL mutation lands its
-    *    rows, then the manifest's committed watermark rolls back one
-    *    generation — the state a crash between the rows and the
-    *    commit swing leaves. Pins: the mutation really changed the
-    *    serve (non-vacuous), torn reads serve the committed prefix
+    * Injections ([[IndexPolicy.armCrash]], one-shot per index — the
+    * drill no longer edits manifests, so it is independent of the
+    * on-disk encoding):
+    *  - near-dup / IVF (in-place appends): the mutation dies at
+    *    `after-rows` — rows on disk, commit swing never ran. Pins:
+    *    the crash really fired, torn reads serve the committed prefix
     *    and never throw, further mutations refuse (the resurrection
     *    guard), the family's fold repairs (compact / retrain), the
-    *    post-repair serve matches the pre-tear capture (IVF: the
+    *    post-repair serve matches the pre-crash capture (IVF: the
     *    fresh-build-over-live reference), and the index is mutable
-    *    again with the replayed mutation reproducing its effect.
+    *    again — the replayed mutation commits and provably changes
+    *    the serve (non-vacuity, via the live-copy capture + committed
+    *    watermark re-proof on warm runs).
     *  - bm25 (every mutation is epoch-write + swing, no in-place
-    *    rows): a crashed rewrite leaves only UNREFERENCED epoch and
-    *    segment dirs. Pins: serves are bit-identical through the
-    *    planted garbage, the next mutation's sweep physically
-    *    reclaims it, and the serve is unchanged after (the fold is a
-    *    pure layout change).
+    *    rows): a refresh dies at `after-epoch` — fully-written but
+    *    unreferenced epoch dirs. Pins: the crash fired and left real
+    *    garbage, serves are bit-identical through it, the next
+    *    mutation's sweep physically reclaims it (compaction, a pure
+    *    layout change — serve preserved), and the replayed refresh
+    *    commits and changes the serve.
     * Fixture copies per invocation; the three family sections mutate
     * disjoint dirs and run concurrently. Absent modalities emit no
     * rows.
@@ -802,18 +807,16 @@ object Curation {
     if (docsEmpty && vecsEmpty)
       return Seq.empty[(String, Boolean)].toDF("metric", "ok")
     val (bmT, ndT, ivT) = estateTemplates(spark, dir)
-    def rollbackCommitted(idx: String): Unit = {
-      val m = IndexPolicy.manifestOf(spark, idx)
-      IndexPolicy.publish(spark, idx, m +
-        ("gen_committed" -> (IndexPolicy.genOf(m) - 1L).toString))
-    }
     def refused(body: => Unit): Boolean =
       try { body; false } catch { case _: IllegalStateException => true }
-    // pre-tear/post-mutation REFERENCE captures are deterministic
+    def crashed(body: => Unit): Boolean =
+      try { body; false }
+      catch { case _: IndexPolicy.InjectedCrash => true }
+    // pre-crash/post-mutation REFERENCE captures are deterministic
     // fixture state (pristine templates + fixed pmod mutation sets) —
     // computed once per JVM per corpus dir, the serveIdxCache
     // discipline: each invocation then times the drill itself
-    // (inject → torn reads → repair → verify), not baseline replays
+    // (crash → torn reads → repair → verify), not baseline replays
     def bmSection(): Seq[(String, Boolean)] = {
       val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
       val bm = s"/tmp/graft_drill_bm_${ingestToken}_$tag"
@@ -823,26 +826,42 @@ object Curation {
         TextAnalysis.bm25QueryIndex(spark, bm, terms, 20).collect().toSeq
       val s0 = drillBmCapCache.computeIfAbsent(dir, _ =>
         TextAnalysis.bm25QueryIndex(spark, bmT, terms, 20).collect().toSeq)
-      // crash garbage: an epoch dir and a segment dir no manifest
-      // references — what a refresh/append that died before its
-      // pointer swing leaves behind
+      // the refresh delta: re-tagged copies of a corpus slice (the
+      // 1000000-stride id convention) — it shifts n_docs, so a
+      // completed refresh provably changes every BM25 score
+      val delta = docs.filter(pmod(col("doc_id"), lit(9)) === 7)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      val none = docs.select(col("doc_id"), col("text")).limit(0)
       import org.apache.hadoop.fs.Path
       val fs = new Path(bm)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val orphanEp = new Path(
-        s"${IndexPolicy.epochDir(bm, IndexPolicy.newEpoch())}/postings/tb=a/tk=0")
-      fs.mkdirs(orphanEp)
-      fs.create(new Path(orphanEp, "part-garbage.parquet"), true).close()
-      val orphanSeg = new Path(s"$bm/segments/seg-00099")
-      fs.mkdirs(orphanSeg)
+      def epochsOnDisk(): Set[String] = {
+        val ep = new Path(s"$bm/ep")
+        if (!fs.exists(ep)) Set.empty
+        else fs.listStatus(ep).map(_.getPath.getName).toSet
+      }
+      val before = epochsOnDisk()
+      // REAL crashed rewrite: the refresh writes its delta epoch in
+      // full, then dies before the pointer swing
+      IndexPolicy.armCrash(bm, "after-epoch")
+      rows += ("rd_bm25_crash_mid_flight" ->
+        crashed(TextAnalysis.bm25RefreshIndex(spark, bm, delta, none)))
+      val orphans = epochsOnDisk() -- before
+      rows += ("rd_bm25_crash_left_garbage" -> orphans.nonEmpty)
       rows += ("rd_bm25_crash_invisible" -> (serve() == s0))
       // the fold is the next mutation: its sweep reclaims the garbage
       // and compaction is a pure layout change
       TextAnalysis.bm25Compact(spark, bm)
       rows += ("rd_bm25_sweep_reclaims" ->
-        (!fs.exists(orphanEp.getParent.getParent.getParent) &&
-          !fs.exists(orphanSeg)))
+        orphans.forall(t => !fs.exists(new Path(s"$bm/ep/$t"))))
       rows += ("rd_bm25_serve_preserved" -> (serve() == s0))
+      // mutable after the crash: the SAME refresh, replayed, commits
+      // and provably changes the serve (live-copy capture, warm runs
+      // re-prove with the fresh serve)
+      TextAnalysis.bm25RefreshIndex(spark, bm, delta, none)
+      val s1 = drillBmS1Cache.computeIfAbsent(dir, _ => serve())
+      rows += ("rd_bm25_replayed_mutation_lands" ->
+        (s1 != s0 && serve() == s1))
       rows.toSeq
     }
     def ndSection(): Seq[(String, Boolean)] = {
@@ -852,31 +871,29 @@ object Curation {
       val probe = manifestProbe(docs).localCheckpoint()
       def lookup() =
         Dedup.neardupLookup(spark, nd, probe).collect().toSeq
-      // the "crashed" mutation: removing the probes' originals — it
+      // the crashing mutation: removing the probes' originals — it
       // provably changes the lookup, so a leaked torn row would break
       // the pins in both directions
       val kill = docs.filter(pmod(col("doc_id"), lit(9)) === 4)
         .select(col("doc_id"))
       val l0 = drillNdCapCache.computeIfAbsent(dir, _ =>
         Dedup.neardupLookup(spark, ndT, probe).collect().toSeq)
-      val preGen = IndexPolicy.committedOf(IndexPolicy.manifestOf(spark, nd))
-      Dedup.neardupRemove(spark, nd, kill)
-      // post-mutation reference from the LIVE copy on the miss path
-      // (review: a scratch twin here made the pin self-referential);
-      // warm runs re-prove the live mutation COMMITTED via the
-      // watermark (one small-file read), and the mutable-after-repair
-      // pin below re-proves its effect with a fresh lookup
-      val l1 = drillNdL1Cache.computeIfAbsent(dir, _ => lookup())
-      rows += ("rd_nd_mutation_real" -> (l1 != l0 &&
-        IndexPolicy.committedOf(IndexPolicy.manifestOf(spark, nd))
-          == preGen + 1))
-      rollbackCommitted(nd)
+      // REAL mid-flight death: tombstone rows land, the commit swing
+      // never runs
+      IndexPolicy.armCrash(nd, "after-rows")
+      rows += ("rd_nd_crash_mid_flight" ->
+        crashed(Dedup.neardupRemove(spark, nd, kill)))
       rows += ("rd_nd_torn_serves_committed" -> (lookup() == l0))
       rows += ("rd_nd_torn_refuses_mutation" ->
         refused(Dedup.neardupRemove(spark, nd, kill)))
       Dedup.neardupCompact(spark, nd) // the repair
       rows += ("rd_nd_repair_restores" -> (lookup() == l0))
-      Dedup.neardupRemove(spark, nd, kill) // mutable again
+      // mutable again: the replayed removal COMMITS this time (the
+      // compact reset the timeline, so its committed generation is 1)
+      Dedup.neardupRemove(spark, nd, kill)
+      val l1 = drillNdL1Cache.computeIfAbsent(dir, _ => lookup())
+      rows += ("rd_nd_mutation_real" -> (l1 != l0 &&
+        IndexPolicy.committedOf(IndexPolicy.manifestOf(spark, nd)) == 1L))
       rows += ("rd_nd_mutable_after_repair" -> (lookup() == l1))
       rows.toSeq
     }
@@ -886,20 +903,16 @@ object Curation {
       TextAnalysis.copyIndex(spark, ivT, iv)
       def serve() =
         Similarity.ivfQueryIndex(spark, dir, iv).collect().toSeq
-      // the "crashed" mutation: exact duplicates of the query vectors
+      // the crashing mutation: exact duplicates of the query vectors
       // — guaranteed rank-1 leaks if a torn row ever serves
       val dups = vecs.filter(col("vec_id") < 8)
         .select((col("vec_id") + 4000000L).as("vec_id"), col("embedding"))
       val s0 = drillIvCapCache.computeIfAbsent(dir, _ =>
         Similarity.ivfQueryIndex(spark, dir, ivT).collect().toSeq)
-      val preGen = IndexPolicy.committedOf(IndexPolicy.manifestOf(spark, iv))
-      Similarity.ivfAppendVectors(spark, iv, dups)
-      // live-copy capture + watermark re-proof: see the nd section
-      val s1 = drillIvS1Cache.computeIfAbsent(dir, _ => serve())
-      rows += ("rd_ivf_mutation_real" -> (s1 != s0 &&
-        IndexPolicy.committedOf(IndexPolicy.manifestOf(spark, iv))
-          == preGen + 1))
-      rollbackCommitted(iv)
+      // REAL mid-flight death: list rows land, the commit never runs
+      IndexPolicy.armCrash(iv, "after-rows")
+      rows += ("rd_ivf_crash_mid_flight" ->
+        crashed(Similarity.ivfAppendVectors(spark, iv, dups)))
       rows += ("rd_ivf_torn_serves_committed" -> (serve() == s0))
       rows += ("rd_ivf_torn_refuses_mutation" ->
         refused(Similarity.ivfAppendVectors(spark, iv, dups)))
@@ -907,11 +920,16 @@ object Curation {
       val live = vecs.filter(pmod(col("vec_id"), lit(5)) =!= 0)
         .select(col("vec_id"), col("embedding"))
       Similarity.ivfWriteIndexVecs(spark, live, iv)
-      rows += ("rd_ivf_repair_restores" ->
-        (serve() == estateIvfRef(spark, dir, live)))
-      Similarity.ivfAppendVectors(spark, iv, dups) // mutable again
-      rows += ("rd_ivf_mutable_after_repair" ->
-        (serve() != estateIvfRef(spark, dir, live)))
+      val ref = estateIvfRef(spark, dir, live)
+      rows += ("rd_ivf_repair_restores" -> (serve() == ref))
+      // mutable again: the replayed append COMMITS (retrain reset the
+      // timeline — committed generation 1) and its rank-1 leaks
+      // provably change the serve
+      Similarity.ivfAppendVectors(spark, iv, dups)
+      val s1 = drillIvS1Cache.computeIfAbsent(dir, _ => serve())
+      rows += ("rd_ivf_mutation_real" -> (s1 != ref &&
+        IndexPolicy.committedOf(IndexPolicy.manifestOf(spark, iv)) == 1L))
+      rows += ("rd_ivf_mutable_after_repair" -> (serve() == s1))
       rows.toSeq
     }
     import scala.concurrent.{Await, Future}
@@ -927,6 +945,102 @@ object Curation {
       case first +: rest => rest.foreach(first.addSuppressed); throw first
     }
     tried.flatMap(_.get).toDF("metric", "ok").orderBy("metric")
+  }
+
+  /** MID-ESTATE CRASH DRILL (r17 verdict #4): [[maintainEstate]]
+    * proves the policy executes the due folds; [[recoveryDrill]]
+    * proves each family is independently crash-safe; this row proves
+    * the COMPOSITION — a maintenance pass over a multi-family estate
+    * that dies with one family's fold mid-flight (a real injected
+    * death at `after-epoch`, between the concurrent folds of one
+    * pass) leaves an estate the NEXT plain pass converges:
+    *  - pass 1 runs the folds the health cards demand, concurrently
+    *    (the maintain_estate shape), with the near-dup compact armed
+    *    to crash after its epoch rewrite; the IVF retrain completes.
+    *  - pins after the half-completed pass: the crash fired; IVF is
+    *    quiet; near-dup is UNTOUCHED (still fold-due, lookups
+    *    bit-identical — the fold never committed) with real crash
+    *    garbage on disk (non-vacuity).
+    *  - pass 2 reads fresh cards and runs only what they demand (the
+    *    nd fold; IVF is quiet so folding it would break its pins):
+    *    near-dup goes quiet with lookups preserved, the crashed
+    *    fold's garbage is physically swept, and IVF still serves the
+    *    fresh-build reference — untouched by the second pass.
+    * Needs both modalities (one family crashing BESIDE another is the
+    * point); either absent emits no rows.
+    */
+  def estateCrashDrill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (docs, vecs, docsEmpty, vecsEmpty, _, _, _) = foldFixture(spark, dir)
+    if (docsEmpty || vecsEmpty)
+      return Seq.empty[(String, Boolean)].toDF("metric", "ok")
+    val (_, ndT, ivT) = estateTemplates(spark, dir)
+    val nd = s"/tmp/graft_ecd_nd_${ingestToken}_$tag"
+    val iv = s"/tmp/graft_ecd_iv_${ingestToken}_$tag"
+    TextAnalysis.copyIndex(spark, ndT, nd)
+    TextAnalysis.copyIndex(spark, ivT, iv)
+    val probe = manifestProbe(docs).localCheckpoint()
+    def lookup() = Dedup.neardupLookup(spark, nd, probe).collect().toSeq
+    val l0 = drillNdCapCache.computeIfAbsent(dir, _ =>
+      Dedup.neardupLookup(spark, ndT, probe).collect().toSeq)
+    val live = vecs.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    def ndOrphans(): Set[String] = {
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(nd)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val ep = new Path(s"$nd/ep")
+      val onDisk = if (!fs.exists(ep)) Set.empty[String]
+        else fs.listStatus(ep).map(_.getPath.getName).toSet
+      val refs = "e-[0-9a-f]{12}".r.findAllIn(IndexPolicy
+        .manifestOf(spark, nd).toSeq
+        .map { case (k, v) => s"$k=$v" }.mkString("\n")).toSet
+      onDisk -- refs
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    rows += ("ecd_nd_due_before" ->
+      (Dedup.neardupHealth(spark, nd).toMap.apply("nd_fold_due") == 1L))
+    rows += ("ecd_ivf_due_before" ->
+      (Similarity.ivfHealth(spark, iv).toMap.apply("ivf_fold_due") == 1L))
+    // PASS 1: the due folds run concurrently; the nd fold is armed to
+    // die after its epoch rewrite, before its pointer swing
+    IndexPolicy.armCrash(nd, "after-epoch")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fNd = Future(scala.util.Try(Dedup.neardupCompact(spark, nd)))
+    val fIv = Future(scala.util.Try(Similarity.ivfWriteIndexVecs(
+      spark, live, iv)))
+    val (rNd, rIv) = (Await.result(fNd, Duration.Inf),
+      Await.result(fIv, Duration.Inf))
+    rows += ("ecd_pass1_nd_crashed" -> (rNd match {
+      case scala.util.Failure(_: IndexPolicy.InjectedCrash) => true
+      case _ => false
+    }))
+    rows += ("ecd_pass1_ivf_folded" -> (rIv.isSuccess &&
+      Similarity.ivfHealth(spark, iv).toMap.apply("ivf_fold_due") == 0L))
+    // the half-completed pass: nd untouched (fold never committed),
+    // with the crashed rewrite's garbage really on disk
+    rows += ("ecd_nd_still_due_after_crash" ->
+      (Dedup.neardupHealth(spark, nd).toMap.apply("nd_fold_due") == 1L))
+    rows += ("ecd_nd_lookup_intact_after_crash" -> (lookup() == l0))
+    val orphans = ndOrphans()
+    rows += ("ecd_crash_left_garbage" -> orphans.nonEmpty)
+    // PASS 2: plain maintenance — fresh cards, only due folds run
+    if (Dedup.neardupFoldDue(spark, nd)) Dedup.neardupCompact(spark, nd)
+    if (Similarity.ivfFoldDue(spark, iv))
+      Similarity.ivfWriteIndexVecs(spark, live, iv)
+    rows += ("ecd_pass2_nd_quiet" ->
+      (Dedup.neardupHealth(spark, nd).toMap.apply("nd_fold_due") == 0L))
+    rows += ("ecd_pass2_lookup_preserved" -> (lookup() == l0))
+    rows += ("ecd_pass2_swept_garbage" ->
+      (orphans intersect ndOrphans()).isEmpty)
+    rows += ("ecd_pass2_ivf_untouched" ->
+      (Similarity.ivfHealth(spark, iv).toMap.apply("ivf_fold_due") == 0L &&
+        Similarity.ivfQueryIndex(spark, dir, iv).collect().toSeq ==
+          estateIvfRef(spark, dir, live)))
+    rows.toSeq.toDF("metric", "ok").orderBy("metric")
   }
 
   /** The MANIFEST estate: copies of the [[estateTemplates]] whose
@@ -1079,6 +1193,8 @@ object Curation {
   // drill reference captures (plain data, never live DataFrames — the
   // bench unpersists all RDDs between queries)
   private val drillBmCapCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[org.apache.spark.sql.Row]]()
+  private val drillBmS1Cache = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[org.apache.spark.sql.Row]]()
   private val drillNdCapCache = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[org.apache.spark.sql.Row]]()

@@ -488,17 +488,16 @@ object Dedup {
     * reads. One hashing pass feeds both tables.
     */
   def neardupWriteIndex(spark: SparkSession, docs: DataFrame, idx: String,
-                        n: Int = 3, k: Int = 16, bands: Int = 4): Unit = {
+                        n: Int = 3, k: Int = 16,
+                        bands: Int = 4): Unit = IndexPolicy.mutate(spark, idx) {
     // rebuild means rebuild: the fresh manifest references only the
     // new epoch (no tombstones key, timeline reset); over a LIVE index
     // the old epoch keeps serving until the pointer swings, and a dir
     // with no manifest (fresh path / legacy content) is cleared
-    IndexPolicy.readManifest(spark, idx) match {
+    val prior = IndexPolicy.readManifest(spark, idx)
+    prior match {
       case Some(m) => IndexPolicy.sweep(spark, idx, m)
-      case None =>
-        val p = new org.apache.hadoop.fs.Path(idx)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, true)
+      case None => IndexPolicy.clearForRebuild(spark, idx)
     }
     val tok = IndexPolicy.newEpoch()
     val ed = IndexPolicy.epochDir(idx, tok)
@@ -521,10 +520,12 @@ object Dedup {
     // left no manifest, and every reader fails fast instead of
     // consuming a partial index); generation 0 is the timeline origin
     // behind [[neardupLookupAsOf]]
-    IndexPolicy.publish(spark, idx, Map(
+    IndexPolicy.crashPoint(spark, idx, "after-epoch")
+    IndexPolicy.publish(spark, idx, IndexPolicy.rebaseVersion(prior, Map(
       IndexPolicy.layoutEntry(ndLayout(n, k, bands)),
       "gen" -> "0", "gen_committed" -> "0",
-      "data" -> tok))
+      "data" -> tok)))
+    ()
   }
 
   /** Check a document delta in against the at-rest index: emit every
@@ -575,7 +576,8 @@ object Dedup {
   def neardupCheckIn(spark: SparkSession, idx: String, newDocs: DataFrame,
                      minJ: Double = 0.2, n: Int = 3, k: Int = 16,
                      bands: Int = 4,
-                     capBucket: Int = Int.MaxValue): DataFrame = {
+                     capBucket: Int = Int.MaxValue): DataFrame =
+      IndexPolicy.mutate(spark, idx) {
     val m = IndexPolicy.manifestOf(spark, idx)
     IndexPolicy.sweep(spark, idx, m)
     val (pairs, sigs) =
@@ -618,6 +620,7 @@ object Dedup {
     // crash before this line leaves committed at g-1, so readers
     // treat the partial generation as never having happened instead
     // of silently dropping pairs whose docsets rows are missing
+    IndexPolicy.crashPoint(spark, idx, "after-rows")
     IndexPolicy.commitGen(spark, idx, m1, g)
     pairs.orderBy("a", "b")
   }
@@ -804,7 +807,8 @@ object Dedup {
     * layout change (check-in results identical before and after).
     */
   def neardupRemove(spark: SparkSession, idx: String,
-                    docIds: DataFrame): Unit = {
+                    docIds: DataFrame): Unit =
+      IndexPolicy.mutate(spark, idx) {
     val m = IndexPolicy.manifestOf(spark, idx)
     IndexPolicy.checkLayout(m, idx, ndLayoutBase)
     IndexPolicy.sweep(spark, idx, m)
@@ -814,6 +818,7 @@ object Dedup {
       .select(col("doc_id"), lit(g).as("gen"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"${IndexPolicy.epochDir(idx, tok)}/tombstones")
+    IndexPolicy.crashPoint(spark, idx, "after-rows")
     IndexPolicy.commitGen(spark, idx, m1, g, extra)
   }
 
@@ -880,7 +885,8 @@ object Dedup {
     * check-in's orphans) are dropped by the same ceiling the readers
     * apply, and both watermarks reset to 0.
     */
-  def neardupCompact(spark: SparkSession, idx: String): Unit = {
+  def neardupCompact(spark: SparkSession, idx: String): Unit =
+      IndexPolicy.mutate(spark, idx) {
     val m = IndexPolicy.manifestOf(spark, idx)
     IndexPolicy.checkLayout(m, idx, ndLayoutBase)
     IndexPolicy.sweep(spark, idx, m)
@@ -913,9 +919,11 @@ object Dedup {
     // ONE swing commits the fold: the new epoch replaces the old, the
     // tombstones key vanishes, and the as-of timeline resets (the
     // ivf-retrain analogue) — rewritten rows are generation 0 again
+    IndexPolicy.crashPoint(spark, idx, "after-epoch")
     IndexPolicy.publish(spark, idx,
       m - "tombstones" ++ Map(
         "gen" -> "0", "gen_committed" -> "0", "data" -> tok))
+    ()
   }
 
   /** Registry fixture for the check-in (the bm25 lifecycle pattern):

@@ -31,11 +31,17 @@ import org.apache.spark.sql.SparkSession
   *    No multi-object rename window exists anywhere.
   *  - GC is decoupled from commit: dirs a crashed or superseded
   *    mutation left behind are unreferenced by the current manifest
-  *    and reclaimed by [[sweep]] at the START of the next mutation
-  *    (single-writer), giving in-flight readers of the previous
-  *    manifest a full mutation interval of grace; a production
-  *    deployment widens that to a time-based expiry (the Iceberg
-  *    expire-snapshots discipline).
+  *    (and every retained snapshot) and reclaimed by [[sweep]] at the
+  *    START of the next mutation, giving in-flight readers of the
+  *    previous manifest a full mutation interval of grace; a
+  *    production deployment widens that with the dereference-time
+  *    grace window and the snapshot log (the Iceberg expire-snapshots
+  *    discipline, both implemented below).
+  *  - WRITERS are safe too (r17 verdict #1): mutations run under the
+  *    per-index writer lease of [[mutate]], and every [[publish]] is
+  *    a compare-and-swing on the manifest version — two overlapping
+  *    writers can never silently lose a commit; the loser fails
+  *    loudly and its fully-written output stays unreferenced garbage.
   *
   * The manifest carries the layout stamp (validated by every read — an
   * index written under different directory-hash constants would be
@@ -49,11 +55,18 @@ private[graft] object IndexPolicy {
   // atomic small-file I/O — the ONE mutable object per index
   // ---------------------------------------------------------------
 
-  /** Bare absolute local path (no URI scheme) — the replace-in-place
-    * primitive differs per store; see [[writeAtomicFile]].
+  /** Local filesystem path of an index root, when it has one: bare
+    * absolute paths AND `file:`-schemed URIs (r17 verdict #2: the
+    * latter used to fall through to the Hadoop branch and its weaker
+    * replace primitive, so the reads-never-fail contract held only on
+    * bare paths). The replace-in-place primitive differs per store;
+    * see [[writeAtomicFile]].
     */
-  private def isBareLocal(s: String): Boolean =
-    s.startsWith("/") && !s.matches("[A-Za-z][A-Za-z0-9+.\\-]*:.*")
+  private def localPathOf(s: String): Option[String] =
+    if (s.startsWith("/")) Some(s)
+    else if (s.startsWith("file:"))
+      Option(java.net.URI.create(s).getPath).filter(_.nonEmpty)
+    else None
 
   /** READ of the one mutable object. Local filesystems (every fixture
     * and test) go through raw nio so writes and reads agree on the
@@ -67,24 +80,9 @@ private[graft] object IndexPolicy {
     */
   private def readAtomicFile(spark: SparkSession, idx: String,
                              name: String): Option[String] = {
-    if (isBareLocal(idx)) {
-      import java.nio.file.{Files, Paths}
-      val p = Paths.get(s"$idx/$name")
-      val tmp = Paths.get(s"$idx/.${name}_tmp")
-      // the replace is one atomic rename(2): the main file is the
-      // complete old or complete new value. A leftover COMPLETE tmp
-      // with no main file can only be a manual restore — recover it.
-      if (Files.exists(p))
-        return Some(new String(Files.readAllBytes(p),
-          java.nio.charset.StandardCharsets.UTF_8).trim)
-      if (Files.exists(tmp)) {
-        val v = new String(Files.readAllBytes(tmp),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        try Files.move(tmp, p)
-        catch { case _: java.io.IOException => } // lost the race: fine
-        return Some(v)
-      }
-      return None
+    localPathOf(idx) match {
+      case Some(local) => return readAtomicLocal(local, name)
+      case None =>
     }
     val p = new org.apache.hadoop.fs.Path(s"$idx/$name")
     val tmp = new org.apache.hadoop.fs.Path(s"$idx/.${name}_tmp")
@@ -107,6 +105,29 @@ private[graft] object IndexPolicy {
     } else None
   }
 
+  /** Local (nio) half of [[readAtomicFile]]: the replace is one atomic
+    * rename(2), so the main file is the complete old or complete new
+    * value. A leftover COMPLETE tmp with no main file can only be a
+    * crash before the very first publish (or a manual restore) —
+    * recover it; the reinstating move is best-effort (a concurrent
+    * reader may win it, and the value already read stays correct).
+    */
+  private def readAtomicLocal(local: String, name: String): Option[String] = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(s"$local/$name")
+    val tmp = Paths.get(s"$local/.${name}_tmp")
+    if (Files.exists(p))
+      Some(new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+    else if (Files.exists(tmp)) {
+      val v = new String(Files.readAllBytes(tmp),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      try Files.move(tmp, p)
+      catch { case _: java.io.IOException => } // lost the race: fine
+      Some(v)
+    } else None
+  }
+
   /** Temp-write + ATOMIC REPLACE — the pointer swing every mutation
     * commits through. On a local filesystem the replace is one
     * rename(2) with REPLACE_EXISTING + ATOMIC_MOVE (raw nio, so no
@@ -116,34 +137,55 @@ private[graft] object IndexPolicy {
     * itself, not just of the epoch dirs (r17 review: the previous
     * delete-then-rename had a window where a racing read of `current`
     * threw, and a reader's tmp recovery could abort a committed
-    * mutation). On HDFS the equivalent primitive is
-    * FileContext.rename(OVERWRITE) (atomic rename2); on an object
-    * store, one conditional PUT. The non-local fallback here keeps
-    * delete+rename with the reader-side tmp recovery closing the
-    * crash (not the race) window.
+    * mutation). On HDFS-like stores the same contract holds via
+    * FileContext.rename(Options.Rename.OVERWRITE) — the atomic
+    * rename2 primitive (r17 verdict #2: the previous fallback kept
+    * delete-then-rename, reopening exactly the window the nio branch
+    * closed). On an object store, one conditional PUT.
     */
   private def writeAtomicFile(spark: SparkSession, idx: String,
-                              name: String, content: String): Unit = {
-    if (isBareLocal(idx)) {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      Files.createDirectories(Paths.get(idx))
-      val tmp = Paths.get(s"$idx/.${name}_tmp")
-      Files.write(tmp,
-        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      Files.move(tmp, Paths.get(s"$idx/$name"),
-        StandardCopyOption.REPLACE_EXISTING,
-        StandardCopyOption.ATOMIC_MOVE)
-      return
+                              name: String, content: String): Unit =
+    localPathOf(idx) match {
+      case Some(local) =>
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        Files.createDirectories(Paths.get(local))
+        val tmp = Paths.get(s"$local/.${name}_tmp")
+        Files.write(tmp,
+          content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Files.move(tmp, Paths.get(s"$local/$name"),
+          StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+      case None => writeAtomicHadoop(spark, idx, name, content)
     }
-    val p = new org.apache.hadoop.fs.Path(s"$idx/$name")
-    val tmp = new org.apache.hadoop.fs.Path(s"$idx/.${name}_tmp")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(tmp, true)
+
+  /** Hadoop-store half of [[writeAtomicFile]], separated so the
+    * OVERWRITE-rename mechanics stay unit-testable even though every
+    * local path routes to the nio branch above: temp-write then ONE
+    * FileContext.rename(OVERWRITE) — no delete window, so a racing
+    * reader of `current` sees the complete old or complete new value
+    * and a reader-side tmp recovery can never abort this commit (the
+    * overwrite simply lands on top of whatever was reinstated).
+    */
+  private[graft] def writeAtomicHadoop(spark: SparkSession, idx: String,
+                                       name: String, content: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = fs.makeQualified(new org.apache.hadoop.fs.Path(s"$idx/$name"))
+    val tmp = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(s"$idx/.${name}_tmp"))
+    // the ENTIRE write path goes through FileContext: its local
+    // AbstractFileSystem is raw (no client-side checksum sidecar that
+    // a rename would strand), and on HDFS rename2's OVERWRITE is the
+    // atomic replace
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, spark.sparkContext.hadoopConfiguration)
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      org.apache.hadoop.fs.Options.CreateOpts.createParent())
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    require(!fs.exists(p) || fs.delete(p, false),
-      s"writeAtomicFile: could not clear $p")
-    require(fs.rename(tmp, p), s"writeAtomicFile: rename $tmp -> $p failed")
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   // ---------------------------------------------------------------
@@ -174,15 +216,321 @@ private[graft] object IndexPolicy {
         s"$idx has no manifest — either the build crashed before " +
           "committing or the dir is not an index: (re)build it"))
 
+  // ---------------------------------------------------------------
+  // compare-and-swing + writer lease (r17 verdict #1): two layers
+  // against the concurrent-writer lost update. The LEASE serializes
+  // mutations (liveness: the loser waits, then fails loudly); the CAS
+  // in [[publish]] is the safety net if lease discipline is ever
+  // violated (a broken lease, a mutation bypassing [[mutate]]): the
+  // swing verifies `current` still carries the version this mutation
+  // read, so a concurrent commit can no longer be silently erased —
+  // the loser's work stays unreferenced garbage for the next sweep.
+  // On an object store the two collapse into one conditional PUT
+  // (if-match on the manifest etag); file stores lack that primitive,
+  // hence the lease + re-read pairing.
+  // ---------------------------------------------------------------
+
+  private val VersionKey = "version"
+
+  def versionOf(m: Manifest): Option[Long] = m.get(VersionKey).map(_.toLong)
+
+  /** Seed a from-scratch manifest (build/retrain) with the version of
+    * the manifest it replaces, so a REBUILD's publish passes the
+    * compare-and-swing like any other mutation.
+    */
+  def rebaseVersion(prior: Option[Manifest], fresh: Manifest): Manifest =
+    prior.flatMap(versionOf)
+      .fold(fresh)(v => fresh + (VersionKey -> v.toString))
+
   /** THE pointer swing — the single atomic commit step of every index
     * mutation. Everything the new manifest references must already be
     * fully written; everything it stops referencing becomes garbage
-    * for the next mutation's [[sweep]].
+    * for the next mutation's [[sweep]]. Compare-and-swing: `m` must
+    * carry the version of the committed manifest this mutation READ
+    * (absent for the first publish into a fresh dir; [[rebaseVersion]]
+    * for rebuilds); if `current` moved underneath, the swing throws
+    * and the mutation's fully-written output stays invisible — retry
+    * the whole mutation. Returns the manifest as published (version
+    * bumped) so multi-swing mutations ([[allocGen]] then
+    * [[commitGen]]) thread it forward. When
+    * `spark.graft.index.snapshots.keep` > 0, every committed manifest
+    * is also copied to an immutable `snaps/v-<version>` file — the
+    * manifest LOG behind [[manifestAtSnapshot]] / [[expireSnapshots]].
     */
   private[graft] def publish(spark: SparkSession, idx: String,
-                             m: Manifest): Unit =
+                             m: Manifest): Manifest = {
+    crashPoint(spark, idx, "before-swing")
+    val expected = versionOf(m)
+    val cur = readManifest(spark, idx).flatMap(versionOf)
+    if (cur != expected)
+      throw new java.util.ConcurrentModificationException(
+        s"$idx: manifest version moved underneath this mutation (read " +
+          s"${expected.fold("none")(_.toString)}, now " +
+          s"${cur.fold("none")(_.toString)}) — a concurrent writer " +
+          "committed; this mutation's output is unreferenced garbage " +
+          "(swept later). Retry the whole mutation under the writer lease.")
+    val v = expected.getOrElse(-1L) + 1L
+    val m2 = m + (VersionKey -> v.toString)
     writeAtomicFile(spark, idx, ManifestName,
-      m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n"))
+      m2.toSeq.sortBy(_._1).map { case (k, x) => s"$k=$x" }.mkString("\n"))
+    if (spark.conf.get(SnapKeepConf, "0").toInt > 0)
+      writeAtomicFile(spark, s"$idx/snaps", s"v-$v",
+        m2.toSeq.sortBy(_._1).map { case (k, x) => s"$k=$x" }.mkString("\n"))
+    m2
+  }
+
+  // ---------------------------------------------------------------
+  // snapshot log — the Iceberg expire-snapshots discipline (r17
+  // verdict #3): with `spark.graft.index.snapshots.keep` > 0 every
+  // publish copies the committed manifest to an immutable
+  // `snaps/v-<version>` file. A snapshot is a complete serve plan
+  // (epochs, segments, stats, bucket map, watermarks), so serving
+  // as-of a snapshot survives REWRITES (refresh/compact/retrain) —
+  // which the in-place generation watermarks cannot (they reset at
+  // every fold). [[sweep]] unions every retained snapshot's
+  // references, so GC provably never deletes a retained snapshot's
+  // dirs; [[expireSnapshots]] drops old snapshots and the NEXT sweep
+  // reclaims whatever only they referenced.
+  // ---------------------------------------------------------------
+
+  private[graft] val SnapKeepConf = "spark.graft.index.snapshots.keep"
+
+  private def snapDir(idx: String) = s"$idx/snaps"
+
+  /** Retained snapshot versions, ascending. One directory listing of
+    * small text files.
+    */
+  def snapshotIds(spark: SparkSession, idx: String): Seq[Long] = {
+    val d = new org.apache.hadoop.fs.Path(snapDir(idx))
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v-") => n.drop(2).toLong }
+      .toSeq.sorted
+  }
+
+  /** The committed manifest AS OF snapshot `v` — the time-travel read:
+    * resolve serves through this instead of [[manifestOf]] and the
+    * index state at that commit replays bit-identically, as long as
+    * the snapshot is retained. Expired (or never-kept) snapshots fail
+    * fast here.
+    */
+  def manifestAtSnapshot(spark: SparkSession, idx: String,
+                         v: Long): Manifest =
+    readAtomicFile(spark, snapDir(idx), s"v-$v")
+      .map(_.split("\n").map(_.trim).filter(_.nonEmpty).map(_.split("=", 2))
+        .collect { case Array(k, x) => k -> x }.toMap)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$idx has no retained snapshot v-$v — it expired or the index " +
+          s"was never published with $SnapKeepConf > 0; retained: " +
+          s"${snapshotIds(spark, idx).mkString(",")}"))
+
+  /** Expire snapshots beyond the newest `keep`: delete their files so
+    * the NEXT mutation's sweep can reclaim dirs only they referenced.
+    * The current manifest is never a snapshot file and is never
+    * expired.
+    */
+  def expireSnapshots(spark: SparkSession, idx: String, keep: Int): Unit = {
+    val ids = snapshotIds(spark, idx)
+    val drop = ids.dropRight(keep)
+    if (drop.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(snapDir(idx))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      drop.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"${snapDir(idx)}/v-$v"),
+          false)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // writer lease — mutual exclusion between concurrent mutations of
+  // one index (r17 verdict #1). The lock file `wlock` is acquired by
+  // atomic create-exclusive at mutation start and deleted at the end;
+  // a crashed writer's lock expires after
+  // `spark.graft.index.lock.lease.ms` and the next writer breaks it.
+  // The lease is the LIVENESS layer: breaking is best-effort
+  // (read-compare-delete, not atomic), and the publish-time CAS is
+  // what guarantees no lost update even if two writers ever hold
+  // overlapping leases — the second swing fails loudly instead of
+  // erasing the first.
+  // ---------------------------------------------------------------
+
+  private val LockName = "wlock"
+
+  private def tryCreateLock(spark: SparkSession, idx: String,
+                            content: String): Boolean =
+    localPathOf(idx) match {
+      case Some(local) =>
+        import java.nio.file.{Files, Paths}
+        try {
+          Files.createDirectories(Paths.get(local))
+          Files.write(Paths.get(s"$local/$LockName"),
+            content.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(s"$idx/$LockName")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        try {
+          val out = fs.create(p, false)
+          try out.write(
+            content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.io.IOException => false
+        }
+    }
+
+  private def readLock(spark: SparkSession, idx: String): Option[String] =
+    localPathOf(idx) match {
+      case Some(local) =>
+        val p = java.nio.file.Paths.get(s"$local/$LockName")
+        try Some(new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8))
+        catch { case _: java.io.IOException => None }
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(s"$idx/$LockName")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        try {
+          val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+          val in = fs.open(p)
+          try in.readFully(0L, buf) finally in.close()
+          Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+        } catch { case _: java.io.IOException => None }
+    }
+
+  private def deleteLock(spark: SparkSession, idx: String): Unit =
+    localPathOf(idx) match {
+      case Some(local) =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(s"$local/$LockName"))
+        ()
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(s"$idx/$LockName")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, false)
+        ()
+    }
+
+  /** Acquire the writer lease: spin (50 ms) until create-exclusive
+    * wins, breaking a lock whose timestamp is older than the lease
+    * window (holder presumed dead), failing LOUDLY after the wait
+    * budget — contention is a deployment bug (two schedulers mutating
+    * one index), never something to paper over. Returns the owner
+    * token [[releaseLock]] needs.
+    */
+  private def acquireLock(spark: SparkSession, idx: String): String = {
+    val me = java.util.UUID.randomUUID().toString
+    val leaseMs =
+      spark.conf.get("spark.graft.index.lock.lease.ms", "120000").toLong
+    val waitMs =
+      spark.conf.get("spark.graft.index.lock.wait.ms", "120000").toLong
+    val deadline = System.currentTimeMillis() + waitMs
+    while (System.currentTimeMillis() <= deadline) {
+      if (tryCreateLock(spark, idx, s"$me ${System.currentTimeMillis()}"))
+        return me
+      readLock(spark, idx).foreach { held =>
+        val ts = held.split(" ").lift(1).flatMap(_.trim.toLongOption)
+        if (ts.exists(System.currentTimeMillis() - _ > leaseMs)) {
+          // stale lease: best-effort break — re-read right before the
+          // delete so a just-acquired fresh lock survives; the CAS
+          // backs the residual read-delete window
+          if (readLock(spark, idx).contains(held)) deleteLock(spark, idx)
+        }
+      }
+      Thread.sleep(50)
+    }
+    throw new IllegalStateException(
+      s"$idx: writer lease held by another mutation for over $waitMs ms — " +
+        "concurrent writers on one index indicate a scheduling bug; " +
+        "serialize mutations or raise spark.graft.index.lock.wait.ms")
+  }
+
+  /** Release the lease IF still ours. A foreign lock here means our
+    * lease was broken mid-mutation (we were presumed dead) — leave it
+    * alone: if the breaker committed, our own publish already failed
+    * its CAS; deleting their lock would just widen the damage.
+    */
+  private def releaseLock(spark: SparkSession, idx: String,
+                          me: String): Unit =
+    if (readLock(spark, idx).exists(_.startsWith(me)))
+      deleteLock(spark, idx)
+
+  /** Run `body` (a whole index mutation: read manifest → sweep → write
+    * → swing) under the index's writer lease. Every mutation entry
+    * point wraps itself in this; reads never touch the lock.
+    */
+  private[graft] def mutate[T](spark: SparkSession, idx: String)
+                              (body: => T): T = {
+    val me = acquireLock(spark, idx)
+    try body finally releaseLock(spark, idx, me)
+  }
+
+  /** Clear a manifest-less dir (fresh path / legacy content) for a
+    * from-scratch build — everything EXCEPT the writer lock the
+    * calling mutation holds (a recursive delete of the root would
+    * silently release the lease mid-mutation).
+    */
+  private[graft] def clearForRebuild(spark: SparkSession,
+                                     idx: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(idx)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+      if (st.getPath.getName != LockName)
+        require(fs.delete(st.getPath, true),
+          s"clearForRebuild: could not delete ${st.getPath}")
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // fault injection (r17 verdict #5) — test-only crash hooks INSIDE
+  // the mutation paths, so drills and specs can prove crash
+  // consistency with real mid-flight deaths instead of editing
+  // manifests. Two arming surfaces: the conf
+  // `spark.graft.index.crash.at` (comma-joined entries, each
+  // `<point>` or `<point>@<path-substring>`), and [[armCrash]] —
+  // one-shot, per-index, race-free under concurrent sections that
+  // each need a different injection.
+  // ---------------------------------------------------------------
+
+  /** An injected mid-mutation death. Deliberately NOT
+    * IllegalStateException, so refusal pins (torn-index guards) can
+    * never be satisfied by an injection.
+    */
+  final class InjectedCrash(point: String, idx: String)
+    extends RuntimeException(s"injected crash at $point in $idx")
+
+  private val armedCrashes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Arm a ONE-SHOT crash at `point` for mutations of `idx`: the next
+    * matching [[crashPoint]] fires exactly once, then disarms.
+    */
+  def armCrash(idx: String, point: String): Unit =
+    armedCrashes.add(s"$point@$idx")
+
+  /** Named points: `after-rows` (in-place append/remove rows landed,
+    * commit swing not run), `after-epoch` (a rewrite's fresh epoch or
+    * segment dirs fully written, pointer not swung), `before-swing`
+    * (inside every [[publish]], immediately before the atomic
+    * replace).
+    */
+  private[graft] def crashPoint(spark: SparkSession, idx: String,
+                                point: String): Unit = {
+    if (armedCrashes.remove(s"$point@$idx"))
+      throw new InjectedCrash(point, idx)
+    val conf = spark.conf.get("spark.graft.index.crash.at", "")
+    if (conf.nonEmpty && conf.split(",").map(_.trim).exists { e =>
+      e.split("@", 2) match {
+        case Array(p) => p == point
+        case Array(p, sub) => p == point && idx.contains(sub)
+      }
+    }) throw new InjectedCrash(point, idx)
+  }
 
   // ---------------------------------------------------------------
   // epochs — immutable generation-addressed data dirs
@@ -190,8 +538,17 @@ private[graft] object IndexPolicy {
 
   private val EpochPat = "e-[0-9a-f]{12}".r
 
-  def newEpoch(): String =
-    "e-" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+  /** Fresh 12-hex uniqueness token — shared by epoch dirs and bm25
+    * segment dirs, because BOTH must never reuse a name: a reused dir
+    * name lets a later mutation's Overwrite physically delete a
+    * previous timeline's files, bypassing [[sweep]] and its grace
+    * window entirely (r17 ADVICE: post-compact ordinal segment names
+    * did exactly that).
+    */
+  def newToken(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
+  def newEpoch(): String = "e-" + newToken()
 
   def epochDir(idx: String, tok: String): String = s"$idx/ep/$tok"
 
@@ -202,19 +559,28 @@ private[graft] object IndexPolicy {
     * list no longer names. Called at the START of each mutation under
     * the single-writer assumption.
     *
-    * Reader-grace guarantee, stated precisely (r17 review): a reader
-    * that resolved manifest M keeps its dirs at least until the NEXT
-    * mutation after the one that dereferences them — and only
-    * REWRITES (refresh/compact/retrain) ever dereference; the
-    * high-frequency mutations (check-ins, appends, removals) add
-    * references without dropping any, so their sweeps reclaim only
-    * crash orphans. A serve can therefore lose files only if it is
-    * still scanning when a SECOND rewrite lands — and rewrites are the
-    * scheduled, periodic folds. Deployments whose serves may span two
-    * folds set `spark.graft.index.sweep.grace.ms`: unreferenced dirs
-    * younger than the window are kept (time-based expiry, the
-    * expire-snapshots discipline); the default 0 keeps fixture GC
-    * deterministic.
+    * Reader-grace guarantee, stated precisely (r17 review + r17
+    * ADVICE): a reader that resolved manifest M keeps its dirs at
+    * least until the NEXT mutation after the one that dereferences
+    * them — and only REWRITES (refresh/compact/retrain) ever
+    * dereference; the high-frequency mutations (check-ins, appends,
+    * removals) add references without dropping any, so their sweeps
+    * reclaim only crash orphans. A serve can therefore lose files only
+    * if it is still scanning when a SECOND rewrite lands — and
+    * rewrites are the scheduled, periodic folds. Deployments whose
+    * serves may span two folds set
+    * `spark.graft.index.sweep.grace.ms`, and the window is keyed on
+    * DEREFERENCE time, not write time (r17 ADVICE: an mtime cutoff
+    * only protected recently WRITTEN dirs — a long-lived epoch a
+    * rewrite just dropped was reclaimed immediately): the sweep that
+    * first discovers an unreferenced dir stamps a `.unref_at` marker
+    * inside it and keeps it; only a later sweep past the window
+    * deletes — the expire-snapshots model keyed on supersession time.
+    * The default 0 keeps fixture GC deterministic (reclaim on first
+    * discovery). Retained snapshots ([[SnapKeepConf]]) also pin their
+    * dirs: the reference set unions every `snaps/v-*` manifest, so GC
+    * provably never deletes a dir a retained snapshot can still
+    * serve.
     */
   def sweep(spark: SparkSession, idx: String, m: Manifest): Unit = {
     import org.apache.hadoop.fs.Path
@@ -222,25 +588,47 @@ private[graft] object IndexPolicy {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val grace =
       spark.conf.get("spark.graft.index.sweep.grace.ms", "0").toLong
-    val cutoff = System.currentTimeMillis() - grace
-    val serialized = m.toSeq.map { case (k, v) => s"$k=$v" }.mkString("\n")
-    val refs = EpochPat.findAllIn(serialized).toSet
+    val now = System.currentTimeMillis()
+    val snapManifests = snapshotIds(spark, idx)
+      .flatMap(v => readAtomicFile(spark, snapDir(idx), s"v-$v"))
+    val allSer = (m.toSeq.map { case (k, v) => s"$k=$v" }.mkString("\n") +:
+      snapManifests).mkString("\n")
+    val refs = EpochPat.findAllIn(allSer).toSet
+    val segRefs = (m.get("segments").toSeq ++ snapManifests.flatMap(
+      _.split("\n").find(_.startsWith("segments=")).map(_.drop(9))))
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).toSet
+    // delete an unreferenced dir immediately (grace 0), or stamp it on
+    // first discovery and delete only a grace window after it became
+    // unreferenced
+    def reclaim(st: org.apache.hadoop.fs.FileStatus): Unit =
+      if (grace <= 0L)
+        require(fs.delete(st.getPath, true),
+          s"sweep: could not delete ${st.getPath}")
+      else {
+        val marker = new Path(st.getPath, ".unref_at")
+        if (!fs.exists(marker)) {
+          val out = fs.create(marker, true)
+          try out.write(now.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        } else {
+          val buf = new Array[Byte](fs.getFileStatus(marker).getLen.toInt)
+          val in = fs.open(marker)
+          try in.readFully(0L, buf) finally in.close()
+          val unrefAt = new String(buf,
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          if (now - unrefAt >= grace)
+            require(fs.delete(st.getPath, true),
+              s"sweep: could not delete ${st.getPath}")
+        }
+      }
     val ep = new Path(s"$idx/ep")
     if (fs.exists(ep)) fs.listStatus(ep).foreach { st =>
-      if (!refs.contains(st.getPath.getName) &&
-          st.getModificationTime < cutoff)
-        require(fs.delete(st.getPath, true),
-          s"sweep: could not delete ${st.getPath}")
+      if (!refs.contains(st.getPath.getName)) reclaim(st)
     }
-    val segRefs = m.get("segments")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set.empty[String])
     val segRoot = new Path(s"$idx/segments")
     if (fs.exists(segRoot)) fs.listStatus(segRoot).foreach { st =>
-      if (!segRefs.contains(st.getPath.getName) &&
-          st.getModificationTime < cutoff)
-        require(fs.delete(st.getPath, true),
-          s"sweep: could not delete ${st.getPath}")
+      if (!segRefs.contains(st.getPath.getName)) reclaim(st)
     }
   }
 
@@ -342,8 +730,9 @@ private[graft] object IndexPolicy {
         s"$idx generations ${c + 1}..$g never committed (crashed " +
           "mutation left partial rows) — fold/compact the index " +
           "to repair before mutating"))
-    val m2 = m + ("gen" -> (g + 1L).toString)
-    publish(spark, idx, m2)
+    // thread the PUBLISHED manifest (version bumped by the swing)
+    // forward, so the mutation's later commitGen passes its CAS
+    val m2 = publish(spark, idx, m + ("gen" -> (g + 1L).toString))
     (g + 1L, m2)
   }
 
@@ -352,8 +741,10 @@ private[graft] object IndexPolicy {
     * in ONE pointer swing.
     */
   def commitGen(spark: SparkSession, idx: String, m: Manifest, g: Long,
-                extra: Manifest = Map.empty): Unit =
+                extra: Manifest = Map.empty): Unit = {
     publish(spark, idx, m ++ extra + ("gen_committed" -> g.toString))
+    ()
+  }
 
   /** DUE once live tombstones exceed `maxFrac` of stored rows.
     * `total` is by-name: the dead == 0 fast path (the common,

@@ -875,7 +875,8 @@ object Similarity {
     IndexPolicy.resolvedTable(spark, idx, name)
 
   def ivfWriteIndexVecs(spark: SparkSession, vecs: DataFrame, out: String,
-                        k: Int = 8, iters: Int = 2): Unit = {
+                        k: Int = 8,
+                        iters: Int = 2): Unit = IndexPolicy.mutate(spark, out) {
     // a retrain must yield a FRESH index — rebuild means rebuild: the
     // new manifest references only the new epoch and carries NO
     // tombstones key, so ids removed from the old generation serve
@@ -884,12 +885,10 @@ object Similarity {
     // keeps serving until the pointer swings (no outage — the old
     // delete-then-rebuild left readers failing for the whole retrain);
     // a dir with no manifest (fresh path / legacy content) is cleared.
-    val outPath = new org.apache.hadoop.fs.Path(out)
-    IndexPolicy.readManifest(spark, out) match {
+    val prior = IndexPolicy.readManifest(spark, out)
+    prior match {
       case Some(m) => IndexPolicy.sweep(spark, out, m)
-      case None => outPath
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(outPath, true)
+      case None => IndexPolicy.clearForRebuild(spark, out)
     }
     val tok = IndexPolicy.newEpoch()
     val ed = IndexPolicy.epochDir(out, tok)
@@ -908,10 +907,12 @@ object Similarity {
     // the pointer swing — the build/retrain commit: generation 0 (a
     // retrain resets the as-of timeline by design, the bm25Compact
     // analogue)
-    IndexPolicy.publish(spark, out, Map(
+    IndexPolicy.crashPoint(spark, out, "after-epoch")
+    IndexPolicy.publish(spark, out, IndexPolicy.rebaseVersion(prior, Map(
       IndexPolicy.layoutEntry(ivfLayout(k)),
       "gen" -> "0", "gen_committed" -> "0",
-      "data" -> tok))
+      "data" -> tok)))
+    ()
   }
 
   /** O(delta) vector upsert into the at-rest IVF index — the FAISS
@@ -929,7 +930,8 @@ object Similarity {
     * needs no changes: probed cells simply contain more files.
     */
   def ivfAppendVectors(spark: SparkSession, idx: String,
-                       vecs: DataFrame): Unit = {
+                       vecs: DataFrame): Unit =
+      IndexPolicy.mutate(spark, idx) {
     val m = IndexPolicy.manifestOf(spark, idx)
     IndexPolicy.checkLayout(m, idx, ivfLayoutBase)
     IndexPolicy.sweep(spark, idx, m)
@@ -951,6 +953,7 @@ object Similarity {
         col("embedding"), lit(g).as("gen"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("cell").parquet(s"$ed/lists")
+    IndexPolicy.crashPoint(spark, idx, "after-rows")
     IndexPolicy.commitGen(spark, idx, m1, g)
   }
 
@@ -964,7 +967,8 @@ object Similarity {
     * dead vectors — consistent with the add-model's documented
     * retrain cadence.
     */
-  def ivfRemove(spark: SparkSession, idx: String, ids: DataFrame): Unit = {
+  def ivfRemove(spark: SparkSession, idx: String, ids: DataFrame): Unit =
+      IndexPolicy.mutate(spark, idx) {
     val m = IndexPolicy.manifestOf(spark, idx)
     IndexPolicy.checkLayout(m, idx, ivfLayoutBase)
     IndexPolicy.sweep(spark, idx, m)
@@ -974,6 +978,7 @@ object Similarity {
       .select(col("vec_id"), lit(g).as("gen"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"${IndexPolicy.epochDir(idx, tok)}/tombstones")
+    IndexPolicy.crashPoint(spark, idx, "after-rows")
     IndexPolicy.commitGen(spark, idx, m1, g, extra)
   }
 

@@ -641,19 +641,17 @@ object TextAnalysis {
   }
 
   def bm25WriteIndexDocs(spark: SparkSession, docs: DataFrame,
-                         out: String): Unit = {
+                         out: String): Unit = IndexPolicy.mutate(spark, out) {
     // a full build must yield a BASE-ONLY index — rebuild means
     // rebuild: the fresh manifest carries no `segments` key, so a
     // prior append's segments (with their tombstones and df deltas)
     // stop existing at the swing (r12 ADVICE, pointer-model form).
     // Over a LIVE index the old epochs keep serving until then; a dir
     // with no manifest (fresh path / legacy content) is cleared.
-    IndexPolicy.readManifest(spark, out) match {
+    val prior = IndexPolicy.readManifest(spark, out)
+    prior match {
       case Some(m) => IndexPolicy.sweep(spark, out, m)
-      case None =>
-        val outPath = new org.apache.hadoop.fs.Path(out)
-        outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(outPath, true)
+      case None => IndexPolicy.clearForRebuild(spark, out)
     }
     val tok = IndexPolicy.newEpoch()
     val ed = IndexPolicy.epochDir(out, tok)
@@ -688,10 +686,12 @@ object TextAnalysis {
     // above left no manifest / the old one, never a partial index)
     val bmap = listBucketDirs(spark, s"$ed/postings")
       .map(_ -> tok).toMap
-    IndexPolicy.publish(spark, out, Map(
+    IndexPolicy.crashPoint(spark, out, "after-epoch")
+    IndexPolicy.publish(spark, out, IndexPolicy.rebaseVersion(prior, Map(
       IndexPolicy.layoutEntry(bmLayout),
       "map" -> serMap(bmap),
-      "stats" -> tok))
+      "stats" -> tok)))
+    ()
   }
 
   /** Serve BM25 top-k from the at-rest index: static routing (query
@@ -722,17 +722,38 @@ object TextAnalysis {
                          k1: Double = 1.2, b: Double = 0.75): DataFrame =
     bm25QueryAt(spark, idx, terms, k, k1, b, gen = Some(gen))
 
+  /** Serve top-k AS OF a retained manifest SNAPSHOT (r17 verdict #3 —
+    * the manifest-log form of time travel): resolves the immutable
+    * `snaps/v-<id>` manifest instead of `current`, so the ranking at
+    * that commit replays bit-identically even after REWRITES
+    * (refresh/compact) that the in-place generation timeline of
+    * [[bm25QueryIndexAsOf]] cannot survive (a compact folds its
+    * generations away by design). Holds as long as the snapshot is
+    * retained: [[IndexPolicy.sweep]] pins every retained snapshot's
+    * dirs, and [[IndexPolicy.expireSnapshots]] + the next sweep
+    * reclaim them — after which this fails fast.
+    */
+  def bm25QueryIndexSnapshot(spark: SparkSession, idx: String, snap: Long,
+                             terms: Seq[String], k: Int,
+                             k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25QueryAt(spark, idx, terms, k, k1, b, gen = None,
+      manifest = Some(IndexPolicy.manifestAtSnapshot(spark, idx, snap)))
+
   private def bm25QueryAt(spark: SparkSession, idx: String,
                           terms: Seq[String], k: Int,
                           k1: Double, b: Double,
-                          gen: Option[Int]): DataFrame = {
+                          gen: Option[Int],
+                          manifest: Option[IndexPolicy.Manifest] = None)
+      : DataFrame = {
     // the manifest resolves ONCE: everything this serve reads below —
     // bucket epochs, segments, stats — is an immutable dir it names,
     // so a refresh/append/compact that commits mid-serve cannot touch
     // them and the serve returns the pre-swing generation instead of
     // failing (r16 #1). It also replaces the segment-dir listing and
-    // per-segment commit-marker probes with zero extra RPCs.
-    val m = IndexPolicy.manifestOf(spark, idx)
+    // per-segment commit-marker probes with zero extra RPCs. A
+    // SNAPSHOT serve passes its retained manifest in and reads the
+    // index exactly as of that commit.
+    val m = manifest.getOrElse(IndexPolicy.manifestOf(spark, idx))
     IndexPolicy.checkLayout(m, idx, bmLayout)
     // explicit schemas: an index built over an EMPTY corpus has no
     // part files, and schema inference (not the read) is what throws
@@ -990,7 +1011,8 @@ object TextAnalysis {
     * write because the rewrite targets the partitions being read.
     */
   def bm25RefreshIndex(spark: SparkSession, idx: String,
-                       newDocs: DataFrame, oldDocs: DataFrame): Unit = {
+                       newDocs: DataFrame, oldDocs: DataFrame): Unit =
+      IndexPolicy.mutate(spark, idx) {
     val m = IndexPolicy.manifestOf(spark, idx)
     IndexPolicy.checkLayout(m, idx, bmLayout)
     IndexPolicy.sweep(spark, idx, m)
@@ -1015,8 +1037,10 @@ object TextAnalysis {
     // the tear is structurally impossible)
     writeAdjustedStats(spark, statsPathOf(idx, m), newTf, oldTf,
       s"${IndexPolicy.epochDir(idx, tok)}/stats")
+    IndexPolicy.crashPoint(spark, idx, "after-epoch")
     IndexPolicy.publish(spark, idx,
       m + ("map" -> serMap(newMap)) + ("stats" -> tok))
+    ()
   }
 
   /** Rewrite the `touched` (tb, tk) buckets with `merged`'s content
@@ -1117,7 +1141,9 @@ object TextAnalysis {
     * two scalars — independent of corpus size.
     */
   def bm25AppendSegment(spark: SparkSession, idx: String,
-                        newDocs: DataFrame, oldDocs: DataFrame): Option[String] = {
+                        newDocs: DataFrame,
+                        oldDocs: DataFrame): Option[String] =
+      IndexPolicy.mutate(spark, idx) {
     val m = IndexPolicy.manifestOf(spark, idx)
     IndexPolicy.checkLayout(m, idx, bmLayout)
     IndexPolicy.sweep(spark, idx, m)
@@ -1172,6 +1198,7 @@ object TextAnalysis {
     val tok = IndexPolicy.newEpoch()
     writeAdjustedStats(spark, statsPathOf(idx, m), newTf, oldTf,
       s"${IndexPolicy.epochDir(idx, tok)}/stats")
+    IndexPolicy.crashPoint(spark, idx, "after-epoch")
     IndexPolicy.publish(spark, idx, m + ("stats" -> tok) +
       ("segments" -> (segNames :+ segName).mkString(",")))
     Some(seg)
@@ -1221,7 +1248,8 @@ object TextAnalysis {
     * pure layout operation: served rankings are identical before and
     * after (LayoutSpec proves it).
     */
-  def bm25Compact(spark: SparkSession, idx: String): Unit = {
+  def bm25Compact(spark: SparkSession, idx: String): Unit =
+      IndexPolicy.mutate(spark, idx) {
     val m = IndexPolicy.manifestOf(spark, idx)
     IndexPolicy.checkLayout(m, idx, bmLayout)
     IndexPolicy.sweep(spark, idx, m)
@@ -1244,9 +1272,11 @@ object TextAnalysis {
       val (_, newMap) = writeBucketEpoch(spark, idx, touched,
         postingsView(spark, idx, bmap, touched, Seq.empty, segs)
           .drop("ord"), bmap)
+      IndexPolicy.crashPoint(spark, idx, "after-epoch")
       IndexPolicy.publish(spark, idx,
         m - "segments" + ("map" -> serMap(newMap)))
     } else IndexPolicy.publish(spark, idx, m - "segments")
+    ()
   }
 
   /** Registry fixture for the refresh: build the index over the v1
@@ -1426,6 +1456,86 @@ object TextAnalysis {
     copyIndex(spark, base, idx)
     bm25Compact(spark, idx)
     bm25QueryIndex(spark, idx, terms, k)
+  }
+
+  /** SNAPSHOT TIME TRAVEL contract (r17 verdict #3 — the manifest-log
+    * discipline, driver-gated): on a copy of the v1 base with
+    * snapshot retention on, (1) append the v1→v2 delta and hold its
+    * snapshot id S plus the served ranking; (2) COMPACT — the rewrite
+    * that destroys the in-place generation timeline (pinned: the
+    * interior as-of generation fails fast post-fold); (3) mutate
+    * further so the sweep runs — a retained snapshot must keep its
+    * dirs alive and serve-as-of-S must replay the captured ranking
+    * BIT-IDENTICALLY while the live serve has provably moved on (the
+    * extra append shifts n_docs, changing every BM25 score — both
+    * failure directions break the pins); (4) expire S and mutate
+    * again — the sweep now reclaims the dirs only S referenced
+    * (pinned gone from disk, non-vacuously: the set is nonempty) and
+    * the snapshot read fails fast instead of serving partially.
+    * Contract rows (metric, ok), oracle-pinned TRUE; empty corpus
+    * emits no rows (an empty delta mints no segment and therefore no
+    * snapshot to travel to).
+    */
+  def bm25SnapshotAsOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (v1, v2) = snapshotFixture(spark, dir)
+    if (v1.isEmpty)
+      return Seq.empty[(String, Boolean)].toDF("metric", "ok")
+    val idx = s"/tmp/graft_bm25_snap_${scratchToken}_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    copyIndex(spark, v1BaseIndex(spark, dir), idx)
+    val terms = Seq("data", "model", "system")
+    def serve() = bm25QueryIndex(spark, idx, terms, 20).collect().toSeq
+    def docsOf(df: DataFrame) = df.select(col("doc_id"), col("text"))
+    val none = docsOf(v1).limit(0)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    spark.conf.set("spark.graft.index.snapshots.keep", "10")
+    try {
+      val (newD, oldD) = snapshotDelta(v1, v2)
+      bm25AppendSegment(spark, idx, newD, oldD)
+      val snap = IndexPolicy.snapshotIds(spark, idx).last
+      val want = serve()
+      val epPat = "e-[0-9a-f]{12}".r
+      val snapToks = epPat.findAllIn(IndexPolicy
+        .manifestAtSnapshot(spark, idx, snap).toSeq
+        .map { case (k, v) => s"$k=$v" }.mkString("\n")).toSet
+      bm25Compact(spark, idx)
+      // the rewrite really destroyed the in-place timeline…
+      rows += ("snap_rewrite_kills_inplace_asof" ->
+        (try { bm25QueryIndexAsOf(spark, idx, 1, terms, 20); false }
+         catch { case _: IllegalArgumentException => true }))
+      // …and a further mutation's sweep must keep the snapshot's dirs
+      val extra = docsOf(v2).filter(pmod(col("doc_id"), lit(41)) === 3)
+        .select((col("doc_id") + 6000000L).as("doc_id"), col("text"))
+      bm25AppendSegment(spark, idx, extra, none)
+      rows += ("snap_retained_replays_after_rewrite" ->
+        (bm25QueryIndexSnapshot(spark, idx, snap, terms, 20)
+          .collect().toSeq == want))
+      rows += ("snap_live_moved_on" -> (serve() != want))
+      // expiry: the NEXT sweep reclaims what only S referenced, and
+      // the snapshot read fails fast
+      IndexPolicy.expireSnapshots(spark, idx, 1)
+      bm25AppendSegment(spark, idx,
+        docsOf(v2).filter(pmod(col("doc_id"), lit(43)) === 5)
+          .select((col("doc_id") + 7000000L).as("doc_id"), col("text")),
+        none)
+      rows += ("snap_expired_fails_fast" ->
+        (try { bm25QueryIndexSnapshot(spark, idx, snap, terms, 20); false }
+         catch { case _: IllegalArgumentException => true }))
+      val liveRefs = epPat.findAllIn((IndexPolicy.manifestOf(spark, idx)
+        .toSeq.map { case (k, v) => s"$k=$v" } ++
+        IndexPolicy.snapshotIds(spark, idx).map(v => IndexPolicy
+          .manifestAtSnapshot(spark, idx, v).toSeq
+          .map { case (k, x) => s"$k=$x" }.mkString("\n")))
+        .mkString("\n")).toSet
+      val deadToks = snapToks -- liveRefs
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      rows += ("snap_expiry_reclaims_dirs" -> (deadToks.nonEmpty &&
+        deadToks.forall(t => !fs.exists(
+          new org.apache.hadoop.fs.Path(IndexPolicy.epochDir(idx, t))))))
+    } finally spark.conf.unset("spark.graft.index.snapshots.keep")
+    rows.toSeq.toDF("metric", "ok").orderBy("metric")
   }
 
   /** Iterative BPE vocabulary learning — the real merge loop

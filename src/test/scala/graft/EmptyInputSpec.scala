@@ -101,7 +101,10 @@ class EmptyInputSpec extends SparkSpec {
       // r17 additions
       "recovery_drill"    -> ((s, d) => Curation.recoveryDrill(s, d)),
       "train_read"        -> ((s, d) => Curation.trainRead(s, d)),
-      "audio_ivf_lifecycle" -> ((s, d) => Multimodal.audioIvfLifecycle(s, d)))
+      "audio_ivf_lifecycle" -> ((s, d) => Multimodal.audioIvfLifecycle(s, d)),
+      // r18 additions
+      "bm25_snapshot_asof" -> ((s, d) => TextAnalysis.bm25SnapshotAsOf(s, d)),
+      "estate_crash_drill" -> ((s, d) => Curation.estateCrashDrill(s, d)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()
@@ -268,13 +271,19 @@ class EmptyInputSpec extends SparkSpec {
     assert(drillTextOnly.map(_._1).forall(m =>
       m.startsWith("rd_bm25_") || m.startsWith("rd_nd_")),
       s"docs-only drill emitted non-text rows: ${drillTextOnly.map(_._1)}")
-    assert(drillTextOnly.size == 8 && drillTextOnly.forall(_._2),
+    assert(drillTextOnly.size == 12 && drillTextOnly.forall(_._2),
       s"docs-only drill not all green: $drillTextOnly")
     val drillVecOnly = Curation.recoveryDrill(spark, mixedDir(false))
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toSeq
     assert(drillVecOnly.map(_._1).forall(_.startsWith("rd_ivf_")) &&
-      drillVecOnly.size == 5 && drillVecOnly.forall(_._2),
+      drillVecOnly.size == 6 && drillVecOnly.forall(_._2),
       s"embeddings-only drill wrong: $drillVecOnly")
+    // the mid-estate crash drill needs BOTH families (one family
+    // crashing beside another is the point): either-only emits none
+    assert(Curation.estateCrashDrill(spark, mixedDir(true)).count() == 0,
+      "docs-only estate crash drill emitted rows")
+    assert(Curation.estateCrashDrill(spark, mixedDir(false)).count() == 0,
+      "embeddings-only estate crash drill emitted rows")
     // the consumer row: docs-only corpus reads shards + the two text
     // retrievals; embeddings-only reads only the ivf retrieval (no
     // documents → no shards to verify)

@@ -762,11 +762,22 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("concurrent serve loop racing live mutations: never throws, always serves a committed generation") {
+    serveRaceDrill(identity)
+  }
+
+  test("concurrent serve loop racing live mutations under a file:// index root (r17 verdict #2)") {
+    // file:-schemed URIs must route through the same atomic-replace
+    // primitive as bare paths — the reads-never-fail contract is
+    // scheme-independent
+    serveRaceDrill(p => s"file:$p")
+  }
+
+  private def serveRaceDrill(rootOf: String => String): Unit = {
     import graft.operators.TextAnalysis
     import spark.implicits._
     val root = java.nio.file.Files
       .createTempDirectory("graft-race").toString
-    val bm = s"$root/bm"
+    val bm = rootOf(s"$root/bm")
     val v1 = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
       .toDF("doc_id", "text")
     TextAnalysis.bm25WriteIndexDocs(spark, v1, bm)
@@ -839,6 +850,259 @@ class LayoutSpec extends SparkSpec {
     // and the settled state serves the newest generation
     assert(TextAnalysis.bm25QueryIndex(spark, bm, q, 10).collect().toSeq ==
       refs.last, "settled serve != newest generation")
+  }
+
+  test("Hadoop-store atomic replace: FileContext rename(OVERWRITE) lands on top of an existing pointer, no delete window") {
+    // r17 verdict #2 / ADVICE: the non-local writeAtomicFile used
+    // delete-then-rename — a racing reader of `current` could observe
+    // absence and its tmp recovery could abort a committed mutation.
+    // The OVERWRITE-rename branch is unit-tested directly (local
+    // paths route to nio in production code, so this drives the
+    // Hadoop half explicitly through a FileContext-capable store).
+    import graft.operators.IndexPolicy
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-fc-rename").toString
+    IndexPolicy.writeAtomicHadoop(spark, root, "current", "v=1")
+    // second write REPLACES without clearing first — an existing
+    // destination must not fail the rename and must end complete-new
+    IndexPolicy.writeAtomicHadoop(spark, root, "current", "v=2\nk=x")
+    val got = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/current")))
+    assert(got.trim == "v=2\nk=x", s"overwrite rename lost content: $got")
+    // a reinstated stale pointer (the reader-recovery race the old
+    // branch could abort on) is simply overwritten by the next swing
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/current"), "stale=1".getBytes)
+    IndexPolicy.writeAtomicHadoop(spark, root, "current", "v=3")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/current"))).trim == "v=3")
+  }
+
+  test("two concurrent writers on one index: the lease serializes them, no commit is lost, the final state is a serial order") {
+    // r17 verdict #1 acceptance: two threads mutating the SAME index
+    // concurrently. Removal waves commute, so the serializable final
+    // state is uniquely determined: every wave's tombstones present,
+    // one committed generation per wave, one version bump per swing.
+    import graft.operators.{Dedup, IndexPolicy}
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-two-writer").toString
+    val idx = s"$root/idx"
+    // 12 docs with DISJOINT vocabularies (letter-runs only — the
+    // tokenizer collapses digit suffixes), each the exact twin of its
+    // own probe: the only pairs are (i, i+100)
+    def txt(i: Long) = (3 to 7)
+      .map(n => ('a' + i.toInt).toChar.toString * n).mkString(" ")
+    val docs = (0L until 12L).map(i => (i, txt(i))).toDF("doc_id", "text")
+    Dedup.neardupWriteIndex(spark, docs, idx)
+    val probe = (0L until 12L).map(i => (i + 100L, txt(i)))
+      .toDF("doc_id", "text").localCheckpoint()
+    def found(): Set[Long] = Dedup.neardupLookup(spark, idx, probe)
+      .collect().map(_.getLong(0)).toSet
+    assert(found() == (0L until 12L).toSet, "fixture pairs missing")
+    val waves: Seq[Seq[Long]] =
+      Seq(Seq(0L, 1L), Seq(2L, 3L), Seq(4L, 5L), // writer A
+        Seq(6L, 7L), Seq(8L, 9L), Seq(10L, 11L)) // writer B
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(waves.take(3), waves.drop(3)).map(ws =>
+      new Thread(() =>
+        try ws.foreach(ids =>
+          Dedup.neardupRemove(spark, idx, ids.toDF("doc_id")))
+        catch { case e: Throwable => errs.add(e) }))
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    assert(threads.forall(!_.isAlive), "a writer thread hung")
+    assert(errs.isEmpty,
+      s"concurrent writers threw: ${errs.toArray.mkString("; ")}")
+    // no lost update: ALL six waves' tombstones landed
+    assert(found().isEmpty, s"lost removal wave: ${found()} still served")
+    val m = IndexPolicy.manifestOf(spark, idx)
+    assert(IndexPolicy.genOf(m) == 6L && IndexPolicy.committedOf(m) == 6L,
+      s"expected 6 committed generations, manifest: $m")
+    // one version per swing: build 0, then 6 × (alloc + commit)
+    assert(IndexPolicy.versionOf(m).contains(12L),
+      s"version drifted (lost or doubled swing): $m")
+    // and the lock is released
+    assert(!new java.io.File(s"$idx/wlock").exists, "lease leaked")
+  }
+
+  test("compare-and-swing: a publish carrying a stale manifest version fails loudly instead of erasing a commit") {
+    import graft.operators.{Dedup, IndexPolicy}
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cas").toString
+    val idx = s"$root/idx"
+    Dedup.neardupWriteIndex(spark,
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"), idx)
+    val stale = IndexPolicy.manifestOf(spark, idx)
+    // first writer commits fine…
+    IndexPolicy.publish(spark, idx, stale + ("k1" -> "v1"))
+    // …the second, still holding the manifest it read BEFORE that
+    // commit, must fail its swing rather than silently erase k1
+    val e = intercept[java.util.ConcurrentModificationException](
+      IndexPolicy.publish(spark, idx, stale + ("k2" -> "v2")))
+    assert(e.getMessage.contains("moved underneath"))
+    val m = IndexPolicy.manifestOf(spark, idx)
+    assert(m.get("k1").contains("v1") && !m.contains("k2"))
+  }
+
+  test("writer lease: a stale lock is broken, a live lock fails the waiter loudly after its budget") {
+    import graft.operators.{Dedup, IndexPolicy}
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-lease").toString
+    val idx = s"$root/idx"
+    Dedup.neardupWriteIndex(spark,
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"), idx)
+    // a crashed writer's lock: timestamp far beyond the lease window —
+    // the next mutation breaks it and proceeds
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$idx/wlock"),
+      s"dead-writer ${System.currentTimeMillis() - 3600000L}".getBytes)
+    Dedup.neardupRemove(spark, idx, Seq(1L).toDF("doc_id"))
+    assert(!new java.io.File(s"$idx/wlock").exists,
+      "stale lease not cleaned after the mutation that broke it")
+    // a LIVE lock (fresh timestamp): the waiter spins its budget out
+    // and fails loudly — contention is a deployment bug, not a hang
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$idx/wlock"),
+      s"live-writer ${System.currentTimeMillis()}".getBytes)
+    spark.conf.set("spark.graft.index.lock.wait.ms", "300")
+    try {
+      val e = intercept[IllegalStateException](
+        Dedup.neardupRemove(spark, idx, Seq(1L).toDF("doc_id")))
+      assert(e.getMessage.contains("writer lease"))
+    } finally {
+      spark.conf.unset("spark.graft.index.lock.wait.ms")
+      java.nio.file.Files.delete(java.nio.file.Paths.get(s"$idx/wlock"))
+    }
+  }
+
+  test("fault injection: a conf-armed mid-flight crash leaves a torn index that serves committed state and repairs") {
+    // r17 verdict #5: the crash is a REAL mid-mutation death (rows
+    // landed, commit swing never ran) — not a manifest edit
+    import graft.operators.{Dedup, IndexPolicy}
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-inject").toString
+    val idx = s"$root/idx"
+    Dedup.neardupWriteIndex(spark, Seq(
+      (1L, "a b c d e"), (2L, "x y z w v")).toDF("doc_id", "text"), idx)
+    val probe = Seq((9L, "a b c d e")).toDF("doc_id", "text").localCheckpoint()
+    def live() = Dedup.neardupLookup(spark, idx, probe)
+      .collect().map(_.getLong(0)).toSet
+    assert(live() == Set(1L))
+    spark.conf.set("spark.graft.index.crash.at", "after-rows")
+    try {
+      intercept[IndexPolicy.InjectedCrash](
+        Dedup.neardupRemove(spark, idx, Seq(1L).toDF("doc_id")))
+    } finally spark.conf.unset("spark.graft.index.crash.at")
+    // rows are on disk, commit never ran: reads serve the committed
+    // prefix, further mutations refuse, the fold repairs
+    assert(live() == Set(1L), "torn tombstone leaked into a lookup")
+    intercept[IllegalStateException](
+      Dedup.neardupRemove(spark, idx, Seq(1L).toDF("doc_id")))
+    Dedup.neardupCompact(spark, idx)
+    assert(live() == Set(1L))
+    Dedup.neardupRemove(spark, idx, Seq(1L).toDF("doc_id"))
+    assert(live() == Set.empty[Long], "index not mutable after repair")
+    // point@path scoping: an entry for a DIFFERENT index never fires
+    spark.conf.set("spark.graft.index.crash.at", "after-rows@/nowhere/")
+    try Dedup.neardupRemove(spark, idx, Seq(2L).toDF("doc_id"))
+    finally spark.conf.unset("spark.graft.index.crash.at")
+  }
+
+  test("snapshot log: a retained snapshot serves bit-identically across a rewrite; expiry lets the sweep reclaim it") {
+    import graft.operators.{IndexPolicy, TextAnalysis}
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-snap").toString
+    val idx = s"$root/idx"
+    val v1 = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val terms = Seq("alpha", "eta")
+    spark.conf.set("spark.graft.index.snapshots.keep", "10")
+    try {
+      TextAnalysis.bm25WriteIndexDocs(spark, v1, idx)
+      TextAnalysis.bm25AppendSegment(spark, idx,
+        Seq((3L, "alpha eta theta")).toDF("doc_id", "text"), v1.limit(0))
+      val snap = IndexPolicy.snapshotIds(spark, idx).last
+      val want = TextAnalysis.bm25QueryIndex(spark, idx, terms, 10)
+        .collect().toSeq
+      // the rewrite that destroys the in-place generation timeline…
+      TextAnalysis.bm25Compact(spark, idx)
+      intercept[IllegalArgumentException](
+        TextAnalysis.bm25QueryIndexAsOf(spark, idx, 1, terms, 10))
+      // …and a further mutation whose sweep must NOT reclaim the
+      // snapshot's dirs (retained snapshots pin their references)
+      TextAnalysis.bm25AppendSegment(spark, idx,
+        Seq((4L, "alpha iota")).toDF("doc_id", "text"), v1.limit(0))
+      assert(TextAnalysis.bm25QueryIndexSnapshot(spark, idx, snap,
+        terms, 10).collect().toSeq == want,
+        "retained snapshot did not replay bit-identically after a rewrite")
+      // expire everything but the newest, and the NEXT sweep reclaims:
+      // the old serve plan's dirs go away and the snapshot read fails
+      // fast instead of serving partially
+      IndexPolicy.expireSnapshots(spark, idx, 1)
+      TextAnalysis.bm25AppendSegment(spark, idx,
+        Seq((5L, "alpha kappa")).toDF("doc_id", "text"), v1.limit(0))
+      intercept[IllegalArgumentException](
+        TextAnalysis.bm25QueryIndexSnapshot(spark, idx, snap, terms, 10))
+      // non-vacuity of the reclaim: only live epochs remain under ep/
+      val live = "e-[0-9a-f]{12}".r.findAllIn(new String(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$idx/current")))).toSet
+      val retained = IndexPolicy.snapshotIds(spark, idx).flatMap(v =>
+        "e-[0-9a-f]{12}".r.findAllIn(new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+            s"$idx/snaps/v-$v")))).toSeq).toSet
+      val onDisk = new java.io.File(s"$idx/ep")
+        .listFiles().map(_.getName).toSet
+      assert(onDisk == (live ++ retained),
+        s"ep/ holds $onDisk but live+retained name ${live ++ retained}")
+    } finally spark.conf.unset("spark.graft.index.snapshots.keep")
+  }
+
+  test("sweep grace keys on dereference time, not write time: an old epoch a rewrite just dropped survives the window") {
+    // r17 ADVICE (medium): with the mtime cutoff, any epoch older
+    // than the grace window was reclaimed the instant it became
+    // unreferenced — grace only protected recently WRITTEN dirs
+    import graft.operators.{Dedup, IndexPolicy}
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-deref-grace").toString
+    val idx = s"$root/idx"
+    Dedup.neardupWriteIndex(spark, Seq(
+      (1L, "a b c d e"), (2L, "x y z w v")).toDF("doc_id", "text"), idx)
+    val oldTok = IndexPolicy.manifestOf(spark, idx)("data")
+    val oldEp = java.nio.file.Paths.get(IndexPolicy.epochDir(idx, oldTok))
+    // age the epoch far past any window (the old design's kill shot)
+    java.nio.file.Files.setLastModifiedTime(oldEp,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200000L))
+    spark.conf.set("spark.graft.index.sweep.grace.ms", "3600000")
+    try {
+      Dedup.neardupRemove(spark, idx, Seq(2L).toDF("doc_id"))
+      Dedup.neardupCompact(spark, idx) // dereferences the aged epoch
+      // next sweeps: first stamps the dereference, none may delete
+      // inside the window
+      Dedup.neardupRemove(spark, idx, Seq(1L).toDF("doc_id"))
+      Dedup.neardupRemove(spark, idx, Seq(2L).toDF("doc_id"))
+      assert(java.nio.file.Files.exists(oldEp),
+        "grace reclaimed a long-lived epoch the moment it was " +
+          "dereferenced (write-time keying)")
+      // and past the window it goes: backdate the dereference stamp
+      // (through the Hadoop fs, so its checksum sidecar stays valid)
+      val marker = new org.apache.hadoop.fs.Path(s"$oldEp/.unref_at")
+      val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = mfs.create(marker, true)
+      try out.write(
+        (System.currentTimeMillis() - 7200000L).toString.getBytes)
+      finally out.close()
+      Dedup.neardupRemove(spark, idx, Seq(1L).toDF("doc_id"))
+      assert(!java.nio.file.Files.exists(oldEp),
+        "sweep never reclaims past the dereference-time window")
+    } finally spark.conf.set("spark.graft.index.sweep.grace.ms", "0")
   }
 
   test("post-compact append never reuses a segment name: the folded timeline's files survive the grace window") {

@@ -213,10 +213,19 @@ class PropertySpec extends SparkSpec {
           TextAnalysis.bm25QueryIndex(spark, idx, terms, 10))
         val want = scala.collection.mutable.ArrayBuffer(
           plans.last.collect().toSeq)
+        // capture each plan's resolved INPUT FILES at resolution time:
+        // re-collecting an already-executed DataFrame can reuse its
+        // materialized shuffle outputs and return the old result even
+        // when the files are gone (r17 ADVICE — the property passed
+        // through the seg-name-collision deletion), so the stability
+        // claim must also prove the files themselves survived
+        val files = scala.collection.mutable.ArrayBuffer(
+          plans.last.inputFiles.toSeq)
         def step(body: => Unit): Unit = {
           body
           plans += TextAnalysis.bm25QueryIndex(spark, idx, terms, 10)
           want += plans.last.collect().toSeq
+          files += plans.last.inputFiles.toSeq
         }
         step(TextAnalysis.bm25AppendSegment(spark, idx,
           w2.toDF("doc_id", "text"), none))
@@ -228,6 +237,12 @@ class PropertySpec extends SparkSpec {
         // after all later mutations (rewrites included) have landed —
         // immutable epochs + grace make historical resolutions stable
         plans.zip(want).zipWithIndex.foreach { case ((p, w), gi) =>
+          val gone = files(gi).filterNot(f => new java.io.File(
+            java.net.URI.create(f).getPath).exists)
+          assert(gone.isEmpty,
+            s"corpus $ci: generation $gi's resolved plan lost " +
+              s"${gone.size}/${files(gi).size} input files: " +
+              gone.take(3).mkString(", "))
           assert(p.collect().toSeq == w,
             s"corpus $ci: generation $gi's resolved plan drifted")
         }
