@@ -1460,8 +1460,8 @@ object TextAnalysis {
 
   /** SNAPSHOT TIME TRAVEL contract (r17 verdict #3 — the manifest-log
     * discipline, driver-gated): on a copy of the v1 base with
-    * snapshot retention on, (1) append the v1→v2 delta and hold its
-    * snapshot id S plus the served ranking; (2) COMPACT — the rewrite
+    * snapshot retention on, (1) append a fixed delta slice and hold
+    * its snapshot id S plus the served ranking; (2) COMPACT — the rewrite
     * that destroys the in-place generation timeline (pinned: the
     * interior as-of generation fails fast post-fold); (3) mutate
     * further so the sweep runs — a retained snapshot must keep its
@@ -1475,26 +1475,49 @@ object TextAnalysis {
     * Contract rows (metric, ok), oracle-pinned TRUE; empty corpus
     * emits no rows (an empty delta mints no segment and therefore no
     * snapshot to travel to).
+    *
+    * Fixture economics: the snapshotted state (v1 base + one FIXED
+    * SMALL appended slice, retention on) is built once per JVM per
+    * corpus dir and copied per invocation — the row times copy +
+    * rewrite + two delta appends + serves, i.e. the snapshot
+    * machinery, never a corpus-scale ingest. Small deltas suffice:
+    * ANY append shifts n_docs and therefore every BM25 score.
     */
+  private val snapBaseCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Long, Seq[org.apache.spark.sql.Row])]()
+
   def bm25SnapshotAsOf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (v1, v2) = snapshotFixture(spark, dir)
+    val (v1, _) = snapshotFixture(spark, dir)
     if (v1.isEmpty)
       return Seq.empty[(String, Boolean)].toDF("metric", "ok")
-    val idx = s"/tmp/graft_bm25_snap_${scratchToken}_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_")
-    copyIndex(spark, v1BaseIndex(spark, dir), idx)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val terms = Seq("data", "model", "system")
-    def serve() = bm25QueryIndex(spark, idx, terms, 20).collect().toSeq
     def docsOf(df: DataFrame) = df.select(col("doc_id"), col("text"))
     val none = docsOf(v1).limit(0)
+    // narrow-vocabulary synthetic deltas (the Bm25VocabProbe
+    // discipline): the appended docs' terms all live under one letter
+    // bucket, so the compact under test folds ONLY those buckets
+    // while the n_docs shift still moves every BM25 score — the row
+    // times the snapshot machinery, not a whole-index rewrite
+    def slice(m: Int, r: Int, off: Long, word: String) = docsOf(v1)
+      .filter(pmod(col("doc_id"), lit(m)) === r)
+      .select((col("doc_id") + off).as("doc_id"),
+        concat(lit(word), lit("a "), lit(word), lit("b "), lit(word),
+          lit("c")).as("text"))
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
     spark.conf.set("spark.graft.index.snapshots.keep", "10")
     try {
-      val (newD, oldD) = snapshotDelta(v1, v2)
-      bm25AppendSegment(spark, idx, newD, oldD)
-      val snap = IndexPolicy.snapshotIds(spark, idx).last
-      val want = serve()
+      val (base, snap, want) = snapBaseCache.computeIfAbsent(dir, _ => {
+        val p = s"/tmp/graft_bm25_snapbase_${scratchToken}_$tag"
+        copyIndex(spark, v1BaseIndex(spark, dir), p)
+        bm25AppendSegment(spark, p, slice(97, 3, 5000000L, "qqx"), none)
+        (p, IndexPolicy.snapshotIds(spark, p).last,
+          bm25QueryIndex(spark, p, terms, 20).collect().toSeq)
+      })
+      val idx = s"/tmp/graft_bm25_snap_${scratchToken}_$tag"
+      copyIndex(spark, base, idx)
+      def serve() = bm25QueryIndex(spark, idx, terms, 20).collect().toSeq
       val epPat = "e-[0-9a-f]{12}".r
       val snapToks = epPat.findAllIn(IndexPolicy
         .manifestAtSnapshot(spark, idx, snap).toSeq
@@ -1505,9 +1528,7 @@ object TextAnalysis {
         (try { bm25QueryIndexAsOf(spark, idx, 1, terms, 20); false }
          catch { case _: IllegalArgumentException => true }))
       // …and a further mutation's sweep must keep the snapshot's dirs
-      val extra = docsOf(v2).filter(pmod(col("doc_id"), lit(41)) === 3)
-        .select((col("doc_id") + 6000000L).as("doc_id"), col("text"))
-      bm25AppendSegment(spark, idx, extra, none)
+      bm25AppendSegment(spark, idx, slice(101, 7, 6000000L, "qqy"), none)
       rows += ("snap_retained_replays_after_rewrite" ->
         (bm25QueryIndexSnapshot(spark, idx, snap, terms, 20)
           .collect().toSeq == want))
@@ -1515,10 +1536,7 @@ object TextAnalysis {
       // expiry: the NEXT sweep reclaims what only S referenced, and
       // the snapshot read fails fast
       IndexPolicy.expireSnapshots(spark, idx, 1)
-      bm25AppendSegment(spark, idx,
-        docsOf(v2).filter(pmod(col("doc_id"), lit(43)) === 5)
-          .select((col("doc_id") + 7000000L).as("doc_id"), col("text")),
-        none)
+      bm25AppendSegment(spark, idx, slice(103, 11, 7000000L, "qqz"), none)
       rows += ("snap_expired_fails_fast" ->
         (try { bm25QueryIndexSnapshot(spark, idx, snap, terms, 20); false }
          catch { case _: IllegalArgumentException => true }))
