@@ -842,10 +842,16 @@ object Curation {
       }
       val before = epochsOnDisk()
       // REAL crashed rewrite: the refresh writes its delta epoch in
-      // full, then dies before the pointer swing
+      // full, then dies before the pointer swing. A crashed APPEND's
+      // wreckage — an unreferenced segment dir — is planted alongside,
+      // so the sweep pin keeps covering the segments/ reclaim branch
+      // too (r18 review: the injected refresh alone lost it)
       IndexPolicy.armCrash(bm, "after-epoch")
       rows += ("rd_bm25_crash_mid_flight" ->
         crashed(TextAnalysis.bm25RefreshIndex(spark, bm, delta, none)))
+      val orphanSeg = new Path(
+        s"$bm/segments/seg-${IndexPolicy.newToken()}")
+      fs.mkdirs(orphanSeg)
       val orphans = epochsOnDisk() -- before
       rows += ("rd_bm25_crash_left_garbage" -> orphans.nonEmpty)
       rows += ("rd_bm25_crash_invisible" -> (serve() == s0))
@@ -853,7 +859,8 @@ object Curation {
       // and compaction is a pure layout change
       TextAnalysis.bm25Compact(spark, bm)
       rows += ("rd_bm25_sweep_reclaims" ->
-        orphans.forall(t => !fs.exists(new Path(s"$bm/ep/$t"))))
+        (orphans.forall(t => !fs.exists(new Path(s"$bm/ep/$t"))) &&
+          !fs.exists(orphanSeg)))
       rows += ("rd_bm25_serve_preserved" -> (serve() == s0))
       // mutable after the crash: the SAME refresh, replayed, commits
       // and provably changes the serve (live-copy capture, warm runs
@@ -993,7 +1000,7 @@ object Curation {
       val ep = new Path(s"$nd/ep")
       val onDisk = if (!fs.exists(ep)) Set.empty[String]
         else fs.listStatus(ep).map(_.getPath.getName).toSet
-      val refs = "e-[0-9a-f]{12}".r.findAllIn(IndexPolicy
+      val refs = IndexPolicy.EpochPat.findAllIn(IndexPolicy
         .manifestOf(spark, nd).toSeq
         .map { case (k, v) => s"$k=$v" }.mkString("\n")).toSet
       onDisk -- refs

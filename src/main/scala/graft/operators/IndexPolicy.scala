@@ -65,7 +65,11 @@ private[graft] object IndexPolicy {
   private def localPathOf(s: String): Option[String] =
     if (s.startsWith("/")) Some(s)
     else if (s.startsWith("file:"))
-      Option(java.net.URI.create(s).getPath).filter(_.nonEmpty)
+      // a file: string that is not a LEGAL URI (spaces, brackets)
+      // falls through to the Hadoop branch, whose Path constructor
+      // encodes such characters — never throw on the read path
+      try Option(java.net.URI.create(s).getPath).filter(_.nonEmpty)
+      catch { case _: IllegalArgumentException => None }
     else None
 
   /** READ of the one mutable object. Local filesystems (every fixture
@@ -168,24 +172,45 @@ private[graft] object IndexPolicy {
     */
   private[graft] def writeAtomicHadoop(spark: SparkSession, idx: String,
                                        name: String, content: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(idx)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(conf)
     val p = fs.makeQualified(new org.apache.hadoop.fs.Path(s"$idx/$name"))
     val tmp = fs.makeQualified(
       new org.apache.hadoop.fs.Path(s"$idx/.${name}_tmp"))
-    // the ENTIRE write path goes through FileContext: its local
-    // AbstractFileSystem is raw (no client-side checksum sidecar that
-    // a rename would strand), and on HDFS rename2's OVERWRITE is the
-    // atomic replace
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      p.toUri, spark.sparkContext.hadoopConfiguration)
-    val out = fc.create(tmp,
-      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
-      org.apache.hadoop.fs.Options.CreateOpts.createParent())
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // the write path goes through FileContext where the store binds
+    // one: its local AbstractFileSystem is raw (no client-side
+    // checksum sidecar that a rename would strand), and on HDFS
+    // rename2's OVERWRITE is the atomic replace. Stores WITHOUT an
+    // AbstractFileSystem binding (stock s3a/gs/abfs) fall back to the
+    // FileSystem delete+rename — non-atomic, with the reader-side tmp
+    // recovery closing the crash window; a production object-store
+    // deployment should commit via one conditional PUT instead (the
+    // protocol's only atomicity requirement).
+    val fcOpt =
+      try Some(org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf))
+      catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None
+      }
+    fcOpt match {
+      case Some(fc) =>
+        val out = fc.create(tmp,
+          java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+            org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+          org.apache.hadoop.fs.Options.CreateOpts.createParent())
+        try out.write(
+          content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      case None =>
+        val out = fs.create(tmp, true)
+        try out.write(
+          content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        require(!fs.exists(p) || fs.delete(p, false),
+          s"writeAtomicHadoop: could not clear $p")
+        require(fs.rename(tmp, p),
+          s"writeAtomicHadoop: rename $tmp -> $p failed")
+    }
   }
 
   // ---------------------------------------------------------------
@@ -271,11 +296,28 @@ private[graft] object IndexPolicy {
           "(swept later). Retry the whole mutation under the writer lease.")
     val v = expected.getOrElse(-1L) + 1L
     val m2 = m + (VersionKey -> v.toString)
-    writeAtomicFile(spark, idx, ManifestName,
-      m2.toSeq.sortBy(_._1).map { case (k, x) => s"$k=$x" }.mkString("\n"))
-    if (spark.conf.get(SnapKeepConf, "0").toInt > 0)
-      writeAtomicFile(spark, s"$idx/snaps", s"v-$v",
-        m2.toSeq.sortBy(_._1).map { case (k, x) => s"$k=$x" }.mkString("\n"))
+    val ser = m2.toSeq.sortBy(_._1)
+      .map { case (k, x) => s"$k=$x" }.mkString("\n")
+    writeAtomicFile(spark, idx, ManifestName, ser)
+    // verify-after-swing: the read-then-write above is not atomic, so
+    // in the pathological double-lease-break interleaving two writers
+    // can both pass the version check — the RE-READ detects the one
+    // whose swing was overwritten and fails it LOUDLY (its data is
+    // already superseded, never silently merged). Under healthy lease
+    // discipline this read always sees our own write.
+    if (!readAtomicFile(spark, idx, ManifestName).contains(ser))
+      throw new java.util.ConcurrentModificationException(
+        s"$idx: another writer's swing overwrote this commit (version " +
+          s"$v) — overlapping leases; this mutation is LOST and must be " +
+          "retried; check writer scheduling")
+    val keep = spark.conf.get(SnapKeepConf, "0").toInt
+    if (keep > 0) {
+      writeAtomicFile(spark, s"$idx/snaps", s"v-$v", ser)
+      // retention is enforced AT PUBLISH (the Iceberg write-path
+      // expire policy): the keep-count bounds the log without an
+      // operator ever calling expireSnapshots by hand
+      expireSnapshots(spark, idx, keep)
+    }
     m2
   }
 
@@ -536,7 +578,12 @@ private[graft] object IndexPolicy {
   // epochs — immutable generation-addressed data dirs
   // ---------------------------------------------------------------
 
-  private val EpochPat = "e-[0-9a-f]{12}".r
+  /** The epoch-token shape — the ONE definition every orphan-detection
+    * and reference-extraction site shares (r18 review: four literal
+    * copies would silently stop matching if [[newToken]]'s width ever
+    * changed, turning forall-style reclaim pins vacuous).
+    */
+  private[graft] val EpochPat = "e-[0-9a-f]{12}".r
 
   /** Fresh 12-hex uniqueness token — shared by epoch dirs and bm25
     * segment dirs, because BOTH must never reuse a name: a reused dir

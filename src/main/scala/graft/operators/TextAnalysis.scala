@@ -1506,19 +1506,33 @@ object TextAnalysis {
         concat(lit(word), lit("a "), lit(word), lit("b "), lit(word),
           lit("c")).as("text"))
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    // the SHARED pristine v1 base is built (or fetched) OUTSIDE the
+    // retention window: building it with retention on would bake a
+    // snapshot into the base every other lifecycle fixture copies,
+    // pinning their original epochs against every sweep (r18 review)
+    val vb = v1BaseIndex(spark, dir)
+    val priorKeep = spark.conf.getOption("spark.graft.index.snapshots.keep")
     spark.conf.set("spark.graft.index.snapshots.keep", "10")
     try {
       val (base, snap, want) = snapBaseCache.computeIfAbsent(dir, _ => {
         val p = s"/tmp/graft_bm25_snapbase_${scratchToken}_$tag"
-        copyIndex(spark, v1BaseIndex(spark, dir), p)
+        copyIndex(spark, vb, p)
         bm25AppendSegment(spark, p, slice(97, 3, 5000000L, "qqx"), none)
-        (p, IndexPolicy.snapshotIds(spark, p).last,
-          bm25QueryIndex(spark, p, terms, 20).collect().toSeq)
+        // a sparse-id corpus can leave the mod-97 slice empty: no
+        // segment, no snapshot — sentinel, the row emits no rows (the
+        // absent-modality convention)
+        IndexPolicy.snapshotIds(spark, p).lastOption match {
+          case Some(s) =>
+            (p, s, bm25QueryIndex(spark, p, terms, 20).collect().toSeq)
+          case None => (p, -1L, Seq.empty[org.apache.spark.sql.Row])
+        }
       })
+      if (snap < 0L)
+        return Seq.empty[(String, Boolean)].toDF("metric", "ok")
       val idx = s"/tmp/graft_bm25_snap_${scratchToken}_$tag"
       copyIndex(spark, base, idx)
       def serve() = bm25QueryIndex(spark, idx, terms, 20).collect().toSeq
-      val epPat = "e-[0-9a-f]{12}".r
+      val epPat = IndexPolicy.EpochPat
       val snapToks = epPat.findAllIn(IndexPolicy
         .manifestAtSnapshot(spark, idx, snap).toSeq
         .map { case (k, v) => s"$k=$v" }.mkString("\n")).toSet
@@ -1552,7 +1566,10 @@ object TextAnalysis {
       rows += ("snap_expiry_reclaims_dirs" -> (deadToks.nonEmpty &&
         deadToks.forall(t => !fs.exists(
           new org.apache.hadoop.fs.Path(IndexPolicy.epochDir(idx, t))))))
-    } finally spark.conf.unset("spark.graft.index.snapshots.keep")
+    } finally priorKeep match {
+      case Some(v) => spark.conf.set("spark.graft.index.snapshots.keep", v)
+      case None => spark.conf.unset("spark.graft.index.snapshots.keep")
+    }
     rows.toSeq.toDF("metric", "ok").orderBy("metric")
   }
 

@@ -740,7 +740,7 @@ class LayoutSpec extends SparkSpec {
     // superseded epochs (the pre-refresh generation) are likewise
     // unreferenced after the swing and were reclaimed by the same
     // sweep: exactly the LIVE epochs remain under ep/
-    val live = "e-[0-9a-f]{12}".r.findAllIn(
+    val live = graft.operators.IndexPolicy.EpochPat.findAllIn(
       new String(Files.readAllBytes(Paths.get(s"$bm/current")))).toSet
     val onDisk = new java.io.File(s"$bm/ep").listFiles().map(_.getName).toSet
     assert(onDisk == live, s"ep/ holds $onDisk but manifest names $live")
@@ -1049,11 +1049,11 @@ class LayoutSpec extends SparkSpec {
       intercept[IllegalArgumentException](
         TextAnalysis.bm25QueryIndexSnapshot(spark, idx, snap, terms, 10))
       // non-vacuity of the reclaim: only live epochs remain under ep/
-      val live = "e-[0-9a-f]{12}".r.findAllIn(new String(
+      val live = graft.operators.IndexPolicy.EpochPat.findAllIn(new String(
         java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(s"$idx/current")))).toSet
       val retained = IndexPolicy.snapshotIds(spark, idx).flatMap(v =>
-        "e-[0-9a-f]{12}".r.findAllIn(new String(
+        graft.operators.IndexPolicy.EpochPat.findAllIn(new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
             s"$idx/snaps/v-$v")))).toSeq).toSet
       val onDisk = new java.io.File(s"$idx/ep")
