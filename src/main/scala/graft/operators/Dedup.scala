@@ -661,13 +661,32 @@ object Dedup {
       asOf = Some(gen))._1.orderBy("a", "b")
   }
 
+  /** [[neardupLookup]] AS OF a retained manifest SNAPSHOT (the
+    * [[graft.operators.TextAnalysis.bm25QueryIndexSnapshot]] twin):
+    * resolves the immutable `snaps/v-<id>` manifest instead of
+    * `current`, so the flagged pairs at that commit replay
+    * bit-identically even across a COMPACT — which the in-place
+    * generation timeline of [[neardupLookupAsOf]] cannot survive (the
+    * fold resets it by design). Holds while the snapshot is retained;
+    * expired snapshots fail fast.
+    */
+  def neardupLookupSnapshot(spark: SparkSession, idx: String, snap: Long,
+                            newDocs: DataFrame, minJ: Double = 0.2,
+                            n: Int = 3, k: Int = 16, bands: Int = 4,
+                            capBucket: Int = Int.MaxValue): DataFrame =
+    lookupWithSigs(spark, idx, newDocs, minJ, n, k, bands, capBucket,
+      manifest = Some(IndexPolicy.manifestAtSnapshot(spark, idx, snap)))
+      ._1.orderBy("a", "b")
+
   private def lookupWithSigs(spark: SparkSession, idx: String,
                              newDocs: DataFrame, minJ: Double, n: Int,
                              k: Int, bands: Int, capBucket: Int,
-                             asOf: Option[Long] = None)
+                             asOf: Option[Long] = None,
+                             manifest: Option[IndexPolicy.Manifest] = None)
       : (DataFrame, DataFrame) = {
     val (pairs, sigs, _) =
-      lookupPlan(spark, idx, newDocs, minJ, n, k, bands, capBucket, asOf)
+      lookupPlan(spark, idx, newDocs, minJ, n, k, bands, capBucket, asOf,
+        manifest)
     // eager snapshot BEFORE any admit mutates the index — a returned
     // plan must never see the delta's own appended postings
     (pairs.localCheckpoint(), sigs)
@@ -684,12 +703,15 @@ object Dedup {
                                 newDocs: DataFrame, minJ: Double, n: Int,
                                 k: Int, bands: Int,
                                 capBucket: Int,
-                                asOf: Option[Long] = None)
+                                asOf: Option[Long] = None,
+                                manifest: Option[IndexPolicy.Manifest] = None)
       : (DataFrame, DataFrame, DataFrame) = {
     // the manifest resolves ONCE: every read below targets immutable
     // epoch dirs it names, so a mutation that commits mid-lookup
-    // cannot break this plan (r16 #1 — no fail-fast window)
-    val m = IndexPolicy.manifestOf(spark, idx)
+    // cannot break this plan (r16 #1 — no fail-fast window). A
+    // SNAPSHOT lookup passes its retained manifest in and reads the
+    // index exactly as of that commit.
+    val m = manifest.getOrElse(IndexPolicy.manifestOf(spark, idx))
     IndexPolicy.checkLayout(m, idx, ndLayout(n, k, bands))
     val ed = IndexPolicy.epochDir(idx, m("data"))
     // read ceiling: the pinned as-of generation, further capped at the

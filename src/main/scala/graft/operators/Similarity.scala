@@ -1075,6 +1075,22 @@ object Similarity {
       nProbe, asOf = Some(gen))
   }
 
+  /** [[ivfQueryIndex]] AS OF a retained manifest SNAPSHOT (the
+    * [[graft.operators.TextAnalysis.bm25QueryIndexSnapshot]] twin):
+    * resolves the immutable `snaps/v-<id>` manifest, so the ranking at
+    * that commit replays bit-identically even across a RETRAIN — the
+    * rewrite that resets the in-place generation timeline
+    * [[ivfQueryIndexAsOf]] pins against. Holds while the snapshot is
+    * retained; expired snapshots fail fast.
+    */
+  def ivfQueryIndexSnapshot(spark: SparkSession, dir: String, idx: String,
+                            snap: Long, nQueries: Int = 8, kNN: Int = 5,
+                            nProbe: Int = 2): DataFrame =
+    ivfQueryIndexVecs(spark, idx,
+      Tables.embeddings(spark, dir).filter(col("vec_id") < nQueries),
+      kNN, nProbe, manifest =
+        Some(IndexPolicy.manifestAtSnapshot(spark, idx, snap)))
+
   /** [[ivfQueryIndex]] with an arbitrary query-set predicate — the
     * recall contracts draw their queries from slices (e.g. the
     * appended vectors) rather than the id prefix.
@@ -1095,13 +1111,17 @@ object Similarity {
     */
   def ivfQueryIndexVecs(spark: SparkSession, idx: String,
                         queries: DataFrame, kNN: Int = 5, nProbe: Int = 2,
-                        asOf: Option[Long] = None): DataFrame = {
+                        asOf: Option[Long] = None,
+                        manifest: Option[IndexPolicy.Manifest] = None)
+      : DataFrame = {
     import spark.implicits._
     // the manifest resolves ONCE: everything this serve reads below is
     // an immutable epoch dir it names — a mutation that commits while
     // the serve is running cannot touch those dirs, so the serve
-    // returns the pre-swing generation instead of failing (r16 #1)
-    val m = IndexPolicy.manifestOf(spark, idx)
+    // returns the pre-swing generation instead of failing (r16 #1). A
+    // SNAPSHOT serve passes its retained manifest in and reads the
+    // index exactly as of that commit.
+    val m = manifest.getOrElse(IndexPolicy.manifestOf(spark, idx))
     IndexPolicy.checkLayout(m, idx, ivfLayoutBase)
     val ed = IndexPolicy.epochDir(idx, m("data"))
     // read ceiling: the pinned as-of generation, capped at the last

@@ -1063,6 +1063,64 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.index.snapshots.keep")
   }
 
+  test("snapshot serves for near-dup and IVF replay bit-identically across compact and retrain") {
+    import graft.operators.{Dedup, IndexPolicy, Similarity}
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-snap-ndivf").toString
+    spark.conf.set("spark.graft.index.snapshots.keep", "10")
+    try {
+      // near-dup: snapshot after a removal, then COMPACT (which folds
+      // the tombstones and resets the in-place timeline) — the
+      // snapshot must still flag exactly the pre-compact pairs
+      val nd = s"$root/nd"
+      Dedup.neardupWriteIndex(spark, Seq(
+        (1L, "a b c d e"), (2L, "x y z w v"), (3L, "p q r s t"))
+        .toDF("doc_id", "text"), nd)
+      val probe = Seq((9L, "a b c d e"), (8L, "x y z w v"))
+        .toDF("doc_id", "text").localCheckpoint()
+      Dedup.neardupRemove(spark, nd, Seq(2L).toDF("doc_id"))
+      val ndSnap = IndexPolicy.snapshotIds(spark, nd).last
+      val ndWant = Dedup.neardupLookup(spark, nd, probe).collect().toSeq
+      assert(ndWant.map(_.getLong(0)).toSet == Set(1L),
+        "fixture: the removal must suppress doc 2's pair")
+      Dedup.neardupCompact(spark, nd)
+      Dedup.neardupCheckIn(spark, nd,
+        Seq((4L, "x y z w v")).toDF("doc_id", "text")).count()
+      // live has moved on (doc 4 now pairs with probe 8)…
+      assert(Dedup.neardupLookup(spark, nd, probe).collect().toSeq
+        != ndWant)
+      // …but the retained snapshot replays the pre-compact state
+      assert(Dedup.neardupLookupSnapshot(spark, nd, ndSnap, probe)
+        .collect().toSeq == ndWant,
+        "nd snapshot lookup drifted across compact")
+      // IVF: snapshot after an append, then RETRAIN (the rewrite that
+      // resets the timeline and re-clusters everything)
+      val iv = s"$root/iv"
+      val vecs = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.ivfWriteIndexVecs(spark,
+        vecs.filter(col("vec_id") % 3 =!= 0), iv)
+      Similarity.ivfAppendVectors(spark, iv,
+        vecs.filter(col("vec_id") % 3 === 0))
+      val ivSnap = IndexPolicy.snapshotIds(spark, iv).last
+      val ivWant = Similarity.ivfQueryIndex(spark, sf, iv)
+        .collect().toSeq
+      Similarity.ivfWriteIndexVecs(spark,
+        vecs.filter(col("vec_id") % 5 =!= 0), iv) // retrain, fewer vecs
+      assert(Similarity.ivfQueryIndex(spark, sf, iv).collect().toSeq
+        != ivWant, "fixture: the retrain must change the serve")
+      assert(Similarity.ivfQueryIndexSnapshot(spark, sf, iv, ivSnap)
+        .collect().toSeq == ivWant,
+        "ivf snapshot serve drifted across retrain")
+      // expiry: keep only the newest, next sweep reclaims, fail fast
+      IndexPolicy.expireSnapshots(spark, iv, 1)
+      Similarity.ivfRemove(spark, iv, Seq(1L).toDF("vec_id"))
+      intercept[IllegalArgumentException](
+        Similarity.ivfQueryIndexSnapshot(spark, sf, iv, ivSnap))
+    } finally spark.conf.unset("spark.graft.index.snapshots.keep")
+  }
+
   test("sweep grace keys on dereference time, not write time: an old epoch a rewrite just dropped survives the window") {
     // r17 ADVICE (medium): with the mtime cutoff, any epoch older
     // than the grace window was reclaimed the instant it became
