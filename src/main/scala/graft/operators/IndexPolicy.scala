@@ -52,7 +52,20 @@ import org.apache.spark.sql.SparkSession
 private[graft] object IndexPolicy {
 
   // ---------------------------------------------------------------
-  // atomic small-file I/O — the ONE mutable object per index
+  // pointer-object store — the ONE mutable surface per index. The
+  // mutable objects (`current`, the `snaps/v-*` log, the writer lease
+  // `wlock`) all go through [[PointerStore]]; the data (epoch/segment
+  // parquet dirs) is immutable and never does. This seam makes the
+  // protocol's object-store claim executable instead of aspirational
+  // (r18): the commit step needs exactly one primitive — conditionally
+  // replace one small object — and stores differ only in how honest
+  // that primitive is. [[FsPointerStore]] (default) has atomic replace
+  // but only APPROXIMATES the conditional part (read-compare + replace
+  // + verify re-read), which is why file stores keep the writer lease;
+  // [[CasPointerStore]] provides the genuinely atomic compare-and-swap
+  // of an object store's conditional PUT (S3 If-Match/If-None-Match,
+  // GCS if-generation-match, a catalog's conditional write) — on such
+  // a store [[publish]] alone is lost-update-safe, lease or no lease.
   // ---------------------------------------------------------------
 
   /** Local filesystem path of an index root, when it has one: bare
@@ -60,7 +73,7 @@ private[graft] object IndexPolicy {
     * latter used to fall through to the Hadoop branch and its weaker
     * replace primitive, so the reads-never-fail contract held only on
     * bare paths). The replace-in-place primitive differs per store;
-    * see [[writeAtomicFile]].
+    * see [[FsPointerStore.put]].
     */
   private def localPathOf(s: String): Option[String] =
     if (s.startsWith("/")) Some(s)
@@ -72,95 +85,293 @@ private[graft] object IndexPolicy {
       catch { case _: IllegalArgumentException => None }
     else None
 
-  /** READ of the one mutable object. Local filesystems (every fixture
-    * and test) go through raw nio so writes and reads agree on the
-    * no-checksum-sidecar representation of [[writeAtomicFile]]'s
-    * atomic replace. Recovery branch (non-local stores, or a manually
-    * restored dir): if the main file is missing but a fully-written
-    * `.{name}_tmp` exists, the VALUE is recovered from the tmp and
-    * the reinstating rename is best-effort only — a read must never
-    * fail because a concurrent reader won the rename race or the
-    * index lives on a read-only snapshot.
+  /** The store one index's pointer objects live in. `dir` is the
+    * directory the object sits in (the index root for `current` and
+    * `wlock`, `<root>/snaps` for the log), `name` the flat object
+    * name. A production object-store deployment implements this trait
+    * over the store's client; tests route an index through
+    * [[CasPointerStore]] with [[CasRootsConf]].
     */
-  private def readAtomicFile(spark: SparkSession, idx: String,
-                             name: String): Option[String] = {
-    localPathOf(idx) match {
-      case Some(local) => return readAtomicLocal(local, name)
-      case None =>
-    }
-    val p = new org.apache.hadoop.fs.Path(s"$idx/$name")
-    val tmp = new org.apache.hadoop.fs.Path(s"$idx/.${name}_tmp")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def readAll(q: org.apache.hadoop.fs.Path): String = {
-      val buf = new Array[Byte](fs.getFileStatus(q).getLen.toInt)
-      val in = fs.open(q)
-      try in.readFully(0L, buf) finally in.close()
-      new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim
-    }
-    if (fs.exists(p)) Some(readAll(p))
-    else if (fs.exists(tmp)) {
-      val v =
-        try readAll(tmp)
-        catch { // lost a recovery race: the winner reinstated p
-          case e: java.io.IOException if fs.exists(p) => readAll(p)
-        }
-      try fs.rename(tmp, p) catch { case _: java.io.IOException => }
-      Some(v)
-    } else None
+  private[graft] sealed trait PointerStore {
+    def get(spark: SparkSession, dir: String, name: String): Option[String]
+    /** Unconditional ATOMIC replace — readers see the complete old or
+      * complete new value, never an absence or a prefix.
+      */
+    def put(spark: SparkSession, dir: String, name: String,
+            value: String): Unit
+    /** CONDITIONAL replace: commit iff the object currently holds
+      * exactly `expected` (None = must not exist) — the pointer-swing
+      * primitive. Genuinely atomic only when [[atomicCas]] is true.
+      */
+    def putIfMatch(spark: SparkSession, dir: String, name: String,
+                   expected: Option[String], value: String): Boolean
+    /** Create-exclusive (the lease acquire): commit iff absent. */
+    def putIfAbsent(spark: SparkSession, dir: String, name: String,
+                    value: String): Boolean
+    def delete(spark: SparkSession, dir: String, name: String): Unit
+    /** Names (flat, under `dir`) starting with `prefix`. */
+    def list(spark: SparkSession, dir: String, prefix: String): Seq[String]
+    /** Drop every pointer object of index `root` except `except` — the
+      * store-side half of [[clearForRebuild]].
+      */
+    def purge(spark: SparkSession, root: String, except: String): Unit
+    /** Whether [[putIfMatch]] is one atomic primitive (an object
+      * store's conditional PUT) rather than the filesystem
+      * read-compare-replace-verify approximation.
+      */
+    def atomicCas: Boolean
   }
 
-  /** Local (nio) half of [[readAtomicFile]]: the replace is one atomic
-    * rename(2), so the main file is the complete old or complete new
-    * value. A leftover COMPLETE tmp with no main file can only be a
-    * crash before the very first publish (or a manual restore) —
-    * recover it; the reinstating move is best-effort (a concurrent
-    * reader may win it, and the value already read stays correct).
+  /** Comma-separated substrings; an index root containing one routes
+    * its pointer objects through [[CasPointerStore]]. Data dirs stay
+    * on the real path — only the mutable pointer surface moves.
     */
-  private def readAtomicLocal(local: String, name: String): Option[String] = {
-    import java.nio.file.{Files, Paths}
-    val p = Paths.get(s"$local/$name")
-    val tmp = Paths.get(s"$local/.${name}_tmp")
-    if (Files.exists(p))
-      Some(new String(Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8).trim)
-    else if (Files.exists(tmp)) {
-      val v = new String(Files.readAllBytes(tmp),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      try Files.move(tmp, p)
-      catch { case _: java.io.IOException => } // lost the race: fine
-      Some(v)
-    } else None
-  }
+  private[graft] val CasRootsConf = "spark.graft.index.cas.roots"
 
-  /** Temp-write + ATOMIC REPLACE — the pointer swing every mutation
-    * commits through. On a local filesystem the replace is one
-    * rename(2) with REPLACE_EXISTING + ATOMIC_MOVE (raw nio, so no
-    * Hadoop checksum sidecar can go stale): a concurrent reader sees
-    * the complete old or complete new value, NEVER an absence — the
-    * reads-never-fail contract holds for readers of the pointer
-    * itself, not just of the epoch dirs (r17 review: the previous
+  private def storeFor(spark: SparkSession, dir: String): PointerStore =
+    if (spark.conf.get(CasRootsConf, "").split(",").map(_.trim)
+        .exists(s => s.nonEmpty && dir.contains(s))) CasPointerStore
+    else FsPointerStore
+
+  private def readAtomicFile(spark: SparkSession, dir: String,
+                             name: String): Option[String] =
+    storeFor(spark, dir).get(spark, dir, name)
+
+  private def writeAtomicFile(spark: SparkSession, dir: String,
+                              name: String, content: String): Unit =
+    storeFor(spark, dir).put(spark, dir, name, content)
+
+  /** Filesystem pointer store — local nio and Hadoop-FS paths.
+    *
+    * READ: local filesystems (every fixture and test) go through raw
+    * nio so writes and reads agree on the no-checksum-sidecar
+    * representation of [[put]]'s atomic replace. Recovery branch
+    * (non-local stores, or a manually restored dir): if the main file
+    * is missing but a fully-written `.{name}_tmp` exists, the VALUE is
+    * recovered from the tmp and the reinstating rename is best-effort
+    * only — a read must never fail because a concurrent reader won the
+    * rename race or the index lives on a read-only snapshot.
+    *
+    * WRITE (the replace primitive under the pointer swing): on a local
+    * filesystem, temp-write + one rename(2) with REPLACE_EXISTING +
+    * ATOMIC_MOVE (raw nio, so no Hadoop checksum sidecar can go
+    * stale) — a concurrent reader sees the complete old or complete
+    * new value, NEVER an absence (r17 review: the previous
     * delete-then-rename had a window where a racing read of `current`
     * threw, and a reader's tmp recovery could abort a committed
     * mutation). On HDFS-like stores the same contract holds via
-    * FileContext.rename(Options.Rename.OVERWRITE) — the atomic
-    * rename2 primitive (r17 verdict #2: the previous fallback kept
-    * delete-then-rename, reopening exactly the window the nio branch
-    * closed). On an object store, one conditional PUT.
+    * FileContext.rename(Options.Rename.OVERWRITE) — the atomic rename2
+    * primitive (r17 verdict #2).
     */
-  private def writeAtomicFile(spark: SparkSession, idx: String,
-                              name: String, content: String): Unit =
-    localPathOf(idx) match {
-      case Some(local) =>
-        import java.nio.file.{Files, Paths, StandardCopyOption}
-        Files.createDirectories(Paths.get(local))
-        val tmp = Paths.get(s"$local/.${name}_tmp")
-        Files.write(tmp,
-          content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        Files.move(tmp, Paths.get(s"$local/$name"),
-          StandardCopyOption.REPLACE_EXISTING,
-          StandardCopyOption.ATOMIC_MOVE)
-      case None => writeAtomicHadoop(spark, idx, name, content)
+  private[graft] object FsPointerStore extends PointerStore {
+    def atomicCas: Boolean = false
+
+    def get(spark: SparkSession, dir: String,
+            name: String): Option[String] = {
+      localPathOf(dir) match {
+        case Some(local) => return getLocal(local, name)
+        case None =>
+      }
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/.${name}_tmp")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def readAll(q: org.apache.hadoop.fs.Path): String = {
+        val buf = new Array[Byte](fs.getFileStatus(q).getLen.toInt)
+        val in = fs.open(q)
+        try in.readFully(0L, buf) finally in.close()
+        new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim
+      }
+      if (fs.exists(p)) Some(readAll(p))
+      else if (fs.exists(tmp)) {
+        val v =
+          try readAll(tmp)
+          catch { // lost a recovery race: the winner reinstated p
+            case e: java.io.IOException if fs.exists(p) => readAll(p)
+          }
+        try fs.rename(tmp, p) catch { case _: java.io.IOException => }
+        Some(v)
+      } else None
     }
+
+    /** Local (nio) half of [[get]]: the replace is one atomic
+      * rename(2), so the main file is the complete old or complete new
+      * value. A leftover COMPLETE tmp with no main file can only be a
+      * crash before the very first publish (or a manual restore) —
+      * recover it; the reinstating move is best-effort (a concurrent
+      * reader may win it, and the value already read stays correct).
+      */
+    private def getLocal(local: String, name: String): Option[String] = {
+      import java.nio.file.{Files, Paths}
+      val p = Paths.get(s"$local/$name")
+      val tmp = Paths.get(s"$local/.${name}_tmp")
+      if (Files.exists(p))
+        Some(new String(Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+      else if (Files.exists(tmp)) {
+        val v = new String(Files.readAllBytes(tmp),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        try Files.move(tmp, p)
+        catch { case _: java.io.IOException => } // lost the race: fine
+        Some(v)
+      } else None
+    }
+
+    def put(spark: SparkSession, dir: String, name: String,
+            value: String): Unit =
+      localPathOf(dir) match {
+        case Some(local) =>
+          import java.nio.file.{Files, Paths, StandardCopyOption}
+          Files.createDirectories(Paths.get(local))
+          val tmp = Paths.get(s"$local/.${name}_tmp")
+          Files.write(tmp,
+            value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          Files.move(tmp, Paths.get(s"$local/$name"),
+            StandardCopyOption.REPLACE_EXISTING,
+            StandardCopyOption.ATOMIC_MOVE)
+        case None => writeAtomicHadoop(spark, dir, name, value)
+      }
+
+    /** APPROXIMATE — a filesystem has no native conditional replace:
+      * re-read + compare, atomic replace, verify re-read. The residual
+      * read→write window is exactly why file stores keep the writer
+      * lease; the verify turns the pathological overlapping-writer
+      * interleaving into a loud loser instead of a silent lost update.
+      */
+    def putIfMatch(spark: SparkSession, dir: String, name: String,
+                   expected: Option[String], value: String): Boolean =
+      if (get(spark, dir, name) != expected) false
+      else {
+        put(spark, dir, name, value)
+        get(spark, dir, name).contains(value)
+      }
+
+    def putIfAbsent(spark: SparkSession, dir: String, name: String,
+                    value: String): Boolean =
+      localPathOf(dir) match {
+        case Some(local) =>
+          import java.nio.file.{Files, Paths}
+          try {
+            Files.createDirectories(Paths.get(local))
+            Files.write(Paths.get(s"$local/$name"),
+              value.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        case None =>
+          val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          try {
+            val out = fs.create(p, false)
+            try out.write(
+              value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+            true
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+            case _: java.io.IOException => false
+          }
+      }
+
+    def delete(spark: SparkSession, dir: String, name: String): Unit =
+      localPathOf(dir) match {
+        case Some(local) =>
+          java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(s"$local/$name"))
+          ()
+        case None =>
+          val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, false)
+          ()
+      }
+
+    def list(spark: SparkSession, dir: String,
+             prefix: String): Seq[String] =
+      localPathOf(dir) match {
+        case Some(local) =>
+          val d = new java.io.File(local)
+          if (!d.isDirectory) Seq.empty
+          else d.list().toSeq.filter(_.startsWith(prefix))
+        case None =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(p)) Seq.empty
+          else fs.listStatus(p).map(_.getPath.getName).toSeq
+            .filter(_.startsWith(prefix))
+      }
+
+    /** No-op: filesystem pointer objects live under the index dir
+      * itself, so [[clearForRebuild]]'s directory delete removes them.
+      */
+    def purge(spark: SparkSession, root: String, except: String): Unit = ()
+  }
+
+  /** In-JVM conditional-PUT store — the object-store commit primitive,
+    * modeled honestly so specs can prove the protocol against it:
+    * every mutation of a pointer object is ONE atomic compare-and-swap
+    * (`ConcurrentHashMap.replace/putIfAbsent`), exactly the
+    * If-Match / if-generation-match contract of S3-class stores. Data
+    * dirs stay real parquet on the real path; only the pointer objects
+    * move into the store (the spec asserts `current` never exists on
+    * disk for a CAS-routed index while its epoch dirs do). There is no
+    * tmp file, no recovery branch, and no rename anywhere — a
+    * conditional PUT either lands whole or not at all, which is the
+    * protocol's entire atomicity requirement.
+    */
+  private[graft] object CasPointerStore extends PointerStore {
+    private val objects =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+    private def key(dir: String, name: String) = s"$dir/$name"
+
+    def atomicCas: Boolean = true
+
+    def get(spark: SparkSession, dir: String,
+            name: String): Option[String] =
+      Option(objects.get(key(dir, name)))
+
+    def put(spark: SparkSession, dir: String, name: String,
+            value: String): Unit = {
+      objects.put(key(dir, name), value)
+      ()
+    }
+
+    def putIfMatch(spark: SparkSession, dir: String, name: String,
+                   expected: Option[String], value: String): Boolean =
+      expected match {
+        case Some(e) => objects.replace(key(dir, name), e, value)
+        case None => objects.putIfAbsent(key(dir, name), value) == null
+      }
+
+    def putIfAbsent(spark: SparkSession, dir: String, name: String,
+                    value: String): Boolean =
+      objects.putIfAbsent(key(dir, name), value) == null
+
+    def delete(spark: SparkSession, dir: String, name: String): Unit = {
+      objects.remove(key(dir, name))
+      ()
+    }
+
+    def list(spark: SparkSession, dir: String,
+             prefix: String): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val under = s"$dir/"
+      objects.keySet.asScala.toSeq.collect {
+        case k if k.startsWith(under) &&
+          !k.drop(under.length).contains("/") &&
+          k.drop(under.length).startsWith(prefix) => k.drop(under.length)
+      }
+    }
+
+    def purge(spark: SparkSession, root: String, except: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val under = s"$root/"
+      objects.keySet.asScala.toSeq.foreach { k =>
+        if (k.startsWith(under) && k != s"$root/$except") objects.remove(k)
+      }
+    }
+  }
 
   /** Hadoop-store half of [[writeAtomicFile]], separated so the
     * OVERWRITE-rename mechanics stay unit-testable even though every
@@ -225,11 +436,13 @@ private[graft] object IndexPolicy {
 
   private val ManifestName = "current"
 
+  private def parseManifest(s: String): Manifest =
+    s.split("\n").map(_.trim).filter(_.nonEmpty).map(_.split("=", 2))
+      .collect { case Array(k, v) => k -> v }.toMap
+
   private[graft] def readManifest(spark: SparkSession,
                                   idx: String): Option[Manifest] =
-    readAtomicFile(spark, idx, ManifestName).map(_.split("\n")
-      .map(_.trim).filter(_.nonEmpty).map(_.split("=", 2))
-      .collect { case Array(k, v) => k -> v }.toMap)
+    readAtomicFile(spark, idx, ManifestName).map(parseManifest)
 
   /** The committed state of an index — fails only when the dir has no
     * manifest at all (a build that crashed before its publish, or a
@@ -285,8 +498,10 @@ private[graft] object IndexPolicy {
   private[graft] def publish(spark: SparkSession, idx: String,
                              m: Manifest): Manifest = {
     crashPoint(spark, idx, "before-swing")
+    val store = storeFor(spark, idx)
+    val curSer = store.get(spark, idx, ManifestName)
     val expected = versionOf(m)
-    val cur = readManifest(spark, idx).flatMap(versionOf)
+    val cur = curSer.map(parseManifest).flatMap(versionOf)
     if (cur != expected)
       throw new java.util.ConcurrentModificationException(
         s"$idx: manifest version moved underneath this mutation (read " +
@@ -298,18 +513,21 @@ private[graft] object IndexPolicy {
     val m2 = m + (VersionKey -> v.toString)
     val ser = m2.toSeq.sortBy(_._1)
       .map { case (k, x) => s"$k=$x" }.mkString("\n")
-    writeAtomicFile(spark, idx, ManifestName, ser)
-    // verify-after-swing: the read-then-write above is not atomic, so
-    // in the pathological double-lease-break interleaving two writers
-    // can both pass the version check — the RE-READ detects the one
-    // whose swing was overwritten and fails it LOUDLY (its data is
-    // already superseded, never silently merged). Under healthy lease
-    // discipline this read always sees our own write.
-    if (!readAtomicFile(spark, idx, ManifestName).contains(ser))
+    // THE swing: one conditional replace of the pointer, expected =
+    // the exact serialization this mutation read. On a CAS store that
+    // is one genuinely atomic conditional PUT — publish alone is
+    // lost-update-safe, lease or no lease. On a filesystem the store
+    // approximates it (replace + verify re-read): in the pathological
+    // double-lease-break interleaving two writers can both pass the
+    // version check above, and the verify detects the one whose swing
+    // was overwritten and fails it LOUDLY (its data is already
+    // superseded, never silently merged). Under healthy lease
+    // discipline the filesystem verify always sees our own write.
+    if (!store.putIfMatch(spark, idx, ManifestName, curSer, ser))
       throw new java.util.ConcurrentModificationException(
-        s"$idx: another writer's swing overwrote this commit (version " +
-          s"$v) — overlapping leases; this mutation is LOST and must be " +
-          "retried; check writer scheduling")
+        s"$idx: another writer committed between this mutation's read " +
+          s"and its swing (version $v refused) — this mutation is LOST " +
+          "and must be retried; check writer scheduling")
     val keep = spark.conf.get(SnapKeepConf, "0").toInt
     if (keep > 0) {
       writeAtomicFile(spark, s"$idx/snaps", s"v-$v", ser)
@@ -339,17 +557,12 @@ private[graft] object IndexPolicy {
 
   private def snapDir(idx: String) = s"$idx/snaps"
 
-  /** Retained snapshot versions, ascending. One directory listing of
-    * small text files.
+  /** Retained snapshot versions, ascending. One listing of small
+    * pointer objects.
     */
-  def snapshotIds(spark: SparkSession, idx: String): Seq[Long] = {
-    val d = new org.apache.hadoop.fs.Path(snapDir(idx))
-    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(d)) Seq.empty
-    else fs.listStatus(d).map(_.getPath.getName)
-      .collect { case n if n.startsWith("v-") => n.drop(2).toLong }
-      .toSeq.sorted
-  }
+  def snapshotIds(spark: SparkSession, idx: String): Seq[Long] =
+    storeFor(spark, idx).list(spark, snapDir(idx), "v-")
+      .map(_.drop(2).toLong).sorted
 
   /** The committed manifest AS OF snapshot `v` — the time-travel read:
     * resolve serves through this instead of [[manifestOf]] and the
@@ -360,8 +573,7 @@ private[graft] object IndexPolicy {
   def manifestAtSnapshot(spark: SparkSession, idx: String,
                          v: Long): Manifest =
     readAtomicFile(spark, snapDir(idx), s"v-$v")
-      .map(_.split("\n").map(_.trim).filter(_.nonEmpty).map(_.split("=", 2))
-        .collect { case Array(k, x) => k -> x }.toMap)
+      .map(parseManifest)
       .getOrElse(throw new IllegalArgumentException(
         s"$idx has no retained snapshot v-$v — it expired or the index " +
           s"was never published with $SnapKeepConf > 0; retained: " +
@@ -375,14 +587,8 @@ private[graft] object IndexPolicy {
   def expireSnapshots(spark: SparkSession, idx: String, keep: Int): Unit = {
     val ids = snapshotIds(spark, idx)
     val drop = ids.dropRight(keep)
-    if (drop.nonEmpty) {
-      val fs = new org.apache.hadoop.fs.Path(snapDir(idx))
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      drop.foreach { v =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"${snapDir(idx)}/v-$v"),
-          false)
-      }
-    }
+    val store = storeFor(spark, idx)
+    drop.foreach(v => store.delete(spark, snapDir(idx), s"v-$v"))
   }
 
   // ---------------------------------------------------------------
@@ -402,61 +608,13 @@ private[graft] object IndexPolicy {
 
   private def tryCreateLock(spark: SparkSession, idx: String,
                             content: String): Boolean =
-    localPathOf(idx) match {
-      case Some(local) =>
-        import java.nio.file.{Files, Paths}
-        try {
-          Files.createDirectories(Paths.get(local))
-          Files.write(Paths.get(s"$local/$LockName"),
-            content.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-            java.nio.file.StandardOpenOption.CREATE_NEW)
-          true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      case None =>
-        val p = new org.apache.hadoop.fs.Path(s"$idx/$LockName")
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        try {
-          val out = fs.create(p, false)
-          try out.write(
-            content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-          true
-        } catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case _: java.io.IOException => false
-        }
-    }
+    storeFor(spark, idx).putIfAbsent(spark, idx, LockName, content)
 
   private def readLock(spark: SparkSession, idx: String): Option[String] =
-    localPathOf(idx) match {
-      case Some(local) =>
-        val p = java.nio.file.Paths.get(s"$local/$LockName")
-        try Some(new String(java.nio.file.Files.readAllBytes(p),
-          java.nio.charset.StandardCharsets.UTF_8))
-        catch { case _: java.io.IOException => None }
-      case None =>
-        val p = new org.apache.hadoop.fs.Path(s"$idx/$LockName")
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        try {
-          val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-          val in = fs.open(p)
-          try in.readFully(0L, buf) finally in.close()
-          Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
-        } catch { case _: java.io.IOException => None }
-    }
+    storeFor(spark, idx).get(spark, idx, LockName)
 
   private def deleteLock(spark: SparkSession, idx: String): Unit =
-    localPathOf(idx) match {
-      case Some(local) =>
-        java.nio.file.Files.deleteIfExists(
-          java.nio.file.Paths.get(s"$local/$LockName"))
-        ()
-      case None =>
-        val p = new org.apache.hadoop.fs.Path(s"$idx/$LockName")
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, false)
-        ()
-    }
+    storeFor(spark, idx).delete(spark, idx, LockName)
 
   /** Acquire the writer lease: spin (50 ms) until create-exclusive
     * wins, breaking a lock whose timestamp is older than the lease
@@ -526,6 +684,10 @@ private[graft] object IndexPolicy {
         require(fs.delete(st.getPath, true),
           s"clearForRebuild: could not delete ${st.getPath}")
     }
+    // store-side half: pointer objects that don't live under the index
+    // dir (the CAS store's manifest/snapshots) go too — except the
+    // lease the calling mutation holds
+    storeFor(spark, idx).purge(spark, idx, LockName)
   }
 
   // ---------------------------------------------------------------

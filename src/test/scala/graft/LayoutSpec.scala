@@ -1397,4 +1397,145 @@ class LayoutSpec extends SparkSpec {
     assert(after < before / 8, s"compaction barely reduced files: $after")
     assert(spark.read.parquet(out).count() == want, "row count changed")
   }
+
+  test("the pointer protocol runs end-to-end on a conditional-PUT object store") {
+    // r18: the seam that makes the object-store claim executable —
+    // an index root routed through CasPointerStore keeps its mutable
+    // pointer objects (current, snaps/v-*, wlock) in the store, its
+    // immutable parquet epochs on disk, and every lifecycle op +
+    // snapshot time travel behaves exactly as on the filesystem store
+    import graft.operators.{Dedup, IndexPolicy}
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cas-store").toString
+    val fsRoot = java.nio.file.Files
+      .createTempDirectory("graft-cas-fstwin").toString
+    spark.conf.set(IndexPolicy.CasRootsConf, root)
+    spark.conf.set("spark.graft.index.snapshots.keep", "10")
+    try {
+      val cas = s"$root/idx"
+      val fsIdx = s"$fsRoot/idx"
+      val docs = Seq((1L, "a b c d e"), (2L, "x y z w v"),
+        (3L, "p q r s t")).toDF("doc_id", "text")
+      val probe = Seq((9L, "a b c d e"), (8L, "x y z w v"))
+        .toDF("doc_id", "text").localCheckpoint()
+      for (idx <- Seq(cas, fsIdx)) {
+        Dedup.neardupWriteIndex(spark, docs, idx)
+        Dedup.neardupCheckIn(spark, idx,
+          Seq((4L, "m n o u k")).toDF("doc_id", "text")).count()
+        Dedup.neardupRemove(spark, idx, Seq(2L).toDF("doc_id"))
+      }
+      // identical serves through both stores, live and as-of
+      val want = Dedup.neardupLookup(spark, cas, probe).collect().toSeq
+      assert(want == Dedup.neardupLookup(spark, fsIdx, probe)
+        .collect().toSeq, "CAS-store serve drifted from the FS twin")
+      assert(want.map(_.getLong(0)).toSet == Set(1L),
+        "fixture: the removal must suppress doc 2's pair")
+      assert(Dedup.neardupLookupAsOf(spark, cas, probe, 0L)
+        .collect().toSeq ==
+        Dedup.neardupLookupAsOf(spark, fsIdx, probe, 0L).collect().toSeq,
+        "CAS-store as-of drifted from the FS twin")
+      // the mutable surface lives in the STORE, never on disk…
+      for (leak <- Seq("current", "wlock", "snaps"))
+        assert(!new java.io.File(s"$cas/$leak").exists,
+          s"pointer object '$leak' leaked to disk on a CAS root")
+      // …while the immutable epochs are real parquet on the real path
+      val ep = new java.io.File(s"$cas/ep")
+      assert(ep.isDirectory && ep.list().nonEmpty, "no epoch dirs on disk")
+      // snapshot time travel through the store: hold S, COMPACT (the
+      // rewrite in-place generations cannot survive), mutate further —
+      // the retained snapshot replays bit-identically
+      val snap = IndexPolicy.snapshotIds(spark, cas).last
+      Dedup.neardupCompact(spark, cas)
+      Dedup.neardupCheckIn(spark, cas,
+        Seq((5L, "x y z w v")).toDF("doc_id", "text")).count()
+      assert(Dedup.neardupLookup(spark, cas, probe).collect().toSeq
+        != want, "fixture: the post-compact check-in must move the live serve")
+      assert(Dedup.neardupLookupSnapshot(spark, cas, snap, probe)
+        .collect().toSeq == want,
+        "CAS-store snapshot lookup drifted across compact")
+      // expiry through the store: retention drops S, the read fails fast
+      IndexPolicy.expireSnapshots(spark, cas, 1)
+      intercept[IllegalArgumentException](
+        Dedup.neardupLookupSnapshot(spark, cas, snap, probe))
+    } finally {
+      spark.conf.unset(IndexPolicy.CasRootsConf)
+      spark.conf.unset("spark.graft.index.snapshots.keep")
+    }
+  }
+
+  test("conditional-PUT swing with NO lease: concurrent publishes award each version exactly once, zero lost updates") {
+    // the property the primitive buys: on a CAS store, publish alone
+    // is lost-update-safe — four threads hammer publish directly
+    // (bypassing the writer lease entirely), losers retry on the loud
+    // ConcurrentModificationException, and every successful swing owns
+    // a distinct contiguous version. On the filesystem approximation
+    // this would be the double-lease-break hole; here it is closed by
+    // the store's compare-and-swap itself.
+    import graft.operators.{Dedup, IndexPolicy}
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cas-race").toString
+    spark.conf.set(IndexPolicy.CasRootsConf, root)
+    try {
+      val idx = s"$root/idx"
+      Dedup.neardupWriteIndex(spark,
+        Seq((1L, "a b c d e")).toDF("doc_id", "text"), idx)
+      val v0 = IndexPolicy.versionOf(IndexPolicy.manifestOf(spark, idx)).get
+      val perThread = 40
+      val won = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 4).map(t => new Thread(() =>
+        try {
+          var i = 0
+          while (i < perThread) {
+            val m = IndexPolicy.manifestOf(spark, idx)
+            try {
+              val m2 = IndexPolicy.publish(spark, idx,
+                m + (s"w$t" -> i.toString))
+              won.add(IndexPolicy.versionOf(m2).get)
+              i += 1
+            } catch { // loser: re-read and retry, the contract
+              case _: java.util.ConcurrentModificationException =>
+            }
+          }
+        } catch { case e: Throwable => errs.add(e) }))
+      threads.foreach(_.start())
+      threads.foreach(_.join(300000))
+      assert(threads.forall(!_.isAlive), "a publisher thread hung")
+      assert(errs.isEmpty, s"unexpected: ${errs.toArray.mkString("; ")}")
+      val versions = won.toArray(Array.empty[java.lang.Long])
+        .map(_.longValue).sorted.toList
+      assert(versions == (v0 + 1 to v0 + 4L * perThread).toList,
+        s"version ownership broke (lost or doubled swing): $versions")
+      assert(IndexPolicy.versionOf(IndexPolicy.manifestOf(spark, idx))
+        .contains(v0 + 4L * perThread), "final version drifted")
+    } finally spark.conf.unset(IndexPolicy.CasRootsConf)
+  }
+
+  test("CAS pointer-store primitives: putIfAbsent, putIfMatch, list, purge") {
+    import graft.operators.IndexPolicy.{CasPointerStore => S}
+    val d = s"/cas-prim-${java.util.UUID.randomUUID()}"
+    assert(S.get(spark, d, "current").isEmpty)
+    assert(S.putIfAbsent(spark, d, "current", "v=0"))
+    assert(!S.putIfAbsent(spark, d, "current", "v=X"), "create-exclusive lost")
+    assert(!S.putIfMatch(spark, d, "current", Some("v=9"), "v=1"),
+      "if-match must refuse a stale expectation")
+    assert(!S.putIfMatch(spark, d, "current", None, "v=1"),
+      "if-none-match must refuse an existing object")
+    assert(S.putIfMatch(spark, d, "current", Some("v=0"), "v=1"))
+    assert(S.get(spark, d, "current").contains("v=1"))
+    S.put(spark, s"$d/snaps", "v-1", "s")
+    S.put(spark, s"$d/snaps", "v-2", "s")
+    assert(S.list(spark, s"$d/snaps", "v-").sorted == Seq("v-1", "v-2"))
+    assert(S.list(spark, d, "").sorted == Seq("current"),
+      "list must not descend into snaps/")
+    S.putIfAbsent(spark, d, "wlock", "me")
+    S.purge(spark, d, "wlock")
+    assert(S.get(spark, d, "current").isEmpty &&
+      S.list(spark, s"$d/snaps", "v-").isEmpty &&
+      S.get(spark, d, "wlock").contains("me"),
+      "purge must drop everything except the held lease")
+    S.delete(spark, d, "wlock")
+  }
 }
