@@ -44,6 +44,7 @@ object SparkEntry {
     "maintain_estate", "manifest_pinned", "manifest_replay",
     "recovery_drill", "train_read",
     "bm25_snapshot_asof", "estate_crash_drill",
+    "neardup_snapshot_asof", "ivf_snapshot_asof",
     "mm_ivf_lifecycle", "audio_ivf_lifecycle",
     // r13: edges via driver-orchestrated distributed rank selection
     "histogram_equidepth")
@@ -248,6 +249,8 @@ object SparkEntry {
     "train_read" -> ((s, d) => Curation.trainRead(s, d)),
     "bm25_snapshot_asof" -> ((s, d) => TextAnalysis.bm25SnapshotAsOf(s, d)),
     "estate_crash_drill" -> ((s, d) => Curation.estateCrashDrill(s, d)),
+    "neardup_snapshot_asof" -> ((s, d) => Dedup.neardupSnapshotAsOf(s, d)),
+    "ivf_snapshot_asof" -> ((s, d) => Similarity.ivfSnapshotAsOf(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashPairsMd5(s, d)),
     "dedup_blocks"  -> ((s, d) => Dedup.blockDedup(s, d)),
@@ -3651,6 +3654,24 @@ object SparkEntry {
     // ranking bit-identically across a history-destroying rewrite;
     // expiry lets the next sweep reclaim what only it referenced
     "bm25_snapshot_asof" ->
+      """SELECT unnest([
+        |  'snap_expired_fails_fast', 'snap_expiry_reclaims_dirs',
+        |  'snap_live_moved_on', 'snap_retained_replays_after_rewrite',
+        |  'snap_rewrite_kills_inplace_asof']) AS metric,
+        |  TRUE AS ok
+        |ORDER BY metric""".stripMargin,
+    // the near-dup and IVF twins of the same snapshot-log contract:
+    // a retained snapshot replays flagged pairs / rankings
+    // bit-identically across the family's history-destroying rewrite
+    // (compact / retrain), and expiry lets the next sweep reclaim it
+    "neardup_snapshot_asof" ->
+      """SELECT unnest([
+        |  'snap_expired_fails_fast', 'snap_expiry_reclaims_dirs',
+        |  'snap_live_moved_on', 'snap_retained_replays_after_rewrite',
+        |  'snap_rewrite_kills_inplace_asof']) AS metric,
+        |  TRUE AS ok
+        |ORDER BY metric""".stripMargin,
+    "ivf_snapshot_asof" ->
       """SELECT unnest([
         |  'snap_expired_fails_fast', 'snap_expiry_reclaims_dirs',
         |  'snap_live_moved_on', 'snap_retained_replays_after_rewrite',

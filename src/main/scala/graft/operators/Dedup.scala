@@ -1076,6 +1076,108 @@ object Dedup {
       docs.filter(pmod(col("doc_id"), lit(4)) === 1), minJ, capBucket = 1)
   }
 
+  /** SNAPSHOT TIME TRAVEL for the near-dup family (r18 — the
+    * [[graft.operators.TextAnalysis.bm25SnapshotAsOf]] twin,
+    * driver-gated; spec-level since r17's close): on a copy of the
+    * pristine base with snapshot retention on, (1) REMOVE doc_id ≡ 0
+    * (mod 8) and hold the committed snapshot S plus the flagged pairs
+    * of a probe of re-tagged copies (doc_id ≡ 2 mod 8, ids
+    * +2000000 — guaranteed J=1 twins of their originals); (2)
+    * COMPACT — the fold that resets the in-place generation timeline
+    * (pinned: the interior as-of now fails fast); (3) CHECK IN fresh
+    * copies of a probe subset (≡ 2 mod 32, ids +3000000), so the live
+    * lookup provably moves on while lookup-as-of-S replays the
+    * captured pairs BIT-IDENTICALLY; (4) expire S and mutate again —
+    * the sweep reclaims the dirs only S referenced (non-vacuously:
+    * the pre-compact data + tombstones epochs) and the snapshot read
+    * fails fast. Contract rows (metric, ok), oracle-pinned TRUE;
+    * empty corpus emits no rows.
+    *
+    * Fixture economics: the snapshotted state is built once per JVM
+    * per corpus dir and copied per invocation — the row times copy +
+    * fold + one small check-in + three delta lookups, never a
+    * corpus-scale ingest; the shared pristine base builds OUTSIDE the
+    * retention window (a baked-in snapshot would pin every copying
+    * fixture's epochs against every sweep).
+    */
+  private val ndSnapBaseCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Long, Seq[org.apache.spark.sql.Row])]()
+
+  def neardupSnapshotAsOf(spark: SparkSession, dir: String,
+                          minJ: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    if (docs.isEmpty)
+      return Seq.empty[(String, Boolean)].toDF("metric", "ok")
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val vb = pristineBase(spark, dir, docs)
+    // probe = re-tagged copies of doc_id ≡ 2 (mod 16) — a delta-sized
+    // slice (31 docs at sf0.001) whose members all have J=1 twins in
+    // the base; ⊇ the ≡ 2 (mod 32) check-in slice, so the admitted
+    // copies provably intersect the probe's pairs
+    def probe = docs.filter(pmod(col("doc_id"), lit(16)) === 2)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    val priorKeep = spark.conf.getOption(IndexPolicy.SnapKeepConf)
+    spark.conf.set(IndexPolicy.SnapKeepConf, "10")
+    try {
+      val (base, snap, want) = ndSnapBaseCache.computeIfAbsent(dir, _ => {
+        val p = s"/tmp/graft_nd_snapbase_${scratchToken}_$tag"
+        TextAnalysis.copyIndex(spark, vb, p)
+        neardupRemove(spark, p, docs
+          .filter(pmod(col("doc_id"), lit(8)) === 0).select(col("doc_id")))
+        val s = IndexPolicy.snapshotIds(spark, p).last
+        (p, s, neardupLookup(spark, p, probe, minJ).collect().toSeq)
+      })
+      val idx = s"/tmp/graft_nd_snap_${scratchToken}_$tag"
+      TextAnalysis.copyIndex(spark, base, idx)
+      val epPat = IndexPolicy.EpochPat
+      val snapToks = epPat.findAllIn(IndexPolicy
+        .manifestAtSnapshot(spark, idx, snap).toSeq
+        .map { case (k, v) => s"$k=$v" }.mkString("\n")).toSet
+      neardupCompact(spark, idx)
+      // the fold really destroyed the in-place timeline…
+      rows += ("snap_rewrite_kills_inplace_asof" ->
+        (try { neardupLookupAsOf(spark, idx, probe, 1L, minJ); false }
+         catch { case _: IllegalArgumentException => true }))
+      // …and a further mutation moves the live lookup on (the admitted
+      // copies are J=1 twins of probe members) while S must replay
+      neardupCheckIn(spark, idx,
+        docs.filter(pmod(col("doc_id"), lit(32)) === 2)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")),
+        minJ).count()
+      rows += ("snap_retained_replays_after_rewrite" ->
+        (neardupLookupSnapshot(spark, idx, snap, probe, minJ)
+          .collect().toSeq == want))
+      rows += ("snap_live_moved_on" ->
+        (neardupLookup(spark, idx, probe, minJ).collect().toSeq != want))
+      // expiry: the NEXT sweep reclaims what only S referenced, and
+      // the snapshot read fails fast
+      IndexPolicy.expireSnapshots(spark, idx, 1)
+      neardupRemove(spark, idx, docs
+        .filter(pmod(col("doc_id"), lit(32)) === 4).select(col("doc_id")))
+      rows += ("snap_expired_fails_fast" ->
+        (try { neardupLookupSnapshot(spark, idx, snap, probe, minJ); false }
+         catch { case _: IllegalArgumentException => true }))
+      val liveRefs = epPat.findAllIn((IndexPolicy.manifestOf(spark, idx)
+        .toSeq.map { case (k, v) => s"$k=$v" } ++
+        IndexPolicy.snapshotIds(spark, idx).map(v => IndexPolicy
+          .manifestAtSnapshot(spark, idx, v).toSeq
+          .map { case (k, x) => s"$k=$x" }.mkString("\n")))
+        .mkString("\n")).toSet
+      val deadToks = snapToks -- liveRefs
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      rows += ("snap_expiry_reclaims_dirs" -> (deadToks.nonEmpty &&
+        deadToks.forall(t => !fs.exists(
+          new org.apache.hadoop.fs.Path(IndexPolicy.epochDir(idx, t))))))
+    } finally priorKeep match {
+      case Some(v) => spark.conf.set(IndexPolicy.SnapKeepConf, v)
+      case None => spark.conf.unset(IndexPolicy.SnapKeepConf)
+    }
+    rows.toSeq.toDF("metric", "ok").orderBy("metric")
+  }
+
   /** Duplicate-cluster assignment: connected components over the
     * near-dup pair graph (edges = [[ngramJaccard]] pairs with J ≥
     * minJ), so each document maps to a canonical keeper (the minimum

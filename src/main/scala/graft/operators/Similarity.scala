@@ -1327,6 +1327,107 @@ object Similarity {
     ivfQueryIndex(spark, dir, idx, nQueries, kNN, nProbe)
   }
 
+  /** SNAPSHOT TIME TRAVEL for the IVF family (r18 — the
+    * [[graft.operators.TextAnalysis.bm25SnapshotAsOf]] twin,
+    * driver-gated; spec-level since r17's close): on a copy of the
+    * serve index with snapshot retention on, (1) APPEND exact
+    * duplicates of the query vectors under fresh ids (+2000000 —
+    * guaranteed cosine-1 rank hits in every query's top-k) and hold
+    * the committed snapshot S plus the served ranking; (2) RETRAIN
+    * over the plain corpus — the rewrite that resets the in-place
+    * generation timeline (pinned: the interior as-of now fails fast)
+    * and drops the duplicates, so the live serve provably moves on
+    * while serve-as-of-S replays the captured ranking BIT-IDENTICALLY
+    * from the retained pre-retrain epoch; (3) expire S and mutate
+    * again — the sweep reclaims the dirs only S referenced
+    * (non-vacuously: the pre-retrain data epoch) and the snapshot
+    * read fails fast. Contract rows (metric, ok), oracle-pinned TRUE;
+    * empty corpus emits no rows.
+    *
+    * Fixture economics: the snapshotted state is built once per JVM
+    * per corpus dir and copied per invocation — the row times copy +
+    * retrain + three serves + one tiny removal; the shared serve base
+    * builds OUTSIDE the retention window (a baked-in snapshot would
+    * pin every copying fixture's epochs against every sweep).
+    */
+  private val ivfSnapBaseCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Long, Seq[org.apache.spark.sql.Row])]()
+
+  def ivfSnapshotAsOf(spark: SparkSession, dir: String,
+                      nQueries: Int = 8, kNN: Int = 5,
+                      nProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    if (all.isEmpty)
+      return Seq.empty[(String, Boolean)].toDF("metric", "ok")
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val vb = serveIdx(spark, dir)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    val priorKeep = spark.conf.getOption(IndexPolicy.SnapKeepConf)
+    spark.conf.set(IndexPolicy.SnapKeepConf, "10")
+    try {
+      val (base, snap, want) = ivfSnapBaseCache.computeIfAbsent(dir, _ => {
+        val p = s"/tmp/graft_ivf_snapbase_${scratchToken}_$tag"
+        graft.operators.TextAnalysis.copyIndex(spark, vb, p)
+        ivfAppendVectors(spark, p,
+          all.filter(col("vec_id") < nQueries)
+            .select((col("vec_id") + 2000000L).as("vec_id"),
+              col("embedding")))
+        val s = IndexPolicy.snapshotIds(spark, p).last
+        (p, s,
+          ivfQueryIndex(spark, dir, p, nQueries, kNN, nProbe)
+            .collect().toSeq)
+      })
+      val idx = s"/tmp/graft_ivf_snap_${scratchToken}_$tag"
+      graft.operators.TextAnalysis.copyIndex(spark, base, idx)
+      val epPat = IndexPolicy.EpochPat
+      val snapToks = epPat.findAllIn(IndexPolicy
+        .manifestAtSnapshot(spark, idx, snap).toSeq
+        .map { case (k, v) => s"$k=$v" }.mkString("\n")).toSet
+      ivfWriteIndexVecs(spark, all, idx)
+      // the retrain really destroyed the in-place timeline…
+      rows += ("snap_rewrite_kills_inplace_asof" ->
+        (try { ivfQueryIndexAsOf(spark, dir, idx, 1L, nQueries, kNN,
+          nProbe); false }
+         catch { case _: IllegalArgumentException => true }))
+      // …and dropped the appended duplicates from the live serve,
+      // while S must replay them at their cosine-1 ranks
+      rows += ("snap_retained_replays_after_rewrite" ->
+        (ivfQueryIndexSnapshot(spark, dir, idx, snap, nQueries, kNN,
+          nProbe).collect().toSeq == want))
+      rows += ("snap_live_moved_on" ->
+        (ivfQueryIndex(spark, dir, idx, nQueries, kNN, nProbe)
+          .collect().toSeq != want))
+      // expiry: the NEXT sweep reclaims what only S referenced, and
+      // the snapshot read fails fast
+      IndexPolicy.expireSnapshots(spark, idx, 1)
+      ivfRemove(spark, idx,
+        all.filter(pmod(col("vec_id"), lit(97)) === 3)
+          .select(col("vec_id")))
+      rows += ("snap_expired_fails_fast" ->
+        (try { ivfQueryIndexSnapshot(spark, dir, idx, snap, nQueries,
+          kNN, nProbe); false }
+         catch { case _: IllegalArgumentException => true }))
+      val liveRefs = epPat.findAllIn((IndexPolicy.manifestOf(spark, idx)
+        .toSeq.map { case (k, v) => s"$k=$v" } ++
+        IndexPolicy.snapshotIds(spark, idx).map(v => IndexPolicy
+          .manifestAtSnapshot(spark, idx, v).toSeq
+          .map { case (k, x) => s"$k=$x" }.mkString("\n")))
+        .mkString("\n")).toSet
+      val deadToks = snapToks -- liveRefs
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      rows += ("snap_expiry_reclaims_dirs" -> (deadToks.nonEmpty &&
+        deadToks.forall(t => !fs.exists(
+          new org.apache.hadoop.fs.Path(IndexPolicy.epochDir(idx, t))))))
+    } finally priorKeep match {
+      case Some(v) => spark.conf.set(IndexPolicy.SnapKeepConf, v)
+      case None => spark.conf.unset(IndexPolicy.SnapKeepConf)
+    }
+    rows.toSeq.toDF("metric", "ok").orderBy("metric")
+  }
+
   /** Registry fixture for the vector upsert: train the index on the
     * BASE slice (vec_id ≢ 3 mod 10), append the held-out slice with
     * [[ivfAppendVectors]] (fixed centroids, append-mode list files),

@@ -104,7 +104,9 @@ class EmptyInputSpec extends SparkSpec {
       "audio_ivf_lifecycle" -> ((s, d) => Multimodal.audioIvfLifecycle(s, d)),
       // r18 additions
       "bm25_snapshot_asof" -> ((s, d) => TextAnalysis.bm25SnapshotAsOf(s, d)),
-      "estate_crash_drill" -> ((s, d) => Curation.estateCrashDrill(s, d)))
+      "estate_crash_drill" -> ((s, d) => Curation.estateCrashDrill(s, d)),
+      "neardup_snapshot_asof" -> ((s, d) => Dedup.neardupSnapshotAsOf(s, d)),
+      "ivf_snapshot_asof" -> ((s, d) => Similarity.ivfSnapshotAsOf(s, d)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()
