@@ -31,6 +31,7 @@ object SparkEntry {
     "graph_pagerank", "mixture_temperature", "contamination_bloom",
     "stream_window_contract", "stream_dedup_contract",
     "stream_join_contract", "stream_neardup_contract",
+    "stream_index_ingest",
     "emb_pca", "domain_classifier",
     "bm25_index_topk", "bm25_serve_topk", "bm25_refresh",
     "bm25_upsert_topk", "bm25_compact", "bm25_serve_asof",
@@ -45,6 +46,7 @@ object SparkEntry {
     "recovery_drill", "train_read",
     "bm25_snapshot_asof", "estate_crash_drill",
     "neardup_snapshot_asof", "ivf_snapshot_asof",
+    "stream_index_ingest",
     "mm_ivf_lifecycle", "audio_ivf_lifecycle",
     // r13: edges via driver-orchestrated distributed rank selection
     "histogram_equidepth")
@@ -153,6 +155,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.Streaming.joinContract(s, d)),
     "stream_neardup_contract" ->
       ((s, d) => graft.streaming.Streaming.nearDupContract(s, d)),
+    "stream_index_ingest" ->
+      ((s, d) => graft.streaming.Streaming.indexIngestContract(s, d)),
     // ---- co-occurrence / graph ----
     "assoc_pairs"    -> (Cooccur.assocPairs(_, _)),
     "graph_pagerank" -> (Cooccur.pagerank(_, _)),
@@ -1479,6 +1483,17 @@ object SparkEntry {
     "stream_neardup_contract" ->
       """SELECT 'neardup_pair_set_equal' AS metric, TRUE AS ok
         |UNION ALL SELECT 'neardup_rows_match', TRUE
+        |ORDER BY metric""".stripMargin,
+    // streaming index ingest: a real foreachBatch job mutates the
+    // at-rest near-dup index per micro-batch (gate → admit survivors
+    // → batch watermark in the same swing); end state == the
+    // deterministic batch replay, replayed batches are no-ops
+    "stream_index_ingest" ->
+      """SELECT unnest([
+        |  'ingest_batch_counts_match', 'ingest_gate_rejected',
+        |  'ingest_one_commit_per_batch', 'ingest_replay_is_noop',
+        |  'ingest_stream_matches_batch']) AS metric,
+        |  TRUE AS ok
         |ORDER BY metric""".stripMargin,
     // distributed PCA contract: the exact-integer second-moment SUMS
     // (same ×1024 quantization as the emb family) replay in DuckDB —

@@ -582,6 +582,19 @@ object Dedup {
     IndexPolicy.sweep(spark, idx, m)
     val (pairs, sigs) =
       lookupWithSigs(spark, idx, newDocs, minJ, n, k, bands, capBucket)
+    admitSigs(spark, idx, m, sigs, k, bands)
+    pairs.orderBy("a", "b")
+  }
+
+  /** The ADMIT half of [[neardupCheckIn]] — append the (already
+    * signatured) rows as one committed generation, with optional
+    * extra manifest entries riding the commit swing. Caller holds the
+    * writer lease and has swept.
+    */
+  private def admitSigs(spark: SparkSession, idx: String,
+                        m: IndexPolicy.Manifest, sigs: DataFrame,
+                        k: Int, bands: Int,
+                        extra: IndexPolicy.Manifest = Map.empty): Unit = {
     val (g, m1) = IndexPolicy.allocGen(spark, idx, m)
     val ed = IndexPolicy.epochDir(idx, m("data"))
     // the two admit appends are independent (disjoint subdirs, both
@@ -621,8 +634,72 @@ object Dedup {
     // treat the partial generation as never having happened instead
     // of silently dropping pairs whose docsets rows are missing
     IndexPolicy.crashPoint(spark, idx, "after-rows")
-    IndexPolicy.commitGen(spark, idx, m1, g)
-    pairs.orderBy("a", "b")
+    IndexPolicy.commitGen(spark, idx, m1, g, extra)
+  }
+
+  /** One STREAMING micro-batch of the continuous-ingest funnel — the
+    * foreachBatch body behind
+    * [[graft.streaming.Streaming.indexIngestContract]]: gate the
+    * arriving docs against the index (base ∪ earlier batches'
+    * survivors ∪ this batch's smaller-id members — the
+    * [[Curation.ingestPipeline]] first-wins rule), admit ONLY the
+    * survivors, and commit the batch watermark in the SAME pointer
+    * swing as the admit — the `stream_batch` manifest key makes
+    * Structured Streaming's at-least-once foreachBatch replay
+    * exactly-once in effect: a replayed batch (id ≤ the committed
+    * watermark) returns without reading or writing anything, because
+    * watermark and rows can never commit separately. `isArriving`
+    * identifies the delta side of a flagged pair (pairs are (a < b);
+    * when both are arriving the larger id loses).
+    *
+    * 100 TB shape: per micro-batch exactly the [[neardupCheckIn]]
+    * cost — the delta broadcasts into the band-partitioned postings
+    * scan, O(delta) rows append, one swing commits. The gate's
+    * signatures are computed ONCE and reused for the admit (the
+    * survivors filter is an anti-join on the delta-sized rejected
+    * set, not a re-signature).
+    */
+  def neardupStreamIngest(spark: SparkSession, idx: String,
+                          arriving: DataFrame, batchId: Long,
+                          isArriving: org.apache.spark.sql.Column =>
+                            org.apache.spark.sql.Column,
+                          minJ: Double = 0.2, n: Int = 3, k: Int = 16,
+                          bands: Int = 4): (Long, Long) =
+      IndexPolicy.mutate(spark, idx) {
+    val m = IndexPolicy.manifestOf(spark, idx)
+    val done = m.get("stream_batch").map(_.toLong).getOrElse(-1L)
+    if (batchId <= done) (0L, 0L) // replayed batch: already committed
+    else {
+      IndexPolicy.sweep(spark, idx, m)
+      val (pairs, sigs) =
+        lookupWithSigs(spark, idx, arriving, minJ, n, k, bands,
+          Int.MaxValue)
+      val rejected = pairs.select(
+        when(isArriving(col("b")), col("b")).otherwise(col("a"))
+          .as("doc_id")).distinct().localCheckpoint()
+      val survivors = sigs.join(rejected, Seq("doc_id"), "left_anti")
+      admitSigs(spark, idx, m, survivors, k, bands,
+        extra = Map("stream_batch" -> batchId.toString))
+      // counts without recomputing the anti-join: arriving ids are
+      // unique per batch and rejected ⊆ arriving, so admitted =
+      // |arriving| − |rejected| (both cheap: a parquet-metadata count
+      // and a checkpointed-RDD count)
+      val nRej = rejected.count()
+      (arriving.count() - nRej, nRej)
+    }
+  }
+
+  /** Distinct COMMITTED doc_ids stored in the index (docsets side,
+    * torn-ceiling capped; no tombstone filtering — callers comparing
+    * ingest end-states never remove). The contract-compare read
+    * behind [[graft.streaming.Streaming.indexIngestContract]].
+    */
+  def neardupIndexedIds(spark: SparkSession, idx: String): DataFrame = {
+    val m = IndexPolicy.manifestOf(spark, idx)
+    spark.read.schema(docsetsSchema)
+      .parquet(s"${IndexPolicy.epochDir(idx, m("data"))}/docsets")
+      .filter(col("gen") <= IndexPolicy.committedOf(m))
+      .select(col("doc_id")).distinct()
   }
 
   /** The lookup HALF of [[neardupCheckIn]] — flag the delta against
@@ -970,6 +1047,15 @@ object Dedup {
       neardupWriteIndex(spark, docs.filter(pmod(col("doc_id"), lit(4)) =!= 1), p)
       p
     })
+
+  /** The shared pristine base (3/4-corpus index, doc_id ≢ 1 mod 4)
+    * for fixtures OUTSIDE this object — the streaming ingest contract
+    * copies it like every lifecycle row here does.
+    */
+  private[graft] def pristineBaseFor(spark: SparkSession,
+                                     dir: String): String =
+    pristineBase(spark, dir,
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 
   def neardupUpsert(spark: SparkSession, dir: String,
                     minJ: Double = 0.2): DataFrame = {

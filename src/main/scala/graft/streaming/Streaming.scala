@@ -460,6 +460,148 @@ object Streaming {
     ).toDF("metric", "ok").orderBy("metric")
   }
 
+  /** STREAMING INDEX INGEST contract (r18) — the continuous-ingest
+    * funnel driven by a REAL Structured Streaming job that MUTATES
+    * the at-rest near-dup index through the full pointer protocol:
+    * the arriving slice of the corpus (doc_id ≡ 1 mod 8, disjoint
+    * from the indexed base) streams through a file source in
+    * deterministic micro-batches (one staged file per trigger,
+    * strictly ordered mtimes), and each foreachBatch invocation is
+    * [[graft.operators.Dedup.neardupStreamIngest]] — gate against
+    * base ∪ earlier survivors, admit only survivors, commit the batch
+    * watermark in the same swing. Pins:
+    *  - the streamed index's end state (indexed id set + committed
+    *    generations) equals the deterministic BATCH replay of the
+    *    same slices in order (per-JVM cached — it is the reference);
+    *  - per-batch (admitted, rejected) counts match the replay's;
+    *  - re-delivering the LAST batch (Structured Streaming is
+    *    at-least-once into foreachBatch) is a no-op: zero rows
+    *    admitted, manifest version untouched — exactly-once in
+    *    effect, from the manifest watermark alone;
+    *  - one committed generation per micro-batch;
+    *  - the gate rejected a nonempty set (the corpus' natural
+    *    near-dup load keeps the funnel non-vacuous at every SF).
+    * Contract rows (metric, ok), oracle-pinned TRUE; empty corpus
+    * emits no rows. The gate SEMANTICS are already oracle-anchored by
+    * ingest_pipeline/ingest_pipeline2 — this row pins the streaming
+    * DELIVERY path and its exactly-once discipline.
+    */
+  def indexIngestContract(spark: SparkSession, dir: String,
+                          minJ: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Dedup, IndexPolicy}
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val arrivingAll = docs.filter(pmod(col("doc_id"), lit(8)) === 1)
+    if (arrivingAll.isEmpty)
+      return Seq.empty[(String, Boolean)].toDF("metric", "ok")
+    // two micro-batches are the minimum that proves the chaining
+    // (batch 1 gates against batch 0's survivors) — each batch costs
+    // a full check-in's machinery, so K is the row's price knob
+    val K = 2
+    def slice(j: Int) = arrivingAll
+      .filter(pmod(col("doc_id"), lit(16)) === (1 + 8 * j))
+    val isArr = (c: org.apache.spark.sql.Column) =>
+      pmod(c, lit(8)) === 1
+    // every join/aggregate in this row is delta-sized (≤ an eighth of
+    // the documents table); the index writes repartition by their own
+    // layout columns regardless — narrow the shuffle width for the
+    // row like [[runToMemory]] does for the bounded contract replays
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+    val staged = s"${stageBase(dir)}/index_ingest"
+    stageOnce(staged) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(staged))
+      (0 until K).foreach { j =>
+        val tmp = s"$staged/_stage_$j"
+        slice(j).coalesce(1).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(s"$staged/b$j.parquet")
+        java.nio.file.Files.move(part.toPath, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // strictly increasing mtimes pin micro-batch order (the file
+        // source takes one file per trigger in timestamp order); the
+        // fixed epoch keeps the fixture deterministic, and the span
+        // is far under the source's maxFileAge relative to the newest
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime
+            .fromMillis(1700000000000L + j * 60000L))
+        def wipe(d: java.io.File): Unit = {
+          if (d.isDirectory) d.listFiles().foreach(wipe)
+          d.delete(); ()
+        }
+        wipe(new java.io.File(tmp))
+      }
+    }
+    // the BATCH twin — the deterministic reference the stream must
+    // land on: direct per-slice calls in slice order, once per JVM
+    val (twinIdx, twinCounts) = ingestTwinCache.computeIfAbsent(dir, _ => {
+      val p = s"/tmp/graft_ingest_twin_${scratchToken}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.TextAnalysis.copyIndex(spark,
+        Dedup.pristineBaseFor(spark, dir), p)
+      val cs = (0 until K).map(j =>
+        Dedup.neardupStreamIngest(spark, p, slice(j), j, isArr, minJ))
+      (p, cs)
+    })
+    // the streamed side: fresh index copy + fresh checkpoint, then a
+    // real streaming query drains the staged files one per trigger
+    val sIdx = s"/tmp/graft_stream_ingest_${scratchToken}_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.operators.TextAnalysis.copyIndex(spark,
+      Dedup.pristineBaseFor(spark, dir), sIdx)
+    val ckpt = s"${sIdx}_ckpt"
+    def wipeCkpt(d: java.io.File): Unit = {
+      if (d.isDirectory) d.listFiles().foreach(wipeCkpt)
+      d.delete(); ()
+    }
+    wipeCkpt(new java.io.File(ckpt))
+    val gotCounts =
+      new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]()
+    val ingestBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (df, id) => {
+        gotCounts.put(id,
+          Dedup.neardupStreamIngest(spark, sIdx, df.toDF(), id, isArr,
+            minJ))
+        ()
+      }
+    val q = spark.readStream.schema(arrivingAll.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(ingestBatch)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val (nGot, nWant, extra, missing) =
+      bagCompare(Dedup.neardupIndexedIds(spark, sIdx),
+        Dedup.neardupIndexedIds(spark, twinIdx))
+    val genS = IndexPolicy.committedOf(IndexPolicy.manifestOf(spark, sIdx))
+    val genT = IndexPolicy.committedOf(IndexPolicy.manifestOf(spark, twinIdx))
+    val vBefore = IndexPolicy.versionOf(IndexPolicy.manifestOf(spark, sIdx))
+    // at-least-once: re-deliver the final batch verbatim
+    val replay = Dedup.neardupStreamIngest(spark, sIdx, slice(K - 1),
+      (K - 1).toLong, isArr, minJ)
+    val vAfter = IndexPolicy.versionOf(IndexPolicy.manifestOf(spark, sIdx))
+    Seq(
+      ("ingest_stream_matches_batch",
+        extra == 0L && missing == 0L && nGot == nWant && genS == genT),
+      ("ingest_batch_counts_match",
+        (0 until K).forall(j =>
+          gotCounts.get(j.toLong) == twinCounts(j))),
+      ("ingest_one_commit_per_batch", genS == K.toLong),
+      ("ingest_replay_is_noop", replay == ((0L, 0L)) && vBefore == vAfter),
+      ("ingest_gate_rejected",
+        twinCounts.map(_._2).sum > 0L && nWant > 0L)
+    ).toDF("metric", "ok").orderBy("metric")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private val ingestTwinCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[(Long, Long)])]()
+
   /** Batch-equivalence contract rows for the STREAM-STREAM interval
     * join (same pattern as [[windowContract]]): clicks and purchases
     * are staged as two parquet dirs, read back as two file STREAMS,

@@ -106,7 +106,9 @@ class EmptyInputSpec extends SparkSpec {
       "bm25_snapshot_asof" -> ((s, d) => TextAnalysis.bm25SnapshotAsOf(s, d)),
       "estate_crash_drill" -> ((s, d) => Curation.estateCrashDrill(s, d)),
       "neardup_snapshot_asof" -> ((s, d) => Dedup.neardupSnapshotAsOf(s, d)),
-      "ivf_snapshot_asof" -> ((s, d) => Similarity.ivfSnapshotAsOf(s, d)))
+      "ivf_snapshot_asof" -> ((s, d) => Similarity.ivfSnapshotAsOf(s, d)),
+      "stream_index_ingest" ->
+        ((s, d) => graft.streaming.Streaming.indexIngestContract(s, d)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()
