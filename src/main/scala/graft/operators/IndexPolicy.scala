@@ -530,7 +530,12 @@ private[graft] object IndexPolicy {
           "and must be retried; check writer scheduling")
     val keep = spark.conf.get(SnapKeepConf, "0").toInt
     if (keep > 0) {
-      writeAtomicFile(spark, s"$idx/snaps", s"v-$v", ser)
+      // the snapshot copy carries its commit wall-clock (snap_at) so
+      // age-based retention can reason about it later; `current`
+      // stays timestamp-free (its serialization is what the CAS
+      // compares — no reason to make it vary beyond its content)
+      writeAtomicFile(spark, s"$idx/snaps", s"v-$v",
+        ser + s"\nsnap_at=${System.currentTimeMillis()}")
       // retention is enforced AT PUBLISH (the Iceberg write-path
       // expire policy): the keep-count bounds the log without an
       // operator ever calling expireSnapshots by hand
@@ -579,15 +584,33 @@ private[graft] object IndexPolicy {
           s"was never published with $SnapKeepConf > 0; retained: " +
           s"${snapshotIds(spark, idx).mkString(",")}"))
 
-  /** Expire snapshots beyond the newest `keep`: delete their files so
-    * the NEXT mutation's sweep can reclaim dirs only they referenced.
-    * The current manifest is never a snapshot file and is never
-    * expired.
+  /** Minimum age (ms) a snapshot must reach before count-based
+    * retention may expire it — the Iceberg `expire_snapshots`
+    * composition (`older_than` AND `retain_last`): with the window
+    * set, a burst of publishes cannot rotate a recent snapshot out of
+    * the log before readers pinned to it have had it for the window.
+    * 0 (default) keeps pure keep-count semantics (fixture GC stays
+    * deterministic). Snapshots written before the `snap_at` stamp
+    * existed count as infinitely old.
+    */
+  private[graft] val SnapKeepMsConf = "spark.graft.index.snapshots.keep.ms"
+
+  /** Expire snapshots beyond the newest `keep` — and, when
+    * [[SnapKeepMsConf]] is set, only those also OLDER than the age
+    * window. Deleting the file lets the NEXT mutation's sweep reclaim
+    * dirs only they referenced. The current manifest is never a
+    * snapshot file and is never expired.
     */
   def expireSnapshots(spark: SparkSession, idx: String, keep: Int): Unit = {
     val ids = snapshotIds(spark, idx)
-    val drop = ids.dropRight(keep)
+    val keepMs = spark.conf.get(SnapKeepMsConf, "0").toLong
+    val now = System.currentTimeMillis()
     val store = storeFor(spark, idx)
+    val drop = ids.dropRight(keep).filter { v =>
+      keepMs <= 0L || readAtomicFile(spark, snapDir(idx), s"v-$v")
+        .flatMap(parseManifest(_).get("snap_at")).map(_.toLong)
+        .forall(at => now - at >= keepMs)
+    }
     drop.foreach(v => store.delete(spark, snapDir(idx), s"v-$v"))
   }
 

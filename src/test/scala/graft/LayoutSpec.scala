@@ -1513,6 +1513,48 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.unset(IndexPolicy.CasRootsConf)
   }
 
+  test("snapshot age window: count retention cannot expire a young snapshot; an aged one goes") {
+    // r18: the Iceberg expire_snapshots composition — older_than AND
+    // retain_last. A publish burst must not rotate a recent snapshot
+    // out of the log while readers pinned to it are inside the window.
+    import graft.operators.{Dedup, IndexPolicy}
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-snap-age").toString
+    val idx = s"$root/idx"
+    spark.conf.set("spark.graft.index.snapshots.keep", "10")
+    try {
+      Dedup.neardupWriteIndex(spark, Seq(
+        (1L, "a b c d e"), (2L, "x y z w v")).toDF("doc_id", "text"), idx)
+      Dedup.neardupRemove(spark, idx, Seq(2L).toDF("doc_id"))
+      val ids = IndexPolicy.snapshotIds(spark, idx)
+      assert(ids.size >= 3, s"fixture: expected a snapshot log, got $ids")
+      // with the window on, keep-count alone expires nothing young
+      spark.conf.set("spark.graft.index.snapshots.keep.ms", "3600000")
+      IndexPolicy.expireSnapshots(spark, idx, 1)
+      assert(IndexPolicy.snapshotIds(spark, idx) == ids,
+        "a young snapshot was rotated out inside the age window")
+      // age the oldest snapshot by rewriting its snap_at stamp
+      val p = java.nio.file.Paths.get(s"$idx/snaps/v-${ids.head}")
+      val aged = new String(java.nio.file.Files.readAllBytes(p))
+        .linesIterator.map(l =>
+          if (l.startsWith("snap_at="))
+            s"snap_at=${System.currentTimeMillis() - 7200000L}"
+          else l).mkString("\n")
+      java.nio.file.Files.write(p, aged.getBytes)
+      IndexPolicy.expireSnapshots(spark, idx, 1)
+      assert(IndexPolicy.snapshotIds(spark, idx) == ids.tail,
+        "exactly the aged snapshot must expire; younger ones stay")
+      // window off: pure keep-count prunes to the newest
+      spark.conf.unset("spark.graft.index.snapshots.keep.ms")
+      IndexPolicy.expireSnapshots(spark, idx, 1)
+      assert(IndexPolicy.snapshotIds(spark, idx) == Seq(ids.last))
+    } finally {
+      spark.conf.unset("spark.graft.index.snapshots.keep")
+      spark.conf.unset("spark.graft.index.snapshots.keep.ms")
+    }
+  }
+
   test("CAS pointer-store primitives: putIfAbsent, putIfMatch, list, purge") {
     import graft.operators.IndexPolicy.{CasPointerStore => S}
     val d = s"/cas-prim-${java.util.UUID.randomUUID()}"
