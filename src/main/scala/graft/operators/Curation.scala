@@ -826,11 +826,19 @@ object Curation {
         TextAnalysis.bm25QueryIndex(spark, bm, terms, 20).collect().toSeq
       val s0 = drillBmCapCache.computeIfAbsent(dir, _ =>
         TextAnalysis.bm25QueryIndex(spark, bmT, terms, 20).collect().toSeq)
-      // the refresh delta: re-tagged copies of a corpus slice (the
-      // 1000000-stride id convention) — it shifts n_docs, so a
-      // completed refresh provably changes every BM25 score
+      // the refresh delta: re-tagged ids (the 1000000-stride
+      // convention) with a NARROW synthetic vocabulary (the
+      // bm25_snapshot_asof discipline) — the refresh under test
+      // rewrites ONLY the q buckets, while the n_docs shift still
+      // moves every BM25 score, so a completed refresh provably
+      // changes the serve. The drill's contract is CRASH semantics (a
+      // real epoch written, pointer never swung); refresh THROUGHPUT
+      // is bm25_refresh's job — a natural-text delta here made both
+      // the crashed and the replayed refresh rewrite every letter
+      // bucket, tripling the drill's wall-clock for zero extra pin
       val delta = docs.filter(pmod(col("doc_id"), lit(9)) === 7)
-        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          lit("qqda qqdb qqdc").as("text"))
       val none = docs.select(col("doc_id"), col("text")).limit(0)
       import org.apache.hadoop.fs.Path
       val fs = new Path(bm)

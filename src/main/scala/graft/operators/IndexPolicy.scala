@@ -25,10 +25,12 @@ import org.apache.spark.sql.SparkSession
   *    mid-mutation leaves a stale pointer — the last committed
   *    generation keeps serving (no sentinel, no fail-fast window).
   *  - OBJECT-STORE SAFE: the only atomicity requirement is replacing
-  *    one small object. On HDFS/local that is the temp-write+rename of
-  *    [[writeAtomicFile]]; on S3-style stores it maps to a single
-  *    conditional PUT (or a catalog swap — the Iceberg/Delta model).
-  *    No multi-object rename window exists anywhere.
+  *    one small object, conditionally. The requirement is a SEAM
+  *    ([[PointerStore]]): on HDFS/local the temp-write+atomic-rename of
+  *    [[FsPointerStore]], on S3-style stores one conditional PUT —
+  *    [[CasPointerStore]] implements those semantics and the specs
+  *    prove the protocol against the primitive itself. No multi-object
+  *    rename window exists anywhere.
   *  - GC is decoupled from commit: dirs a crashed or superseded
   *    mutation left behind are unreferenced by the current manifest
   *    (and every retained snapshot) and reclaimed by [[sweep]] at the
