@@ -931,7 +931,16 @@ object Similarity {
     */
   def ivfAppendVectors(spark: SparkSession, idx: String,
                        vecs: DataFrame): Unit =
-      IndexPolicy.mutate(spark, idx) {
+    IndexPolicy.mutate(spark, idx) {
+      appendVectorsBody(spark, idx, vecs, Map.empty)
+    }
+
+  /** The append under the caller's lease, with optional extra
+    * manifest entries riding the commit swing (the stream watermark).
+    */
+  private def appendVectorsBody(spark: SparkSession, idx: String,
+                                vecs: DataFrame,
+                                extra: IndexPolicy.Manifest): Unit = {
     val m = IndexPolicy.manifestOf(spark, idx)
     IndexPolicy.checkLayout(m, idx, ivfLayoutBase)
     IndexPolicy.sweep(spark, idx, m)
@@ -954,7 +963,29 @@ object Similarity {
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("cell").parquet(s"$ed/lists")
     IndexPolicy.crashPoint(spark, idx, "after-rows")
-    IndexPolicy.commitGen(spark, idx, m1, g)
+    IndexPolicy.commitGen(spark, idx, m1, g, extra)
+  }
+
+  /** One streaming micro-batch of VECTOR ingest — the IVF twin of
+    * [[graft.operators.Dedup.neardupStreamIngest]]'s exactly-once
+    * discipline: the `stream_batch` watermark commits in the SAME
+    * pointer swing as the appended rows, so a replayed batch
+    * (id ≤ the committed watermark) appends nothing and leaves the
+    * manifest untouched. Returns whether the batch landed. The
+    * watermark is family-generic by construction — it rides
+    * [[IndexPolicy.commitGen]]'s extra entries; spec-pinned here,
+    * driver-gated on the near-dup family by `stream_index_ingest`.
+    */
+  def ivfStreamIngest(spark: SparkSession, idx: String, vecs: DataFrame,
+                      batchId: Long): Boolean =
+      IndexPolicy.mutate(spark, idx) {
+    val m = IndexPolicy.manifestOf(spark, idx)
+    if (m.get("stream_batch").map(_.toLong).exists(batchId <= _)) false
+    else {
+      appendVectorsBody(spark, idx, vecs,
+        Map("stream_batch" -> batchId.toString))
+      true
+    }
   }
 
   /** REMOVE vectors from the at-rest IVF index — the FAISS

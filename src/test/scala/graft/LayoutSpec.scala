@@ -1513,6 +1513,36 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.unset(IndexPolicy.CasRootsConf)
   }
 
+  test("the exactly-once stream watermark is family-generic: a replayed IVF batch appends nothing") {
+    // r18: stream_index_ingest driver-gates the discipline on the
+    // near-dup family; this pins the same watermark riding the IVF
+    // commit swing — rows and watermark cannot land separately
+    import graft.operators.{IndexPolicy, Similarity}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivf-stream").toString
+    val idx = s"$root/idx"
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.ivfWriteIndexVecs(spark,
+      vecs.filter(pmod(col("vec_id"), lit(2)) === 0), idx)
+    assert(Similarity.ivfStreamIngest(spark, idx,
+      vecs.filter(pmod(col("vec_id"), lit(4)) === 1), 0L), "batch 0 must land")
+    assert(Similarity.ivfStreamIngest(spark, idx,
+      vecs.filter(pmod(col("vec_id"), lit(4)) === 3), 1L), "batch 1 must land")
+    val m1 = IndexPolicy.manifestOf(spark, idx)
+    assert(IndexPolicy.committedOf(m1) == 2L)
+    // at-least-once replay of batch 1: nothing lands, nothing swings
+    assert(!Similarity.ivfStreamIngest(spark, idx,
+      vecs.filter(pmod(col("vec_id"), lit(4)) === 3), 1L),
+      "a replayed batch must be refused by the watermark")
+    assert(IndexPolicy.manifestOf(spark, idx) == m1,
+      "the replay must leave the manifest byte-identical")
+    // and the stream moves on: the NEXT id lands
+    assert(Similarity.ivfStreamIngest(spark, idx, vecs.limit(0), 2L))
+    assert(IndexPolicy.committedOf(
+      IndexPolicy.manifestOf(spark, idx)) == 3L)
+  }
+
   test("snapshot age window: count retention cannot expire a young snapshot; an aged one goes") {
     // r18: the Iceberg expire_snapshots composition — older_than AND
     // retain_last. A publish burst must not rotate a recent snapshot
