@@ -46,7 +46,6 @@ object SparkEntry {
     "recovery_drill", "train_read",
     "bm25_snapshot_asof", "estate_crash_drill",
     "neardup_snapshot_asof", "ivf_snapshot_asof",
-    "stream_index_ingest",
     "mm_ivf_lifecycle", "audio_ivf_lifecycle",
     // r13: edges via driver-orchestrated distributed rank selection
     "histogram_equidepth")

@@ -648,9 +648,16 @@ object Dedup {
     * Structured Streaming's at-least-once foreachBatch replay
     * exactly-once in effect: a replayed batch (id ≤ the committed
     * watermark) returns without reading or writing anything, because
-    * watermark and rows can never commit separately. `isArriving`
-    * identifies the delta side of a flagged pair (pairs are (a < b);
-    * when both are arriving the larger id loses).
+    * watermark and rows can never commit separately.
+    *
+    * The rejected side of a flagged pair is the member of THIS batch
+    * (pairs are (a < b); when both sides are in the batch the larger
+    * id loses — first-wins by id). Membership is decided by joining
+    * against the batch's own ids, never by an id-shape predicate: an
+    * arriving doc's twin may be an EARLIER batch's survivor with a
+    * larger id, and a shape test cannot tell those apart (r18 review
+    * — the original `pmod`-based test rejected the already-indexed
+    * survivor and silently admitted its incoming near-dup).
     *
     * 100 TB shape: per micro-batch exactly the [[neardupCheckIn]]
     * cost — the delta broadcasts into the band-partitioned postings
@@ -661,8 +668,6 @@ object Dedup {
     */
   def neardupStreamIngest(spark: SparkSession, idx: String,
                           arriving: DataFrame, batchId: Long,
-                          isArriving: org.apache.spark.sql.Column =>
-                            org.apache.spark.sql.Column,
                           minJ: Double = 0.2, n: Int = 3, k: Int = 16,
                           bands: Int = 4): (Long, Long) =
       IndexPolicy.mutate(spark, idx) {
@@ -674,8 +679,11 @@ object Dedup {
       val (pairs, sigs) =
         lookupWithSigs(spark, idx, arriving, minJ, n, k, bands,
           Int.MaxValue)
-      val rejected = pairs.select(
-        when(isArriving(col("b")), col("b")).otherwise(col("a"))
+      val inBatch = arriving.select(col("doc_id").as("b"),
+        lit(1).as("__inb"))
+      val rejected = pairs
+        .join(broadcast(inBatch), Seq("b"), "left")
+        .select(when(col("__inb").isNotNull, col("b")).otherwise(col("a"))
           .as("doc_id")).distinct().localCheckpoint()
       val survivors = sigs.join(rejected, Seq("doc_id"), "left_anti")
       admitSigs(spark, idx, m, survivors, k, bands,
@@ -1167,7 +1175,7 @@ object Dedup {
     * driver-gated; spec-level since r17's close): on a copy of the
     * pristine base with snapshot retention on, (1) REMOVE doc_id ≡ 0
     * (mod 8) and hold the committed snapshot S plus the flagged pairs
-    * of a probe of re-tagged copies (doc_id ≡ 2 mod 8, ids
+    * of a probe of re-tagged copies (doc_id ≡ 2 mod 16, ids
     * +2000000 — guaranteed J=1 twins of their originals); (2)
     * COMPACT — the fold that resets the in-place generation timeline
     * (pinned: the interior as-of now fails fast); (3) CHECK IN fresh
@@ -1217,10 +1225,7 @@ object Dedup {
       })
       val idx = s"/tmp/graft_nd_snap_${scratchToken}_$tag"
       TextAnalysis.copyIndex(spark, base, idx)
-      val epPat = IndexPolicy.EpochPat
-      val snapToks = epPat.findAllIn(IndexPolicy
-        .manifestAtSnapshot(spark, idx, snap).toSeq
-        .map { case (k, v) => s"$k=$v" }.mkString("\n")).toSet
+      val snapToks = IndexPolicy.snapshotRefTokens(spark, idx, snap)
       neardupCompact(spark, idx)
       // the fold really destroyed the in-place timeline…
       rows += ("snap_rewrite_kills_inplace_asof" ->
@@ -1245,13 +1250,7 @@ object Dedup {
       rows += ("snap_expired_fails_fast" ->
         (try { neardupLookupSnapshot(spark, idx, snap, probe, minJ); false }
          catch { case _: IllegalArgumentException => true }))
-      val liveRefs = epPat.findAllIn((IndexPolicy.manifestOf(spark, idx)
-        .toSeq.map { case (k, v) => s"$k=$v" } ++
-        IndexPolicy.snapshotIds(spark, idx).map(v => IndexPolicy
-          .manifestAtSnapshot(spark, idx, v).toSeq
-          .map { case (k, x) => s"$k=$x" }.mkString("\n")))
-        .mkString("\n")).toSet
-      val deadToks = snapToks -- liveRefs
+      val deadToks = snapToks -- IndexPolicy.liveRefTokens(spark, idx)
       val fs = new org.apache.hadoop.fs.Path(idx)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       rows += ("snap_expiry_reclaims_dirs" -> (deadToks.nonEmpty &&

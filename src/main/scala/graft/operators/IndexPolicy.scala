@@ -111,6 +111,14 @@ private[graft] object IndexPolicy {
     def putIfAbsent(spark: SparkSession, dir: String, name: String,
                     value: String): Boolean
     def delete(spark: SparkSession, dir: String, name: String): Unit
+    /** Conditional delete: remove iff the object currently holds
+      * exactly `expected` — the stale-lease-break primitive (a plain
+      * read-compare-delete can remove a lock another writer JUST
+      * acquired, r18 review). Atomic on a CAS store; in-JVM-atomic on
+      * the filesystem store.
+      */
+    def deleteIfMatch(spark: SparkSession, dir: String, name: String,
+                      expected: String): Boolean
     /** Names (flat, under `dir`) starting with `prefix`. */
     def list(spark: SparkSession, dir: String, prefix: String): Seq[String]
     /** Drop every pointer object of index `root` except `except` — the
@@ -167,6 +175,20 @@ private[graft] object IndexPolicy {
     */
   private[graft] object FsPointerStore extends PointerStore {
     def atomicCas: Boolean = false
+
+    /** Per-object JVM-wide monitors: the conditional ops
+      * ([[putIfMatch]], [[deleteIfMatch]]) hold one across their
+      * read-compare-write, so SAME-JVM writers — local mode, i.e.
+      * every fixture, test, and local[n] deployment — get genuinely
+      * atomic conditional semantics even with broken leases. The
+      * residual window is cross-PROCESS writers on a shared
+      * filesystem, which the lease + verify approximation covers (and
+      * a CAS store closes completely).
+      */
+    private val monitors =
+      new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    private def monitorFor(k: String): Object =
+      monitors.computeIfAbsent(k, _ => new Object)
 
     def get(spark: SparkSession, dir: String,
             name: String): Option[String] = {
@@ -233,18 +255,33 @@ private[graft] object IndexPolicy {
         case None => writeAtomicHadoop(spark, dir, name, value)
       }
 
-    /** APPROXIMATE — a filesystem has no native conditional replace:
-      * re-read + compare, atomic replace, verify re-read. The residual
-      * read→write window is exactly why file stores keep the writer
-      * lease; the verify turns the pathological overlapping-writer
-      * interleaving into a loud loser instead of a silent lost update.
+    /** APPROXIMATE across processes — a filesystem has no native
+      * conditional replace: re-read + compare, atomic replace, verify
+      * re-read, all under the per-object monitor (same-JVM writers
+      * are therefore fully serialized and genuinely conditional).
+      * Cross-process, the verify catches an overwrite that lands
+      * before the loser's re-read; two processes interleaving
+      * put/verify in lockstep can still both report success — which
+      * is exactly why file stores keep the writer lease as the
+      * primary layer, and why an object store's conditional PUT
+      * ([[CasPointerStore]]) is the primitive that closes the window
+      * for real.
       */
     def putIfMatch(spark: SparkSession, dir: String, name: String,
                    expected: Option[String], value: String): Boolean =
-      if (get(spark, dir, name) != expected) false
-      else {
-        put(spark, dir, name, value)
-        get(spark, dir, name).contains(value)
+      monitorFor(s"$dir/$name").synchronized {
+        if (get(spark, dir, name) != expected) false
+        else {
+          put(spark, dir, name, value)
+          get(spark, dir, name).contains(value)
+        }
+      }
+
+    def deleteIfMatch(spark: SparkSession, dir: String, name: String,
+                      expected: String): Boolean =
+      monitorFor(s"$dir/$name").synchronized {
+        if (!get(spark, dir, name).contains(expected)) false
+        else { delete(spark, dir, name); true }
       }
 
     def putIfAbsent(spark: SparkSession, dir: String, name: String,
@@ -271,8 +308,11 @@ private[graft] object IndexPolicy {
             finally out.close()
             true
           } catch {
+            // ONLY already-exists means "held" — a generic IOException
+            // (outage, quota, permission) must surface as itself, not
+            // spin the caller through its full lease-wait budget and a
+            // misleading concurrent-writer diagnosis (r18 review)
             case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-            case _: java.io.IOException => false
           }
       }
 
@@ -354,6 +394,10 @@ private[graft] object IndexPolicy {
       objects.remove(key(dir, name))
       ()
     }
+
+    def deleteIfMatch(spark: SparkSession, dir: String, name: String,
+                      expected: String): Boolean =
+      objects.remove(key(dir, name), expected)
 
     def list(spark: SparkSession, dir: String,
              prefix: String): Seq[String] = {
@@ -496,9 +540,15 @@ private[graft] object IndexPolicy {
     * `spark.graft.index.snapshots.keep` > 0, every committed manifest
     * is also copied to an immutable `snaps/v-<version>` file — the
     * manifest LOG behind [[manifestAtSnapshot]] / [[expireSnapshots]].
+    * `snapshot = false` suppresses the copy for MID-MUTATION swings
+    * ([[allocGen]]'s watermark bump): snapshotting the gen-ahead
+    * state would halve effective keep-count retention and fill the
+    * log with states that serve the prior generation anyway (via
+    * [[tornCeiling]]) under a different id (r18 review).
     */
   private[graft] def publish(spark: SparkSession, idx: String,
-                             m: Manifest): Manifest = {
+                             m: Manifest,
+                             snapshot: Boolean = true): Manifest = {
     crashPoint(spark, idx, "before-swing")
     val store = storeFor(spark, idx)
     val curSer = store.get(spark, idx, ManifestName)
@@ -531,7 +581,7 @@ private[graft] object IndexPolicy {
           s"and its swing (version $v refused) — this mutation is LOST " +
           "and must be retried; check writer scheduling")
     val keep = spark.conf.get(SnapKeepConf, "0").toInt
-    if (keep > 0) {
+    if (keep > 0 && snapshot) {
       // the snapshot copy carries its commit wall-clock (snap_at) so
       // age-based retention can reason about it later; `current`
       // stays timestamp-free (its serialization is what the CAS
@@ -597,6 +647,26 @@ private[graft] object IndexPolicy {
     */
   private[graft] val SnapKeepMsConf = "spark.graft.index.snapshots.keep.ms"
 
+  /** Epoch tokens a retained snapshot's manifest references — the
+    * reclaim-proof half of the three `*_snapshot_asof` rows, ONE
+    * implementation (r18 review: three verbatim copies would silently
+    * diverge if the reference-set definition ever changed).
+    */
+  def snapshotRefTokens(spark: SparkSession, idx: String,
+                        v: Long): Set[String] =
+    EpochPat.findAllIn(manifestAtSnapshot(spark, idx, v).toSeq
+      .map { case (k, x) => s"$k=$x" }.mkString("\n")).toSet
+
+  /** Epoch tokens reachable from the committed manifest plus EVERY
+    * retained snapshot — the live reference set GC must preserve.
+    */
+  def liveRefTokens(spark: SparkSession, idx: String): Set[String] =
+    EpochPat.findAllIn((manifestOf(spark, idx).toSeq
+      .map { case (k, v) => s"$k=$v" } ++
+      snapshotIds(spark, idx).map(v => manifestAtSnapshot(spark, idx, v)
+        .toSeq.map { case (k, x) => s"$k=$x" }.mkString("\n")))
+      .mkString("\n")).toSet
+
   /** Expire snapshots beyond the newest `keep` — and, when
     * [[SnapKeepMsConf]] is set, only those also OLDER than the age
     * window. Deleting the file lets the NEXT mutation's sweep reclaim
@@ -661,10 +731,15 @@ private[graft] object IndexPolicy {
       readLock(spark, idx).foreach { held =>
         val ts = held.split(" ").lift(1).flatMap(_.trim.toLongOption)
         if (ts.exists(System.currentTimeMillis() - _ > leaseMs)) {
-          // stale lease: best-effort break — re-read right before the
-          // delete so a just-acquired fresh lock survives; the CAS
-          // backs the residual read-delete window
-          if (readLock(spark, idx).contains(held)) deleteLock(spark, idx)
+          // stale lease: CONDITIONAL break — delete only if the lock
+          // still holds exactly the stale value, so a just-acquired
+          // fresh lock survives (r18 review: the read-compare-delete
+          // form could remove a lock another writer won between the
+          // re-read and the delete). Atomic on a CAS store,
+          // in-JVM-atomic on the filesystem store; the cross-process
+          // residue is what the publish-time CAS backs.
+          storeFor(spark, idx).deleteIfMatch(spark, idx, LockName, held)
+          ()
         }
       }
       Thread.sleep(50)
@@ -849,11 +924,23 @@ private[graft] object IndexPolicy {
           val buf = new Array[Byte](fs.getFileStatus(marker).getLen.toInt)
           val in = fs.open(marker)
           try in.readFully(0L, buf) finally in.close()
-          val unrefAt = new String(buf,
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-          if (now - unrefAt >= grace)
-            require(fs.delete(st.getPath, true),
-              s"sweep: could not delete ${st.getPath}")
+          new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+            .trim.toLongOption match {
+            case Some(unrefAt) =>
+              if (now - unrefAt >= grace)
+                require(fs.delete(st.getPath, true),
+                  s"sweep: could not delete ${st.getPath}")
+            case None =>
+              // torn stamp (a crash between the marker's create and
+              // its write): RE-STAMP rather than throw — an empty
+              // marker must not wedge every future mutation of the
+              // index (r18 review), and must not be deleted early
+              // either (the grace clock restarts, the safe direction)
+              val out = fs.create(marker, true)
+              try out.write(now.toString
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              finally out.close()
+          }
         }
       }
     val ep = new Path(s"$idx/ep")
@@ -965,8 +1052,11 @@ private[graft] object IndexPolicy {
           "mutation left partial rows) — fold/compact the index " +
           "to repair before mutating"))
     // thread the PUBLISHED manifest (version bumped by the swing)
-    // forward, so the mutation's later commitGen passes its CAS
-    val m2 = publish(spark, idx, m + ("gen" -> (g + 1L).toString))
+    // forward, so the mutation's later commitGen passes its CAS; no
+    // snapshot for this mid-mutation state — only commits are
+    // recovery points anyone wants to travel to
+    val m2 = publish(spark, idx, m + ("gen" -> (g + 1L).toString),
+      snapshot = false)
     (g + 1L, m2)
   }
 

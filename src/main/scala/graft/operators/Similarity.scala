@@ -1412,10 +1412,7 @@ object Similarity {
       })
       val idx = s"/tmp/graft_ivf_snap_${scratchToken}_$tag"
       graft.operators.TextAnalysis.copyIndex(spark, base, idx)
-      val epPat = IndexPolicy.EpochPat
-      val snapToks = epPat.findAllIn(IndexPolicy
-        .manifestAtSnapshot(spark, idx, snap).toSeq
-        .map { case (k, v) => s"$k=$v" }.mkString("\n")).toSet
+      val snapToks = IndexPolicy.snapshotRefTokens(spark, idx, snap)
       ivfWriteIndexVecs(spark, all, idx)
       // the retrain really destroyed the in-place timeline…
       rows += ("snap_rewrite_kills_inplace_asof" ->
@@ -1440,13 +1437,7 @@ object Similarity {
         (try { ivfQueryIndexSnapshot(spark, dir, idx, snap, nQueries,
           kNN, nProbe); false }
          catch { case _: IllegalArgumentException => true }))
-      val liveRefs = epPat.findAllIn((IndexPolicy.manifestOf(spark, idx)
-        .toSeq.map { case (k, v) => s"$k=$v" } ++
-        IndexPolicy.snapshotIds(spark, idx).map(v => IndexPolicy
-          .manifestAtSnapshot(spark, idx, v).toSeq
-          .map { case (k, x) => s"$k=$x" }.mkString("\n")))
-        .mkString("\n")).toSet
-      val deadToks = snapToks -- liveRefs
+      val deadToks = snapToks -- IndexPolicy.liveRefTokens(spark, idx)
       val fs = new org.apache.hadoop.fs.Path(idx)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       rows += ("snap_expiry_reclaims_dirs" -> (deadToks.nonEmpty &&

@@ -1532,10 +1532,7 @@ object TextAnalysis {
       val idx = s"/tmp/graft_bm25_snap_${scratchToken}_$tag"
       copyIndex(spark, base, idx)
       def serve() = bm25QueryIndex(spark, idx, terms, 20).collect().toSeq
-      val epPat = IndexPolicy.EpochPat
-      val snapToks = epPat.findAllIn(IndexPolicy
-        .manifestAtSnapshot(spark, idx, snap).toSeq
-        .map { case (k, v) => s"$k=$v" }.mkString("\n")).toSet
+      val snapToks = IndexPolicy.snapshotRefTokens(spark, idx, snap)
       bm25Compact(spark, idx)
       // the rewrite really destroyed the in-place timeline…
       rows += ("snap_rewrite_kills_inplace_asof" ->
@@ -1554,13 +1551,7 @@ object TextAnalysis {
       rows += ("snap_expired_fails_fast" ->
         (try { bm25QueryIndexSnapshot(spark, idx, snap, terms, 20); false }
          catch { case _: IllegalArgumentException => true }))
-      val liveRefs = epPat.findAllIn((IndexPolicy.manifestOf(spark, idx)
-        .toSeq.map { case (k, v) => s"$k=$v" } ++
-        IndexPolicy.snapshotIds(spark, idx).map(v => IndexPolicy
-          .manifestAtSnapshot(spark, idx, v).toSeq
-          .map { case (k, x) => s"$k=$x" }.mkString("\n")))
-        .mkString("\n")).toSet
-      val deadToks = snapToks -- liveRefs
+      val deadToks = snapToks -- IndexPolicy.liveRefTokens(spark, idx)
       val fs = new org.apache.hadoop.fs.Path(idx)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       rows += ("snap_expiry_reclaims_dirs" -> (deadToks.nonEmpty &&

@@ -501,8 +501,6 @@ object Streaming {
     val K = 2
     def slice(j: Int) = arrivingAll
       .filter(pmod(col("doc_id"), lit(16)) === (1 + 8 * j))
-    val isArr = (c: org.apache.spark.sql.Column) =>
-      pmod(c, lit(8)) === 1
     // every join/aggregate in this row is delta-sized (≤ an eighth of
     // the documents table); the index writes repartition by their own
     // layout columns regardless — narrow the shuffle width for the
@@ -544,7 +542,7 @@ object Streaming {
       graft.operators.TextAnalysis.copyIndex(spark,
         Dedup.pristineBaseFor(spark, dir), p)
       val cs = (0 until K).map(j =>
-        Dedup.neardupStreamIngest(spark, p, slice(j), j, isArr, minJ))
+        Dedup.neardupStreamIngest(spark, p, slice(j), j, minJ))
       (p, cs)
     })
     // the streamed side: fresh index copy + fresh checkpoint, then a
@@ -564,8 +562,7 @@ object Streaming {
     val ingestBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (df, id) => {
         gotCounts.put(id,
-          Dedup.neardupStreamIngest(spark, sIdx, df.toDF(), id, isArr,
-            minJ))
+          Dedup.neardupStreamIngest(spark, sIdx, df.toDF(), id, minJ))
         ()
       }
     val q = spark.readStream.schema(arrivingAll.schema)
@@ -583,7 +580,7 @@ object Streaming {
     val vBefore = IndexPolicy.versionOf(IndexPolicy.manifestOf(spark, sIdx))
     // at-least-once: re-deliver the final batch verbatim
     val replay = Dedup.neardupStreamIngest(spark, sIdx, slice(K - 1),
-      (K - 1).toLong, isArr, minJ)
+      (K - 1).toLong, minJ)
     val vAfter = IndexPolicy.versionOf(IndexPolicy.manifestOf(spark, sIdx))
     Seq(
       ("ingest_stream_matches_batch",

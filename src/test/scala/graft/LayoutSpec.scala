@@ -1557,8 +1557,12 @@ class LayoutSpec extends SparkSpec {
       Dedup.neardupWriteIndex(spark, Seq(
         (1L, "a b c d e"), (2L, "x y z w v")).toDF("doc_id", "text"), idx)
       Dedup.neardupRemove(spark, idx, Seq(2L).toDF("doc_id"))
+      Dedup.neardupRemove(spark, idx, Seq(1L).toDF("doc_id"))
       val ids = IndexPolicy.snapshotIds(spark, idx)
-      assert(ids.size >= 3, s"fixture: expected a snapshot log, got $ids")
+      // one snapshot per COMMIT (build + two removals) — allocGen's
+      // mid-mutation swings mint none (r18 review: they'd halve
+      // effective keep-count retention)
+      assert(ids.size == 3, s"fixture: expected 3 commit snapshots, got $ids")
       // with the window on, keep-count alone expires nothing young
       spark.conf.set("spark.graft.index.snapshots.keep.ms", "3600000")
       IndexPolicy.expireSnapshots(spark, idx, 1)
