@@ -644,11 +644,24 @@ object Dedup {
     * survivors ∪ this batch's smaller-id members — the
     * [[Curation.ingestPipeline]] first-wins rule), admit ONLY the
     * survivors, and commit the batch watermark in the SAME pointer
-    * swing as the admit — the `stream_batch` manifest key makes
-    * Structured Streaming's at-least-once foreachBatch replay
+    * swing as the admit — the [[IndexPolicy.streamKey]] manifest key
+    * makes Structured Streaming's at-least-once foreachBatch replay
     * exactly-once in effect: a replayed batch (id ≤ the committed
     * watermark) returns without reading or writing anything, because
-    * watermark and rows can never commit separately.
+    * watermark and rows can never commit separately. The watermark is
+    * scoped by `app` (the Delta txnAppId discipline, r18 ADVICE): a
+    * second stream into the same index, or one restarted on a REBUILT
+    * checkpoint (batch ids restart at 0), passes a different app id
+    * and gets its own independent watermark instead of having its
+    * batches silently dropped as the old stream's replays.
+    *
+    * Torn-state self-repair (r18 ADVICE): a crash BETWEEN the
+    * watermark-ahead publish and the commit swing leaves the index
+    * torn, and Structured Streaming's automatic retry of that batch
+    * would wedge forever on [[IndexPolicy.allocGen]]'s refusal. The
+    * retry instead detects the torn manifest under its own lease and
+    * runs the family's fold first — the documented repair, in-band —
+    * then admits the batch normally.
     *
     * The rejected side of a flagged pair is the member of THIS batch
     * (pairs are (a < b); when both sides are in the batch the larger
@@ -669,12 +682,19 @@ object Dedup {
   def neardupStreamIngest(spark: SparkSession, idx: String,
                           arriving: DataFrame, batchId: Long,
                           minJ: Double = 0.2, n: Int = 3, k: Int = 16,
-                          bands: Int = 4): (Long, Long) =
+                          bands: Int = 4, app: String = ""): (Long, Long) =
       IndexPolicy.mutate(spark, idx) {
-    val m = IndexPolicy.manifestOf(spark, idx)
-    val done = m.get("stream_batch").map(_.toLong).getOrElse(-1L)
+    val key = IndexPolicy.streamKey(app)
+    val m0 = IndexPolicy.manifestOf(spark, idx)
+    val done = m0.get(key).map(_.toLong).getOrElse(-1L)
     if (batchId <= done) (0L, 0L) // replayed batch: already committed
     else {
+      // mid-batch crash left an uncommitted generation: fold to
+      // repair (under the lease we already hold), then re-read — the
+      // retried batch must land, not wedge on allocGen's refusal
+      val m =
+        if (IndexPolicy.tornCeiling(m0).isEmpty) m0
+        else { compactBody(spark, idx); IndexPolicy.manifestOf(spark, idx) }
       IndexPolicy.sweep(spark, idx, m)
       val (pairs, sigs) =
         lookupWithSigs(spark, idx, arriving, minJ, n, k, bands,
@@ -687,7 +707,7 @@ object Dedup {
           .as("doc_id")).distinct().localCheckpoint()
       val survivors = sigs.join(rejected, Seq("doc_id"), "left_anti")
       admitSigs(spark, idx, m, survivors, k, bands,
-        extra = Map("stream_batch" -> batchId.toString))
+        extra = Map(key -> batchId.toString))
       // counts without recomputing the anti-join: arriving ids are
       // unique per batch and rejected ⊆ arriving, so admitted =
       // |arriving| − |rejected| (both cheap: a parquet-metadata count
@@ -993,7 +1013,15 @@ object Dedup {
     * apply, and both watermarks reset to 0.
     */
   def neardupCompact(spark: SparkSession, idx: String): Unit =
-      IndexPolicy.mutate(spark, idx) {
+    IndexPolicy.mutate(spark, idx)(compactBody(spark, idx))
+
+  /** The fold under an ALREADY-HELD lease — [[neardupCompact]]'s body,
+    * also the in-band torn-state repair of [[neardupStreamIngest]]
+    * (r18 ADVICE: a crash between a batch's watermark publish and its
+    * commit used to wedge the retried batch on [[IndexPolicy
+    * .allocGen]]'s refusal until a manual compact).
+    */
+  private def compactBody(spark: SparkSession, idx: String): Unit = {
     val m = IndexPolicy.manifestOf(spark, idx)
     IndexPolicy.checkLayout(m, idx, ndLayoutBase)
     IndexPolicy.sweep(spark, idx, m)

@@ -968,24 +968,73 @@ object Similarity {
 
   /** One streaming micro-batch of VECTOR ingest — the IVF twin of
     * [[graft.operators.Dedup.neardupStreamIngest]]'s exactly-once
-    * discipline: the `stream_batch` watermark commits in the SAME
-    * pointer swing as the appended rows, so a replayed batch
-    * (id ≤ the committed watermark) appends nothing and leaves the
-    * manifest untouched. Returns whether the batch landed. The
-    * watermark is family-generic by construction — it rides
-    * [[IndexPolicy.commitGen]]'s extra entries; spec-pinned here,
-    * driver-gated on the near-dup family by `stream_index_ingest`.
+    * discipline: the [[IndexPolicy.streamKey]] watermark (scoped by
+    * `app`, the Delta txnAppId discipline — a rebuilt checkpoint or a
+    * second query passes its own id and gets an independent
+    * watermark, r18 ADVICE) commits in the SAME pointer swing as the
+    * appended rows, so a replayed batch (id ≤ the committed
+    * watermark) appends nothing and leaves the manifest untouched.
+    * Returns whether the batch landed. A torn manifest (mid-batch
+    * crash between the generation publish and its commit) is repaired
+    * in-band by [[ivfDropUncommitted]] before the retry lands — the
+    * retried batch must ingest, not wedge on [[IndexPolicy
+    * .allocGen]]'s refusal. The watermark is family-generic by
+    * construction — it rides [[IndexPolicy.commitGen]]'s extra
+    * entries; spec-pinned here, driver-gated on the near-dup family
+    * by `stream_index_ingest`.
     */
   def ivfStreamIngest(spark: SparkSession, idx: String, vecs: DataFrame,
-                      batchId: Long): Boolean =
+                      batchId: Long, app: String = ""): Boolean =
       IndexPolicy.mutate(spark, idx) {
+    val key = IndexPolicy.streamKey(app)
     val m = IndexPolicy.manifestOf(spark, idx)
-    if (m.get("stream_batch").map(_.toLong).exists(batchId <= _)) false
+    if (m.get(key).map(_.toLong).exists(batchId <= _)) false
     else {
-      appendVectorsBody(spark, idx, vecs,
-        Map("stream_batch" -> batchId.toString))
+      if (IndexPolicy.tornCeiling(m).isDefined)
+        ivfDropUncommitted(spark, idx, m)
+      appendVectorsBody(spark, idx, vecs, Map(key -> batchId.toString))
       true
     }
+  }
+
+  /** Targeted torn-state repair under an ALREADY-HELD lease: rewrite
+    * `lists` (and `tombstones`, if present) WITHOUT the uncommitted
+    * generation's orphan rows into a fresh epoch — preserving the
+    * committed rows' generation tags, so unlike a retrain the as-of
+    * timeline survives — and align both watermarks at the committed
+    * ceiling in the same swing. This is the in-band repair behind
+    * [[ivfStreamIngest]]'s retry (r18 ADVICE): the family's usual
+    * fold is a full retrain, which needs the vector corpus a stream
+    * doesn't have; dropping uncommitted rows needs only the index.
+    */
+  private def ivfDropUncommitted(spark: SparkSession, idx: String,
+                                 m: IndexPolicy.Manifest): Unit = {
+    IndexPolicy.checkLayout(m, idx, ivfLayoutBase)
+    val ceil = IndexPolicy.committedOf(m)
+    val ed = IndexPolicy.epochDir(idx, m("data"))
+    val tok = IndexPolicy.newEpoch()
+    val ed2 = IndexPolicy.epochDir(idx, tok)
+    spark.read.schema(listsSchema).parquet(s"$ed/lists")
+      .filter(col("gen") <= ceil)
+      .select(col("cell"), col("vec_id"), col("embedding"), col("gen"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(s"$ed2/lists")
+    spark.read.schema(centroidsSchema).parquet(s"$ed/centroids")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$ed2/centroids")
+    val tombExtra = m.get("tombstones").map { tt =>
+      val t2 = IndexPolicy.newEpoch()
+      spark.read.schema(ivfTombSchema)
+        .parquet(s"${IndexPolicy.epochDir(idx, tt)}/tombstones")
+        .filter(col("gen") <= ceil)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"${IndexPolicy.epochDir(idx, t2)}/tombstones")
+      "tombstones" -> t2
+    }
+    IndexPolicy.publish(spark, idx, m ++ tombExtra +
+      ("data" -> tok) + ("gen" -> ceil.toString) +
+      ("gen_committed" -> ceil.toString))
+    ()
   }
 
   /** REMOVE vectors from the at-rest IVF index — the FAISS

@@ -479,6 +479,7 @@ class LayoutSpec extends SparkSpec {
     // crashed before its publish) fails fast instead of serving an
     // unpinnable ranking
     wipe(new java.io.File(s"$idx/current"))
+    wipe(new java.io.File(s"$idx/clog"))
     intercept[IllegalArgumentException](asOf(0))
     intercept[IllegalArgumentException](
       Similarity.ivfAppendVectors(spark, idx, all.limit(1)))
@@ -524,6 +525,7 @@ class LayoutSpec extends SparkSpec {
       "post-compact gen 0 != folded state")
     // an index with no manifest fails fast
     wipe(new java.io.File(s"$idx/current"))
+    wipe(new java.io.File(s"$idx/clog"))
     intercept[IllegalArgumentException](asOf(0))
     intercept[IllegalArgumentException](
       Dedup.neardupRemove(spark, idx, Seq(2L).toDF("doc_id")))
@@ -683,6 +685,7 @@ class LayoutSpec extends SparkSpec {
     // every reader and mutation fails fast instead of consuming a
     // partial index (the manifest is published LAST at build)
     wipe(new java.io.File(s"$bm/current"))
+    wipe(new java.io.File(s"$bm/clog"))
     val eGone = intercept[IllegalArgumentException](
       TextAnalysis.bm25QueryIndex(spark, bm, Seq("a"), 5))
     assert(eGone.getMessage.contains("no manifest"))
@@ -741,7 +744,8 @@ class LayoutSpec extends SparkSpec {
     // unreferenced after the swing and were reclaimed by the same
     // sweep: exactly the LIVE epochs remain under ep/
     val live = graft.operators.IndexPolicy.EpochPat.findAllIn(
-      new String(Files.readAllBytes(Paths.get(s"$bm/current")))).toSet
+      IndexPolicy.manifestOf(spark, bm).toSeq
+        .map { case (k, v) => s"$k=$v" }.mkString("\n")).toSet
     val onDisk = new java.io.File(s"$bm/ep").listFiles().map(_.getName).toSet
     assert(onDisk == live, s"ep/ holds $onDisk but manifest names $live")
     // TIME-BASED GRACE (deployments whose serves may span two rewrite
@@ -1049,9 +1053,9 @@ class LayoutSpec extends SparkSpec {
       intercept[IllegalArgumentException](
         TextAnalysis.bm25QueryIndexSnapshot(spark, idx, snap, terms, 10))
       // non-vacuity of the reclaim: only live epochs remain under ep/
-      val live = graft.operators.IndexPolicy.EpochPat.findAllIn(new String(
-        java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(s"$idx/current")))).toSet
+      val live = graft.operators.IndexPolicy.EpochPat.findAllIn(
+        IndexPolicy.manifestOf(spark, idx).toSeq
+          .map { case (k, v) => s"$k=$v" }.mkString("\n")).toSet
       val retained = IndexPolicy.snapshotIds(spark, idx).flatMap(v =>
         graft.operators.IndexPolicy.EpochPat.findAllIn(new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
@@ -1285,17 +1289,24 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("pointer crash recovery: a fully-written .current_tmp is recovered when the manifest is missing") {
-    import graft.operators.Dedup
+    import graft.operators.{Dedup, IndexPolicy}
     import spark.implicits._
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
     val root = Files.createTempDirectory("graft-manifest-tmp").toString
     val idx = s"$root/idx"
     Dedup.neardupWriteIndex(spark, Seq(
       (1L, "a b c d e")).toDF("doc_id", "text"), idx)
-    // simulate a crash between the pointer swing's delete and rename:
-    // the tmp is complete, the live manifest is gone
-    Files.move(Paths.get(s"$idx/current"), Paths.get(s"$idx/.current_tmp"),
-      StandardCopyOption.REPLACE_EXISTING)
+    // construct the LEGACY (pre-chain, `current`-only) index that
+    // crashed between its swing's delete and rename: the tmp is
+    // complete, the live manifest file is gone, and no chain exists
+    val ser = IndexPolicy.manifestOf(spark, idx).toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("\n")
+    Files.write(Paths.get(s"$idx/.current_tmp"), ser.getBytes)
+    def wipe(d: java.io.File): Unit = {
+      if (d.isDirectory) d.listFiles().foreach(wipe)
+      d.delete(); ()
+    }
+    wipe(new java.io.File(s"$idx/clog"))
     val probe = Seq((9L, "a b c d e")).toDF("doc_id", "text")
     // the read recovers the manifest instead of prescribing a rebuild
     // of a healthy index
@@ -1436,7 +1447,7 @@ class LayoutSpec extends SparkSpec {
         Dedup.neardupLookupAsOf(spark, fsIdx, probe, 0L).collect().toSeq,
         "CAS-store as-of drifted from the FS twin")
       // the mutable surface lives in the STORE, never on disk…
-      for (leak <- Seq("current", "wlock", "snaps"))
+      for (leak <- Seq("current", "wlock", "snaps", "clog"))
         assert(!new java.io.File(s"$cas/$leak").exists,
           s"pointer object '$leak' leaked to disk on a CAS root")
       // …while the immutable epochs are real parquet on the real path
@@ -1613,5 +1624,254 @@ class LayoutSpec extends SparkSpec {
       S.get(spark, d, "wlock").contains("me"),
       "purge must drop everything except the held lease")
     S.delete(spark, d, "wlock")
+  }
+
+  test("version-chain swing on the FILE store with NO lease: concurrent publishes award each version exactly once") {
+    // r18 verdict #1 acceptance: the filesystem commit no longer
+    // approximates a conditional replace — it wins the
+    // create-exclusive chain slot clog/v-<n>, a single atomic syscall
+    // with NO JVM monitor anywhere in the path (putIfAbsent never
+    // touches the per-object monitors), so the no-lease hammer that
+    // previously needed the CAS store passes on a PLAIN filesystem
+    // index: the primitive, not same-JVM synchronization, closes the
+    // lost-update window — which is exactly the cross-process claim.
+    import graft.operators.{Dedup, IndexPolicy}
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-chain-race").toString
+    val idx = s"$root/idx"
+    Dedup.neardupWriteIndex(spark,
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"), idx)
+    assert(!new java.io.File(s"$idx/current").exists,
+      "a chain-committed index must not maintain a legacy current file")
+    val v0 = IndexPolicy.versionOf(IndexPolicy.manifestOf(spark, idx)).get
+    val perThread = 40
+    val won = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map(t => new Thread(() =>
+      try {
+        var i = 0
+        while (i < perThread) {
+          val m = IndexPolicy.manifestOf(spark, idx)
+          try {
+            val m2 = IndexPolicy.publish(spark, idx,
+              m + (s"w$t" -> i.toString))
+            won.add(IndexPolicy.versionOf(m2).get)
+            i += 1
+          } catch { // loser: re-read and retry, the contract
+            case _: java.util.ConcurrentModificationException =>
+          }
+        }
+      } catch { case e: Throwable => errs.add(e) }))
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    assert(threads.forall(!_.isAlive), "a publisher thread hung")
+    assert(errs.isEmpty, s"unexpected: ${errs.toArray.mkString("; ")}")
+    val versions = won.toArray(Array.empty[java.lang.Long])
+      .map(_.longValue).sorted.toList
+    assert(versions == (v0 + 1 to v0 + 4L * perThread).toList,
+      s"version ownership broke (lost or doubled swing): $versions")
+    assert(IndexPolicy.versionOf(IndexPolicy.manifestOf(spark, idx))
+      .contains(v0 + 4L * perThread), "final version drifted")
+    // publish-time pruning bounds the chain to the tip + grace entries
+    val clog = new java.io.File(s"$idx/clog").list().toSeq
+      .filter(_.startsWith("v-"))
+    assert(clog.size <= 3, s"chain not pruned: $clog")
+  }
+
+  test("lease heartbeat: a mutation slower than the lease window keeps its lease; a dead holder is still broken") {
+    // r18 verdict #2: the lease is stamped at acquire AND re-stamped
+    // every lease.ms/3 while the mutation runs — a fold that
+    // legitimately outlives the window (an IVF retrain at real scale
+    // is minutes to hours) is never presumed dead while alive; only a
+    // holder that stopped heartbeating expires.
+    import graft.operators.{Dedup, IndexPolicy}
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-heartbeat").toString
+    val idx = s"$root/idx"
+    Dedup.neardupWriteIndex(spark,
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"), idx)
+    spark.conf.set("spark.graft.index.lock.lease.ms", "300")
+    spark.conf.set("spark.graft.index.lock.wait.ms", "20000")
+    try {
+      @volatile var aEnd = 0L
+      @volatile var bStart = 0L
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val a = new Thread(() =>
+        try IndexPolicy.mutate(spark, idx) {
+          Thread.sleep(1500) // 5× the lease window
+          aEnd = System.nanoTime()
+        } catch { case e: Throwable => errs.add(e) })
+      a.start()
+      Thread.sleep(150) // let A acquire
+      val b = new Thread(() =>
+        try IndexPolicy.mutate(spark, idx) { bStart = System.nanoTime() }
+        catch { case e: Throwable => errs.add(e) })
+      b.start()
+      a.join(60000); b.join(60000)
+      assert(!a.isAlive && !b.isAlive, "a mutation hung")
+      assert(errs.isEmpty, s"mutations threw: ${errs.toArray.mkString("; ")}")
+      assert(aEnd != 0L && bStart != 0L)
+      assert(bStart >= aEnd,
+        "the waiter broke a heartbeat-renewed lease while its holder " +
+          "was alive — the slow fold lost its lease by design, not death")
+      assert(!new java.io.File(s"$idx/wlock").exists, "lease leaked")
+      // a genuinely DEAD holder (stale stamp, no heartbeat) is still
+      // broken at the window: the next mutation proceeds promptly
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$idx/wlock"),
+        s"dead-writer ${System.currentTimeMillis() - 3600000L}".getBytes)
+      IndexPolicy.mutate(spark, idx)(())
+      assert(!new java.io.File(s"$idx/wlock").exists,
+        "stale lease not cleaned after the mutation that broke it")
+    } finally {
+      spark.conf.unset("spark.graft.index.lock.lease.ms")
+      spark.conf.unset("spark.graft.index.lock.wait.ms")
+    }
+  }
+
+  test("stream watermarks are scoped by app id: a second stream into the same index is not dropped as the first one's replay") {
+    // r18 ADVICE (the Delta txnAppId+txnVersion discipline): without a
+    // stream identity, a rebuilt checkpoint (batch ids restart at 0)
+    // or a second ingesting query would have its batches silently
+    // dropped as replays — silent data loss. Each app id owns an
+    // independent watermark key committed in the same swing.
+    import graft.operators.{IndexPolicy, Similarity}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-app").toString
+    val idx = s"$root/idx"
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.ivfWriteIndexVecs(spark,
+      vecs.filter(pmod(col("vec_id"), lit(2)) === 0), idx)
+    def slice(r: Int) = vecs.filter(pmod(col("vec_id"), lit(8)) === r)
+    assert(Similarity.ivfStreamIngest(spark, idx, slice(1), 0L, app = "qa"))
+    assert(Similarity.ivfStreamIngest(spark, idx, slice(3), 1L, app = "qa"))
+    // a DIFFERENT stream's batch 0 must land even though 0 <= qa's
+    // watermark — it is a new stream, not a replay
+    assert(Similarity.ivfStreamIngest(spark, idx, slice(5), 0L, app = "qb"),
+      "an independent stream's batch was dropped as another stream's replay")
+    // replay semantics still hold WITHIN each app
+    assert(!Similarity.ivfStreamIngest(spark, idx, slice(3), 1L, app = "qa"))
+    assert(!Similarity.ivfStreamIngest(spark, idx, slice(5), 0L, app = "qb"))
+    val m = IndexPolicy.manifestOf(spark, idx)
+    assert(m.get(IndexPolicy.streamKey("qa")).contains("1") &&
+      m.get(IndexPolicy.streamKey("qb")).contains("0"),
+      s"per-app watermarks missing: $m")
+    // and the legacy bare key is untouched by app-scoped streams
+    assert(!m.contains("stream_batch"), s"legacy key leaked: $m")
+  }
+
+  test("stream ingest self-repairs a torn index: the retried batch folds the orphans and lands instead of wedging") {
+    // r18 ADVICE: a crash BETWEEN a streaming batch's generation
+    // publish and its commit used to wedge the stream — every retry
+    // threw allocGen's torn-index refusal until a manual compact. The
+    // retry now detects the torn manifest under its own lease, runs
+    // the family's fold (near-dup: compact; IVF: drop-uncommitted),
+    // and admits the batch normally.
+    import graft.operators.{Dedup, IndexPolicy, Similarity}
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-torn").toString
+    // ---- near-dup ----
+    val nd = s"$root/nd"
+    Dedup.neardupWriteIndex(spark, Seq(
+      (1L, "a b c d e"), (2L, "x y z w v")).toDF("doc_id", "text"), nd)
+    val b0 = Seq((10L, "m n o u k")).toDF("doc_id", "text")
+    val b1 = Seq((11L, "f g h i j"), (12L, "a b c d e"))
+      .toDF("doc_id", "text")
+    assert(Dedup.neardupStreamIngest(spark, nd, b0, 0L) == ((1L, 0L)))
+    IndexPolicy.armCrash(nd, "after-rows")
+    intercept[IndexPolicy.InjectedCrash](
+      Dedup.neardupStreamIngest(spark, nd, b1, 1L))
+    val mTorn = IndexPolicy.manifestOf(spark, nd)
+    assert(IndexPolicy.tornCeiling(mTorn).isDefined,
+      "fixture: the injected crash must leave a torn manifest")
+    // Structured Streaming redelivers batch 1: it must LAND (doc 11
+    // admitted once, doc 12 rejected as doc 1's near-dup), not wedge
+    assert(Dedup.neardupStreamIngest(spark, nd, b1, 1L) == ((1L, 1L)),
+      "the retried batch did not land after the in-band repair")
+    val mFixed = IndexPolicy.manifestOf(spark, nd)
+    assert(IndexPolicy.tornCeiling(mFixed).isEmpty, "index still torn")
+    assert(mFixed.get(IndexPolicy.streamKey("")).contains("1"))
+    val ids = Dedup.neardupIndexedIds(spark, nd)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 10L, 11L),
+      s"indexed set drifted through crash+retry: $ids")
+    // ---- IVF ----
+    val iv = s"$root/iv"
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.ivfWriteIndexVecs(spark,
+      vecs.filter(pmod(col("vec_id"), lit(2)) === 0), iv)
+    def slice(r: Int) = vecs.filter(pmod(col("vec_id"), lit(8)) === r)
+    assert(Similarity.ivfStreamIngest(spark, iv, slice(1), 0L))
+    IndexPolicy.armCrash(iv, "after-rows")
+    intercept[IndexPolicy.InjectedCrash](
+      Similarity.ivfStreamIngest(spark, iv, slice(3), 1L))
+    assert(IndexPolicy.tornCeiling(
+      IndexPolicy.manifestOf(spark, iv)).isDefined)
+    assert(Similarity.ivfStreamIngest(spark, iv, slice(3), 1L),
+      "the retried IVF batch did not land after the in-band repair")
+    val mIv = IndexPolicy.manifestOf(spark, iv)
+    assert(IndexPolicy.tornCeiling(mIv).isEmpty, "IVF index still torn")
+    // every ingested vector present EXACTLY once — the crashed
+    // attempt's orphan rows were dropped, not resurrected
+    val lists = spark.read.parquet(
+      Similarity.resolvedTable(spark, iv, "lists").get)
+    val want = vecs.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .unionByName(slice(1)).unionByName(slice(3))
+      .select(col("vec_id")).distinct().count()
+    assert(lists.count() == want && lists.select("vec_id").distinct()
+      .count() == want, "orphan rows survived the repair")
+  }
+
+  test("bm25 stream ingest: segments land exactly once per batch; a replayed batch is a byte-identical no-op") {
+    // r18 verdict missing #3: the third family's streaming twin. The
+    // watermark rides the SAME single swing as the segment list and
+    // adjusted stats, so rows and watermark can never commit
+    // separately; bm25 needs no torn-state repair (the append is
+    // single-swing — a mid-batch crash leaves only unreferenced
+    // segment dirs for the sweep).
+    import graft.operators.{IndexPolicy, TextAnalysis}
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bm25-stream").toString
+    val idx = s"$root/idx"
+    TextAnalysis.bm25WriteIndexDocs(spark, Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text"), idx)
+    def segs() = IndexPolicy.manifestOf(spark, idx)
+      .get("segments").map(_.split(",").count(_.nonEmpty)).getOrElse(0)
+    def serve() = TextAnalysis.bm25QueryIndex(spark, idx,
+      Seq("alpha", "eta"), 10).collect().toSeq
+    assert(TextAnalysis.bm25StreamIngest(spark, idx,
+      Seq((3L, "alpha eta theta")).toDF("doc_id", "text"), 0L))
+    assert(segs() == 1)
+    assert(TextAnalysis.bm25StreamIngest(spark, idx,
+      Seq((4L, "alpha iota")).toDF("doc_id", "text"), 1L))
+    assert(segs() == 2)
+    val m1 = IndexPolicy.manifestOf(spark, idx)
+    val s1 = serve()
+    assert(s1.map(_.getLong(0)).toSet == Set(1L, 3L, 4L),
+      "streamed docs not served")
+    // at-least-once redelivery of batch 1: nothing lands, no swing
+    assert(!TextAnalysis.bm25StreamIngest(spark, idx,
+      Seq((4L, "alpha iota")).toDF("doc_id", "text"), 1L),
+      "a replayed batch must be refused by the watermark")
+    assert(IndexPolicy.manifestOf(spark, idx) == m1 && serve() == s1,
+      "the replay must leave manifest and serve byte-identical")
+    // an EMPTY batch mints no segment and advances no watermark — its
+    // own redelivery is a deterministic no-op, and the next real
+    // batch still lands
+    assert(TextAnalysis.bm25StreamIngest(spark, idx,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), 2L))
+    assert(segs() == 2 && IndexPolicy.manifestOf(spark, idx) == m1)
+    assert(TextAnalysis.bm25StreamIngest(spark, idx,
+      Seq((5L, "alpha kappa")).toDF("doc_id", "text"), 3L))
+    assert(segs() == 3 &&
+      IndexPolicy.manifestOf(spark, idx)
+        .get(IndexPolicy.streamKey("")).contains("3"))
   }
 }
