@@ -46,6 +46,7 @@ object SparkEntry {
     "recovery_drill", "train_read",
     "bm25_snapshot_asof", "estate_crash_drill",
     "neardup_snapshot_asof", "ivf_snapshot_asof",
+    "estate_snapshot_manifest",
     "mm_ivf_lifecycle", "audio_ivf_lifecycle",
     // r13: edges via driver-orchestrated distributed rank selection
     "histogram_equidepth")
@@ -252,6 +253,8 @@ object SparkEntry {
     "train_read" -> ((s, d) => Curation.trainRead(s, d)),
     "bm25_snapshot_asof" -> ((s, d) => TextAnalysis.bm25SnapshotAsOf(s, d)),
     "estate_crash_drill" -> ((s, d) => Curation.estateCrashDrill(s, d)),
+    "estate_snapshot_manifest" ->
+      ((s, d) => Curation.estateSnapshotManifest(s, d)),
     "neardup_snapshot_asof" -> ((s, d) => Dedup.neardupSnapshotAsOf(s, d)),
     "ivf_snapshot_asof" -> ((s, d) => Similarity.ivfSnapshotAsOf(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
@@ -3694,7 +3697,9 @@ object SparkEntry {
         |ORDER BY metric""".stripMargin,
     // mid-estate crash: a maintenance pass dying with one family's
     // fold mid-flight (injected) leaves an estate the next plain pass
-    // converges — the composition of per-family crash safety
+    // converges — the composition of per-family crash safety, drilled
+    // in BOTH directions (ecd_: nd crashes beside a completing IVF
+    // fold; ecd2_: the mirrored IVF crash beside a completing nd fold)
     "estate_crash_drill" ->
       """SELECT unnest([
         |  'ecd_crash_left_garbage', 'ecd_ivf_due_before',
@@ -3702,7 +3707,25 @@ object SparkEntry {
         |  'ecd_nd_still_due_after_crash',
         |  'ecd_pass1_ivf_folded', 'ecd_pass1_nd_crashed',
         |  'ecd_pass2_ivf_untouched', 'ecd_pass2_lookup_preserved',
-        |  'ecd_pass2_nd_quiet', 'ecd_pass2_swept_garbage']) AS metric,
+        |  'ecd_pass2_nd_quiet', 'ecd_pass2_swept_garbage',
+        |  'ecd2_both_due_before', 'ecd2_crash_left_garbage',
+        |  'ecd2_ivf_serve_intact_after_crash',
+        |  'ecd2_ivf_still_due_after_crash',
+        |  'ecd2_pass1_ivf_crashed', 'ecd2_pass1_nd_folded',
+        |  'ecd2_pass2_ivf_quiet_and_rebuilt', 'ecd2_pass2_nd_untouched',
+        |  'ecd2_pass2_swept_garbage']) AS metric,
+        |  TRUE AS ok
+        |ORDER BY metric""".stripMargin,
+    // estate-level snapshot manifest: per-family SNAPSHOT pins replay
+    // the full retrieval estate bit-identically across folds of every
+    // family (generation pins die at the first fold); the expired
+    // decoy proves retention + reclaim estate-wide
+    "estate_snapshot_manifest" ->
+      """SELECT unnest([
+        |  'esm_bm25_replays_across_fold', 'esm_expired_decoy_fails_fast',
+        |  'esm_expiry_reclaimed_dirs', 'esm_ivf_replays_across_fold',
+        |  'esm_live_moved_on', 'esm_nd_replays_across_fold',
+        |  'esm_pins_present']) AS metric,
         |  TRUE AS ok
         |ORDER BY metric""".stripMargin,
     "fold_trigger" ->

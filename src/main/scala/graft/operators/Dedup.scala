@@ -823,10 +823,17 @@ object Dedup {
     // last COMMITTED generation when a crashed mutation left the
     // allocated watermark ahead of its rows (r15 ADVICE) — a torn
     // check-in must read as "never happened", not as buckets rows
-    // missing their docsets twins. Healthy indexes (the always case)
-    // get NO extra filter on the live path.
-    val ceil = (asOf.toSeq ++ IndexPolicy.tornCeiling(m).toSeq)
-      .reduceOption(_ min _)
+    // missing their docsets twins. A SNAPSHOT lookup caps at the
+    // snapshot's OWN committed watermark (r19): in-place mutations
+    // after the snapshot append higher-generation rows INTO the very
+    // epoch dirs the snapshot references (check-ins into its data
+    // epoch, removals into its tombstones epoch), and the manifest
+    // alone cannot exclude them — without this cap a post-snapshot
+    // removal would retroactively suppress pairs from the pinned
+    // ranking. Healthy LIVE reads (the always case) get NO extra
+    // filter.
+    val ceil = (asOf.toSeq ++ IndexPolicy.tornCeiling(m).toSeq ++
+      manifest.map(IndexPolicy.committedOf).toSeq).reduceOption(_ min _)
     val sigs = md5DocSig(newDocs, n, k).localCheckpoint()
     val dBand = bandedOf(sigs, k, bands)
     // the delta's pb hash buckets (≤ nPb values) become a literal

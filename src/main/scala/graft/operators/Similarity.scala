@@ -1206,10 +1206,15 @@ object Similarity {
     val ed = IndexPolicy.epochDir(idx, m("data"))
     // read ceiling: the pinned as-of generation, capped at the last
     // COMMITTED generation when a crashed mutation left the allocated
-    // watermark ahead of its rows — healthy indexes get no extra
-    // filter on the live path
-    val ceil = (asOf.toSeq ++ IndexPolicy.tornCeiling(m).toSeq)
-      .reduceOption(_ min _)
+    // watermark ahead of its rows — healthy live indexes get no extra
+    // filter. A SNAPSHOT serve caps at the snapshot's OWN committed
+    // watermark (r19): post-snapshot appends/removals land
+    // higher-generation rows INTO the epoch dirs the snapshot
+    // references, and the manifest alone cannot exclude them — the
+    // estate snapshot row exposed exactly this (an append into the
+    // pinned epoch leaked into the replay).
+    val ceil = (asOf.toSeq ++ IndexPolicy.tornCeiling(m).toSeq ++
+      manifest.map(IndexPolicy.committedOf).toSeq).reduceOption(_ min _)
     graft.functions.GraftFunctions.register(spark)
     val ndot = graft.functions.GraftFunctions.dot _
     val cents = spark.read.schema(centroidsSchema).parquet(s"$ed/centroids")

@@ -108,7 +108,10 @@ class EmptyInputSpec extends SparkSpec {
       "neardup_snapshot_asof" -> ((s, d) => Dedup.neardupSnapshotAsOf(s, d)),
       "ivf_snapshot_asof" -> ((s, d) => Similarity.ivfSnapshotAsOf(s, d)),
       "stream_index_ingest" ->
-        ((s, d) => graft.streaming.Streaming.indexIngestContract(s, d)))
+        ((s, d) => graft.streaming.Streaming.indexIngestContract(s, d)),
+      // r19 addition
+      "estate_snapshot_manifest" ->
+        ((s, d) => Curation.estateSnapshotManifest(s, d)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()

@@ -1088,6 +1088,18 @@ class LayoutSpec extends SparkSpec {
       val ndWant = Dedup.neardupLookup(spark, nd, probe).collect().toSeq
       assert(ndWant.map(_.getLong(0)).toSet == Set(1L),
         "fixture: the removal must suppress doc 2's pair")
+      // IN-PLACE mutations after the snapshot write higher-generation
+      // rows INTO the epoch dirs the snapshot references (a removal
+      // reuses its tombstones epoch; a check-in appends into its data
+      // epoch) — the snapshot read must cap at its own committed
+      // watermark or they leak into the pinned state (r19 regression
+      // pin: the estate snapshot row caught exactly this)
+      Dedup.neardupRemove(spark, nd, Seq(1L).toDF("doc_id"))
+      Dedup.neardupCheckIn(spark, nd,
+        Seq((5L, "p q r s t")).toDF("doc_id", "text")).count()
+      assert(Dedup.neardupLookupSnapshot(spark, nd, ndSnap, probe)
+        .collect().toSeq == ndWant,
+        "a post-snapshot in-place mutation leaked into the snapshot lookup")
       Dedup.neardupCompact(spark, nd)
       Dedup.neardupCheckIn(spark, nd,
         Seq((4L, "x y z w v")).toDF("doc_id", "text")).count()
@@ -1110,6 +1122,14 @@ class LayoutSpec extends SparkSpec {
       val ivSnap = IndexPolicy.snapshotIds(spark, iv).last
       val ivWant = Similarity.ivfQueryIndex(spark, sf, iv)
         .collect().toSeq
+      // post-snapshot in-place append into the SAME lists epoch: the
+      // snapshot serve must exclude its higher-generation rows (r19)
+      Similarity.ivfAppendVectors(spark, iv,
+        vecs.filter(col("vec_id") < 4)
+          .select((col("vec_id") + 900000L).as("vec_id"), col("embedding")))
+      assert(Similarity.ivfQueryIndexSnapshot(spark, sf, iv, ivSnap)
+        .collect().toSeq == ivWant,
+        "a post-snapshot in-place append leaked into the snapshot serve")
       Similarity.ivfWriteIndexVecs(spark,
         vecs.filter(col("vec_id") % 5 =!= 0), iv) // retrain, fewer vecs
       assert(Similarity.ivfQueryIndex(spark, sf, iv).collect().toSeq
@@ -1692,19 +1712,26 @@ class LayoutSpec extends SparkSpec {
     val idx = s"$root/idx"
     Dedup.neardupWriteIndex(spark,
       Seq((1L, "a b c d e")).toDF("doc_id", "text"), idx)
-    spark.conf.set("spark.graft.index.lock.lease.ms", "300")
-    spark.conf.set("spark.graft.index.lock.wait.ms", "20000")
+    // margins sized for a CONTENDED host (the full suite runs ~25
+    // suites in parallel on 4 cores): the lease is 2 s with a ~666 ms
+    // heartbeat, so only a multi-second scheduler stall of the
+    // heartbeat thread — not ordinary load — could break the holder
+    spark.conf.set("spark.graft.index.lock.lease.ms", "2000")
+    spark.conf.set("spark.graft.index.lock.wait.ms", "60000")
     try {
       @volatile var aEnd = 0L
       @volatile var bStart = 0L
       val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val aAcquired = new java.util.concurrent.CountDownLatch(1)
       val a = new Thread(() =>
         try IndexPolicy.mutate(spark, idx) {
-          Thread.sleep(1500) // 5× the lease window
+          aAcquired.countDown()
+          Thread.sleep(5000) // 2.5× the lease window
           aEnd = System.nanoTime()
         } catch { case e: Throwable => errs.add(e) })
       a.start()
-      Thread.sleep(150) // let A acquire
+      assert(aAcquired.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "holder never acquired") // let A acquire
       val b = new Thread(() =>
         try IndexPolicy.mutate(spark, idx) { bStart = System.nanoTime() }
         catch { case e: Throwable => errs.add(e) })
