@@ -999,6 +999,13 @@ object Curation {
     if (docsEmpty || vecsEmpty)
       return Seq.empty[(String, Boolean)].toDF("metric", "ok")
     val (_, ndT, ivT) = estateTemplates(spark, dir)
+    // every job in this row runs on the FIXED-SIZE fold fixture (≤ a
+    // few hundred rows); narrow the shuffle width like
+    // indexIngestContract does — identical rows, less per-job
+    // scheduling across the drill's many tiny fold/serve jobs
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
     val probe = manifestProbe(docs).localCheckpoint()
     val l0 = drillNdCapCache.computeIfAbsent(dir, _ =>
       Dedup.neardupLookup(spark, ndT, probe).collect().toSeq)
@@ -1125,6 +1132,7 @@ object Curation {
       case first +: rest => rest.foreach(first.addSuppressed); throw first
     }
     tried.flatMap(_.get).toDF("metric", "ok").orderBy("metric")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   private val drillIvTCapCache = new java.util.concurrent.ConcurrentHashMap[
@@ -1572,6 +1580,10 @@ object Curation {
     estateTemplates(spark, dir)
     val priorKeep = spark.conf.getOption(IndexPolicy.SnapKeepConf)
     spark.conf.set(IndexPolicy.SnapKeepConf, "10")
+    // fixed-size fixture; narrow the shuffle width across the row's
+    // many tiny serve/mutation jobs (the indexIngestContract pattern)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val est = snapEstate(spark, dir)
       val pins = spark.read.schema("family string, snap bigint")
@@ -1618,9 +1630,12 @@ object Curation {
           reclaimed(est.nd, est.ndDecoyRefs) &&
           reclaimed(est.iv, est.ivDecoyRefs)))
       rows.toSeq.toDF("metric", "ok").orderBy("metric")
-    } finally priorKeep match {
-      case Some(v) => spark.conf.set(IndexPolicy.SnapKeepConf, v)
-      case None => spark.conf.unset(IndexPolicy.SnapKeepConf)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      priorKeep match {
+        case Some(v) => spark.conf.set(IndexPolicy.SnapKeepConf, v)
+        case None => spark.conf.unset(IndexPolicy.SnapKeepConf)
+      }
     }
   }
 

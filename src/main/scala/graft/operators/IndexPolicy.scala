@@ -136,8 +136,12 @@ private[graft] object IndexPolicy {
       */
     def purge(spark: SparkSession, root: String, except: String): Unit
     /** Whether [[putIfMatch]] is one atomic primitive (an object
-      * store's conditional PUT) rather than the filesystem
-      * read-compare-replace-verify approximation.
+      * store's conditional PUT). Selects the COMMIT strategy: a CAS
+      * store swings the single `current` object conditionally; a
+      * store without the primitive commits through the
+      * create-exclusive version chain instead ([[chainCommit]]), so
+      * its [[putIfMatch]] (same-JVM-atomic only) is never on the
+      * commit path — it serves the lease heartbeat alone.
       */
     def atomicCas: Boolean
   }
@@ -177,16 +181,18 @@ private[graft] object IndexPolicy {
     * only — a read must never fail because a concurrent reader won the
     * rename race or the index lives on a read-only snapshot.
     *
-    * WRITE (the replace primitive under the pointer swing): on a local
-    * filesystem, temp-write + one rename(2) with REPLACE_EXISTING +
-    * ATOMIC_MOVE (raw nio, so no Hadoop checksum sidecar can go
-    * stale) — a concurrent reader sees the complete old or complete
-    * new value, NEVER an absence (r17 review: the previous
-    * delete-then-rename had a window where a racing read of `current`
-    * threw, and a reader's tmp recovery could abort a committed
-    * mutation). On HDFS-like stores the same contract holds via
-    * FileContext.rename(Options.Rename.OVERWRITE) — the atomic rename2
-    * primitive (r17 verdict #2).
+    * WRITE (the atomic-replace primitive behind [[put]] — since r19
+    * the snapshot-log copies and legacy-index compatibility, not the
+    * commit swing, which goes through the version chain's
+    * [[putIfAbsent]]): on a local filesystem, temp-write + one
+    * rename(2) with REPLACE_EXISTING + ATOMIC_MOVE (raw nio, so no
+    * Hadoop checksum sidecar can go stale) — a concurrent reader sees
+    * the complete old or complete new value, NEVER an absence (r17
+    * review: the previous delete-then-rename had a window where a
+    * racing read of `current` threw, and a reader's tmp recovery
+    * could abort a committed mutation). On HDFS-like stores the same
+    * contract holds via FileContext.rename(Options.Rename.OVERWRITE)
+    * — the atomic rename2 primitive (r17 verdict #2).
     */
   private[graft] object FsPointerStore extends PointerStore {
     def atomicCas: Boolean = false
