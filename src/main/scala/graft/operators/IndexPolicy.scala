@@ -131,6 +131,11 @@ private[graft] object IndexPolicy {
                       expected: String): Boolean
     /** Names (flat, under `dir`) starting with `prefix`. */
     def list(spark: SparkSession, dir: String, prefix: String): Seq[String]
+    /** Last-modified wall-clock of an object, if it exists — drives
+      * the version chain's AGE-based retention ([[chainKeepMs]]).
+      */
+    def modifiedAt(spark: SparkSession, dir: String,
+                   name: String): Option[Long]
     /** Drop every pointer object of index `root` except `except` — the
       * store-side half of [[clearForRebuild]].
       */
@@ -227,8 +232,13 @@ private[graft] object IndexPolicy {
         try in.readFully(0L, buf) finally in.close()
         new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim
       }
-      if (fs.exists(p)) Some(readAll(p))
-      else if (fs.exists(tmp)) {
+      // exists→read is not atomic: a concurrent prune/expiry can
+      // delete between the two — an object that vanished mid-read is
+      // simply absent NOW, never a reader failure
+      if (fs.exists(p))
+        try return Some(readAll(p))
+        catch { case _: java.io.FileNotFoundException => }
+      if (fs.exists(tmp)) {
         val v =
           try readAll(tmp)
           catch { // lost a recovery race: the winner reinstated p
@@ -250,16 +260,23 @@ private[graft] object IndexPolicy {
       import java.nio.file.{Files, Paths}
       val p = Paths.get(s"$local/$name")
       val tmp = Paths.get(s"$local/.${name}_tmp")
+      // exists→read is not atomic: a concurrent prune/expiry can
+      // delete between the two (the no-lease hammer surfaced this as
+      // reader NoSuchFileException under load) — an object that
+      // vanished mid-read is simply absent NOW
       if (Files.exists(p))
-        Some(new String(Files.readAllBytes(p),
+        try return Some(new String(Files.readAllBytes(p),
           java.nio.charset.StandardCharsets.UTF_8).trim)
-      else if (Files.exists(tmp)) {
-        val v = new String(Files.readAllBytes(tmp),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        try Files.move(tmp, p)
-        catch { case _: java.io.IOException => } // lost the race: fine
-        Some(v)
-      } else None
+        catch { case _: java.nio.file.NoSuchFileException => }
+      if (Files.exists(tmp))
+        try {
+          val v = new String(Files.readAllBytes(tmp),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          try Files.move(tmp, p)
+          catch { case _: java.io.IOException => } // lost the race: fine
+          Some(v)
+        } catch { case _: java.nio.file.NoSuchFileException => None }
+      else None
     }
 
     def put(spark: SparkSession, dir: String, name: String,
@@ -373,21 +390,36 @@ private[graft] object IndexPolicy {
              prefix: String): Seq[String] =
       localPathOf(dir) match {
         case Some(local) =>
-          val d = new java.io.File(local)
-          if (!d.isDirectory) Seq.empty
-          else d.list().toSeq.filter(_.startsWith(prefix))
+          // null on a dir deleted between the check and the listing
+          // (or an IO hiccup) — absent either way
+          Option(new java.io.File(local).list()).fold(Seq.empty[String])(
+            _.toSeq.filter(_.startsWith(prefix)))
         case None =>
           val p = new org.apache.hadoop.fs.Path(dir)
           val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (!fs.exists(p)) Seq.empty
-          else fs.listStatus(p).map(_.getPath.getName).toSeq
+          try fs.listStatus(p).map(_.getPath.getName).toSeq
             .filter(_.startsWith(prefix))
+          catch { case _: java.io.FileNotFoundException => Seq.empty }
       }
 
     /** No-op: filesystem pointer objects live under the index dir
       * itself, so [[clearForRebuild]]'s directory delete removes them.
       */
     def purge(spark: SparkSession, root: String, except: String): Unit = ()
+
+    def modifiedAt(spark: SparkSession, dir: String,
+                   name: String): Option[Long] =
+      localPathOf(dir) match {
+        case Some(local) =>
+          try Some(java.nio.file.Files.getLastModifiedTime(
+            java.nio.file.Paths.get(s"$local/$name")).toMillis)
+          catch { case _: java.io.IOException => None }
+        case None =>
+          val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          try Some(fs.getFileStatus(p).getModificationTime)
+          catch { case _: java.io.FileNotFoundException => None }
+      }
   }
 
   /** In-JVM conditional-PUT store — the object-store commit primitive,
@@ -457,6 +489,12 @@ private[graft] object IndexPolicy {
         if (k.startsWith(under) && k != s"$root/$except") objects.remove(k)
       }
     }
+
+    /** Never consulted: CAS stores commit through the single
+      * conditional-PUT object, not the version chain.
+      */
+    def modifiedAt(spark: SparkSession, dir: String,
+                   name: String): Option[Long] = None
   }
 
   /** Hadoop-store half of [[writeAtomicFile]], separated so the
@@ -554,6 +592,28 @@ private[graft] object IndexPolicy {
     */
   private val ChainKeepBack = 2
 
+  /** Minimum AGE (ms) a superseded chain entry must reach before
+    * pruning may delete it — the Delta logRetentionDuration
+    * discipline, and a CORRECTNESS knob, not a convenience: the
+    * create-exclusive award is exclusive only while the name exists.
+    * The no-lease hammer caught the failure mode under load: a writer
+    * stalled between its manifest read and its create-exclusive link
+    * (a GC pause is enough) can otherwise land on a slot that was
+    * committed AND eagerly pruned inside its stall window — the
+    * create succeeds on the recycled name and mints a ZOMBIE commit
+    * below the tip that readers never resolve, i.e. a silently lost
+    * update reported as success. With the age window, minting a
+    * zombie requires a stall LONGER than the window between read and
+    * link — the default 10 minutes is two orders beyond any real
+    * pause, and mutations under the heartbeat lease are bounded far
+    * tighter. 0 restores eager pruning (test-only: it reopens the
+    * window by construction).
+    */
+  private[graft] val ChainKeepMsConf = "spark.graft.index.clog.keep.ms"
+
+  private def chainKeepMs(spark: SparkSession): Long =
+    spark.conf.get(ChainKeepMsConf, "600000").toLong
+
   /** The committed chain tip: the highest `clog/v-<n>` whose content
     * parses back to version n. An entry failing that check is TORN (a
     * writer on a no-hardlink filesystem died between create and
@@ -594,23 +654,47 @@ private[graft] object IndexPolicy {
   private def chainCommit(spark: SparkSession, idx: String,
                           store: PointerStore, v: Long,
                           ser: String): Boolean = {
-    def prune(): Unit =
+    // retention: superseded entries go only once BOTH the keep-count
+    // floor and the AGE window pass ([[ChainKeepMsConf]] — deleting a
+    // young name would re-open create-exclusivity for a writer
+    // stalled since before the commit, the zombie-award hole the
+    // hammer caught); entries whose mtime the store cannot produce
+    // are never pruned (the safe direction)
+    def prune(): Unit = {
+      val keepMs = chainKeepMs(spark)
+      val now = System.currentTimeMillis()
       store.list(spark, clogDir(idx), "v-")
         .flatMap(_.drop(2).toLongOption)
         .filter(_ <= v - ChainKeepBack - 1)
+        .filter(o => keepMs <= 0L ||
+          store.modifiedAt(spark, clogDir(idx), s"v-$o")
+            .exists(at => now - at >= keepMs))
         .foreach(o => store.delete(spark, clogDir(idx), s"v-$o"))
+    }
     if (store.putIfAbsent(spark, clogDir(idx), s"v-$v", ser)) {
       prune(); true
     } else store.get(spark, clogDir(idx), s"v-$v") match {
       case Some(c) if parseManifest(c).get(VersionKey)
           .contains(v.toString) => false // a concurrent writer owns v
       case Some(torn) =>
+        System.err.println(s"[chain] $idx v-$v judged TORN " +
+          s"(${torn.length} bytes): ${torn.take(120).replace("\n", "\\n")}")
         store.deleteIfMatch(spark, clogDir(idx), s"v-$v", torn) &&
           store.putIfAbsent(spark, clogDir(idx), s"v-$v", ser) &&
           { prune(); true }
-      case None => // a concurrent repair removed the torn entry
-        store.putIfAbsent(spark, clogDir(idx), s"v-$v", ser) &&
-          { prune(); true }
+      case None =>
+        // the slot was occupied an instant ago and is GONE now —
+        // NEVER retake it (the no-lease hammer caught a double-award
+        // here: commits landed and PRUNED the slot inside a slow
+        // loser's fail→re-read window, and retaking it minted a
+        // zombie commit below the tip — reported success, never
+        // resolvable by readers, i.e. a lost update). Whether the
+        // occupant was a since-pruned commit or a torn entry another
+        // repairer consumed, the safe answer is the same: this
+        // version is not ours — fail loudly and let the caller retry
+        // from a fresh manifest read (liveness holds: some writer
+        // committed or will commit this version).
+        false
     }
   }
 

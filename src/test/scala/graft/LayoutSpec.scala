@@ -1693,10 +1693,25 @@ class LayoutSpec extends SparkSpec {
       s"version ownership broke (lost or doubled swing): $versions")
     assert(IndexPolicy.versionOf(IndexPolicy.manifestOf(spark, idx))
       .contains(v0 + 4L * perThread), "final version drifted")
-    // publish-time pruning bounds the chain to the tip + grace entries
-    val clog = new java.io.File(s"$idx/clog").list().toSeq
+    def clog() = new java.io.File(s"$idx/clog").list().toSeq
       .filter(_.startsWith("v-"))
-    assert(clog.size <= 3, s"chain not pruned: $clog")
+    // under the default AGE retention nothing this young is pruned —
+    // deleting a young name would re-open create-exclusivity for a
+    // writer stalled since before the commit (the zombie-award hole
+    // this very test caught under load): every awarded slot is still
+    // on disk
+    assert(clog().size == (v0 + 4L * perThread + 1L).toInt,
+      s"young chain entries vanished: ${clog().size}")
+    // with the window forced to 0 (test-only eager mode), the next
+    // publish prunes to the tip + grace entries and reads still
+    // resolve the tip
+    spark.conf.set(IndexPolicy.ChainKeepMsConf, "0")
+    try {
+      val mTip = IndexPolicy.publish(spark, idx,
+        IndexPolicy.manifestOf(spark, idx) + ("final" -> "1"))
+      assert(clog().size <= 3, s"eager prune did not bound the chain: ${clog()}")
+      assert(IndexPolicy.manifestOf(spark, idx) == mTip)
+    } finally spark.conf.unset(IndexPolicy.ChainKeepMsConf)
   }
 
   test("lease heartbeat: a mutation slower than the lease window keeps its lease; a dead holder is still broken") {
@@ -1900,5 +1915,79 @@ class LayoutSpec extends SparkSpec {
     assert(segs() == 3 &&
       IndexPolicy.manifestOf(spark, idx)
         .get(IndexPolicy.streamKey("")).contains("3"))
+  }
+
+  test("legacy current-only index: reads fall back, the next publish starts the version chain") {
+    // migration pin: an index written before the chain existed has
+    // only `current`. Reads must serve it unchanged; the NEXT publish
+    // must start the chain at version+1, after which the chain is the
+    // committed truth and the stale legacy file is ignored.
+    import graft.operators.{Dedup, IndexPolicy}
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft-legacy-cur").toString
+    val idx = s"$root/idx"
+    Dedup.neardupWriteIndex(spark, Seq(
+      (1L, "a b c d e"), (2L, "x y z w v")).toDF("doc_id", "text"), idx)
+    // demote to the legacy layout: serialize the committed manifest
+    // into `current`, drop the chain
+    val m0 = IndexPolicy.manifestOf(spark, idx)
+    val ser = m0.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("\n")
+    Files.write(Paths.get(s"$idx/current"), ser.getBytes)
+    def wipe(d: java.io.File): Unit = {
+      if (d.isDirectory) d.listFiles().foreach(wipe)
+      d.delete(); ()
+    }
+    wipe(new java.io.File(s"$idx/clog"))
+    // reads serve the legacy pointer
+    assert(IndexPolicy.manifestOf(spark, idx) == m0)
+    val probe = Seq((9L, "a b c d e")).toDF("doc_id", "text").localCheckpoint()
+    assert(Dedup.neardupLookup(spark, idx, probe)
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    // the next mutation commits THROUGH the chain, at version+1
+    val v0 = IndexPolicy.versionOf(m0).get
+    Dedup.neardupRemove(spark, idx, Seq(1L).toDF("doc_id"))
+    val m1 = IndexPolicy.manifestOf(spark, idx)
+    assert(IndexPolicy.versionOf(m1).contains(v0 + 2L), // alloc + commit
+      s"chain did not continue the legacy version line: $m1")
+    assert(new java.io.File(s"$idx/clog").list()
+      .exists(_.startsWith("v-")), "no chain entry written")
+    // the stale legacy file is now ignored: reads resolve the chain
+    Files.write(Paths.get(s"$idx/current"), "version=999999\ngarbage=1".getBytes)
+    assert(IndexPolicy.manifestOf(spark, idx) == m1,
+      "a stale legacy current file shadowed the chain tip")
+    assert(Dedup.neardupLookup(spark, idx, probe).collect().isEmpty,
+      "the removal committed through the chain must be served")
+  }
+
+  test("torn chain slot: a publish repairs a half-written clog entry and retakes its version") {
+    // the no-hardlink-filesystem crash shape: a writer died between
+    // creating clog/v-<n> and writing it, leaving content that does
+    // not parse back to version n. Readers skip it; the next writer
+    // needing that version deletes it conditionally and retakes the
+    // slot — the index never wedges.
+    import graft.operators.{Dedup, IndexPolicy}
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft-torn-chain").toString
+    val idx = s"$root/idx"
+    Dedup.neardupWriteIndex(spark, Seq(
+      (1L, "a b c d e")).toDF("doc_id", "text"), idx)
+    val m0 = IndexPolicy.manifestOf(spark, idx)
+    val v0 = IndexPolicy.versionOf(m0).get
+    // plant the torn entry at the NEXT version (empty content — the
+    // crashed-create shape; also covers partial garbage)
+    Files.write(Paths.get(s"$idx/clog/v-${v0 + 1}"), "".getBytes)
+    // readers skip the torn tip and keep serving the committed state
+    assert(IndexPolicy.manifestOf(spark, idx) == m0,
+      "a torn chain tip changed what readers resolve")
+    // the next publish repairs the slot and wins it
+    val m1 = IndexPolicy.publish(spark, idx, m0 + ("k" -> "v"))
+    assert(IndexPolicy.versionOf(m1).contains(v0 + 1L))
+    assert(IndexPolicy.manifestOf(spark, idx) == m1)
+    assert(new String(Files.readAllBytes(
+      Paths.get(s"$idx/clog/v-${v0 + 1}"))).contains("k=v"),
+      "the torn slot was not retaken with the real commit")
   }
 }
