@@ -46,7 +46,7 @@ object SparkEntry {
     "recovery_drill", "train_read",
     "bm25_snapshot_asof", "estate_crash_drill",
     "neardup_snapshot_asof", "ivf_snapshot_asof",
-    "estate_snapshot_manifest",
+    "estate_snapshot_manifest", "estate_stream_ingest",
     "mm_ivf_lifecycle", "audio_ivf_lifecycle",
     // r13: edges via driver-orchestrated distributed rank selection
     "histogram_equidepth")
@@ -255,6 +255,8 @@ object SparkEntry {
     "estate_crash_drill" -> ((s, d) => Curation.estateCrashDrill(s, d)),
     "estate_snapshot_manifest" ->
       ((s, d) => Curation.estateSnapshotManifest(s, d)),
+    "estate_stream_ingest" ->
+      ((s, d) => Curation.estateStreamIngest(s, d)),
     "neardup_snapshot_asof" -> ((s, d) => Dedup.neardupSnapshotAsOf(s, d)),
     "ivf_snapshot_asof" -> ((s, d) => Similarity.ivfSnapshotAsOf(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
@@ -3726,6 +3728,22 @@ object SparkEntry {
         |  'esm_expiry_reclaimed_dirs', 'esm_ivf_replays_across_fold',
         |  'esm_live_moved_on', 'esm_nd_replays_across_fold',
         |  'esm_pins_present']) AS metric,
+        |  TRUE AS ok
+        |ORDER BY metric""".stripMargin,
+    // estate stream ingest: one micro-batch stream mutating all three
+    // families with injected deaths BETWEEN family commits — the
+    // retried batch lands only the families whose app-scoped
+    // watermark hasn't passed, and the end state matches a crash-free
+    // batch twin bit-for-bit
+    "estate_stream_ingest" ->
+      """SELECT unnest([
+        |  'esi_crash_after_bm_fired', 'esi_crash_after_nd_fired',
+        |  'esi_crashed_retry_skipped_committed_nd',
+        |  'esi_end_state_matches_batch_twin',
+        |  'esi_estate_inconsistent_after_crash',
+        |  'esi_final_retry_lands_only_ivf', 'esi_gate_nonvacuous',
+        |  'esi_redelivery_noop', 'esi_twin_single_pass_all_landed'])
+        |  AS metric,
         |  TRUE AS ok
         |ORDER BY metric""".stripMargin,
     "fold_trigger" ->

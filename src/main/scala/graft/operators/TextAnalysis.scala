@@ -1157,9 +1157,13 @@ object TextAnalysis {
     * so Structured Streaming's at-least-once redelivery is
     * exactly-once in effect: a replayed batch (id ≤ the committed
     * watermark) reads and writes nothing. Returns whether the batch
-    * landed (an EMPTY batch mints no segment and advances no
-    * watermark — [[bm25AppendSegment]]'s empty-delta rule — and its
-    * redelivery is a deterministic no-op). Unlike the nd/IVF twins no
+    * LANDED — a segment committed and the watermark advanced. An
+    * EMPTY batch mints no segment and advances no watermark
+    * ([[bm25AppendSegment]]'s empty-delta rule), so it returns false
+    * like a replay does (r19 ADVICE #3: reporting true for a batch
+    * that landed nothing would show callers phantom lands and break
+    * the symmetry with the nd/IVF twins' real counts); its redelivery
+    * is a deterministic no-op either way. Unlike the nd/IVF twins no
     * torn-state repair is needed: the segment append is SINGLE-SWING
     * (no generation pre-publish), so a mid-batch crash leaves only
     * unreferenced segment dirs for the next sweep and the retry
@@ -1173,11 +1177,8 @@ object TextAnalysis {
     val key = IndexPolicy.streamKey(app)
     val m = IndexPolicy.manifestOf(spark, idx)
     if (m.get(key).map(_.toLong).exists(batchId <= _)) false
-    else {
-      appendSegmentBody(spark, idx, newDocs,
-        newDocs.limit(0), Map(key -> batchId.toString))
-      true
-    }
+    else appendSegmentBody(spark, idx, newDocs,
+      newDocs.limit(0), Map(key -> batchId.toString)).isDefined
   }
 
   private def appendSegmentBody(spark: SparkSession, idx: String,

@@ -423,4 +423,18 @@ class CurationSpec extends SparkSpec {
       .collect()
     assert(p3.nonEmpty, "contrast leg broke: r2 no longer pairs with r")
   }
+
+  test("estate_stream_ingest pins hold on first AND warm invocations") {
+    // the bench drives each registry row repeatedly in one JVM: the
+    // warm path re-copies fresh estates over the previous invocation's
+    // mutated dirs and re-arms the one-shot crashes — the pins must
+    // hold identically (a leaked watermark or un-wiped index would
+    // break the batch-0 or inconsistency pins immediately)
+    (1 to 2).foreach { pass =>
+      val got = Curation.estateStreamIngest(spark, sf).collect()
+        .map(r => r.getString(0) -> r.getBoolean(1)).toSeq
+      assert(got.size == 9 && got.forall(_._2),
+        s"pass $pass not all green: ${got.filterNot(_._2).map(_._1)}")
+    }
+  }
 }

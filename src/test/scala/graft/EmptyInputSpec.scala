@@ -111,7 +111,10 @@ class EmptyInputSpec extends SparkSpec {
         ((s, d) => graft.streaming.Streaming.indexIngestContract(s, d)),
       // r19 addition
       "estate_snapshot_manifest" ->
-        ((s, d) => Curation.estateSnapshotManifest(s, d)))
+        ((s, d) => Curation.estateSnapshotManifest(s, d)),
+      // r20 addition
+      "estate_stream_ingest" ->
+        ((s, d) => Curation.estateStreamIngest(s, d)))
     val failures = representatives.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()
@@ -291,6 +294,12 @@ class EmptyInputSpec extends SparkSpec {
       "docs-only estate crash drill emitted rows")
     assert(Curation.estateCrashDrill(spark, mixedDir(false)).count() == 0,
       "embeddings-only estate crash drill emitted rows")
+    // the composed stream-ingest drill likewise needs all three
+    // families live: either modality absent emits no rows
+    assert(Curation.estateStreamIngest(spark, mixedDir(true)).count() == 0,
+      "docs-only estate stream ingest emitted rows")
+    assert(Curation.estateStreamIngest(spark, mixedDir(false)).count() == 0,
+      "embeddings-only estate stream ingest emitted rows")
     // the consumer row: docs-only corpus reads shards + the two text
     // retrievals; embeddings-only reads only the ivf retrieval (no
     // documents → no shards to verify)

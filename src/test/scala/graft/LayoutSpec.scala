@@ -1904,11 +1904,14 @@ class LayoutSpec extends SparkSpec {
       "a replayed batch must be refused by the watermark")
     assert(IndexPolicy.manifestOf(spark, idx) == m1 && serve() == s1,
       "the replay must leave manifest and serve byte-identical")
-    // an EMPTY batch mints no segment and advances no watermark — its
+    // an EMPTY batch mints no segment, advances no watermark, and
+    // reports NOT-landed (r19 ADVICE #3 — callers counting landed
+    // batches by the return value must not see phantom lands); its
     // own redelivery is a deterministic no-op, and the next real
     // batch still lands
-    assert(TextAnalysis.bm25StreamIngest(spark, idx,
-      Seq.empty[(Long, String)].toDF("doc_id", "text"), 2L))
+    assert(!TextAnalysis.bm25StreamIngest(spark, idx,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), 2L),
+      "an empty batch that landed nothing must not report landed")
     assert(segs() == 2 && IndexPolicy.manifestOf(spark, idx) == m1)
     assert(TextAnalysis.bm25StreamIngest(spark, idx,
       Seq((5L, "alpha kappa")).toDF("doc_id", "text"), 3L))
@@ -1989,5 +1992,194 @@ class LayoutSpec extends SparkSpec {
     assert(new String(Files.readAllBytes(
       Paths.get(s"$idx/clog/v-${v0 + 1}"))).contains("k=v"),
       "the torn slot was not retaken with the real commit")
+  }
+
+  test("chain retention is best-effort: a store fault during prune never fails a landed commit; the next publish retries") {
+    // r19 verdict #1: prune runs AFTER the version is awarded, so a
+    // transient store error there must never tell the caller a
+    // COMMITTED mutation failed (an orchestrator retrying the whole
+    // mutation would double-apply it). A REAL injected IOException
+    // inside the retention pass: publish succeeds, the tip is the new
+    // version, and the next publish (fault disarmed) prunes.
+    import graft.operators.{Dedup, IndexPolicy}
+    import spark.implicits._
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-prune-fault").toString
+    val idx = s"$root/idx"
+    Dedup.neardupWriteIndex(spark, Seq(
+      (1L, "a b c d e")).toDF("doc_id", "text"), idx)
+    def clog() = new java.io.File(s"$idx/clog").list().toSeq
+      .filter(_.startsWith("v-"))
+    // eager mode so retention has real work at every publish
+    spark.conf.set(IndexPolicy.ChainKeepMsConf, "0")
+    try {
+      (0 until 4).foreach { i =>
+        IndexPolicy.publish(spark, idx,
+          IndexPolicy.manifestOf(spark, idx) + ("i" -> i.toString))
+      }
+      val nBefore = clog().size
+      IndexPolicy.armPruneFault(idx)
+      val mGot = IndexPolicy.publish(spark, idx,
+        IndexPolicy.manifestOf(spark, idx) + ("faulted" -> "1"))
+      assert(IndexPolicy.manifestOf(spark, idx) == mGot,
+        "the commit must land and be the tip despite the retention fault")
+      assert(clog().size == nBefore + 1,
+        "the faulted pass must have pruned nothing (it threw first)")
+      // disarmed: the next publish retries retention and bounds the
+      // chain again (tip + ChainKeepBack entries)
+      val mNext = IndexPolicy.publish(spark, idx,
+        IndexPolicy.manifestOf(spark, idx) + ("after" -> "1"))
+      assert(IndexPolicy.manifestOf(spark, idx) == mNext)
+      assert(clog().size <= 3,
+        s"retention was not retried at the next publish: ${clog()}")
+    } finally spark.conf.unset(IndexPolicy.ChainKeepMsConf)
+  }
+
+  test("chain aging is store-clock-relative: a pruner clock ahead of the store cannot recycle young slots") {
+    // r19 verdict missing #1: retention ages superseded slots against
+    // the mtime of the entry the commit just created — both
+    // timestamps come from the STORE's clock. Simulated skew: every
+    // clog mtime sits 2 h in the past (a store clock 2 h behind the
+    // pruner's local clock); slots superseded seconds before the tip
+    // are YOUNG in store time and must survive a 1 h window, even
+    // though local-now minus their mtime is far past it.
+    import graft.operators.{Dedup, IndexPolicy}
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val root = Files.createTempDirectory("graft-chain-skew").toString
+    val idx = s"$root/idx"
+    Dedup.neardupWriteIndex(spark, Seq(
+      (1L, "a b c d e")).toDF("doc_id", "text"), idx)
+    (0 until 5).foreach { i =>
+      IndexPolicy.publish(spark, idx,
+        IndexPolicy.manifestOf(spark, idx) + ("i" -> i.toString))
+    }
+    val tipV = IndexPolicy.versionOf(IndexPolicy.manifestOf(spark, idx)).get
+    def clog() = new java.io.File(s"$idx/clog").list().toSeq
+      .filter(_.startsWith("v-")).sorted
+    val all = clog()
+    assert(all.size == tipV.toInt + 1, s"retention ran early: $all")
+    val skew = 2L * 3600 * 1000
+    val base = System.currentTimeMillis() - skew
+    all.foreach { n =>
+      val v = n.drop(2).toLong
+      // store-time: each version committed 1 s after the previous
+      Files.setLastModifiedTime(Paths.get(s"$idx/clog/$n"),
+        FileTime.fromMillis(base + v * 1000L))
+    }
+    spark.conf.set(IndexPolicy.ChainKeepMsConf, (3600 * 1000).toString)
+    try {
+      IndexPolicy.chainPrune(spark, idx,
+        IndexPolicy.FsPointerStore, tipV)
+      assert(clog() == all,
+        "slots young relative to the store's own clock were recycled " +
+          s"under a skewed pruner clock: ${clog()} vs $all")
+      // and genuinely OLD slots (in store time) still go: re-date the
+      // count-prunable ones 2 h older than the tip
+      val prunable = all.map(_.drop(2).toLong).filter(_ <= tipV - 3)
+      prunable.foreach(v => Files.setLastModifiedTime(
+        Paths.get(s"$idx/clog/v-$v"),
+        FileTime.fromMillis(base - 2L * 3600 * 1000)))
+      IndexPolicy.chainPrune(spark, idx,
+        IndexPolicy.FsPointerStore, tipV)
+      assert(clog().map(_.drop(2).toLong).toSet ==
+        all.map(_.drop(2).toLong).toSet -- prunable,
+        s"store-old slots must still be reclaimed: ${clog()}")
+    } finally spark.conf.unset(IndexPolicy.ChainKeepMsConf)
+  }
+
+  test("torn-slot repair is claim-serialized: a live claim blocks the slot, a stale one is broken, success cleans up") {
+    // r19 ADVICE #1: the repair of a torn clog entry runs under a
+    // content-keyed create-exclusive claim, so two repairers can
+    // never interleave delete+retake on one slot (the lost-commit
+    // shape: B passes the compare on the torn bytes, stalls, then
+    // deletes the entry A repaired and committed).
+    import graft.operators.{Dedup, IndexPolicy}
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft-repair-claim").toString
+    val idx = s"$root/idx"
+    Dedup.neardupWriteIndex(spark, Seq(
+      (1L, "a b c d e")).toDF("doc_id", "text"), idx)
+    val m0 = IndexPolicy.manifestOf(spark, idx)
+    val v1 = IndexPolicy.versionOf(m0).get + 1
+    val torn = "partial garbage"
+    val claim = s".repair_v-$v1-${IndexPolicy.md5hex8(torn)}"
+    Files.write(Paths.get(s"$idx/clog/v-$v1"), torn.getBytes)
+    // a LIVE claim (another repairer, fresh timestamp): this publish
+    // must not touch the slot — it fails loudly like any lost swing
+    Files.write(Paths.get(s"$idx/clog/$claim"),
+      System.currentTimeMillis().toString.getBytes)
+    intercept[java.util.ConcurrentModificationException] {
+      IndexPolicy.publish(spark, idx, m0 + ("k" -> "v"))
+    }
+    assert(new String(Files.readAllBytes(
+      Paths.get(s"$idx/clog/v-$v1"))) == torn,
+      "a publish blocked by a live repair claim must not touch the slot")
+    // the claim goes STALE (its holder died): the next publish breaks
+    // it, repairs the slot, commits, and removes its own claim
+    Files.write(Paths.get(s"$idx/clog/$claim"),
+      (System.currentTimeMillis() - 10L * 60 * 1000).toString.getBytes)
+    val m1 = IndexPolicy.publish(spark, idx, m0 + ("k" -> "v"))
+    assert(IndexPolicy.versionOf(m1).contains(v1))
+    assert(IndexPolicy.manifestOf(spark, idx) == m1)
+    assert(new String(Files.readAllBytes(
+      Paths.get(s"$idx/clog/v-$v1"))).contains("k=v"))
+    assert(!Files.exists(Paths.get(s"$idx/clog/$claim")),
+      "a successful repair must release its claim")
+  }
+
+  test("chain-started tombstone: losing clog/ fails fast instead of serving the stale legacy manifest") {
+    // r19 ADVICE #4: once the chain has started, the legacy `current`
+    // object is replaced by a tombstone — an empty chain PLUS the
+    // tombstone means clog/ was lost (partial restore, a copy tool
+    // skipping the dir), and readers/writers must refuse loudly
+    // rather than silently serve a pre-chain manifest whose epochs
+    // may already be swept.
+    import graft.operators.{Dedup, IndexPolicy}
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft-chain-tomb").toString
+    val idx = s"$root/idx"
+    Dedup.neardupWriteIndex(spark, Seq(
+      (1L, "a b c d e"), (2L, "x y z w v")).toDF("doc_id", "text"), idx)
+    // demote to the legacy layout (the pre-chain index shape)
+    val m0 = IndexPolicy.manifestOf(spark, idx)
+    Files.write(Paths.get(s"$idx/current"), m0.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes)
+    wipe(new java.io.File(s"$idx/clog"))
+    // the migration commit starts the chain AND stamps the tombstone
+    Dedup.neardupRemove(spark, idx, Seq(1L).toDF("doc_id"))
+    val cur = new String(Files.readAllBytes(Paths.get(s"$idx/current")))
+    assert(cur.trim == "chain_started=1",
+      s"the legacy manifest must be replaced by the tombstone: $cur")
+    val m1 = IndexPolicy.manifestOf(spark, idx)
+    assert(IndexPolicy.versionOf(m1).get > IndexPolicy.versionOf(m0).get)
+    // clog/ is lost: reads and mutations fail fast, naming the cause
+    wipe(new java.io.File(s"$idx/clog"))
+    val e = intercept[IllegalStateException] {
+      IndexPolicy.manifestOf(spark, idx)
+    }
+    assert(e.getMessage.contains("clog/ was lost"))
+    intercept[IllegalStateException] {
+      IndexPolicy.publish(spark, idx, m1 + ("k" -> "v"))
+    }
+  }
+
+  test("stream app keys: sanitization collisions get distinct watermark keys; clean ids keep stable keys") {
+    // r19 ADVICE #5: two distinct raw app ids that collide after
+    // sanitization must never share a watermark — an id the
+    // sanitization changed carries an md5 suffix of the RAW id.
+    import graft.operators.IndexPolicy
+    assert(IndexPolicy.streamKey("") == "stream_batch")
+    assert(IndexPolicy.streamKey("app-1.q") == "stream_batch.app-1.q",
+      "already-clean ids keep their stable un-suffixed key")
+    val a = IndexPolicy.streamKey("app 1")
+    val b = IndexPolicy.streamKey("app&1")
+    assert(a.startsWith("stream_batch.app_1.") &&
+      b.startsWith("stream_batch.app_1."))
+    assert(a != b,
+      "raw ids colliding after sanitization must get distinct keys")
   }
 }
