@@ -920,12 +920,22 @@ private[graft] object IndexPolicy {
     val claim = s".repair_v-$v-${md5hex8(torn)}"
     store.get(spark, clogDir(idx), claim) match {
       case Some(held) =>
-        val stale = held.trim.toLongOption
-          .exists(System.currentTimeMillis() - _ > lockLeaseMs(spark))
+        // staleness by the claim's own timestamp; a claim whose
+        // content doesn't parse (itself torn on a no-hardlink store —
+        // a crash between the claim's create and write) ages by store
+        // mtime instead, because "never stale" would wedge the whole
+        // version line forever: no publish of v can proceed, so not
+        // even retention ever runs again (self-review r20). A claim
+        // with neither a timestamp nor an mtime is breakable —
+        // liveness over an unreachable corner.
+        val now = System.currentTimeMillis()
+        val age = held.trim.toLongOption.map(now - _)
+          .orElse(store.modifiedAt(spark, clogDir(idx), claim)
+            .map(now - _))
         // a LIVE claim: another repairer owns this torn content —
         // never touch the slot; fail loudly and let the caller retry
         // from a fresh manifest read (the claimant commits or dies)
-        if (!stale) return false
+        if (age.exists(_ <= lockLeaseMs(spark))) return false
         // dead repairer: break its claim conditionally on its bytes
         if (!store.deleteIfMatch(spark, clogDir(idx), claim, held))
           return false
@@ -1281,8 +1291,19 @@ private[graft] object IndexPolicy {
       if (tryCreateLock(spark, idx, content))
         return content
       readLock(spark, idx).foreach { held =>
-        val ts = held.split(" ").lift(1).flatMap(_.trim.toLongOption)
-        if (ts.exists(System.currentTimeMillis() - _ > leaseMs)) {
+        // staleness by the lock's own heartbeat stamp; a lock whose
+        // content doesn't parse (itself torn on a no-hardlink store —
+        // a crash between the lock's create and write) ages by store
+        // mtime instead, because "never stale" would wedge every
+        // future mutation of the index behind a loud failure with no
+        // repair path (self-review r20, same shape as the repair
+        // claim). Neither a stamp nor an mtime = breakable.
+        val now = System.currentTimeMillis()
+        val age = held.split(" ").lift(1).flatMap(_.trim.toLongOption)
+          .map(now - _)
+          .orElse(storeFor(spark, idx).modifiedAt(spark, idx, LockName)
+            .map(now - _))
+        if (age.forall(_ > leaseMs)) {
           // stale lease: CONDITIONAL break — delete only if the lock
           // still holds exactly the stale value, so a just-acquired
           // or just-re-stamped fresh lock survives (r18 review: the

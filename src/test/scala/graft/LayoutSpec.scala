@@ -2167,6 +2167,56 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("a TORN lock or repair claim (unparsable content) ages by store mtime instead of wedging forever") {
+    // self-review r20: on a no-hardlink store a crash between a lock
+    // or claim's create and its write leaves UNPARSABLE content (an
+    // empty file is the common shape). The timestamp-staleness check
+    // alone would judge it live forever — every future mutation of
+    // the index (or every publish of that version) then fails loudly
+    // with NO repair path, because retention itself only runs after a
+    // successful commit. Unparsable content falls back to store-mtime
+    // aging: young (its writer may be alive mid-write) → still live;
+    // past the lease window → breakable.
+    import graft.operators.{Dedup, IndexPolicy}
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val root = Files.createTempDirectory("graft-torn-lock").toString
+    val idx = s"$root/idx"
+    Dedup.neardupWriteIndex(spark, Seq(
+      (1L, "a b c d e"), (2L, "x y z w v")).toDF("doc_id", "text"), idx)
+    // torn wlock, YOUNG mtime: treated live — the waiter spins out
+    Files.write(Paths.get(s"$idx/wlock"), "".getBytes)
+    spark.conf.set("spark.graft.index.lock.wait.ms", "300")
+    try intercept[IllegalStateException](
+      Dedup.neardupRemove(spark, idx, Seq(1L).toDF("doc_id")))
+    finally spark.conf.unset("spark.graft.index.lock.wait.ms")
+    // the same torn wlock past the lease window: broken, mutation lands
+    Files.setLastModifiedTime(Paths.get(s"$idx/wlock"),
+      FileTime.fromMillis(System.currentTimeMillis() - 3600000L))
+    Dedup.neardupRemove(spark, idx, Seq(1L).toDF("doc_id"))
+    assert(!Files.exists(Paths.get(s"$idx/wlock")),
+      "the aged torn lock was not broken")
+    // torn repair claim on a torn slot: young blocks the version,
+    // aged is broken and the slot repaired
+    val m0 = IndexPolicy.manifestOf(spark, idx)
+    val v1 = IndexPolicy.versionOf(m0).get + 1
+    val torn = "partial garbage"
+    val claim = s".repair_v-$v1-${IndexPolicy.md5hex8(torn)}"
+    Files.write(Paths.get(s"$idx/clog/v-$v1"), torn.getBytes)
+    Files.write(Paths.get(s"$idx/clog/$claim"), "".getBytes)
+    intercept[java.util.ConcurrentModificationException] {
+      IndexPolicy.publish(spark, idx, m0 + ("k" -> "v"))
+    }
+    Files.setLastModifiedTime(Paths.get(s"$idx/clog/$claim"),
+      FileTime.fromMillis(System.currentTimeMillis() - 3600000L))
+    val m1 = IndexPolicy.publish(spark, idx, m0 + ("k" -> "v"))
+    assert(IndexPolicy.versionOf(m1).contains(v1))
+    assert(IndexPolicy.manifestOf(spark, idx) == m1)
+    assert(!Files.exists(Paths.get(s"$idx/clog/$claim")),
+      "the broken torn claim must not survive the repair")
+  }
+
   test("stream app keys: sanitization collisions get distinct watermark keys; clean ids keep stable keys") {
     // r19 ADVICE #5: two distinct raw app ids that collide after
     // sanitization must never share a watermark — an id the
