@@ -616,6 +616,15 @@ private[graft] object IndexPolicy {
           }
       }
 
+    /** Honesty note on store coverage: conditional DELETE (If-Match)
+      * is honored by MinIO and S3 directory buckets; a store that
+      * silently IGNORES the header degrades this op to read-verify +
+      * unconditional delete — the FsPointerStore-grade approximation,
+      * affecting only the lease-liveness ops (release, stale-break,
+      * claim-break), never the COMMIT path: the swing is [[putIfMatch]]'s
+      * conditional PUT, which every store with conditional writes
+      * honors. Verify DELETE+If-Match support when onboarding a store.
+      */
     def deleteIfMatch(spark: SparkSession, dir: String, name: String,
                       expected: String): Boolean = {
       val (st, body, etag) = cli(spark).request("GET", key(dir, name))
