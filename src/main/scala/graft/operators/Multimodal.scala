@@ -29,12 +29,37 @@ object Multimodal {
   // javax.imageio needs no display, but pin headless so the codec
   // path can never try to touch a toolkit on an executor
   System.setProperty("java.awt.headless", "true")
+  // ImageIO defaults to DISK-backed stream caches: every encode/decode
+  // through a byte-array stream creates, writes, and deletes a temp
+  // file in java.io.tmpdir. Single-threaded that is ~ms-level noise;
+  // with the r21 fan-out running 32 codec tasks concurrently the
+  // create/delete storm serializes on the filesystem (measured 2.4 s
+  // for a 3000-image stage whose pixel work is ~0.2 s). All payloads
+  // here are in-memory byte arrays — memory-cached streams are
+  // strictly better.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** A typed media record: payload + metadata, the shape a real
     * image/audio table would have.
     */
   case class MediaRecord(media_id: Long, payload: Array[Byte],
                          media_type: String, n_bytes: Long)
+
+  /** Fan the id stream out to the session's parallelism BEFORE the
+    * per-row codec work (synthesize→encode→decode) when — and only
+    * when — the id source has fewer splits than cores (r21, guide
+    * §2.5 "unsplittable input → repartition immediately after the
+    * read" + §8 "shuffle keys, not payloads"): the fixture tables are
+    * single-row-group parquet files, so without this every
+    * imageio/sampled codec row runs in ONE scan task while 31 cores
+    * idle. The shuffle moves 8-byte ids, never payloads; on a corpus
+    * whose scan already splits ≥ parallelism it is a no-op (no
+    * exchange planned), so production plans are untouched.
+    */
+  private def fanOutIds(ds: Dataset[Long]): Dataset[Long] = {
+    val p = ds.sparkSession.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions < p) ds.repartition(p) else ds
+  }
 
   case class MediaFeature(media_id: Long, n_bytes: Long, width: Int,
                           height: Int, checksum: Long)
@@ -207,7 +232,8 @@ object Multimodal {
     */
   def imageTable(spark: SparkSession, dir: String): Dataset[ImageRecord] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long].map { id =>
+    fanOutIds(Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]).map { id =>
       val (w, h) = imgDims(id)
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -297,7 +323,8 @@ object Multimodal {
     */
   def phashTable(spark: SparkSession, dir: String): Dataset[ImageRecord] = {
     import spark.implicits._
-    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val ids = fanOutIds(
+      Tables.documents(spark, dir).select(col("doc_id")).as[Long])
     val rows = ids.filter(_ % 2 == 0).map(id => (id, id, false))
       .union(ids.filter(_ % 10 == 0).map(id => (id + 1000000L, id, true)))
     rows.map { case (mid, base, flip) =>
@@ -456,6 +483,10 @@ object Multimodal {
     */
   def audioTable(spark: SparkSession, dir: String): Dataset[AudioRecord] = {
     import spark.implicits._
+    // deliberately NOT [[fanOutIds]]-fanned (r21): WAV PCM synthesis is
+    // ~0.1 ms/clip — the id shuffle + extra stage cost more than the
+    // codec work it would parallelize (measured 0.59 s → 0.90 s when
+    // fanned; the image tables' imageio work is 10× heavier per row)
     Tables.documents(spark, dir).select(col("doc_id")).as[Long].map { id =>
       val n = clipLen(id)
       val data = new Array[Byte](n * 2) // 16-bit little-endian mono

@@ -41,6 +41,7 @@ class PlanLintSpec extends SparkSpec {
     "sim_ivf_recall", "hybrid_rrf",
     "emb_kmeans", "emb_pq_recall",
     "dsir_sample",  // 1-row distribution-totals broadcast
+    "profile_stats", // three 1-row distinct-count broadcasts (r21)
     "ppl_buckets",  // 1-row vocab-total broadcast (the lm_score shape)
     "contamination_semantic") // broadcast eval vectors scored against the corpus (similarity-family shape)
 
@@ -154,7 +155,11 @@ class PlanLintSpec extends SparkSpec {
     "hybrid_rrf"         -> (6, 2),
     "lm_score2"          -> (7, 4),
     "layout_zorder"      -> (2, 1),
-    "sketch_cms"         -> (6, 3),
+    // r21: the sketch is now built from the per-key exact counts (the
+    // d×|table| md5s ran per ROW before — measured 3.9 s → 1.2 s warm
+    // at sf0.1); +2 shuffles are the keyCnt aggregate feeding sketch
+    // and total (reuse-off counts each consumer's copy)
+    "sketch_cms"         -> (8, 3),
     "salted_wordcount"   -> (3, 0), // two-stage salted agg
     "join_skew_salted"   -> (6, 2),
     "seq_pack"           -> (3, 0), // ONE range exchange under the pack node
@@ -217,7 +222,12 @@ class PlanLintSpec extends SparkSpec {
     "percentiles" -> (2, 0),
     "pii_scan" -> (1, 0),
     "pivot_orders" -> (3, 0),
-    "profile_stats" -> (2, 0),
+    // r21: the fused expand-distinct aggregate (2,0) planned as a 4×
+    // expanded Sort+SortAggregate over the whole table — now three
+    // separate two-phase distinct counts (2 shuffles each) + the base
+    // scalar agg + final sort, with the 1-row results broadcast
+    // (measured 5× faster warm at sf0.1; bytes shuffled unchanged)
+    "profile_stats" -> (7, 3),
     "quality_rules" -> (1, 0),
     "rollup_qty" -> (2, 0),
     "sample_split" -> (2, 0),
