@@ -20,6 +20,16 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // r21 (guide §2.2/§2.5): AQE coalescing sizes partitions by BYTES
+      // (minPartitionSize default 1m), which serializes compute-dense
+      // small shuffles — a few MB of (vector, cell) rows feeding a
+      // Σ|cell|² verify join coalesced to 1-2 tasks while 30 cores sat
+      // idle (measured: sim_neardup 4.6 s → 3.1 s with the floor
+      // lowered). 64k keeps parallelismFirst effective for such stages;
+      // at production shuffle sizes partitions are far above either
+      // floor, so the setting is inert at scale — it only stops
+      // byte-blind coalescing from under-parallelizing small inputs.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       // native function registration at session build
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // events.ts is timestamp[ns]; Spark 4 otherwise refuses the scan

@@ -47,4 +47,19 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Fan a compute-heavy input out to the session's parallelism when —
+    * and only when — its scan has fewer splits than cores (r21, guide
+    * §2.5 "unsplittable input → repartition immediately after the
+    * read"): the fixture tables are single-row-group parquet files, so
+    * a corpus-sized tokenize/signature pass before the first exchange
+    * otherwise runs in ONE task. On a corpus whose scan already splits
+    * ≥ parallelism no exchange is planned at all, so production plans
+    * are untouched. Reserve for one-time BUILD passes whose per-row
+    * work dwarfs the row's bytes; serves/deltas stay unfanned.
+    */
+  def fanOutScan(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

@@ -104,6 +104,12 @@ object Cooccur {
         .join(deg, "u").join(rank, "u")
         .select(col("v"), (col("r") / col("d")).as("c"))
         .groupBy("v").agg(sum("c").as("cs"))
+      // EAGER checkpoint, deliberately (r21 tried lazy here to fold
+      // the three iteration jobs into the caller's one action; the
+      // full bench REGRESSED 3.9 → 5.1 s — the lazy form re-enters the
+      // uncheckpointed iteration chain through AQE's per-stage
+      // replanning, costing more than the three driver round-trips it
+      // saves. Recorded so the next round doesn't retry it.)
       rank = deg.select(col("u"))
         .join(contribs.withColumnRenamed("v", "u"), Seq("u"), "left")
         .select(

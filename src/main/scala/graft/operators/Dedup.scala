@@ -501,21 +501,43 @@ object Dedup {
     }
     val tok = IndexPolicy.newEpoch()
     val ed = IndexPolicy.epochDir(idx, tok)
-    val sigs = md5DocSig(docs, n, k).localCheckpoint()
+    // fanOutScan (r21): the shingle+minhash signature pass is the
+    // build's dominant per-row work and otherwise runs inside the
+    // (single-row-group fixture) scan's one task; inert on a
+    // multi-split corpus
+    val sigs = md5DocSig(graft.Tables.fanOutScan(docs), n, k)
+      .localCheckpoint()
     // repartition on the partition columns before the partitioned
     // write: each task then holds whole (band, pb) groups, so the
-    // build emits one file per directory instead of files×tasks
-    bandedOf(sigs, k, bands)
-      .select(col("band"), pbOf(col("bucket")).as("pb"),
-        col("doc_id"), col("bucket"), lit(0L).as("gen"))
-      .repartition(col("band"), col("pb"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("band", "pb").parquet(s"$ed/buckets")
-    sigs.select(dbOf(col("doc_id")).as("db"),
-        col("doc_id"), col("dset"), col("sz"), lit(0L).as("gen"))
-      .repartition(col("db"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("db").parquet(s"$ed/docsets")
+    // build emits one file per directory instead of files×tasks.
+    // The two side writes are independent (disjoint subdirs, both
+    // reading the checkpointed sigs) — concurrent jobs (r21, the
+    // admitSigs pattern); await BOTH before any rethrow.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val wb = Future {
+      bandedOf(sigs, k, bands)
+        .select(col("band"), pbOf(col("bucket")).as("pb"),
+          col("doc_id"), col("bucket"), lit(0L).as("gen"))
+        .repartition(col("band"), col("pb"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("band", "pb").parquet(s"$ed/buckets")
+    }
+    val wd = Future {
+      sigs.select(dbOf(col("doc_id")).as("db"),
+          col("doc_id"), col("dset"), col("sz"), lit(0L).as("gen"))
+        .repartition(col("db"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("db").parquet(s"$ed/docsets")
+    }
+    val rb = scala.util.Try(Await.result(wb, Duration.Inf))
+    val rd = scala.util.Try(Await.result(wd, Duration.Inf))
+    (rb, rd) match {
+      case (scala.util.Failure(e1), scala.util.Failure(e2)) =>
+        e1.addSuppressed(e2); throw e1
+      case _ => rb.get; rd.get
+    }
     // the pointer swing — the build commit (a build that crashed above
     // left no manifest, and every reader fails fast instead of
     // consuming a partial index); generation 0 is the timeline origin
@@ -1044,20 +1066,39 @@ object Dedup {
     val ed = IndexPolicy.epochDir(idx, m("data"))
     val tok = IndexPolicy.newEpoch()
     val ed2 = IndexPolicy.epochDir(idx, tok)
-    committedRows(spark.read.schema(bucketsSchema).parquet(s"$ed/buckets"))
-      .join(broadcast(dead.select(col("doc_id"))), Seq("doc_id"), "left_anti")
-      .select(col("band"), col("pb"), col("doc_id"), col("bucket"),
-        lit(0L).as("gen"))
-      .repartition(col("band"), col("pb"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("band", "pb").parquet(s"$ed2/buckets")
-    committedRows(spark.read.schema(docsetsSchema).parquet(s"$ed/docsets"))
-      .join(broadcast(dead.select(col("doc_id"))), Seq("doc_id"), "left_anti")
-      .select(col("db"), col("doc_id"), col("dset"), col("sz"),
-        lit(0L).as("gen"))
-      .repartition(col("db"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("db").parquet(s"$ed2/docsets")
+    // the two side rewrites are independent (disjoint subdirs of the
+    // not-yet-visible epoch, both reading the immutable old epoch) —
+    // run them as concurrent jobs (r21, the admitSigs pattern), so
+    // the fold's wall-clock is the wider rewrite, not the sum. Await
+    // BOTH before any rethrow.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val wb = Future {
+      committedRows(spark.read.schema(bucketsSchema).parquet(s"$ed/buckets"))
+        .join(broadcast(dead.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+        .select(col("band"), col("pb"), col("doc_id"), col("bucket"),
+          lit(0L).as("gen"))
+        .repartition(col("band"), col("pb"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("band", "pb").parquet(s"$ed2/buckets")
+    }
+    val wd = Future {
+      committedRows(spark.read.schema(docsetsSchema).parquet(s"$ed/docsets"))
+        .join(broadcast(dead.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+        .select(col("db"), col("doc_id"), col("dset"), col("sz"),
+          lit(0L).as("gen"))
+        .repartition(col("db"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("db").parquet(s"$ed2/docsets")
+    }
+    val rb = scala.util.Try(Await.result(wb, Duration.Inf))
+    val rd = scala.util.Try(Await.result(wd, Duration.Inf))
+    (rb, rd) match {
+      case (scala.util.Failure(e1), scala.util.Failure(e2)) =>
+        e1.addSuppressed(e2); throw e1
+      case _ => rb.get; rd.get
+    }
     // ONE swing commits the fold: the new epoch replaces the old, the
     // tombstones key vanishes, and the as-of timeline resets (the
     // ivf-retrain analogue) — rewritten rows are generation 0 again

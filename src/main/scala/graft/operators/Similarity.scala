@@ -689,9 +689,18 @@ object Similarity {
     * the near-dup family train/assign on the exact-collapsed DISTINCT
     * vectors while the table-level callers keep their shape.
     */
+  /** `ckptCents` (r21): materialize the trained codebook with an
+    * EAGER localCheckpoint before the final assignment, so a caller
+    * that executes the returned plans in more than one action (e.g.
+    * [[ivfWriteIndexVecs]]'s two epoch writes) trains ONCE instead of
+    * re-running the Lloyd rounds per action. Default off: pure
+    * registry queries keep action-free construction (their plans are
+    * budget-pinned) and materialize via their own lazy checkpoints.
+    */
   private def lloydOn(emb: DataFrame, k: Int, iters: Int,
                       adaptiveSqrtCells: Boolean,
-                      sampleCap: Int): (DataFrame, DataFrame) = {
+                      sampleCap: Int,
+                      ckptCents: Boolean = false): (DataFrame, DataFrame) = {
     // deterministic training sample: vec_id ≡ 0 (mod step). The step
     // is a 1-row broadcast (not a driver action), so plan
     // construction stays lazy; the oracle recomputes the same
@@ -737,6 +746,7 @@ object Similarity {
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("dim"), col("s")))).as("ds"))
         .select(col("cell"), transform(col("ds"), e => e.getField("s")).as("cv"))
+    if (ckptCents) cents = cents.localCheckpoint()
     (assign(emb, cents), cents)
   }
 
@@ -892,18 +902,39 @@ object Similarity {
     }
     val tok = IndexPolicy.newEpoch()
     val ed = IndexPolicy.epochDir(out, tok)
+    // ckptCents (r21): the lists write and the centroids write each
+    // execute their plan independently, and BOTH embed the Lloyd
+    // training subtree — without the eager codebook checkpoint the
+    // 2-round trainer ran twice per build/retrain. The two epoch
+    // writes (disjoint subdirs, invisible until the swing) then run
+    // as concurrent jobs (the admitSigs pattern); await both before
+    // any rethrow.
     val (assigned, cents) = lloydOn(vecs
       .select(col("vec_id"), transform(col("embedding"),
         x => round(x.cast("double") * 1024).cast("long")).as("vq")),
-      k, iters, adaptiveSqrtCells = false, sampleCap = 0)
-    vecs
-      .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
-      .select(col("cell"), col("vec_id"), col("embedding"),
-        lit(0L).as("gen"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("cell").parquet(s"$ed/lists")
-    cents.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$ed/centroids")
+      k, iters, adaptiveSqrtCells = false, sampleCap = 0, ckptCents = true)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val wl = Future {
+      vecs
+        .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+        .select(col("cell"), col("vec_id"), col("embedding"),
+          lit(0L).as("gen"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cell").parquet(s"$ed/lists")
+    }
+    val wc = Future {
+      cents.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$ed/centroids")
+    }
+    val rl = scala.util.Try(Await.result(wl, Duration.Inf))
+    val rc = scala.util.Try(Await.result(wc, Duration.Inf))
+    (rl, rc) match {
+      case (scala.util.Failure(e1), scala.util.Failure(e2)) =>
+        e1.addSuppressed(e2); throw e1
+      case _ => rl.get; rc.get
+    }
     // the pointer swing — the build/retrain commit: generation 0 (a
     // retrain resets the as-of timeline by design, the bm25Compact
     // analogue)

@@ -658,30 +658,55 @@ object TextAnalysis {
     // the corpus is tokenized ONCE: the postings land first, and the
     // derived tables (term dictionary, corpus stats) are computed by
     // reading the just-written postings back — they already carry
-    // term, tf, and dl, so neither derivation touches the corpus
-    postingsOf(docs)
+    // term, tf, and dl, so neither derivation touches the corpus.
+    // fanOutScan (r21): the tokenize is the build's dominant per-row
+    // work and otherwise runs inside the (single-row-group fixture)
+    // scan's one task; inert on a multi-split corpus.
+    postingsOf(graft.Tables.fanOutScan(docs))
       .select(col("tb"), col("tk"), col("term"), col("doc_id"),
         col("tf"), col("dl"))
+      // repartition on the partition columns before the partitioned
+      // write (the neardupWriteIndex discipline): each task holds
+      // whole (tb, tk) buckets, so the fanned build still emits one
+      // file per directory instead of files×tasks
+      .repartition(col("tb"), col("tk"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("tb", "tk").parquet(s"$ed/postings")
     val posted = spark.read.schema(postingsSchema).parquet(s"$ed/postings")
-    posted.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .select(substring(col("term"), 1, 1).as("tb"),
-        tkCol(col("term")).as("tk"), col("term"), col("df"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("tb", "tk").parquet(s"$ed/terms")
+    // the two derived tables are independent reads of the just-written
+    // postings into disjoint not-yet-visible dirs — concurrent jobs
+    // (r21, the admitSigs pattern); await both before any rethrow
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val wt = Future {
+      posted.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .select(substring(col("term"), 1, 1).as("tb"),
+          tkCol(col("term")).as("tk"), col("term"), col("df"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("tb", "tk").parquet(s"$ed/terms")
+    }
     // r12: stats carry the exact integer token total alongside the
     // derived mean, and avgdl is DEFINED as sum_dl/n_docs (one
     // double division of exact longs) so a refresh that adjusts the
     // sums reproduces the rebuild's avgdl bit-for-bit; serve reads a
     // subset schema, so the extra column is invisible to it
-    posted.select(col("doc_id"), col("dl")).distinct()
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .select(col("n_docs"),
-        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"),
-        coalesce(col("sum_dl"), lit(0L)).as("sum_dl"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$ed/stats")
+    val ws = Future {
+      posted.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .select(col("n_docs"),
+          (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"),
+          coalesce(col("sum_dl"), lit(0L)).as("sum_dl"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$ed/stats")
+    }
+    val rt = scala.util.Try(Await.result(wt, Duration.Inf))
+    val rs = scala.util.Try(Await.result(ws, Duration.Inf))
+    (rt, rs) match {
+      case (scala.util.Failure(e1), scala.util.Failure(e2)) =>
+        e1.addSuppressed(e2); throw e1
+      case _ => rt.get; rs.get
+    }
     // the pointer swing — the build commit (a build that crashed
     // above left no manifest / the old one, never a partial index)
     val bmap = listBucketDirs(spark, s"$ed/postings")
@@ -1027,16 +1052,31 @@ object TextAnalysis {
     val deadIds = oldDocs.select(col("doc_id")).distinct()
     val oldPost =
       readBuckets(spark, idx, bmap, postingsSchema, "postings", touched)
-    val (tok, newMap) = writeBucketEpoch(spark, idx, touched,
-      oldPost.join(broadcast(deadIds), Seq("doc_id"), "left_anti")
-        .unionByName(newTf), bmap)
     // adjusted stats land in the SAME fresh epoch and commit in the
     // SAME pointer swing as the remapped buckets (r15 verdict #1:
     // stats committing separately left a window where new postings
     // served against stale n_docs/sum_dl — under the pointer model
-    // the tear is structurally impossible)
-    writeAdjustedStats(spark, statsPathOf(idx, m), newTf, oldTf,
-      s"${IndexPolicy.epochDir(idx, tok)}/stats")
+    // the tear is structurally impossible). The bucket rewrite and the
+    // 1-row stats adjustment are independent jobs into the same
+    // not-yet-visible epoch — run them concurrently (r21, the
+    // admitSigs pattern), awaiting BOTH before any rethrow.
+    val tok = IndexPolicy.newEpoch()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fBuckets = Future(writeBucketEpoch(spark, idx, tok, touched,
+      oldPost.join(broadcast(deadIds), Seq("doc_id"), "left_anti")
+        .unionByName(newTf), bmap))
+    val fStats = Future(writeAdjustedStats(spark, statsPathOf(idx, m),
+      newTf, oldTf, s"${IndexPolicy.epochDir(idx, tok)}/stats"))
+    val rB = scala.util.Try(Await.result(fBuckets, Duration.Inf))
+    val rS = scala.util.Try(Await.result(fStats, Duration.Inf))
+    (rB, rS) match {
+      case (scala.util.Failure(e1), scala.util.Failure(e2)) =>
+        e1.addSuppressed(e2); throw e1
+      case _ => rS.get
+    }
+    val newMap = rB.get
     IndexPolicy.crashPoint(spark, idx, "after-epoch")
     IndexPolicy.publish(spark, idx,
       m + ("map" -> serMap(newMap)) + ("stats" -> tok))
@@ -1058,11 +1098,11 @@ object TextAnalysis {
     * mutation's sweep. Single-writer, like every index mutation here.
     */
   private def writeBucketEpoch(spark: SparkSession, idx: String,
+                               tok: String,
                                touched: Seq[(String, Int)],
                                merged: DataFrame,
                                bmap: Map[(String, Int), String])
-      : (String, Map[(String, Int), String]) = {
-    val tok = IndexPolicy.newEpoch()
+      : Map[(String, Int), String] = {
     val ed = IndexPolicy.epochDir(idx, tok)
     merged
       .select(col("tb"), col("tk"), col("term"), col("doc_id"),
@@ -1078,7 +1118,7 @@ object TextAnalysis {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("tb", "tk").parquet(s"$ed/terms")
     val written = listBucketDirs(spark, s"$ed/postings")
-    (tok, bmap -- touched ++ written.map(_ -> tok))
+    bmap -- touched ++ written.map(_ -> tok)
   }
 
   /** Exact-integer corpus-scalar adjustment shared by the in-place
@@ -1208,37 +1248,65 @@ object TextAnalysis {
     // is deterministic over the same text), so there is nothing to
     // kill and the stats cannot shift: skip entirely.
     if (newTf.isEmpty && oldTf.isEmpty) return None
-    newTf.select(col("tb"), col("tk"), col("term"), col("doc_id"),
-        col("tf"), col("dl"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("tb", "tk").parquet(s"$seg/postings")
-    newTf.select(col("term"), lit(1L).as("d"))
-      .unionByName(oldTf.select(col("term"), lit(-1L).as("d")))
-      .groupBy(col("term")).agg(sum(col("d")).as("df"))
-      .filter(col("df") =!= 0)
-      .select(substring(col("term"), 1, 1).as("tb"),
-        tkCol(col("term")).as("tk"), col("term"), col("df"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("tb", "tk").parquet(s"$seg/terms")
-    oldDocs.select(col("doc_id")).distinct()
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$seg/tombstones")
-    // PRE-append stats snapshot (1 row): makes the index readable
-    // AS OF any generation — serve-time stats at gen g come from
-    // segment g+1's snapshot (or the live stats for the newest gen).
-    // the append swings the live stats pointer wholesale, so without
-    // this the historical (n_docs, avgdl) would be unrecoverable.
-    spark.read.schema("n_docs bigint, avgdl double, sum_dl bigint")
-      .parquet(statsPathOf(idx, m))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$seg/stats_before")
-    // everything above is invisible (the manifest's segment list does
-    // not name the new dir); the adjusted stats land in a fresh
-    // epoch, and ONE pointer swing makes segment and stats visible
-    // together — a segment/stats tear is structurally impossible
+    // the five pre-swing writes are INDEPENDENT (each reads only the
+    // checkpointed postings or the current 1-row stats, and each
+    // targets its own fresh dir that stays invisible until the
+    // pointer swing) — run them as concurrent jobs (r21, the
+    // [[graft.operators.Dedup]] admitSigs pattern): an append's wall
+    // clock is the widest write, not the sum of five small parquet
+    // commit protocols. Await ALL before any rethrow — failing fast
+    // would hand the caller (whose recovery deletes the segment dir)
+    // a race against an in-flight sibling write.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val tok = IndexPolicy.newEpoch()
-    writeAdjustedStats(spark, statsPathOf(idx, m), newTf, oldTf,
-      s"${IndexPolicy.epochDir(idx, tok)}/stats")
+    val writes = Seq(
+      Future {
+        newTf.select(col("tb"), col("tk"), col("term"), col("doc_id"),
+            col("tf"), col("dl"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("tb", "tk").parquet(s"$seg/postings")
+      },
+      Future {
+        newTf.select(col("term"), lit(1L).as("d"))
+          .unionByName(oldTf.select(col("term"), lit(-1L).as("d")))
+          .groupBy(col("term")).agg(sum(col("d")).as("df"))
+          .filter(col("df") =!= 0)
+          .select(substring(col("term"), 1, 1).as("tb"),
+            tkCol(col("term")).as("tk"), col("term"), col("df"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("tb", "tk").parquet(s"$seg/terms")
+      },
+      Future {
+        oldDocs.select(col("doc_id")).distinct()
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$seg/tombstones")
+      },
+      Future {
+        // PRE-append stats snapshot (1 row): makes the index readable
+        // AS OF any generation — serve-time stats at gen g come from
+        // segment g+1's snapshot (or the live stats for the newest
+        // gen). the append swings the live stats pointer wholesale, so
+        // without this the historical (n_docs, avgdl) would be
+        // unrecoverable.
+        spark.read.schema("n_docs bigint, avgdl double, sum_dl bigint")
+          .parquet(statsPathOf(idx, m))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$seg/stats_before")
+      },
+      Future {
+        // adjusted stats land in a fresh epoch; ONE pointer swing
+        // below makes segment and stats visible together — a
+        // segment/stats tear is structurally impossible
+        writeAdjustedStats(spark, statsPathOf(idx, m), newTf, oldTf,
+          s"${IndexPolicy.epochDir(idx, tok)}/stats")
+      })
+    val tried = writes.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    tried.collect { case scala.util.Failure(e) => e } match {
+      case Seq() =>
+      case first +: rest => rest.foreach(first.addSuppressed); throw first
+    }
     IndexPolicy.crashPoint(spark, idx, "after-epoch")
     IndexPolicy.publish(spark, idx, m ++ extra + ("stats" -> tok) +
       ("segments" -> (segNames :+ segName).mkString(",")))
@@ -1310,7 +1378,8 @@ object TextAnalysis {
     // the unreferenced segment dirs and old bucket epochs are swept
     // by the next mutation
     if (touched.nonEmpty) {
-      val (_, newMap) = writeBucketEpoch(spark, idx, touched,
+      val newMap = writeBucketEpoch(spark, idx, IndexPolicy.newEpoch(),
+        touched,
         postingsView(spark, idx, bmap, touched, Seq.empty, segs)
           .drop("ord"), bmap)
       IndexPolicy.crashPoint(spark, idx, "after-epoch")
