@@ -90,12 +90,19 @@ object Cooccur {
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val pairs = pairGen(spark, dir)
       .select(col("part_a").as("u"), col("part_b").as("v"))
+    // LAZY setup checkpoints fused with the n count right below (r21):
+    // localCheckpoint persists its blocks on FIRST compute regardless
+    // of eagerness, so the single count job materializes edges AND deg
+    // — two fewer driver jobs than eager-ckpt + eager-ckpt + count.
+    // (Distinct from the reverted per-ROUND lazy experiment noted in
+    // the loop: here the materializing action runs immediately, so no
+    // uncheckpointed chain ever feeds AQE replanning.)
     val edges = pairs
       .union(pairs.select(col("v"), col("u")))
-      .localCheckpoint() // reused every iteration: cut the pair-gen lineage
+      .localCheckpoint(eager = false) // reused every iteration: cut the pair-gen lineage
     val deg = edges.groupBy("u")
       .agg(count(lit(1)).cast("double").as("d"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val n = deg.count().toDouble // one scalar to the driver, not per-node state
 
     var rank = deg.select(col("u"), lit(1.0 / n).as("r"))

@@ -883,7 +883,9 @@ object Curation {
       val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
       val nd = s"/tmp/graft_drill_nd_${ingestToken}_$tag"
       TextAnalysis.copyIndex(spark, ndT, nd)
-      val probe = manifestProbe(docs).localCheckpoint()
+      // lazy: the first lookup's own collect materializes the probe
+      // in the same job (r21 fusion; strictly sequential consumers)
+      val probe = manifestProbe(docs).localCheckpoint(eager = false)
       def lookup() =
         Dedup.neardupLookup(spark, nd, probe).collect().toSeq
       // the crashing mutation: removing the probes' originals — it
@@ -1185,7 +1187,8 @@ object Curation {
         bmServe = TextAnalysis.bm25QueryIndex(spark, bm, manifestTerms, 20)
           .collect().toSeq
         ndPairs = Dedup.neardupLookup(spark, nd,
-          manifestProbe(docs).localCheckpoint()).collect().toSeq
+          manifestProbe(docs).localCheckpoint(eager = false))
+          .collect().toSeq
         // further mutations: any append shifts n_docs → every BM25
         // score changes; removing the probed originals kills captured
         // pairs
@@ -1251,8 +1254,18 @@ object Curation {
     val man = spark.read.schema(
       "kind string, key string, n_docs bigint, total_tokens bigint, " +
         "first_doc bigint, last_doc bigint, gen bigint").parquet(art)
+    val gens = man.filter(col("kind") === "index_gen")
+      .collect().map(r => r.getString(1) -> r.getLong(6)).toMap
+    // the shard re-derivation and the three family replays are
+    // independent read-only pipelines over immutable state — run them
+    // as concurrent jobs (r21, guide §2.6 "overlap independent jobs");
+    // each family serve's tail back-fills the others' idle cores.
+    // Await ALL before any rethrow (the admitSigs discipline).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     // bounded collects: ≤ nShards shard rows + 3 gen rows
-    val shardRows: Seq[(String, Boolean)] =
+    val fShards: Future[Seq[(String, Boolean)]] = Future {
       if (docsEmpty) Seq.empty
       else {
         val fromArt = man.filter(col("kind") === "shard")
@@ -1264,23 +1277,36 @@ object Curation {
         (fromArt.keySet ++ rec.keySet).toSeq.sorted.map(k =>
           s"tr_shard_$k" -> (fromArt.get(k) == rec.get(k)))
       }
-    val gens = man.filter(col("kind") === "index_gen")
-      .collect().map(r => r.getString(1) -> r.getLong(6)).toMap
-    val famRows = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
-    if (!docsEmpty) {
-      famRows += ("tr_bm25_reproduced" ->
+    }
+    val fBm: Future[Seq[(String, Boolean)]] = Future {
+      if (docsEmpty) Seq.empty
+      else Seq("tr_bm25_reproduced" ->
         (TextAnalysis.bm25QueryIndexAsOf(spark, est.bm, gens("bm25").toInt,
           manifestTerms, 20).collect().toSeq == est.bmServe))
-      val probe = manifestProbe(docs).localCheckpoint()
-      famRows += ("tr_nd_reproduced" ->
-        (Dedup.neardupLookupAsOf(spark, est.nd, probe, gens("neardup"))
-          .collect().toSeq == est.ndPairs))
     }
-    if (!vecsEmpty)
-      famRows += ("tr_ivf_reproduced" ->
+    val fNd: Future[Seq[(String, Boolean)]] = Future {
+      if (docsEmpty) Seq.empty
+      else {
+        val probe = manifestProbe(docs).localCheckpoint(eager = false)
+        Seq("tr_nd_reproduced" ->
+          (Dedup.neardupLookupAsOf(spark, est.nd, probe, gens("neardup"))
+            .collect().toSeq == est.ndPairs))
+      }
+    }
+    val fIv: Future[Seq[(String, Boolean)]] = Future {
+      if (vecsEmpty) Seq.empty
+      else Seq("tr_ivf_reproduced" ->
         (Similarity.ivfQueryIndexAsOf(spark, dir, est.iv, gens("ivf"))
           .collect().toSeq == est.ivServe))
-    (shardRows ++ famRows).toDF("metric", "ok").orderBy("metric")
+    }
+    val tried = Seq(fShards, fBm, fNd, fIv)
+      .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    tried.collect { case scala.util.Failure(e) => e } match {
+      case Seq() =>
+      case first +: rest => rest.foreach(first.addSuppressed); throw first
+    }
+    (tried(0).get ++ tried(1).get ++ tried(2).get ++ tried(3).get)
+      .toDF("metric", "ok").orderBy("metric")
   }
 
   private val trainReadArtifactCache =
@@ -1357,7 +1383,7 @@ object Curation {
         "mr_bm25_asof_matches" -> (asof == est.bmServe))
     }
     def ndSection(): Seq[(String, Boolean)] = {
-      val probe = manifestProbe(docs).localCheckpoint()
+      val probe = manifestProbe(docs).localCheckpoint(eager = false)
       val live = Dedup.neardupLookup(spark, est.nd, probe).collect().toSeq
       val asof = Dedup.neardupLookupAsOf(spark, est.nd, probe, est.ndGen)
         .collect().toSeq
@@ -1589,7 +1615,7 @@ object Curation {
       val pins = spark.read.schema("family string, snap bigint")
         .parquet(est.art).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val probe = manifestProbe(docs).localCheckpoint()
+      val probe = manifestProbe(docs).localCheckpoint(eager = false)
       val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
       rows += ("esm_pins_present" ->
         (pins.keySet == Set("bm25", "neardup", "ivf") &&

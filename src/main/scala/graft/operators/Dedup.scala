@@ -856,7 +856,15 @@ object Dedup {
     // filter.
     val ceil = (asOf.toSeq ++ IndexPolicy.tornCeiling(m).toSeq ++
       manifest.map(IndexPolicy.committedOf).toSeq).reduceOption(_ min _)
-    val sigs = md5DocSig(newDocs, n, k).localCheckpoint()
+    // LAZY checkpoint fused with the pbs collect right below (r21,
+    // guide §1.2 "per-task work"/driver floor): the collect is the
+    // first action computing sigs, so Spark materializes the
+    // checkpoint blocks as a side effect of that one job instead of
+    // paying a separate eager-materialization job first. Lineage is
+    // truncated at job end exactly as with the eager form (and unlike
+    // the pagerank loop, the very next statement materializes — no
+    // AQE replanning chain can grow).
+    val sigs = md5DocSig(newDocs, n, k).localCheckpoint(eager = false)
     val dBand = bandedOf(sigs, k, bands)
     // the delta's pb hash buckets (≤ nPb values) become a literal
     // IN-set over the buckets scan's partition column: only the
@@ -909,8 +917,11 @@ object Dedup {
     // set so the pruned buckets scan and the candidate joins execute
     // exactly ONCE — the dbs collect below, the verify joins, and the
     // caller's eager pairs snapshot all read this materialization
-    // instead of re-running candidate generation
-    val cand = candLazy.localCheckpoint()
+    // instead of re-running candidate generation. LAZY + fused with
+    // the dbs collect (r21): the collect is the first action on cand,
+    // so it materializes the checkpoint in the same job — one job per
+    // lookup instead of two, identical blocks either way.
+    val cand = candLazy.localCheckpoint(eager = false)
     // the candidates' db hash buckets (≤ nDb values) prune the
     // docsets scan the same way — the verify reads only directories
     // that can hold a candidate's digest set
@@ -1382,9 +1393,15 @@ object Dedup {
     // relative to the corpus's expected duplication ceiling — the 10×
     // replication smoke degenerates to zero pairs at the default 8,
     // see PLANS.md scale sweep)
+    // LAZY (r21): localCheckpoint persists blocks on first compute
+    // either way; marking pairs and the seed labels lazy folds their
+    // materialization into round 1's convergence job instead of two
+    // setup jobs — same blocks, same truncated lineage, fewer driver
+    // round-trips. (Unlike the reverted pagerank per-round experiment,
+    // every round below still materializes via its own action.)
     val pairs = ngramJaccard(spark, dir, minJ = minJ, maxDf = maxDf)
       .select(col("a"), col("b"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val edges = pairs
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .cache()
@@ -1394,18 +1411,21 @@ object Dedup {
     // as size-1 clusters and are filtered below either way)
     var labels = edges.select(col("a").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       val viaNeighbors = edges
         .join(labels.select(col("doc_id").as("b"), col("label")), "b")
         .groupBy(col("a")).agg(min(col("label")).as("nlabel"))
-      // fold the convergence flag into the propagation output: the
-      // localCheckpoint materializes labels+changed in ONE job per
-      // round (and keeps the per-round plan flat — no lineage growth
-      // across rounds), then max(changed) is a cheap scan over the
-      // stored partitions instead of a second labels⋈labels join
+      // fold the convergence flag into the propagation output, and
+      // fuse the round's checkpoint with its convergence probe (r21):
+      // the LAZY checkpoint persists next's blocks while the
+      // max(changed) action computes them — ONE job per round where
+      // the eager form paid a materialization job plus a probe job.
+      // The per-round plan stays flat (blocks persist on first
+      // compute; lineage cut at job end), so rounds never re-plan
+      // their predecessors.
       val next = labels
         .join(viaNeighbors.select(col("a").as("doc_id"), col("nlabel")),
           Seq("doc_id"), "left")
@@ -1413,7 +1433,7 @@ object Dedup {
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"),
           when(col("nlabel") < col("label"), 1).otherwise(0).as("changed"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val anyChanged = next.agg(coalesce(max(col("changed")), lit(0)))
         .head().getInt(0)
       // superseded rounds' checkpoint blocks are reclaimed by the
@@ -1512,15 +1532,20 @@ object Dedup {
   def dedupClustersStar(spark: SparkSession, dir: String,
                         minJ: Double = 0.5, maxRounds: Int = 25,
                         maxDf: Int = 8): DataFrame = {
+    // LAZY checkpoints fused with each round's count (r21): blocks
+    // persist on first compute either way, so the count job both
+    // materializes the round's edge set and returns the convergence
+    // count — one job per round instead of two, and the pair-gen
+    // checkpoint folds into round 1.
     val pairs = ngramJaccard(spark, dir, minJ = minJ, maxDf = maxDf)
       .select(col("b").as("a"), col("a").as("b")) // normalize to a > b
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var edges = pairs
     var prevCount = -1L
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val cnt = next.count()
       if (cnt == prevCount &&
         next.exceptAll(edges).limit(1).collect().isEmpty) converged = true

@@ -1265,8 +1265,12 @@ object Similarity {
       .select(col("qid"), col("cell"))
     // snapshot the routing ONCE (it feeds both the cell IN-set and
     // the scoring join); the collect below is the distinct CELL set
-    // only — bounded by the index's cell count, never by the batch
-    val routing = probes.localCheckpoint()
+    // only — bounded by the index's cell count, never by the batch.
+    // LAZY checkpoint fused with that collect (r21): the collect is
+    // the first action on routing, so one job both computes the cell
+    // IN-set and persists the checkpoint blocks the scoring join
+    // reads — instead of an eager-materialization job plus a collect.
+    val routing = probes.localCheckpoint(eager = false)
     val probedCells = routing.select(col("cell")).distinct()
       .as[Long].collect().sorted
     // tombstoned (removed) vectors drop before scoring — the dead-id

@@ -1732,11 +1732,17 @@ object TextAnalysis {
   private def bpeTrain(spark: SparkSession, dir: String, nMerges: Int,
                        batchSize: Int = 8)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
+    // LAZY checkpoints fused with each round's candidate collect
+    // (r21): localCheckpoint persists blocks on first compute either
+    // way, so the round's own counting job materializes the vocabulary
+    // state — one job per round instead of a materialization job plus
+    // the count. The final round's state materializes at the caller's
+    // first action (bpeEncode / the merges are already collected).
     var words = Tables.documents(spark, dir)
       .select(explode(TextFns.alphaTokens(lower(col("text")))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("w"), split(col("w"), "").as("syms"), col("cnt"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     var done = false
@@ -1799,7 +1805,7 @@ object TextAnalysis {
               when(size(acc) === 0, append).otherwise(chain)
             }).as("syms"),
           col("cnt"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
       }
     }
     (merges.toSeq, words)
