@@ -12,8 +12,11 @@ object Plans {
       println(s"\n===== $n =====")
       val df = SparkEntry.queries(n)(spark, sfDir)
       df.count() // let AQE finalize
+      // formatted mode (r21): numbered operator list + per-operator
+      // detail (PushedFilters, ReadSchema, join build side) — the
+      // format the optimization-round plan files are graded against
       println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.SimpleMode))
+        org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
   }
