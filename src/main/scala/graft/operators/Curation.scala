@@ -2218,7 +2218,15 @@ object Curation {
   def dsirSample(spark: SparkSession, dir: String,
                  targetSource: String = "src0", nBuckets: Int = 256,
                  budget: Int = 100): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    // fanOutScan (r21, guide §2.5): the gram explode + md5-per-gram
+    // below is the row's dominant per-row work and otherwise runs
+    // inside the single-split fixture scan task (ActionAnatomy: a
+    // 1-task stage of ~1.1-1.5 s while 31 cores idle). Conditional —
+    // on a corpus whose scan already splits ≥ cores no exchange is
+    // planned; result-identical (the per-(doc,bucket) counts don't
+    // depend on partitioning, and w/dkey carry their own rounding).
+    val d = Tables.fanOutScan(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text")))
       .select(col("doc_id"), col("source"),
         TextFns.wsTokens(lower(col("text"))).as("ts"))
     // unigrams ++ adjacent bigrams; ws tokens cannot contain spaces,

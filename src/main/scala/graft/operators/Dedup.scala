@@ -44,7 +44,13 @@ object Dedup {
     */
   private[operators] def docShingles(spark: SparkSession, dir: String,
                                      n: Int): DataFrame =
-    Tables.documents(spark, dir)
+    // fanOutScan (r21 wave 2, guide §2.5): tokenize + shingle explode
+    // + the distinct's partial agg otherwise run inside the
+    // single-split fixture scan task; conditional no-op on a corpus
+    // whose scan splits ≥ cores, and (doc, shingle) distinctness is
+    // partitioning-independent.
+    Tables.fanOutScan(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextFns.wsTokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(TextFns.shinglesOf(col("toks"), n)).as("shingle"))
@@ -294,7 +300,11 @@ object Dedup {
                   w: Int = 8, minShared: Int = 3,
                   maxDf: Int = 30): DataFrame = {
     // cached: referenced three times (df agg + both pair-join sides)
-    val posts = Tables.documents(spark, dir)
+    // fanOutScan (r21 wave 2, guide §2.5): shingle md5 + per-block
+    // min partials dominated a ~1.9 s single-split scan task;
+    // conditional no-op at scale, min/distinct are order-independent.
+    val posts = Tables.fanOutScan(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextFns.wsTokens(lower(col("text"))).as("toks"))
       .select(col("doc_id"),
         posexplode(TextFns.shinglesOf(col("toks"), k)).as(Seq("pos", "shingle")))
@@ -1578,7 +1588,12 @@ object Dedup {
     * row blowup, one shuffle on doc_id.
     */
   def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
+    // fanOutScan (r21 wave 2, guide §2.5): token explode + distinct
+    // partial agg + 64 per-bit vote partials ran in the single-split
+    // scan task; conditional no-op at scale, vote sums are
+    // order-independent integer math.
+    val tok = Tables.fanOutScan(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(TextFns.wsTokens(col("text"))).as("t"))
       .distinct()
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
@@ -1619,7 +1634,9 @@ object Dedup {
   def simhashPairsMd5(spark: SparkSession, dir: String,
                       maxHamming: Int = 3): DataFrame = {
     val nBits = 60
-    val tok = Tables.documents(spark, dir)
+    // fanned for the same reason as [[simhashSigs]] (md5 per token)
+    val tok = Tables.fanOutScan(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(TextFns.wsTokens(col("text"))).as("t"))
       .distinct()
       .select(col("doc_id"),
@@ -1708,7 +1725,11 @@ object Dedup {
     // both engines, so oracle hash parity can't silently break on a
     // vertical-tab-bearing document
     val norm = lower(regexp_replace(col("text"), "[ \\t\\n\\f\\r\\x0B]+", " "))
-    Tables.documents(spark, dir)
+    // fanOutScan (r21 wave 2, guide §2.5): the per-window md5 explode
+    // ran in the single-split scan task; conditional no-op at scale,
+    // and the span aggregate is partitioning-independent.
+    Tables.fanOutScan(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")))
       .select(col("doc_id"), norm.as("n"))
       .where(length(col("n")) >= win)
       .select(col("doc_id"),

@@ -480,8 +480,15 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val ndot = graft.functions.GraftFunctions.dot _
     val lshProj = graft.functions.GraftFunctions.lshProj _
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").as("v"))
+    // fanOutScan (r21 wave 2, guide §2.5): the 1024-bit signature
+    // build + asymmetric scoring is the row's dominant per-row work
+    // and ran inside the single-split fixture scan (ActionAnatomy: a
+    // ~1.9-2.1 s 1-task stage while 31 cores idle). Conditional no-op
+    // on a corpus whose scan already splits ≥ cores; result-identical
+    // — the shortlist heap order (−sim, cid) is total, so the
+    // two-phase top-k is partition-count-independent.
+    val emb = Tables.fanOutScan(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v")))
     // int family: ×1024-quantized vectors make every projection and
     // asymmetric score EXACT integer arithmetic in a double (< 2⁵³) —
     // cross-engine bit-identical, which is what lets the DuckDB
@@ -1751,9 +1758,14 @@ object Similarity {
   private def pqTrain(spark: SparkSession, dir: String, nSub: Int,
                       k: Int, iters: Int): (DataFrame, DataFrame) = {
     val w = 64 / nSub
-    val e = Tables.embeddings(spark, dir)
+    // fanOutScan (r21 wave 2, guide §2.5): the subvector explode +
+    // per-(vector, centroid) qdot scoring below dominated a 1-task
+    // scan stage (~1.5 s); conditional no-op at scale, and the argmax
+    // (max of (sim, −code, sv) structs) plus integer-sum centroid
+    // rebuild are partition-order-independent by construction.
+    val e = Tables.fanOutScan(Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"),
-        x => round(x.cast("double") * 1024).cast("long")).as("vq"))
+        x => round(x.cast("double") * 1024).cast("long")).as("vq")))
     val sub = e.select(col("vec_id"), explode(array((0 until nSub).map { mm =>
         struct(lit(mm).cast("long").as("m"),
           slice(col("vq"), mm * w + 1, w).as("sv"))
@@ -1805,9 +1817,11 @@ object Similarity {
                nQueries: Int = 8, kNN: Int = 5,
                shortlist: Int = 50): DataFrame = {
     val (codes, cents) = pqTrain(spark, dir, 8, 32, 2)
-    val e = Tables.embeddings(spark, dir)
+    // fanned for the same reason as pqTrain's corpus pass: the exact
+    // top-k side scores every (corpus vector × query) qdot map-side
+    val e = Tables.fanOutScan(Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"),
-        x => round(x.cast("double") * 1024).cast("long")).as("vq"))
+        x => round(x.cast("double") * 1024).cast("long")).as("vq")))
     // reconstructed corpus vectors: concatenate the m centroids
     val recon = codes.join(broadcast(cents), Seq("m", "code"))
       .groupBy(col("vec_id"))

@@ -123,8 +123,13 @@ object TextAnalysis {
     val c = Tables.customer(spark, dir)
     val probes = c.filter(col("c_custkey") < nProbes)
       .select(col("c_custkey").as("probe_id"), col("c_name").as("probe_name"))
-    val directory = c.select(col("c_custkey").as("match_id"),
-      col("c_name").as("match_name"))
+    // fanOutScan (r21 wave 2, guide §2.5): nProbes levenshteins per
+    // directory row ran inside the single-split fixture scan task
+    // (ActionAnatomy: ~1.45 s 1-task stage = the whole row's cost);
+    // conditional no-op on a directory whose scan splits ≥ cores.
+    val directory = graft.Tables.fanOutScan(
+      c.select(col("c_custkey").as("match_id"),
+        col("c_name").as("match_name")))
     directory.join(broadcast(probes), col("probe_id") =!= col("match_id"))
       .select(col("probe_id"), col("match_id"),
         levenshtein(col("probe_name"), col("match_name")).cast("long")
