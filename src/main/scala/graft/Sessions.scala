@@ -29,7 +29,13 @@ object Sessions {
       // at production shuffle sizes partitions are far above either
       // floor, so the setting is inert at scale — it only stops
       // byte-blind coalescing from under-parallelizing small inputs.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // Parameterised (r22, the scale-dependent-settings rule): the
+      // env override exists for scale A/B evidence (PLANS.md records a
+      // 10×-corpus run where 64k vs the 1m default produced identical
+      // stage task counts on the conf-family queries) — the default
+      // stays 64k everywhere.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "64k"))
       // native function registration at session build
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // events.ts is timestamp[ns]; Spark 4 otherwise refuses the scan

@@ -103,12 +103,20 @@ object Cooccur {
     val deg = edges.groupBy("u")
       .agg(count(lit(1)).cast("double").as("d"))
       .localCheckpoint(eager = false)
+    // degree is static across iterations — join it into the edge set
+    // ONCE (r22, guide §2.4 shared work): each of the 3 iterations
+    // then pays a single rank join instead of re-joining deg every
+    // round; the lazy checkpoint materializes inside round 1's rank
+    // checkpoint job (no extra driver action).
+    val wDeg = edges.join(deg, "u")
+      .select(col("u"), col("v"), col("d"))
+      .localCheckpoint(eager = false)
     val n = deg.count().toDouble // one scalar to the driver, not per-node state
 
     var rank = deg.select(col("u"), lit(1.0 / n).as("r"))
     for (_ <- 1 to 3) {
-      val contribs = edges
-        .join(deg, "u").join(rank, "u")
+      val contribs = wDeg
+        .join(rank, "u")
         .select(col("v"), (col("r") / col("d")).as("c"))
         .groupBy("v").agg(sum("c").as("cs"))
       // EAGER checkpoint, deliberately (r21 tried lazy here to fold

@@ -1615,29 +1615,53 @@ object Curation {
       val pins = spark.read.schema("family string, snap bigint")
         .parquet(est.art).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val probe = manifestProbe(docs).localCheckpoint(eager = false)
+      // the six independent read-only probes — three snapshot replays
+      // and three live serves, all against immutable epoch dirs —
+      // overlap as concurrent driver jobs (r22, guide §2.6; the
+      // recoveryDrill-sections pattern): the row's wall-clock drops
+      // toward the slowest serve instead of their sum. The probe
+      // checkpoint goes back to EAGER here: it now has two CONCURRENT
+      // consumers (nd replay + nd live), and the r21 lazy-fusion rule
+      // covers only strictly sequential consumers.
+      val probe = manifestProbe(docs).localCheckpoint()
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fBmRep = Future(
+        TextAnalysis.bm25QueryIndexSnapshot(spark, est.bm, pins("bm25"),
+          manifestTerms, 20).collect().toSeq == est.bmServe)
+      val fNdRep = Future(
+        Dedup.neardupLookupSnapshot(spark, est.nd, pins("neardup"), probe)
+          .collect().toSeq == est.ndPairs)
+      val fIvRep = Future(
+        Similarity.ivfQueryIndexSnapshot(spark, dir, est.iv, pins("ivf"))
+          .collect().toSeq == est.ivServe)
+      val fBmLive = Future(
+        TextAnalysis.bm25QueryIndex(spark, est.bm, manifestTerms, 20)
+          .collect().toSeq != est.bmServe)
+      val fNdLive = Future(
+        Dedup.neardupLookup(spark, est.nd, probe)
+          .collect().toSeq != est.ndPairs)
+      val fIvLive = Future(
+        Similarity.ivfQueryIndex(spark, dir, est.iv)
+          .collect().toSeq != est.ivServe)
+      val tried = Seq(fBmRep, fNdRep, fIvRep, fBmLive, fNdLive, fIvLive)
+        .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+      tried.collect { case scala.util.Failure(e) => e } match {
+        case Seq() =>
+        case first +: rest => rest.foreach(first.addSuppressed); throw first
+      }
+      val Seq(bmRep, ndRep, ivRep, bmLive, ndLive, ivLive) = tried.map(_.get)
       val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
       rows += ("esm_pins_present" ->
         (pins.keySet == Set("bm25", "neardup", "ivf") &&
           IndexPolicy.snapshotIds(spark, est.bm).contains(pins("bm25")) &&
           IndexPolicy.snapshotIds(spark, est.nd).contains(pins("neardup")) &&
           IndexPolicy.snapshotIds(spark, est.iv).contains(pins("ivf"))))
-      rows += ("esm_bm25_replays_across_fold" ->
-        (TextAnalysis.bm25QueryIndexSnapshot(spark, est.bm, pins("bm25"),
-          manifestTerms, 20).collect().toSeq == est.bmServe))
-      rows += ("esm_nd_replays_across_fold" ->
-        (Dedup.neardupLookupSnapshot(spark, est.nd, pins("neardup"), probe)
-          .collect().toSeq == est.ndPairs))
-      rows += ("esm_ivf_replays_across_fold" ->
-        (Similarity.ivfQueryIndexSnapshot(spark, dir, est.iv, pins("ivf"))
-          .collect().toSeq == est.ivServe))
-      rows += ("esm_live_moved_on" ->
-        (TextAnalysis.bm25QueryIndex(spark, est.bm, manifestTerms, 20)
-          .collect().toSeq != est.bmServe &&
-          Dedup.neardupLookup(spark, est.nd, probe)
-            .collect().toSeq != est.ndPairs &&
-          Similarity.ivfQueryIndex(spark, dir, est.iv)
-            .collect().toSeq != est.ivServe))
+      rows += ("esm_bm25_replays_across_fold" -> bmRep)
+      rows += ("esm_nd_replays_across_fold" -> ndRep)
+      rows += ("esm_ivf_replays_across_fold" -> ivRep)
+      rows += ("esm_live_moved_on" -> (bmLive && ndLive && ivLive))
       def failsFast(idx: String, v: Long): Boolean =
         try { IndexPolicy.manifestAtSnapshot(spark, idx, v); false }
         catch { case _: IllegalArgumentException => true }

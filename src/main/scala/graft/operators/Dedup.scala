@@ -447,9 +447,11 @@ object Dedup {
     * `buckets` is hive-partitioned by (band, pb) and `docsets` by db,
     * where pb/db are hash buckets of the LSH bucket key / doc id
     * (r13 verdict gap #1: the KV-store shape of a dedicated LSH
-    * service) — a check-in's two index lookups carry literal pb/db
-    * IN-sets, so they become parquet PartitionFilters and read only
-    * the delta's hash buckets' files instead of scanning the corpus.
+    * service) — a check-in's two index lookups derive pb/db IN-sets
+    * at runtime via dynamic partition pruning (r22; literal
+    * driver-collected IN-sets before that), so they become parquet
+    * PartitionFilters and read only the delta's hash buckets' files
+    * instead of scanning the corpus.
     * nPb hash buckets per band (8 at fixture scale) keeps fixture
     * file counts sane; a 100 TB deployment raises nPb/nDb (they only
     * shape directories — results are layout-invariant, LayoutSpec
@@ -572,9 +574,10 @@ object Dedup {
     * verify runs as two broadcast-prefiltered `docsets` scans (the
     * candidate id set is tiny) plus one candidate-sized shuffle join —
     * no corpus-sized exchange anywhere. Both index lookups PRUNE at
-    * the directory level (r13 verdict gap #1): the buckets scan
-    * carries the delta's pb hash-bucket IN-set and the docsets scan
-    * the candidates' db IN-set as parquet PartitionFilters, so a
+    * the directory level (r13 verdict gap #1): the buckets scan is
+    * dynamically pruned to the delta's pb hash buckets and the
+    * docsets scan to the candidates' db buckets (runtime
+    * PartitionFilters derived from the broadcast joins — r22), so a
     * check-in's I/O is bounded by the delta's hash buckets — the
     * KV-store lookup shape of a dedicated LSH service — instead of
     * two corpus-sized scans (LayoutSpec asserts both prunings). On a
@@ -830,11 +833,13 @@ object Dedup {
   }
 
   /** The lazy lookup plan (package-private so LayoutSpec can assert
-    * the two index scans' PartitionFilters before the checkpoint
+    * the two index scans' partition pruning before the checkpoint
     * snapshots hide them; the third element is the LAZY candidate
     * plan — the buckets scan lives there now that candidates are
-    * checkpointed). Bounded driver work: two collects of hash-bucket
-    * IN-sets, ≤ nPb and ≤ nDb ints.
+    * checkpointed). No driver-side collects (r22): both hash-bucket
+    * IN-sets are derived at runtime by dynamic partition pruning from
+    * the joins' broadcast sides, so the whole lookup is ONE driver
+    * action (the caller's pairs snapshot) instead of three.
     */
   private[graft] def lookupPlan(spark: SparkSession, idx: String,
                                 newDocs: DataFrame, minJ: Double, n: Int,
@@ -866,28 +871,34 @@ object Dedup {
     // filter.
     val ceil = (asOf.toSeq ++ IndexPolicy.tornCeiling(m).toSeq ++
       manifest.map(IndexPolicy.committedOf).toSeq).reduceOption(_ min _)
-    // LAZY checkpoint fused with the pbs collect right below (r21,
-    // guide §1.2 "per-task work"/driver floor): the collect is the
-    // first action computing sigs, so Spark materializes the
-    // checkpoint blocks as a side effect of that one job instead of
-    // paying a separate eager-materialization job first. Lineage is
-    // truncated at job end exactly as with the eager form (and unlike
-    // the pagerank loop, the very next statement materializes — no
-    // AQE replanning chain can grow).
+    // LAZY checkpoint (r21): materialized by the first action over the
+    // plan — since r22 that is the caller's single pairs snapshot; the
+    // admit writes then reuse the persisted blocks. Lineage is
+    // truncated at job end exactly as with the eager form.
     val sigs = md5DocSig(newDocs, n, k).localCheckpoint(eager = false)
+    // the pb hash bucket rides the banded rows as a regular column and
+    // the trailing `pb >= 0` is a semantic no-op (pmod is
+    // non-negative) whose only purpose is DPP eligibility: Spark's
+    // PartitionPruning rule requires a likely-selective predicate on
+    // the filtering side, and the checkpointed sigs plan (a
+    // LogicalRDD) carries none of the upstream filters (r22,
+    // guide §1.2 driver floor / §6 pushdown)
     val dBand = bandedOf(sigs, k, bands)
-    // the delta's pb hash buckets (≤ nPb values) become a literal
-    // IN-set over the buckets scan's partition column: only the
-    // delta's hash buckets' directories are ever opened
-    val pbs = dBand.select(pbOf(col("bucket")).as("pb")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    val prunedBand = spark.read.schema(bucketsSchema).parquet(s"$ed/buckets")
-      .filter(if (pbs.isEmpty) lit(false)
-              else col("pb").isin(pbs.toIndexedSeq: _*))
+      .withColumn("pb", pbOf(col("bucket")))
+      .filter(col("pb") >= 0)
+    // the delta's pb hash buckets (≤ nPb values) prune the buckets
+    // scan via DYNAMIC partition pruning (r22): joining on the (band,
+    // pb) partition columns lets Spark derive the IN-set from the
+    // already-broadcast delta at runtime — same directories opened as
+    // the old driver-collected literal IN-set, without the collect's
+    // extra job per lookup (LayoutSpec still asserts scanned < total
+    // files). pb is a deterministic function of bucket, so the extra
+    // join key never drops a row.
+    val rawScan = spark.read.schema(bucketsSchema).parquet(s"$ed/buckets")
     // as-of / torn-commit: rows and tombstones ABOVE the ceiling
     // don't exist from this read's point of view
-    val rawBand = ceil.fold(prunedBand)(g =>
-      prunedBand.filter(col("gen") <= g))
+    val rawBand = ceil.fold(rawScan)(g =>
+      rawScan.filter(col("gen") <= g))
     // tombstoned (removed) docs stop matching immediately: the dead-id
     // set is removal-sized and broadcasts into an anti-join over the
     // postings scan — no index file rewrite until neardupCompact
@@ -897,8 +908,8 @@ object Dedup {
         rawBand.join(broadcast(dead.select(col("doc_id"))),
           Seq("doc_id"), "left_anti"))
     val hits = iBand
-      .join(broadcast(dBand.select(col("band"), col("bucket"),
-        col("doc_id").as("d"))), Seq("band", "bucket"))
+      .join(broadcast(dBand.select(col("band"), col("pb"), col("bucket"),
+        col("doc_id").as("d"))), Seq("band", "pb", "bucket"))
       .filter(col("doc_id") =!= col("d"))
     // hot-bucket guard: drop index-side candidates from (band, bucket)
     // keys whose live posting count exceeds the cap — the count is
@@ -907,8 +918,9 @@ object Dedup {
     val cooled =
       if (capBucket == Int.MaxValue) hits
       else hits.join(broadcast(
-          iBand.join(broadcast(dBand.select(col("band"), col("bucket"))
-              .distinct()), Seq("band", "bucket"))
+          iBand.join(broadcast(dBand
+              .select(col("band"), col("pb"), col("bucket"))
+              .distinct()), Seq("band", "pb", "bucket"))
             .groupBy(col("band"), col("bucket"))
             .agg(count(lit(1)).as("bsz"))
             .filter(col("bsz") <= capBucket)
@@ -925,42 +937,53 @@ object Dedup {
     val candLazy = cIdx.unionByName(cNew).distinct()
     // collision-sized snapshot (r14 ADVICE): checkpoint the candidate
     // set so the pruned buckets scan and the candidate joins execute
-    // exactly ONCE — the dbs collect below, the verify joins, and the
-    // caller's eager pairs snapshot all read this materialization
-    // instead of re-running candidate generation. LAZY + fused with
-    // the dbs collect (r21): the collect is the first action on cand,
-    // so it materializes the checkpoint in the same job — one job per
-    // lookup instead of two, identical blocks either way.
+    // exactly ONCE — the candidate-id broadcast below, the verify
+    // joins, and the caller's eager pairs snapshot all read this
+    // materialization instead of re-running candidate generation.
+    // LAZY (r21/r22): the caller's pairs snapshot is now the FIRST
+    // action over the whole lookup — it materializes sigs and cand in
+    // the same job, so a lookup costs one driver action, not three.
     val cand = candLazy.localCheckpoint(eager = false)
     // the candidates' db hash buckets (≤ nDb values) prune the
-    // docsets scan the same way — the verify reads only directories
-    // that can hold a candidate's digest set
-    val dbs = cand.select(explode(array(col("a"), col("b"))).as("i"))
-      .select(dbOf(col("i")).as("db")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    val allSets = spark.read.schema(docsetsSchema).parquet(s"$ed/docsets")
-      .filter(if (dbs.isEmpty) lit(false)
-              else col("db").isin(dbs.toIndexedSeq: _*))
+    // docsets scan via DYNAMIC partition pruning, like the buckets
+    // scan above — the verify reads only directories that can hold a
+    // candidate's digest set, without the old dbs collect's extra
+    // job. db is a deterministic function of doc_id (the layout's own
+    // placement rule), so joining on it alongside doc_id never drops
+    // a row; the `db >= 0` no-op marks the broadcast side
+    // likely-selective for the DPP rule (the checkpointed cand plan
+    // carries no filters).
+    val candIds = cand.select(explode(array(col("a"), col("b"))).as("doc_id"))
+      .distinct()
+      .withColumn("db", dbOf(col("doc_id")))
+      .filter(col("db") >= 0)
+    val idxSets = spark.read.schema(docsetsSchema).parquet(s"$ed/docsets")
       .filter(ceil.map(g => col("gen") <= g).getOrElse(lit(true)))
+      .join(broadcast(candIds), Seq("db", "doc_id"))
       .select(col("doc_id"), col("dset"), col("sz"), lit(0).as("ord"))
-      .unionByName(sigs.select(col("doc_id"), col("dset"), col("sz"),
-        lit(1).as("ord")))
+    val deltaSets = sigs
+      .join(broadcast(candIds.select(col("doc_id"))), Seq("doc_id"))
+      .select(col("doc_id"), col("dset"), col("sz"), lit(1).as("ord"))
     // fresh-id guard (r13 ADVICE): if a delta id already has an
     // indexed docsets row, keep only the NEWEST (delta beats index;
     // among stale index twins, the larger set; equal-size twins with
     // different content tie-break on the set digest so repeated
     // lookups always keep the SAME row — r14 ADVICE) so the verify
-    // join cannot emit duplicate pair rows — candidate-sized window
+    // join cannot emit duplicate pair rows — candidate-sized window.
+    // ONE window pass over the union of both candidate sides (r22):
+    // per doc_id the partition contents — and so the winner — are
+    // identical to the old per-side windows, and the docsets scan
+    // runs once instead of once per side.
+    val best = idxSets.unionByName(deltaSets)
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("ord").desc, col("sz").desc,
+          xxhash64(col("dset")).desc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("dset"), col("sz"))
     def lookup(side: String): DataFrame =
-      allSets.join(broadcast(cand.select(col(side)).distinct()
-          .withColumnRenamed(side, "doc_id")), "doc_id")
-        .withColumn("rn", row_number().over(Window
-          .partitionBy(col("doc_id"))
-          .orderBy(col("ord").desc, col("sz").desc,
-            xxhash64(col("dset")).desc)))
-        .filter(col("rn") === 1)
-        .select(col("doc_id").as(side), col("dset").as(s"set_$side"),
-          col("sz").as(s"sz_$side"))
+      best.select(col("doc_id").as(side), col("dset").as(s"set_$side"),
+        col("sz").as(s"sz_$side"))
     val pairs = cand
       .join(lookup("a"), "a").join(lookup("b"), "b")
       .select(col("a"), col("b"),
@@ -1556,9 +1579,22 @@ object Dedup {
     var round = 0
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
-      val cnt = next.count()
-      if (cnt == prevCount &&
-        next.exceptAll(edges).limit(1).collect().isEmpty) converged = true
+      // ONE action per round (r22, guide §1.2 driver floor): the
+      // count and the set-difference probe come back from the same
+      // aggregate — a left join against the previous round's
+      // (checkpointed, distinct) edge set flags rows missing there.
+      // count == prevCount && no new row ⇔ next ⊆ edges with equal
+      // cardinality ⇔ set equality — the exact convergence decision
+      // the old count + exceptAll pair made, minus its second job.
+      val probe = next
+        .join(edges.select(col("a"), col("b"), lit(1).as("__old")),
+          Seq("a", "b"), "left")
+        .agg(count(lit(1)).as("cnt"),
+          coalesce(max(when(col("__old").isNull, 1).otherwise(0)), lit(0))
+            .as("anyNew"))
+        .head()
+      val (cnt, anyNew) = (probe.getLong(0), probe.getInt(1))
+      if (cnt == prevCount && anyNew == 0) converged = true
       prevCount = cnt
       edges = next
       round += 1
@@ -1770,7 +1806,13 @@ object Dedup {
     // per-hash collect_list: a boilerplate span shared corpus-wide
     // would concentrate its whole hit list in one task's array,
     // whereas the join streams those rows through a shuffle.
-    val spans = norm
+    // fanOutScan (r22, the r21-wave-2 pattern + r21 ADVICE: this site
+    // was missed — its corpus-sized per-window md5 explode still ran
+    // in the single-split scan task): conditional no-op at scale, and
+    // the span stream sits behind the lazy checkpoint, so the visible
+    // post-checkpoint plan is unchanged. The doc_chars join below
+    // deliberately keeps reading the unfanned scan (cheap projection).
+    val spans = Tables.fanOutScan(norm)
       .where(length(col("n")) >= win)
       .select(col("doc_id"), col("n"),
         explode(sequence(lit(1), length(col("n")) - (win - 1), lit(stride))).as("p"))

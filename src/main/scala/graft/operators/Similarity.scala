@@ -1270,22 +1270,28 @@ object Similarity {
           .as("s"))
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
       .select(col("qid"), col("cell"))
-    // snapshot the routing ONCE (it feeds both the cell IN-set and
-    // the scoring join); the collect below is the distinct CELL set
-    // only — bounded by the index's cell count, never by the batch.
-    // LAZY checkpoint fused with that collect (r21): the collect is
-    // the first action on routing, so one job both computes the cell
-    // IN-set and persists the checkpoint blocks the scoring join
-    // reads — instead of an eager-materialization job plus a collect.
+    // the routing feeds the scoring join's broadcast AND — via
+    // dynamic partition pruning over that same broadcast (r22) — the
+    // list scan's cell IN-set, so the serve needs NO driver collect:
+    // one driver action end to end where the r21 form paid a
+    // routing-collect job first. The LAZY checkpoint matters for DPP,
+    // not just reuse: AQE's broadcast-reuse check compares the main
+    // join's build child against a freshly compiled plan of the
+    // filtering side, and only an exchange-free build side (a Filter
+    // over the checkpoint's LogicalRDD — the Dedup.lookupPlan shape)
+    // compares equal; with the routing's window/exchange inline the
+    // check fails and the pruning silently degrades to `true`
+    // (measured r22). `cell >= 0` is a semantic no-op (cells are
+    // seeded from non-negative vec_ids) that marks the build side
+    // likely-selective for the DPP rule; pruned directories are
+    // identical to the old literal IN-set (LayoutSpec asserts the
+    // runtime PartitionFilters and the scanned-file count).
     val routing = probes.localCheckpoint(eager = false)
-    val probedCells = routing.select(col("cell")).distinct()
-      .as[Long].collect().sorted
+      .filter(col("cell") >= 0)
     // tombstoned (removed) vectors drop before scoring — the dead-id
     // set is removal-sized and broadcasts into an anti-join over the
     // pruned list scan; no list file is ever rewritten
     val prunedLists = spark.read.schema(listsSchema).parquet(s"$ed/lists")
-      .filter(if (probedCells.isEmpty) lit(false)
-              else col("cell").isin(probedCells.toIndexedSeq: _*))
     // as-of / torn-commit: list rows and tombstones ABOVE the ceiling
     // don't exist from this read's point of view
     val rawLists = ceil.fold(prunedLists)(g =>
@@ -1616,17 +1622,28 @@ object Similarity {
     if (exact.isEmpty) return Seq.empty[(String, Boolean)]
       .toDF("metric", "ok")
     // pooled mean recall — every query contributes exactly kNN exact
-    // rows, so the pooled ratio equals the mean of per-query recalls
-    def meanRecall(approx: DataFrame): Double =
-      exact.join(approx.select(col("qid"), col("cid"), lit(1).as("hit")),
-          Seq("qid", "cid"), "left")
-        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") /
-          count(lit(1))).as("r"))
-        .head().getDouble(0)
-    val ra = meanRecall(
-      ivfQueryIndexWhere(spark, dir, appendIdx, qpred, kNN, nProbe))
-    val rr = meanRecall(
-      ivfQueryIndexWhere(spark, dir, serveIdx(spark, dir), qpred, kNN, nProbe))
+    // rows, so the pooled ratio equals the mean of per-query recalls.
+    // BOTH serves' recalls come back from ONE aggregate job (r22,
+    // guide §1.2 driver floor): the two approx sides hit-tag the same
+    // checkpointed exact rows via two left joins, and a single head()
+    // returns both pooled ratios — where the r21 form paid one
+    // head() per serve.
+    def hitsOf(approx: DataFrame, tag: String): DataFrame =
+      approx.select(col("qid"), col("cid"), lit(1).as(tag))
+    val both = exact
+      .join(hitsOf(ivfQueryIndexWhere(
+        spark, dir, appendIdx, qpred, kNN, nProbe), "ha"),
+        Seq("qid", "cid"), "left")
+      .join(hitsOf(ivfQueryIndexWhere(
+        spark, dir, serveIdx(spark, dir), qpred, kNN, nProbe), "hr"),
+        Seq("qid", "cid"), "left")
+      .agg(
+        (sum(coalesce(col("ha"), lit(0))).cast("double") /
+          count(lit(1))).as("ra"),
+        (sum(coalesce(col("hr"), lit(0))).cast("double") /
+          count(lit(1))).as("rr"))
+      .head()
+    val (ra, rr) = (both.getDouble(0), both.getDouble(1))
     System.err.println(
       f"[ivf_append_recall] append_mean=$ra%.3f retrain_mean=$rr%.3f " +
         f"(nProbe=$nProbe, slack=$slack)")

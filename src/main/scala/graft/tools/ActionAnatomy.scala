@@ -16,6 +16,12 @@ object ActionAnatomy {
     val spark = Sessions.local("graft-anatomy")
     @volatile var jobMs = 0L
     @volatile var jobs = 0
+    // (startNs, endNs) per finished job — lets `timed` report the
+    // interval-UNION of job time alongside the sum: sum > union means
+    // jobs genuinely overlapped (the §2.6 concurrent-jobs evidence,
+    // e.g. the parallel index writes inside a foreachBatch body)
+    val spans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long)]())
     val stageDetail = args.contains("stages")
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(
@@ -28,7 +34,8 @@ object ActionAnatomy {
             j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
           val s = starts.remove(j.jobId)
           if (s != null) { jobMs += (System.nanoTime() - s) / 1000000L
-            jobs += 1 }
+            jobs += 1
+            spans.add((s.longValue(), System.nanoTime())); () }
         }
         override def onStageCompleted(
             s: org.apache.spark.scheduler.SparkListenerStageCompleted)
@@ -42,13 +49,23 @@ object ActionAnatomy {
         }
       })
     def timed(label: String)(f: => Unit): Unit = {
-      jobMs = 0L; jobs = 0
+      jobMs = 0L; jobs = 0; spans.clear()
       val t0 = System.nanoTime()
       f
       val wall = (System.nanoTime() - t0) / 1e9
       // listener events are async; give the bus a moment to drain
       Thread.sleep(150)
-      println(f"ANATOMY $label: wall=$wall%.3f s jobs=$jobs jobTime=${jobMs / 1e3}%.3f s driverGap=${wall - jobMs / 1e3}%.3f s")
+      // union of job intervals: sum − union = time covered by ≥2
+      // concurrent jobs (0 ⇒ strictly sequential actions)
+      val iv = spans.toArray(Array.empty[(Long, Long)]).sortBy(_._1)
+      var union = 0L; var curS = 0L; var curE = -1L
+      iv.foreach { case (s, e) =>
+        if (s > curE) { union += (curE - curS) max 0L; curS = s; curE = e }
+        else if (e > curE) curE = e
+      }
+      union += (curE - curS) max 0L
+      val overlap = (jobMs / 1e3) - (union / 1e9)
+      println(f"ANATOMY $label: wall=$wall%.3f s jobs=$jobs jobTime=${jobMs / 1e3}%.3f s driverGap=${wall - jobMs / 1e3}%.3f s overlap=$overlap%.3f s")
     }
     // optional conf overrides: GRAFT_TUNE_CONF="k=v;k=v"
     sys.env.get("GRAFT_TUNE_CONF").foreach(_.split(";").foreach { kv =>

@@ -347,20 +347,47 @@ class LayoutSpec extends SparkSpec {
     val served = Similarity.ivfQueryIndex(spark, sf, idx)
     val plan = served.queryExecution.executedPlan.toString
     // the cell IN-filter must resolve against directories, pruning
-    // unprobed cells before any file is opened
+    // unprobed cells before any file is opened — since r22 it is a
+    // RUNTIME PartitionFilter (dynamic partition pruning off the
+    // routing broadcast), not a driver-collected literal IN-set
     assert(plan.contains("PartitionFilters:") && plan.contains("cell"),
       s"no cell pruning:\n$plan")
     // and serving must agree with the one-shot build+serve query
     val oneShot = Similarity.ivfIndexTopK(spark, sf)
     assert(served.collect().toSeq == oneShot.collect().toSeq)
-    // with only 2 of 8 cells probed per query, at least one cell dir
-    // must be absent from the scanned partitions
-    val scannedCells = served
-      .queryExecution.executedPlan.collectLeaves().toString
     val nCellDirs = new java.io.File(
         Similarity.resolvedTable(spark, idx, "lists").get).listFiles()
       .count(_.getName.startsWith("cell="))
     assert(nCellDirs >= 2, s"index should have multiple cell dirs")
+    // REAL pruning proof (r22, the near-dup test's numFiles check):
+    // a ONE-query serve probes nProbe=2 of the ≥2 cells, so its
+    // executed lists scan must open strictly fewer files than exist —
+    // i.e. the dynamic filter actually pruned at runtime (the 8-query
+    // default serve above legitimately probes most cells)
+    val one = Similarity.ivfQueryIndex(spark, sf, idx, nQueries = 1)
+    one.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val listScan = scans(one.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("lists")))
+    assert(listScan.nonEmpty, "no lists scan in served plan")
+    assert(listScan.head.toString.contains("dynamicpruning"),
+      s"lists scan lacks a dynamic partition filter:\n${listScan.head}")
+    def walk(d: java.io.File): Seq[java.io.File] =
+      if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) else Seq(d)
+    val totalListFiles = walk(new java.io.File(
+        Similarity.resolvedTable(spark, idx, "lists").get))
+      .count(_.getName.endsWith(".parquet"))
+    val scanned = listScan.head.metrics("numFiles").value
+    assert(scanned > 0 && scanned < totalListFiles,
+      s"lists not file-pruned: scanned $scanned of $totalListFiles")
   }
 
   test("ivf vector append: new list files only, existing files byte-identical") {
