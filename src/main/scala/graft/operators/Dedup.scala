@@ -970,10 +970,14 @@ object Dedup {
     // different content tie-break on the set digest so repeated
     // lookups always keep the SAME row — r14 ADVICE) so the verify
     // join cannot emit duplicate pair rows — candidate-sized window.
-    // ONE window pass over the union of both candidate sides (r22):
+    // ONE window SHAPE over the union of both candidate sides (r22):
     // per doc_id the partition contents — and so the winner — are
-    // identical to the old per-side windows, and the docsets scan
-    // runs once instead of once per side.
+    // identical to the old per-side windows. The a/b lookups reference
+    // the same `best` plan, which Spark duplicates per join side (no
+    // checkpoint here — it would cost back the driver action this
+    // rewrite removes); each copy's docsets scan is DPP-pruned to the
+    // candidates' db buckets and the window is candidate-sized, so the
+    // duplication is delta-bound, never corpus-bound.
     val best = idxSets.unionByName(deltaSets)
       .withColumn("rn", row_number().over(Window
         .partitionBy(col("doc_id"))
